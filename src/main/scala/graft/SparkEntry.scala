@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each ops module contributes (queries, oracleSql) pairs; module key sets
+  * must be disjoint (asserted in SparkEntrySpec) and every oracle key must
+  * exist in queries.
+  */
 object SparkEntry {
+
+  private def modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (Relational.queries, Relational.oracle),
+    (Joins.queries, Joins.oracle),
+    (Aggregates.queries, Aggregates.oracle),
+    (Windows.queries, Windows.oracle),
+    (SetOps.queries, SetOps.oracle),
+    (Generators.queries, Generators.oracle),
+    (Scalars.queries, Scalars.oracle),
+    (StreamingOps.queries, StreamingOps.oracle))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Aggregates.q1Pricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.iterator.flatMap(_._1).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    modules.iterator.flatMap(_._2).toMap
 }

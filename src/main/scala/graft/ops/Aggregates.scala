@@ -1,0 +1,291 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables._
+
+/** Aggregation surface (SURVEY.md §2.D): hash aggregation with map-side
+  * partials, multi-DISTINCT, ROLLUP/CUBE/GROUPING SETS, statistical
+  * aggregates, exact/approx percentiles, arg-min/arg-max, ordered collect.
+  *
+  * Hive lineage: GroupByOperator partial/merge modes
+  * [hive: ql/src/java/org/apache/hadoop/hive/ql/exec/GroupByOperator.java],
+  * grouping sets via row replication, UDAFs in [hive: ql/.../udf/generic/].
+  * Spark-first: everything here lowers to HashAggregateExec with partial
+  * aggregation before the shuffle (map-side combine), which is exactly the
+  * shape that scales — at 100 TB the shuffle carries one row per
+  * (group, partition), not per input row.
+  *
+  * Hash-stability: money doubles are summed as exact DECIMAL and emitted as
+  * double (SURVEY.md §5.4); every query ends in a total ORDER BY.
+  */
+object Aggregates {
+
+  /** TPC-H Q1-style pricing summary — the flagship end-to-end slice. */
+  val q1Pricing: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-01 00:00:00"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumExact(discPrice(col("l_extendedprice"), col("l_discount")))
+          .as("sum_disc_price"),
+        dsumExact(charge(col("l_extendedprice"), col("l_discount"), col("l_tax")))
+          .as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Multiple DISTINCT aggregates in one GROUP BY (Catalyst
+    * RewriteDistinctAggregates expands to a single multi-stage plan). */
+  val qAggDistinct: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("nd_pair"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** ROLLUP with NULL grouping keys made hash-stable via COALESCE. */
+  val qAggRollup: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("cnt"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  /** CUBE + per-column GROUPING indicator (cast to int on both engines). */
+  val qAggCube: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("cnt"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_price"), col("cnt"), col("g_rf"), col("g_ls"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  /** Explicit GROUPING SETS through the SQL front-end. */
+  val qAggGroupingSets: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("gs_orders")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS st,
+             coalesce(CAST(year(o_orderdate) AS STRING), 'ALL') AS yr,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             count(1) AS cnt
+      FROM gs_orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+      ORDER BY st, yr""")
+  }
+
+  /** Statistical aggregates (Welford-merged in both engines; rounded to
+    * absorb last-ulp differences between JVM and C math). */
+  val qAggStats: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer")
+    c.groupBy(col("c_mktsegment"))
+      .agg(
+        round(stddev_samp(col("c_acctbal")), 4).as("sd_samp"),
+        round(stddev_pop(col("c_acctbal")), 4).as("sd_pop"),
+        round(var_samp(col("c_acctbal")), 4).as("v_samp"),
+        round(var_pop(col("c_acctbal")), 4).as("v_pop"),
+        round(corr(col("c_acctbal"), col("c_custkey").cast("double")), 4).as("r"),
+        round(covar_samp(col("c_acctbal"), col("c_custkey").cast("double")), 4)
+          .as("cov_samp"),
+        round(covar_pop(col("c_acctbal"), col("c_custkey").cast("double")), 4)
+          .as("cov_pop"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`). */
+  val qAggPercentile: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"),
+        percentile(col("l_quantity"), lit(0.99)).as("p99"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Approximate aggregates (HLL++ distinct, GK percentile, streaming
+    * histogram). No cross-engine oracle exists for sketches — the driver
+    * records a rows-only check; determinism is covered by AggregatesSpec. */
+  val qAggApprox: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_p50"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** min_by / max_by with a struct ordering key so ties are impossible
+    * (oracle expresses the same thing with window row_number). */
+  val qAggMinMaxBy: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    o.groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("top_order"),
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("bot_order"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Ordered collect_list → string (collect_set order is unstable, so the
+    * stable spelling is sort_array(collect_list) — SURVEY.md §5.4). */
+  val qAggCollect: Q = (s, dir) => {
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Two-stage (salted) aggregation: groupBy(key, salt) partial, then
+    * groupBy(key) merge. Semantically identical to a direct groupBy — that
+    * is what the oracle checks — but the first stage spreads a hot key over
+    * 16 reducers, the pattern that survives skew at 100 TB. */
+  val qAggSalted: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val salted = li.withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(dec(col("l_quantity"))).as("part_qty"),
+        count(lit(1)).as("part_cnt"))
+    salted.groupBy(col("l_returnflag"))
+      .agg(sum(col("part_qty")).cast("double").as("sum_qty"),
+        sum(col("part_cnt")).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1Pricing,
+    "q_agg_distinct" -> qAggDistinct,
+    "q_agg_rollup" -> qAggRollup,
+    "q_agg_cube" -> qAggCube,
+    "q_agg_grouping_sets" -> qAggGroupingSets,
+    "q_agg_stats" -> qAggStats,
+    "q_agg_percentile" -> qAggPercentile,
+    "q_agg_approx" -> qAggApprox,
+    "q_agg_minmax_by" -> qAggMinMaxBy,
+    "q_agg_collect" -> qAggCollect,
+    "q_agg_salted" -> qAggSalted)
+
+  private val q1Sql = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(5,4))), 4) AS DOUBLE) AS sum_disc_price,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(5,4)) * CAST(1 + l_tax AS DECIMAL(5,4))), 4) AS DOUBLE) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q_agg_distinct" -> """
+      SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS nd_part,
+        count(DISTINCT l_suppkey) AS nd_supp,
+        count(DISTINCT ROW(l_partkey, l_suppkey)) AS nd_pair,
+        count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_rollup" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             count(*) AS cnt
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY rf, ls""",
+    "q_agg_cube" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             count(*) AS cnt,
+             CAST(grouping(l_returnflag) AS INT) AS g_rf,
+             CAST(grouping(l_linestatus) AS INT) AS g_ls
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY rf, ls""",
+    "q_agg_grouping_sets" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS st,
+             coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             count(*) AS cnt
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+      ORDER BY st, yr""",
+    "q_agg_stats" -> """
+      SELECT c_mktsegment,
+        round(stddev_samp(c_acctbal), 4) AS sd_samp,
+        round(stddev_pop(c_acctbal), 4) AS sd_pop,
+        round(var_samp(c_acctbal), 4) AS v_samp,
+        round(var_pop(c_acctbal), 4) AS v_pop,
+        round(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS r,
+        round(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS cov_samp,
+        round(covar_pop(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS cov_pop,
+        count(*) AS cnt
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_agg_percentile" -> """
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS p50,
+        quantile_cont(l_quantity, 0.9) AS p90,
+        quantile_cont(l_quantity, 0.99) AS p99,
+        min(l_quantity) AS qmin,
+        max(l_quantity) AS qmax
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_minmax_by" -> """
+      WITH ranked AS (
+        SELECT o_orderstatus, o_orderkey,
+          row_number() OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+          row_number() OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin,
+          count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        FROM orders)
+      SELECT o_orderstatus,
+        max(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_order,
+        max(CASE WHEN rmin = 1 THEN o_orderkey END) AS bot_order,
+        max(cnt) AS cnt
+      FROM ranked GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_agg_collect" -> """
+      SELECT r_name,
+        string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        count(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""",
+    "q_agg_salted" -> """
+      SELECT l_returnflag,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+}

@@ -1,0 +1,250 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables._
+
+/** Join surface (SURVEY.md §2.C): shuffle (sort-merge) joins, broadcast
+  * (map) joins, semi/anti existence joins, outer joins, cross join,
+  * non-equi band join, and multi-way star joins.
+  *
+  * Hive lineage: CommonJoinOperator / MapJoinOperator
+  * [hive: ql/src/java/org/apache/hadoop/hive/ql/exec/CommonJoinOperator.java,
+  * MapJoinOperator.java]; auto map-join conversion
+  * [hive: ql/.../optimizer/MapJoinProcessor.java].
+  *
+  * Scale design: dimension tables (region/nation/supplier/customer at star
+  * ratios) are explicitly `broadcast()` so the 100 TB fact table never
+  * shuffles for them; fact-fact joins (orders ⋈ lineitem) shuffle on the
+  * join key, which AQE re-plans at runtime (skew split / local shuffle
+  * fallback) — nothing here hand-schedules what Catalyst already does.
+  */
+object Joins {
+
+  /** TPC-H Q3-style: customer ⋈ orders ⋈ lineitem, revenue top-10. */
+  val q3Shipping: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    val l = Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") > ts("1996-06-30 00:00:00"))
+    broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsumExact(discPrice(col("l_extendedprice"), col("l_discount")))
+        .as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 6-table star join with the extra n=s nation equality. */
+  val q5LocalSupplier: Q = (s, dir) => {
+    val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables(s, dir, "nation")
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    val l = Tables(s, dir, "lineitem")
+    val sup = Tables(s, dir, "supplier")
+    broadcast(r).join(broadcast(n), col("r_regionkey") === col("n_regionkey"))
+      .join(c, col("n_nationkey") === col("c_nationkey"))
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsumExact(discPrice(col("l_extendedprice"), col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** LEFT OUTER: every nation, with its supplier count (0 for none). */
+  val qJoinLeft: Q = (s, dir) => {
+    val n = Tables(s, dir, "nation")
+    val sup = Tables(s, dir, "supplier")
+    n.join(sup, col("n_nationkey") === col("s_nationkey"), "left")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(col("s_suppkey")).as("n_supp"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** RIGHT OUTER (mirror of left; exercises the distinct plan path). */
+  val qJoinRight: Q = (s, dir) => {
+    val n = Tables(s, dir, "nation")
+    val sup = Tables(s, dir, "supplier")
+    sup.join(n, col("s_nationkey") === col("n_nationkey"), "right")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(col("s_suppkey")).as("n_supp"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** FULL OUTER between customers and their order rollup. */
+  val qJoinFull: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer")
+    val oa = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("spend"))
+    c.join(oa, col("c_custkey") === col("o_custkey"), "full")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+      .orderBy(col("custkey"))
+  }
+
+  /** LEFT SEMI (EXISTS): segments of customers who have ordered. */
+  val qJoinSemi: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** LEFT ANTI (NOT EXISTS): customers with no large order. */
+  val qJoinAnti: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 300000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** CROSS JOIN (guarded-cartesian in Hive; explicit here, dims only). */
+  val qJoinCross: Q = (s, dir) => {
+    val r = Tables(s, dir, "region")
+    val n = Tables(s, dir, "nation")
+    r.crossJoin(n)
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Non-equi (theta) band join: lineitem quantities into literal bands.
+    * The band table is tiny → BroadcastNestedLoopJoin, the only sane
+    * physical shape for a non-equi predicate at scale. */
+  val qJoinNonEqui: Q = (s, dir) => {
+    import s.implicits._
+    val bands = Seq((0.0, 10.0, "low"), (10.0, 25.0, "mid"),
+      (25.0, 40.0, "high"), (40.0, 1e9, "max"))
+      .toDF("lo", "hi", "band")
+    val li = Tables(s, dir, "lineitem")
+    li.join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("band"))
+  }
+
+  /** Part/supplier enrichment join keyed on two fact FKs at once. */
+  val qJoinPartSupp: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val p = Tables(s, dir, "part")
+    val sup = Tables(s, dir, "supplier")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("cnt"),
+        dsumExact(discPrice(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"),
+        countDistinct(col("s_suppkey")).as("nd_supp"))
+      .orderBy(col("p_type"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q3_shipping_priority" -> q3Shipping,
+    "q5_local_supplier" -> q5LocalSupplier,
+    "q_join_left" -> qJoinLeft,
+    "q_join_right" -> qJoinRight,
+    "q_join_full" -> qJoinFull,
+    "q_join_semi" -> qJoinSemi,
+    "q_join_anti" -> qJoinAnti,
+    "q_join_cross" -> qJoinCross,
+    "q_join_nonequi" -> qJoinNonEqui,
+    "q_join_partsupp" -> qJoinPartSupp)
+
+  private val revenue =
+    "round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(5,4))), 4)"
+
+  val oracle: Map[String, String] = Map(
+    "q3_shipping_priority" -> s"""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             CAST($revenue AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_local_supplier" -> s"""
+      SELECT n_name, CAST($revenue AS DOUBLE) AS revenue
+      FROM region
+      JOIN nation ON r_regionkey = n_regionkey
+      JOIN customer ON n_nationkey = c_nationkey
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_join_left" -> """
+      SELECT n_nationkey, n_name, count(s_suppkey) AS n_supp
+      FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+      GROUP BY n_nationkey, n_name ORDER BY n_nationkey""",
+    "q_join_right" -> """
+      SELECT n_nationkey, n_name, count(s_suppkey) AS n_supp
+      FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_nationkey, n_name ORDER BY n_nationkey""",
+    "q_join_full" -> """
+      WITH oa AS (
+        SELECT o_custkey, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey)
+      SELECT coalesce(c_custkey, o_custkey) AS custkey,
+             coalesce(n_orders, 0) AS n_orders,
+             coalesce(spend, 0.0) AS spend
+      FROM customer FULL JOIN oa ON c_custkey = o_custkey
+      ORDER BY custkey""",
+    "q_join_semi" -> """
+      SELECT c_mktsegment, count(*) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_join_anti" -> """
+      SELECT c_mktsegment, count(*) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_join_cross" -> """
+      SELECT r_name, n_name FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name""",
+    "q_join_nonequi" -> """
+      SELECT band, count(*) AS cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'),
+                   (25.0, 40.0, 'high'), (40.0, 1e9, 'max')) b(lo, hi, band)
+        ON l_quantity >= lo AND l_quantity < hi
+      GROUP BY band ORDER BY band""",
+    "q_join_partsupp" -> s"""
+      SELECT p_type, count(*) AS cnt,
+             CAST($revenue AS DOUBLE) AS revenue,
+             count(DISTINCT s_suppkey) AS nd_supp
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY p_type ORDER BY p_type""")
+}

@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables._
+
+/** Window-function surface (SURVEY.md §2.E): ranking, analytic (lead/lag/
+  * first/last), aggregates over frames (ROWS + RANGE), and the
+  * top-k-per-group pattern.
+  *
+  * Hive lineage: PTFOperator + WindowingTableFunction
+  * [hive: ql/src/java/org/apache/hadoop/hive/ql/exec/PTFOperator.java,
+  * ql/.../udf/ptf/WindowingTableFunction.java]; ranking UDAFs
+  * [hive: ql/.../udf/generic/GenericUDAFRank.java].
+  *
+  * Scale design: WindowExec shuffles once on partitionBy keys and sorts
+  * within partitions — one exchange regardless of how many functions share
+  * the window spec, so all functions per query share a single spec.
+  * Determinism: every orderBy includes a unique key suffix (§5.4).
+  */
+object Windows {
+
+  /** Full ranking family over one window spec. */
+  val qWindowRank: Q = (s, dir) => {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("int").as("c_nationkey"),
+        col("c_acctbal"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"),
+        ntile(4).over(w).as("tile4"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  /** lead/lag with explicit defaults over an event timeline. */
+  val qWindowLeadLag: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        lag(col("event_type"), 1, "none").over(w).as("prev_type"),
+        lead(col("event_type"), 1, "none").over(w).as("next_type"),
+        lag(col("event_id"), 2, -1L).over(w).as("prev2_id"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** first_value / last_value over the full partition frame. */
+  val qWindowFirstLast: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        last(col("o_orderkey")).over(w).as("last_key"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** ROWS frames (running + moving) and a numeric RANGE frame. */
+  val qWindowFrames: Q = (s, dir) => {
+    val wRows = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wRange = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_orderkey"))
+    Tables(s, dir, "lineitem")
+      .filter(col("l_suppkey") <= 10)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"),
+        sum(dec(col("l_quantity")))
+          .over(wRows.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("run_qty"),
+        sum(dec(col("l_quantity")))
+          .over(wRows.rowsBetween(-3, Window.currentRow))
+          .cast("double").as("mov4_qty"),
+        count(lit(1))
+          .over(wRange.rangeBetween(-100L, 0L)).as("cnt_range100"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"),
+        col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Top-3 line items per supplier — windowed top-k-per-group. */
+  val qWindowTopKGroup: Q = (s, dir) => {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** Windowed aggregates: share-of-partition via sum over partition. */
+  val qWindowShare: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+    Tables(s, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("status_total"),
+        count(lit(1)).over(w).as("status_cnt"),
+        (dec(col("o_totalprice")).cast("double") /
+          sum(dec(col("o_totalprice"))).over(w).cast("double")).as("share"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_window_rank" -> qWindowRank,
+    "q_window_leadlag" -> qWindowLeadLag,
+    "q_window_firstlast" -> qWindowFirstLast,
+    "q_window_frames" -> qWindowFrames,
+    "q_window_topk_group" -> qWindowTopKGroup,
+    "q_window_share" -> qWindowShare)
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" -> """
+      SELECT * FROM (
+        SELECT c_custkey, CAST(c_nationkey AS INT) AS c_nationkey, c_acctbal,
+          rank() OVER w AS rnk,
+          dense_rank() OVER w AS drnk,
+          row_number() OVER w AS rn,
+          ntile(4) OVER w AS tile4,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey))
+      WHERE rn <= 5 ORDER BY c_nationkey, rn""",
+    "q_window_leadlag" -> """
+      SELECT user_id, event_id, event_type,
+        lag(event_type, 1, 'none') OVER w AS prev_type,
+        lead(event_type, 1, 'none') OVER w AS next_type,
+        lag(event_id, 2, -1) OVER w AS prev2_id
+      FROM events WHERE user_id < 40
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+    "q_window_firstlast" -> """
+      SELECT o_orderkey, o_orderstatus,
+        first_value(o_orderkey) OVER w AS first_key,
+        last_value(o_orderkey) OVER w AS last_key
+      FROM orders WHERE o_orderkey % 100 = 0
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_orderkey""",
+    "q_window_frames" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+        strftime(l_shipdate, '%Y-%m-%d') AS ship,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+          PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+          PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov4_qty,
+        count(*) OVER (
+          PARTITION BY l_suppkey ORDER BY l_orderkey
+          RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS cnt_range100
+      FROM lineitem WHERE l_suppkey <= 10
+      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""",
+    "q_window_topk_group" -> """
+      SELECT * FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+          row_number() OVER (PARTITION BY l_suppkey
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        FROM lineitem)
+      WHERE rn <= 3 ORDER BY l_suppkey, rn""",
+    "q_window_share" -> """
+      SELECT o_orderkey, o_orderstatus,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+          OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS status_total,
+        count(*) OVER (PARTITION BY o_orderstatus) AS status_cnt,
+        CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) /
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+               OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS share
+      FROM orders WHERE o_orderkey % 50 = 0
+      ORDER BY o_orderkey""")
+}
