@@ -20,7 +20,12 @@ object SparkEntry {
     (SetOps.queries, SetOps.oracle),
     (Generators.queries, Generators.oracle),
     (Scalars.queries, Scalars.oracle),
-    (StreamingOps.queries, StreamingOps.oracle))
+    (StreamingOps.queries, StreamingOps.oracle),
+    (Dedup.queries, Dedup.oracle),
+    (Similarity.queries, Similarity.oracle),
+    (TextAnalysis.queries, TextAnalysis.oracle),
+    (Multimodal.queries, Multimodal.oracle),
+    (Extensions.queries, Extensions.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

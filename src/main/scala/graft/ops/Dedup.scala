@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for a training-data pipeline (north star /
+  * SURVEY.md §2.M): exact hash dedup, exact n-gram Jaccard, MinHash+LSH
+  * banding (via the custom MinHashAgg TypedImperativeAggregate), and
+  * SimHash fingerprints.
+  *
+  * Scale design: exact all-pairs Jaccard is the oracle-checkable baseline;
+  * the path that survives 100 TB is MinHash: per-doc signatures are a
+  * partial-aggregable 32-long sketch, LSH banding turns candidate
+  * generation into an equi-join on (band, band_hash) — shuffle volume is
+  * O(docs × bands), never O(docs²). SimHash gives 64-bit fingerprints
+  * whose hamming distance is comparable in a cheap pair scan.
+  */
+object Dedup {
+
+  /** Exact dedup: content-hash group, canonical = min doc_id. */
+  val qDedupExact: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("copies"))
+      .select(col("canonical_id"), col("fp"), col("copies"))
+      .orderBy(col("canonical_id"))
+  }
+
+  private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(when(size(col("t")) >= 3,
+          expr("""transform(sequence(1, size(t) - 2),
+                  i -> concat_ws(' ', element_at(t, i),
+                                 element_at(t, i + 1),
+                                 element_at(t, i + 2)))"""))
+          .otherwise(array()))).as("g"))
+  }
+
+  /** Exact word-3-gram Jaccard near-dup pairs (j >= 0.2).
+    * Candidate generation by shingle equi-join (docs sharing >= 1 shingle),
+    * i.e. an inverted-index join, not an O(n^2) cross join. */
+  val qDedupJaccard: Q = (s, dir) => {
+    val sh = shingled(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double")).as("jacc"))
+      .filter(col("jacc") >= 0.2)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** MinHash + LSH near-dup candidates: 32-perm signatures via the custom
+    * TypedImperativeAggregate, 16 bands x 2 rows, candidates from the band
+    * equi-join, ranked by estimated Jaccard (signature agreement).
+    * No DuckDB oracle (engine-specific hash permutations) — determinism
+    * and recall vs exact Jaccard are asserted in DedupSpec. */
+  val qDedupMinhash: Q = (s, dir) => {
+    GraftFunctions.register(s)
+    // same 3-gram shingles as the exact-Jaccard baseline: single-token
+    // sets are near-identical across this small-vocab corpus, so only
+    // shingles give a discriminative Jaccard.
+    val sh = shingled(s, dir)
+    val sigs = sh
+      .withColumn("th", xxhash64(col("g")))
+      .groupBy(col("doc_id"))
+      .agg(expr("minhash32(th)").as("sig"))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(expr(
+        """transform(sequence(0, 15),
+           b -> xxhash64(element_at(sig, b * 2 + 1),
+                         element_at(sig, b * 2 + 2)))""")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bh")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
+      .select(col("da"), col("db"),
+        (expr("""aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1, 0)),
+                 0, (acc, x) -> acc + x)""").cast("double") / 32.0)
+          .as("est_jacc"))
+      .filter(col("est_jacc") >= 0.2)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** SimHash 60-bit fingerprints from md5-derived token hashes — fully
+    * deterministic AND oracle-checkable cross-engine (md5 is the hash). */
+  val qDedupSimhash: Q = (s, dir) => {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val h = toks.select(col("doc_id"),
+      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    h.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(59))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("shiftright(h, j) & 1") === 1, 1).otherwise(-1))
+        .as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L))
+        .as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs by hamming distance <= 12 over blocked
+    * candidates (same top-8-bit prefix would be the 100 TB blocking; at
+    * fixture scale the pair scan is exact and unblocked). */
+  val qDedupSimhashPairs: Q = (s, dir) => {
+    val sh = qDedupSimhash(s, dir)
+    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(expr("a.simhash ^ b.simhash")).as("hamming"))
+      .filter(col("hamming") <= 12)
+      .orderBy(col("da"), col("db"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_jaccard" -> qDedupJaccard,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_simhash_pairs" -> qDedupSimhashPairs)
+
+  private val simhashSql = """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      h AS (SELECT doc_id,
+              CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+            FROM tok),
+      b AS (SELECT doc_id, j,
+              sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM h, range(0, 60) r(j) GROUP BY doc_id, j)
+      SELECT doc_id,
+        CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                      ELSE 0 END) AS BIGINT) AS simhash
+      FROM b GROUP BY doc_id"""
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" -> """
+      SELECT min(doc_id) AS canonical_id, md5(text) AS fp,
+             count(*) AS copies
+      FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
+    "q_dedup_jaccard" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+             FROM toks, range(1, 1000) r(i) WHERE i <= len(t) - 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT da, db,
+        CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jacc
+      FROM inter
+      JOIN sizes sa ON da = sa.doc_id
+      JOIN sizes sb ON db = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2
+      ORDER BY da, db""",
+    "q_dedup_simhash" -> (simhashSql + " ORDER BY doc_id"),
+    "q_dedup_simhash_pairs" -> s"""
+      WITH sh AS ($simhashSql)
+      SELECT a.doc_id AS da, b.doc_id AS db,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+      ORDER BY da, db""")
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing (north star / SURVEY.md §2.M): opaque
+  * binary payloads + typed metadata, with a feature-extraction stage.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub (byte statistics standing in for
+  * pixel/sample features); everything around it — binary column handling,
+  * schema, typed Dataset pipeline, per-partition batch shape, partition-
+  * local execution — is real and tested. At 100 TB the blobs live in
+  * parquet binary columns co-partitioned with their metadata; decode is
+  * a mapPartitions stage that never shuffles.
+  */
+object Multimodal {
+
+  /** Case-class row for the typed decode pipeline. */
+  final case class MediaRow(doc_id: Long, blob: Array[Byte], mime: String)
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, byte_sum: Long, first_byte: Int,
+      entropy_ish: Double)
+
+  /** Metadata projection over the binary payload — oracle-checkable
+    * (md5 of the blob == md5 of the utf-8 text on the DuckDB side). */
+  val qMmMeta: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        col("text").cast("binary").as("blob"),
+        lit("text/plain").as("mime"))
+      .select(col("doc_id"), col("mime"),
+        length(col("blob")).as("n_bytes"),
+        md5(col("blob")).as("checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Typed mapPartitions decode stage. The real system would decode
+    * image/audio bytes here (codec library per executor, reused across
+    * the partition's rows); the stub derives deterministic pseudo-
+    * features from the bytes so the pipeline shape is fully testable. */
+  val qMmFeatures: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        col("text").cast("binary").as("blob"),
+        lit("text/plain").as("mime"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // STUB DECODE: stands in for e.g. JPEG decode + feature extract.
+        // Deterministic byte statistics keep the contract testable.
+        rows.map { m =>
+          val bytes = m.blob
+          var sum = 0L
+          val hist = new Array[Long](256)
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xff
+            sum += b
+            hist(b) += 1
+            i += 1
+          }
+          var ent = 0.0
+          var j = 0
+          while (j < 256) {
+            if (hist(j) > 0) {
+              val p = hist(j).toDouble / bytes.length
+              ent -= p * math.log(p)
+            }
+            j += 1
+          }
+          MediaFeatures(m.doc_id, bytes.length, sum,
+            if (bytes.nonEmpty) bytes(0) & 0xff else -1,
+            math.round(ent * 1e6) / 1e6)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_mm_meta" -> qMmMeta,
+    "q_mm_features" -> qMmFeatures)
+
+  val oracle: Map[String, String] = Map(
+    "q_mm_meta" -> """
+      SELECT doc_id, 'text/plain' AS mime,
+        CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        md5(text) AS checksum
+      FROM documents ORDER BY doc_id""")
+}

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` fixture (north star /
+  * SURVEY.md §2.M): brute-force cosine top-k as the exact baseline, a
+  * threshold near-dup join, and a random-hyperplane LSH-bucketed ANN
+  * variant as the 100 TB scale path.
+  *
+  * Cross-engine float hazard: summing float products in double is
+  * order-dependent at the last ulp, so both engines quantize each
+  * component to round(x * 1e6) as int64 first — the dot product and
+  * squared norms are then EXACT integer arithmetic (64 * (3e5)^2 ~ 6e12,
+  * far under 2^63, and under 2^53 for the final double casts), and the
+  * cosine double is bit-identical everywhere. This also halves the data
+  * width vs float64 at scale.
+  */
+object Similarity {
+
+  /** Quantized embedding: array<long> of round(x * 1e6). */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("q"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def dotq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("n2", dotq(col("q"), col("q")))
+
+  /** Brute-force cosine top-5 neighbors for the first 10 query vectors.
+    * The query side is broadcast; candidates stream — the shape that
+    * scales to a 100 TB candidate set (one pass, no shuffle of
+    * candidates; top-k via per-query window). */
+  val qSimTopK: Q = (s, dir) => {
+    val emb = withNorm(quantized(s, dir))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("n2").as("qn2"))
+    val scored = emb.join(broadcast(queries), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("neighbor"),
+        (dotq(col("qv"), col("q")).cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+          .as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Cosine near-dup pairs (cos >= 0.3) across all pairs — the exact
+    * baseline the LSH variant is measured against. */
+  val qSimNearDup: Q = (s, dir) => {
+    val emb = withNorm(quantized(s, dir))
+    val a = emb.select(col("vec_id").as("va"), col("q").as("qa"),
+      col("n2").as("na"))
+    val b = emb.select(col("vec_id").as("vb"), col("q").as("qb"),
+      col("n2").as("nb"))
+    a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        (dotq(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy(col("va"), col("vb"))
+  }
+
+  /** ANN via multi-table random-hyperplane LSH: 8 tables x 6 sign bits.
+    * Hyperplane components are deterministic +-1 from xxhash64(plane, dim);
+    * candidates come from the (table, bucket) equi-join, then exact rerank.
+    * At scale candidate generation is an equi-join (shuffle O(n * tables)),
+    * never O(n^2); more tables buy recall linearly in cost — the standard
+    * ANN tradeoff. Engine-specific hashes -> no SQL oracle; recall vs the
+    * exact q_sim_neardup is asserted in SimilaritySpec. */
+  val qSimAnnLsh: Q = (s, dir) => {
+    val emb = withNorm(quantized(s, dir))
+    // one row per (vector, table): bucket = 6 sign bits of dot(v, plane)
+    val bucketed = emb
+      .select(col("vec_id"), col("q"), col("n2"),
+        explode(sequence(lit(0), lit(7))).as("t"))
+      .withColumn("bucket", expr(
+        """aggregate(sequence(0, 5), 0L, (acc, p) ->
+             acc * 2 + if(aggregate(sequence(1, size(q)), 0L, (a2, i) ->
+               a2 + element_at(q, i) *
+                    if(pmod(xxhash64(t * 6 + p, i), 2) = 0, 1L, -1L)) > 0,
+               1L, 0L))"""))
+    val a = bucketed.select(col("t"), col("bucket"), col("vec_id").as("va"))
+    val b = bucketed.select(col("t"), col("bucket"), col("vec_id").as("vb"))
+    val cand = a.join(b, Seq("t", "bucket"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb")).distinct()
+    val qa = emb.select(col("vec_id").as("va"), col("q").as("qa"),
+      col("n2").as("na"))
+    val qb = emb.select(col("vec_id").as("vb"), col("q").as("qb"),
+      col("n2").as("nb"))
+    cand.join(qa, "va").join(qb, "vb")
+      .select(col("va"), col("vb"),
+        (dotq(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sim_topk" -> qSimTopK,
+    "q_sim_neardup" -> qSimNearDup,
+    "q_sim_ann_lsh" -> qSimAnnLsh)
+
+  private val quantSql =
+    "SELECT vec_id, r.i AS i, CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000000) AS BIGINT) AS v FROM embeddings, range(1, 65) r(i)"
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_topk" -> s"""
+      WITH e AS ($quantSql),
+      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      d AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+              CAST(sum(a.v * b.v) AS BIGINT) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10
+              AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2),
+      scored AS (SELECT qid, neighbor,
+              CAST(dot AS DOUBLE) /
+                (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE)))
+                AS cos
+            FROM d JOIN n nq ON qid = nq.vec_id
+                   JOIN n nn ON neighbor = nn.vec_id)
+      SELECT qid, neighbor, cos,
+        CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY cos DESC, neighbor) AS INT) AS rnk
+      FROM scored QUALIFY rnk <= 5 ORDER BY qid, rnk""",
+    "q_sim_neardup" -> s"""
+      WITH e AS ($quantSql),
+      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      d AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+              CAST(sum(a.v * b.v) AS BIGINT) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2)
+      SELECT va, vb,
+        CAST(dot AS DOUBLE) /
+          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+      FROM d JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id
+      WHERE CAST(dot AS DOUBLE) /
+          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.3
+      ORDER BY va, vb""")
+}

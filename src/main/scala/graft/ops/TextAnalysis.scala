@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline (north star /
+  * SURVEY.md §2.M): stopword-profile language ID, quality scoring,
+  * token counting (whitespace + BPE-ish regex), and normalized-content
+  * fingerprinting for fuzzy-dedup clustering.
+  *
+  * Everything is built from codegen'd builtins (split / filter HOF /
+  * regexp counts) — per-document, embarrassingly parallel, no shuffle
+  * until the final aggregate, so it scales linearly with input splits.
+  */
+object TextAnalysis {
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "et", "de", "les", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist"),
+    "es" -> Seq("el", "los", "y", "que", "en", "un"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => x.isInCollection(words)))
+
+  /** Stopword-profile language ID + agreement with the labeled lang. */
+  val qTextLangId: Q = (s, dir) => {
+    val toks = split(col("text"), " ")
+    val scored = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        hits(toks, stopwords("en")).as("s_en"),
+        hits(toks, stopwords("fr")).as("s_fr"),
+        hits(toks, stopwords("de")).as("s_de"),
+        hits(toks, stopwords("es")).as("s_es"))
+    scored.select(col("doc_id"), col("lang"),
+        col("s_en"), col("s_fr"), col("s_de"), col("s_es"),
+        when(greatest(col("s_en"), col("s_fr"), col("s_de"), col("s_es")) === 0,
+          "und")
+          .when(col("s_en") >= greatest(col("s_fr"), col("s_de"), col("s_es")),
+            "en")
+          .when(col("s_fr") >= greatest(col("s_de"), col("s_es")), "fr")
+          .when(col("s_de") >= col("s_es"), "de")
+          .otherwise("es").as("predicted"))
+      .withColumn("agrees", col("predicted") === col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length / punctuation / digit / stopword / unique-
+    * token ratios combined into one score. */
+  val qTextQuality: Q = (s, dir) => {
+    val toks = split(col("text"), " ")
+    val n = length(col("text"))
+    val punct = n - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val digits = n - length(regexp_replace(col("text"), "[0-9]", ""))
+    val nTok = size(toks)
+    val sw = hits(toks, stopwords("en"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), n.as("n_chars_m"), nTok.as("n_toks"),
+        (punct.cast("double") / n.cast("double")).as("punct_ratio"),
+        (digits.cast("double") / n.cast("double")).as("digit_ratio"),
+        (sw.cast("double") / nTok.cast("double")).as("stop_ratio"),
+        (size(array_distinct(toks)).cast("double") / nTok.cast("double"))
+          .as("uniq_ratio"))
+      .withColumn("quality",
+        col("uniq_ratio") * 0.5 + col("stop_ratio") * 0.3 +
+          (lit(1.0) - col("punct_ratio")) * 0.1 +
+          (lit(1.0) - col("digit_ratio")) * 0.1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish word/punct regex. */
+  val qTextTokens: Q = (s, dir) => {
+    val toks = split(col("text"), " ")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+          .as("bpe_ish_tokens"),
+        size(array_distinct(toks)).as("uniq_tokens"),
+        (length(col("text")).cast("double") / size(toks).cast("double"))
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprint: md5 of the sorted distinct lowercase token set
+    * (the classic "fingerprint clustering" normalizer). */
+  val qTextFingerprint: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(array_join(
+          sort_array(array_distinct(split(lower(col("text")), " "))), " "))
+          .as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+      .select(col("canonical_id"), col("fp"), col("n_docs"))
+      .orderBy(col("canonical_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_text_langid" -> qTextLangId,
+    "q_text_quality" -> qTextQuality,
+    "q_text_tokens" -> qTextTokens,
+    "q_text_fingerprint" -> qTextFingerprint)
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  private def hitsSql(words: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(words)}))) AS INT)"
+
+  val oracle: Map[String, String] = Map(
+    "q_text_langid" -> s"""
+      WITH scored AS (SELECT doc_id, lang,
+        ${hitsSql(stopwords("en"))} AS s_en,
+        ${hitsSql(stopwords("fr"))} AS s_fr,
+        ${hitsSql(stopwords("de"))} AS s_de,
+        ${hitsSql(stopwords("es"))} AS s_es
+        FROM documents)
+      SELECT doc_id, lang, s_en, s_fr, s_de, s_es,
+        CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+             WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
+             WHEN s_fr >= greatest(s_de, s_es) THEN 'fr'
+             WHEN s_de >= s_es THEN 'de'
+             ELSE 'es' END AS predicted,
+        (CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+             WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
+             WHEN s_fr >= greatest(s_de, s_es) THEN 'fr'
+             WHEN s_de >= s_es THEN 'de'
+             ELSE 'es' END) = lang AS agrees
+      FROM scored ORDER BY doc_id""",
+    "q_text_quality" -> s"""
+      WITH q AS (SELECT doc_id,
+        CAST(length(text) AS INT) AS n_chars_m,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+        CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+          AS DOUBLE) / length(text) AS punct_ratio,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+          AS DOUBLE) / length(text) AS digit_ratio,
+        CAST(${hitsSql(stopwords("en"))} AS DOUBLE)
+          / len(string_split(text, ' ')) AS stop_ratio,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS uniq_ratio
+        FROM documents)
+      SELECT *, uniq_ratio * 0.5 + stop_ratio * 0.3 +
+        (1.0 - punct_ratio) * 0.1 + (1.0 - digit_ratio) * 0.1 AS quality
+      FROM q ORDER BY doc_id""",
+    "q_text_tokens" -> """
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT)
+          AS bpe_ish_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+          AS uniq_tokens,
+        CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+          AS chars_per_token
+      FROM documents ORDER BY doc_id""",
+    "q_text_fingerprint" -> """
+      WITH f AS (SELECT doc_id,
+        md5(array_to_string(
+          list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+          AS fp
+        FROM documents)
+      SELECT min(doc_id) AS canonical_id, fp, count(*) AS n_docs
+      FROM f GROUP BY fp ORDER BY canonical_id""")
+}
