@@ -19,6 +19,8 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "parse_url_tuple", exprs => ParseUrlTuple(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dotq", exprs => DotLongArrays(exprs(0), exprs(1)), "built-in")
     spark.udf.register("wavg", udaf(WeightedAvg))
   }
 }
