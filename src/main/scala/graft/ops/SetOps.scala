@@ -37,18 +37,16 @@ object SetOps {
       .groupBy(col("nk")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("nk"))
 
-  // EXCEPT needs asymmetric sets to be non-vacuous: rich customers minus
-  // customers holding a large order (non-empty at every fixture sf).
-  private def richCust(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables(s, dir, "customer").filter(col("c_acctbal") > 7000)
-      .select(col("c_custkey").as("k"))
-
-  private def bigOrderCust(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables(s, dir, "orders").filter(col("o_totalprice") > 250000)
-      .select(col("o_custkey").as("k"))
+  // EXCEPT needs asymmetric sets to be non-vacuous at EVERY fixture sf:
+  // customers with a pending order but no finalized order (5 / 67 / 491
+  // rows at sf0.001 / 0.01 / 0.1 — verified against the fixtures).
+  private def statusCust(s: org.apache.spark.sql.SparkSession, dir: String,
+      status: String) =
+    Tables(s, dir, "orders").filter(col("o_orderstatus") === status)
+      .select(col("o_custkey").as("k")).distinct()
 
   val qExcept: Q = (s, dir) =>
-    richCust(s, dir).except(bigOrderCust(s, dir)).orderBy(col("k"))
+    statusCust(s, dir, "P").except(statusCust(s, dir, "F")).orderBy(col("k"))
 
   /** EXCEPT ALL over genuine multisets (order rows repeat custkeys). */
   val qExceptAll: Q = (s, dir) => {
@@ -86,9 +84,9 @@ object SetOps {
       GROUP BY nk ORDER BY nk""",
     "q_except" -> """
       SELECT k FROM (
-        SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7000
+        SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
         EXCEPT
-        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000)
+        SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
       ORDER BY k""",
     "q_except_all" -> """
       SELECT k, count(*) AS cnt FROM (

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality bounds for the sketch-based operators that have no SQL oracle:
+  * MinHash vs exact Jaccard, LSH-ANN recall vs exact cosine pairs,
+  * SimHash invariances. */
+class DedupSimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash candidates recover strong exact-Jaccard pairs") {
+    val exact = SparkEntry.queries("q_dedup_jaccard")(spark, sf)
+      .filter(col("jacc") >= 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val mh = pairs("q_dedup_minhash")
+    assert(exact.nonEmpty, "fixture lost its planted near-dups?")
+    val recall = exact.count(mh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall over ${exact.size} pairs")
+  }
+
+  test("minhash estimate tracks exact jaccard within 0.25") {
+    val exact = SparkEntry.queries("q_dedup_jaccard")(spark, sf)
+      .select(col("da"), col("db"), col("jacc"))
+    val est = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .select(col("da"), col("db"), col("est_jacc"))
+    val joined = exact.join(est, Seq("da", "db"))
+      .select(abs(col("jacc") - col("est_jacc")).as("err"))
+      .agg(max(col("err"))).collect().head.getDouble(0)
+    assert(joined <= 0.25, s"max |est - exact| = $joined")
+  }
+
+  test("simhash: near-dup pairs have small hamming distance") {
+    val strong = SparkEntry.queries("q_dedup_jaccard")(spark, sf)
+      .filter(col("jacc") >= 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val close = pairs("q_dedup_simhash_pairs")
+    assert(strong.nonEmpty)
+    val covered = strong.count(close.contains).toDouble / strong.size
+    assert(covered >= 0.9,
+      s"simhash hamming<=12 covers only $covered of jacc>=0.8 pairs")
+  }
+
+  test("LSH-ANN candidates are a subset of exact pairs with usable recall") {
+    val exact = SparkEntry.queries("q_sim_neardup")(spark, sf)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ann = SparkEntry.queries("q_sim_ann_lsh")(spark, sf)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(ann.subsetOf(exact), "ANN produced a pair the exact scan lacks")
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.15, s"ANN recall $recall (8 tables x 6 bits)")
+  }
+
+  test("topk rank-1 neighbor has the maximum cosine per query") {
+    val rows = SparkEntry.queries("q_sim_topk")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}

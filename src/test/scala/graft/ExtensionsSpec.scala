@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** Custom extension surface (SURVEY.md §2.K): expression semantics,
+  * codegen participation, generator null-handling, script transform. */
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("field() semantics incl. no-match and null") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT field('b', 'a', 'b', 'c') AS hit,
+                field('z', 'a', 'b', 'c') AS miss,
+                field(CAST(NULL AS STRING), 'a') AS nul""").collect().head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 0 && r.getInt(2) == 0)
+  }
+
+  test("field() survives whole-stage codegen over a table") {
+    GraftFunctions.register(spark)
+    Tables(spark, sf, "orders").createOrReplaceTempView("o_cg")
+    val df = spark.sql(
+      "SELECT field(o_orderstatus, 'F', 'O', 'P') AS i FROM o_cg")
+    // whole-stage-codegen'd operators print with a "*(n)" prefix
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+    val vals = df.distinct().collect().map(_.getInt(0)).toSet
+    assert(vals.subsetOf(Set(1, 2, 3)))
+  }
+
+  test("parse_url_tuple handles malformed and null urls") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT t.* FROM (SELECT 'ht!tp://###bad' AS u) x
+         LATERAL VIEW parse_url_tuple(u) t AS p, h, pa, q""").collect()
+    assert(rows.length == 1 && rows.head.isNullAt(0))
+    val outer = spark.sql(
+      """SELECT t.* FROM (SELECT CAST(NULL AS STRING) AS u) x
+         LATERAL VIEW OUTER parse_url_tuple(u) t AS p, h, pa, q""").collect()
+    assert(outer.length == 1 && outer.head.isNullAt(0))
+  }
+
+  test("minhash32 partial/merge invariance: repartitioned input, same sig") {
+    GraftFunctions.register(spark)
+    val toks = Tables(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("doc_id")).agg(expr("minhash32(th)").as("sig"))
+        .orderBy(col("doc_id")).collect().toSeq
+    assert(sigs(toks.repartition(1)) == sigs(toks.repartition(7)))
+  }
+
+  test("weighted avg aggregator matches direct exact computation") {
+    GraftFunctions.register(spark)
+    val got = SparkEntry.queries("q_udaf_weighted_avg")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exp = Tables(spark, sf, "part")
+      .groupBy(col("p_brand"))
+      .agg((sum(col("p_retailprice").cast("decimal(12,4)") * col("p_size"))
+        .cast("double") / sum(col("p_size")).cast("double")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == exp)
+  }
+
+  test("TRANSFORM USING pipes rows through an external script (Hive ScriptOperator)") {
+    Tables(spark, sf, "region").createOrReplaceTempView("r_tx")
+    val rows = spark.sql(
+      """SELECT TRANSFORM(r_regionkey, r_name) USING 'cat'
+           AS (k STRING, v STRING)
+         FROM r_tx""").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getString(1)).toSet.contains("ASIA"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the 100 TB scale contract.
+  * A query that silently loses its pushdown, broadcast, or top-k pushdown
+  * still passes the value oracle; these tests pin the PLAN (SURVEY.md §4,
+  * builder prompt "explain and iterate until it's the plan you'd want"). */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // formatted mode prints complete PushedFilters / ReadSchema lists
+  // (plain toString elides long argument lists)
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("scan filters reach parquet (PushedFilters) and columns are pruned") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_extendedprice"), p)
+    // only the 4 referenced columns in ReadSchema
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_quantity") && !read.contains("l_discount"), read)
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side for dims)") {
+    assert(plan("q5_local_supplier").contains("BroadcastHashJoin"))
+    assert(plan("q3_shipping_priority").contains("BroadcastHashJoin"))
+  }
+
+  test("order-by + limit lowers to TakeOrderedAndProject (top-k pushdown)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregations have map-side partial aggregation") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("non-equi band join broadcasts the band table (BNLJ, not cartesian-shuffle)") {
+    assert(plan("q_join_nonequi").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("window functions over one spec share a single exchange") {
+    val p = plan("q_window_frames")
+    // one hash exchange into the windows + one range exchange for the
+    // final ORDER BY; more would mean a replanned/duplicated window
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("custom dot-product expression participates in whole-stage codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables(spark, sf, "embeddings").createOrReplaceTempView("emb_cg")
+    val df = spark.sql(
+      """SELECT vec_id, dotq(q, q) AS n2 FROM (
+           SELECT vec_id, transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+           FROM emb_cg)""")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("dotlongarrays"), p)
+    assert(p.contains("[codegen id :"), p) // projection stage is codegen'd
+  }
+
+  test("semi/anti joins use existence joins, not inner join + distinct") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic laws the engine's semantics guarantee (SURVEY.md §5.2):
+  * partition-count invariance of aggregation (partial+final ≡ single
+  * pass), pushdown on/off result equality, set-op laws — on ScalaCheck-
+  * generated data (sampled with fixed seeds; scalatestplus bridge is not
+  * in the offline cache), not just fixtures. */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Int, Int)]] = Gen.listOfN(200,
+    Gen.zip(Gen.choose(0, 9), Gen.choose(-1000000, 1000000)))
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val seeds = Seq(1L, 42L, 777L, 20260812L)
+
+  test("aggregation is partition-count invariant (map-side combine law)") {
+    for (s <- seeds) {
+      val rows = sample(rowsGen, s)
+      val df = rows.toDF("k", "v")
+      def agg(parts: Int) =
+        df.repartition(parts).groupBy($"k")
+          .agg(sum(expr("CAST(v AS DECIMAL(18,2))")).as("s"),
+            count(lit(1)).as("c"))
+          .orderBy($"k").collect().toSeq
+      assert(agg(1) == agg(13), s"seed $s")
+    }
+  }
+
+  test("filter pushdown on/off produces identical results") {
+    val q = () => Tables(spark, sf, "lineitem")
+      .filter($"l_extendedprice" > 50000 && $"l_suppkey" <= 5)
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("c"))
+      .orderBy($"l_returnflag")
+    val on = q().collect().toSeq
+    spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+    val off = try q().collect().toSeq
+      finally spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+    assert(on == off)
+  }
+
+  test("union + distinct == set union; intersect/except laws") {
+    for (s <- seeds) {
+      val xs = sample(rowsGen, s).map(_._2 % 50)
+      val ys = sample(rowsGen, s + 1).map(_._2 % 50)
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      assert(a.union(b).distinct().collect().map(_.getInt(0)).toSet ==
+        xs.toSet ++ ys.toSet, s"union seed $s")
+      assert(a.intersect(b).collect().map(_.getInt(0)).toSet ==
+        xs.toSet.intersect(ys.toSet), s"intersect seed $s")
+      assert(a.except(b).collect().map(_.getInt(0)).toSet ==
+        xs.toSet.diff(ys.toSet), s"except seed $s")
+    }
+  }
+
+  test("row_number over a total order is a permutation 1..n") {
+    for (s <- seeds) {
+      val rows = sample(rowsGen, s)
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (k, v, i) }
+        .toDF("k", "v", "id")
+      val rns = df.select(row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"k").orderBy($"v", $"id")).as("rn"), $"k")
+        .groupBy($"k").agg(count(lit(1)).as("n"), sum($"rn").as("srn"))
+        .collect()
+      rns.foreach { r =>
+        val n = r.getLong(1)
+        assert(r.getLong(2) == n * (n + 1) / 2, s"seed $s")
+      }
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: key hygiene, smoke rows, determinism. */
+class SparkEntrySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("module query keys are globally unique") {
+    val keys = Seq(
+      ops.Relational.queries, ops.Joins.queries, ops.Aggregates.queries,
+      ops.Windows.queries, ops.SetOps.queries, ops.Generators.queries,
+      ops.Scalars.queries, ops.StreamingOps.queries, ops.Dedup.queries,
+      ops.Similarity.queries, ops.TextAnalysis.queries,
+      ops.Multimodal.queries, ops.Extensions.queries).flatMap(_.keys)
+    val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query keys: $dups")
+    assert(SparkEntry.queries.size == keys.size)
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("entry returns rows (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and is non-empty at sf0.001") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = fn(spark, sf).count()
+        if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"empty results: $empty")
+  }
+
+  test("representative queries are run-to-run deterministic") {
+    for (name <- Seq("q1_pricing_summary", "q_window_rank", "q_sim_topk",
+        "q_dedup_minhash", "q_stream_session")) {
+      val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
+      val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
+      assert(a == b, s"$name not deterministic across runs")
+    }
+  }
+}

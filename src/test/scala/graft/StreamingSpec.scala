@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables._
+
+/** Batch ≡ stream equivalence (SURVEY.md §2.J, §5.2): the SAME windowed
+  * transformations declared in StreamingOps run under Structured Streaming
+  * from a file-replay source and must produce the batch rows. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // file-source replay dir holding only events.parquet
+  private lazy val replayDir: String = {
+    val d = Files.createTempDirectory("events_replay").toFile
+    d.deleteOnExit()
+    val target = new java.io.File(d, "events.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), target.toPath)
+    d.getAbsolutePath
+  }
+
+  private def streamedEvents = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // raw schema has ts as int64 nanos (nanosAsLong); convert exactly as
+    // Tables() does for batch reads
+    val rawSchema = spark.read.parquet(s"$replayDir/events.parquet").schema
+    spark.readStream.schema(rawSchema).parquet(replayDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def runToBatch(df: org.apache.spark.sql.DataFrame,
+      name: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling windows: stream == batch") {
+    val streamed = runToBatch(
+      streamedEvents
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(fmtTs(col("w.start")).as("win_start"), col("event_type"),
+          col("cnt"), col("sum_value")),
+      "t_tumbling")
+      .orderBy(col("win_start"), col("event_type")).collect().toSeq
+    val batch = SparkEntry.queries("q_stream_tumbling")(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("session windows: stream == batch") {
+    val streamed = runToBatch(
+      streamedEvents.filter(col("user_id") < 60)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), fmtTsUs(col("w.start")).as("sess_start"),
+          fmtTsUs(col("w.end")).as("sess_end"), col("cnt"),
+          col("sum_value")),
+      "t_session")
+      .orderBy(col("user_id"), col("sess_start")).collect().toSeq
+    val batch = SparkEntry.queries("q_stream_session")(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("watermarked streaming dedup emits each event_id once") {
+    val deduped = {
+      val df = streamedEvents
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id")
+        .groupBy().agg(count(lit(1)).as("n"))
+      val q = df.writeStream.format("memory").queryName("t_dedup")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      spark.table("t_dedup").collect().head.getLong(0)
+    }
+    val distinctIds = Tables(spark, sf, "events")
+      .select(countDistinct(col("event_id"))).collect().head.getLong(0)
+    assert(deduped == distinctIds)
+  }
+}
