@@ -21,6 +21,7 @@ object SparkEntry {
     (Generators.queries, Generators.oracle),
     (Scalars.queries, Scalars.oracle),
     (StreamingOps.queries, StreamingOps.oracle),
+    (SourcesSinks.queries, SourcesSinks.oracle),
     (Dedup.queries, Dedup.oracle),
     (Similarity.queries, Similarity.oracle),
     (TextAnalysis.queries, TextAnalysis.oracle),

@@ -10,7 +10,8 @@ class SparkEntrySpec extends AnyFunSuite {
     val keys = Seq(
       ops.Relational.queries, ops.Joins.queries, ops.Aggregates.queries,
       ops.Windows.queries, ops.SetOps.queries, ops.Generators.queries,
-      ops.Scalars.queries, ops.StreamingOps.queries, ops.Dedup.queries,
+      ops.Scalars.queries, ops.StreamingOps.queries,
+      ops.SourcesSinks.queries, ops.Dedup.queries,
       ops.Similarity.queries, ops.TextAnalysis.queries,
       ops.Multimodal.queries, ops.Extensions.queries).flatMap(_.keys)
     val dups = keys.groupBy(identity).filter(_._2.size > 1).keys

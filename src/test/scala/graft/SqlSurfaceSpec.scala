@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog-backed surface (SURVEY.md §2.A bucketing, §2.C SMB join,
+  * §2.L DDL/stats): bucketed writes, shuffle-free sort-merge-bucket
+  * joins, databases/views/DESCRIBE/ANALYZE, partition recovery. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("bucketed tables join without a shuffle (Hive SMB join)") {
+    Tables(spark, sf, "orders")
+      .write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the bare join must be exchange-free: bucket layout satisfies the
+      // join's distribution requirement on both sides
+      val bare = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val bp = bare.queryExecution.executedPlan.toString
+      assert(bp.contains("SortMergeJoin"), bp)
+      assert(!bp.contains("Exchange"), bp)
+      assert(bp.contains("Bucketed: true"), bp)
+      // same result as the plain parquet join
+      val j = bare.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+      val direct = Tables(spark, sf, "orders")
+        .join(Tables(spark, sf, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus")).collect().toSeq
+      assert(j.orderBy(col("o_orderstatus")).collect().toSeq == direct)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("database / view / describe DDL round trip") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    Tables(spark, sf, "region")
+      .write.mode("overwrite").saveAsTable("graft_db.t_region")
+    spark.sql("""CREATE OR REPLACE VIEW graft_db.v_region AS
+                 SELECT r_name FROM graft_db.t_region WHERE r_regionkey > 1""")
+    val shown = spark.sql("SHOW TABLES IN graft_db").collect()
+      .map(_.getString(1)).toSet
+    assert(Set("t_region", "v_region").subsetOf(shown), shown)
+    assert(spark.sql("SELECT count(*) FROM graft_db.v_region")
+      .collect().head.getLong(0) == 3)
+    val cols = spark.sql("DESCRIBE graft_db.t_region")
+      .collect().map(_.getString(0)).toSet
+    assert(cols.contains("r_regionkey") && cols.contains("r_name"))
+  }
+
+  test("ANALYZE TABLE feeds the optimizer row-count statistics") {
+    Tables(spark, sf, "nation")
+      .write.mode("overwrite").saveAsTable("t_nation_stats")
+    spark.sql("ANALYZE TABLE t_nation_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+    // row counts feed plans only under CBO
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("t_nation_stats")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_.toLong == 25L), stats)
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
+  test("partition recovery (MSCK REPAIR analogue) on an external table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext").toFile
+    dir.deleteOnExit()
+    Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus")
+      .parquet(dir.getAbsolutePath)
+    spark.sql(s"""CREATE TABLE ext_orders (o_orderkey BIGINT)
+                  USING parquet PARTITIONED BY (o_orderstatus STRING)
+                  LOCATION '${dir.getAbsolutePath}'""")
+    assert(spark.sql("SHOW PARTITIONS ext_orders").count() == 0)
+    spark.sql("MSCK REPAIR TABLE ext_orders")
+    assert(spark.sql("SHOW PARTITIONS ext_orders").count() == 3)
+    assert(spark.table("ext_orders").count() ==
+      Tables(spark, sf, "orders").count())
+    spark.sql("DROP TABLE ext_orders")
+  }
+}

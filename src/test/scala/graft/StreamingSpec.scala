@@ -71,6 +71,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sliding windows: stream == batch") {
+    val streamed = runToBatch(
+      streamedEvents
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(fmtTs(col("w.start")).as("win_start"), col("cnt"),
+          col("sum_value")),
+      "t_sliding")
+      .orderBy(col("win_start")).collect().toSeq
+    val batch = SparkEntry.queries("q_stream_sliding")(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("stream-static join enriches events with a dimension table") {
+    // static dim: classify event types (broadcast to every micro-batch)
+    val dim = Seq(("view", "read"), ("click", "read"), ("purchase", "write"),
+      ("signup", "write"), ("error", "error"))
+    import spark.implicits._
+    val dimDf = dim.toDF("event_type", "klass")
+    val streamed = runToBatch(
+      streamedEvents.join(dimDf, "event_type")
+        .groupBy(col("klass")).agg(count(lit(1)).as("cnt")),
+      "t_dimjoin")
+      .orderBy(col("klass")).collect().toSeq
+    val batch = Tables(spark, sf, "events").join(dimDf, "event_type")
+      .groupBy(col("klass")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("klass")).collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("arbitrary stateful processing: flatMapGroupsWithState running count") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val counted = streamedEvents
+      .selectExpr("user_id", "event_id").as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], st: GroupState[Long]) =>
+          val prev = st.getOption.getOrElse(0L)
+          val total = prev + rows.size
+          st.update(total)
+          Iterator.single((uid, total))
+      }.toDF("user_id", "total")
+    val q = counted.writeStream.format("memory").queryName("t_state")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // last emitted total per user equals the batch count
+    val streamed = spark.table("t_state")
+      .groupBy(col("user_id")).agg(max(col("total")).as("n"))
+      .orderBy(col("user_id")).collect().toSeq
+    val batch = Tables(spark, sf, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id")).collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("watermarked streaming dedup emits each event_id once") {
     val deduped = {
       val df = streamedEvents

@@ -5,10 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for every suite (SURVEY.md §5.2). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toFile
+    wh.deleteOnExit()
     val s = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh.getAbsolutePath)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
