@@ -20,6 +20,7 @@ object SparkEntry {
     (SetOps.queries, SetOps.oracle),
     (Generators.queries, Generators.oracle),
     (Scalars.queries, Scalars.oracle),
+    (Scalars2.queries, Scalars2.oracle),
     (StreamingOps.queries, StreamingOps.oracle),
     (SourcesSinks.queries, SourcesSinks.oracle),
     (Dedup.queries, Dedup.oracle),

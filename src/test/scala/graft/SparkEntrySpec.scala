@@ -10,7 +10,7 @@ class SparkEntrySpec extends AnyFunSuite {
     val keys = Seq(
       ops.Relational.queries, ops.Joins.queries, ops.Aggregates.queries,
       ops.Windows.queries, ops.SetOps.queries, ops.Generators.queries,
-      ops.Scalars.queries, ops.StreamingOps.queries,
+      ops.Scalars.queries, ops.Scalars2.queries, ops.StreamingOps.queries,
       ops.SourcesSinks.queries, ops.Dedup.queries,
       ops.Similarity.queries, ops.TextAnalysis.queries,
       ops.Multimodal.queries, ops.Extensions.queries).flatMap(_.keys)
