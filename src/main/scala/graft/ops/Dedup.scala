@@ -42,12 +42,15 @@ object Dedup {
 
   /** Exact word-3-gram Jaccard near-dup pairs (j >= 0.2).
     * Candidate generation by shingle equi-join (docs sharing >= 1 shingle),
-    * i.e. an inverted-index join, not an O(n^2) cross join. */
+    * i.e. an inverted-index join, not an O(n^2) cross join. The join key
+    * is xxhash64 of the shingle: an 8-byte shuffle key instead of a ~20-
+    * byte string (64-bit collisions are negligible at any corpus size
+    * this engine targets, and would only perturb one intersection count). */
   val qDedupJaccard: Q = (s, dir) => {
-    val sh = shingled(s, dir)
+    val sh = shingled(s, dir).select(col("doc_id"), xxhash64(col("g")).as("h"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("i"))
     inter
