@@ -136,6 +136,11 @@ object Aggregates {
         approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("approx_p50"),
+        // streaming b-bin histogram (Hive GenericUDAFHistogramNumeric);
+        // rendered to a stable string since bin centroids are float-y
+        expr("""array_join(transform(histogram_numeric(l_quantity, 5),
+                 h -> concat(round(h.x, 2), ':', round(h.y, 0))), '|')""")
+          .as("hist5"),
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
   }

@@ -29,7 +29,11 @@ object Scalars2 {
         base64(col("p_name").cast("binary")).as("b64"),
         unbase64(base64(col("p_name").cast("binary"))).cast("string")
           .as("b64rt"),
-        format_string("%s#%03d", col("p_brand"), col("p_size")).as("fmt"))
+        format_string("%s#%03d", col("p_brand"), col("p_size")).as("fmt"),
+        expr("str_to_map(concat('type:', p_type, ',size:', p_size), ',', ':')['size']")
+          .as("stm"),
+        width_bucket(col("p_retailprice"), lit(0.0), lit(2500.0), lit(25))
+          .as("wb"))
       .orderBy(col("p_partkey"))
   }
 
@@ -100,7 +104,12 @@ object Scalars2 {
           x -> upper(substr(x, 1, 1)) || lower(substr(x, 2))), ' ') AS ic,
         base64(CAST(p_name AS BLOB)) AS b64,
         p_name AS b64rt,
-        printf('%s#%03d', p_brand, p_size) AS fmt
+        printf('%s#%03d', p_brand, p_size) AS fmt,
+        CAST(p_size AS VARCHAR) AS stm,
+        CAST(CASE WHEN p_retailprice < 0 THEN 0
+                  WHEN p_retailprice >= 2500.0 THEN 26
+                  ELSE floor(p_retailprice / (2500.0 / 25)) + 1
+             END AS BIGINT) AS wb
       FROM part WHERE p_partkey < 200 ORDER BY p_partkey""",
     "q_fn_date2" -> """
       SELECT o_orderkey,

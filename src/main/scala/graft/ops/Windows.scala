@@ -110,7 +110,24 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** lead/lag-family with IGNORE NULLS (Hive first_value(c, true)):
+    * last non-null event value carried forward per user. */
+  val qWindowIgnoreNulls: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        // value only present on purchases; carry the last one forward
+        when(col("event_type") === "purchase", col("value")).as("pv"))
+      .select(col("user_id"), col("event_id"),
+        last(col("pv"), ignoreNulls = true).over(w).as("last_purchase"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_ignore_nulls" -> qWindowIgnoreNulls,
     "q_window_rank" -> qWindowRank,
     "q_window_leadlag" -> qWindowLeadLag,
     "q_window_firstlast" -> qWindowFirstLast,
@@ -119,6 +136,15 @@ object Windows {
     "q_window_share" -> qWindowShare)
 
   val oracle: Map[String, String] = Map(
+    "q_window_ignore_nulls" -> """
+      SELECT user_id, event_id,
+        last_value(CASE WHEN event_type = 'purchase' THEN value END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS last_purchase
+      FROM events WHERE user_id < 20
+      ORDER BY user_id, event_id""",
     "q_window_rank" -> """
       SELECT * FROM (
         SELECT c_custkey, CAST(c_nationkey AS INT) AS c_nationkey, c_acctbal,

@@ -68,6 +68,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
+  test("virtual/metadata columns: input_file_name + _metadata (Hive INPUT__FILE__NAME / BLOCK__OFFSET)") {
+    val f = Tables(spark, sf, "region")
+      .select(input_file_name().as("f"),
+        col("_metadata.file_name").as("mf"))
+      .distinct().collect()
+    assert(f.length == 1)
+    assert(f.head.getString(0).endsWith("region.parquet"))
+    assert(f.head.getString(1) == "region.parquet")
+  }
+
+  test("monotonically_increasing_id is unique and ordered within a partition") {
+    val ids = Tables(spark, sf, "customer").coalesce(1)
+      .select(monotonically_increasing_id().as("id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted && ids.distinct.size == ids.size)
+  }
+
   test("partition recovery (MSCK REPAIR analogue) on an external table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ext").toFile
     dir.deleteOnExit()

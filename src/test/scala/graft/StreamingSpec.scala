@@ -129,6 +129,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
+    val df = streamedEvents
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"))
+    val q = df.writeStream.format("memory").queryName("t_ddww")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("t_ddww").count()
+    val distinctIds = Tables(spark, sf, "events")
+      .select(countDistinct(col("event_id"))).collect().head.getLong(0)
+    assert(emitted == distinctIds)
+  }
+
   test("watermarked streaming dedup emits each event_id once") {
     val deduped = {
       val df = streamedEvents
