@@ -23,6 +23,7 @@ object Bench {
     "q_agg_percentile",        // sort-based exact percentile
     "q_window_frames",         // running/moving window frames
     "q_window_topk_group",     // top-k per group over full fact
+    "q_topk_grouped_custom",   // same semantics via custom GroupedTopK plan
     "q_explode_tokens",        // generator fan-out + agg
     "q_stream_sliding",        // overlapping-window agg
     "q_stream_session",        // session windows

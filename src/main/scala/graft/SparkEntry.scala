@@ -27,7 +27,8 @@ object SparkEntry {
     (Similarity.queries, Similarity.oracle),
     (TextAnalysis.queries, TextAnalysis.oracle),
     (Multimodal.queries, Multimodal.oracle),
-    (Extensions.queries, Extensions.oracle))
+    (Extensions.queries, Extensions.oracle),
+    (PlansOps.queries, PlansOps.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

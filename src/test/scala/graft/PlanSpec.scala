@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan shape assertions — the 100 TB scale contract.
@@ -62,6 +63,28 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("dotlongarrays"), p)
     assert(p.contains("[codegen id :"), p) // projection stage is codegen'd
+  }
+
+  test("GroupedTopK lowers to partial heaps -> exchange -> final heaps") {
+    val p = plan("q_topk_grouped_custom")
+    assert(p.contains("GroupedTopKPartial"), p)
+    assert(p.contains("GroupedTopKFinal"), p)
+    // the partial stage must sit below the exchange (map-side combine):
+    // formatted explain prints the tree root-first, so the final, the
+    // exchange, and the partial appear in that order
+    val iFinal = p.indexOf("GroupedTopKFinal")
+    val iEx = p.indexOf("Exchange", iFinal)
+    val iPartial = p.indexOf("GroupedTopKPartial", iEx)
+    assert(iFinal >= 0 && iEx > iFinal && iPartial > iEx, p)
+    // result equality with the window formulation (modulo the rn column)
+    val custom = SparkEntry.queries("q_topk_grouped_custom")(spark, sf)
+      .collect().toSeq
+    val window = SparkEntry.queries("q_window_topk_group")(spark, sf)
+      .drop("rn")
+      .orderBy(col("l_suppkey"), col("l_extendedprice").desc,
+        col("l_orderkey"), col("l_linenumber"))
+      .collect().toSeq
+    assert(custom == window)
   }
 
   test("semi/anti joins use existence joins, not inner join + distinct") {
