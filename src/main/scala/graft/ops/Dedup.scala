@@ -131,7 +131,40 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Connected components over the near-dup pair graph (the clustering
+    * step of fuzzy dedup): iterative min-label propagation as a DataFrame
+    * loop — the 100 TB shape (each iteration is one shuffle join; rounds
+    * = graph diameter, small for dedup clusters). Oracle: DuckDB
+    * recursive-CTE reachability closure. */
+  val qDedupComponents: Q = (s, dir) => {
+    val pairs = qDedupJaccard(s, dir).select(col("da"), col("db"))
+    val edges = pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .persist()
+    val verts = edges.select(col("da").as("v")).distinct()
+    var labels = verts.withColumn("l", col("v"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val viaEdge = edges
+        .join(labels.withColumnRenamed("v", "da"), "da")
+        .select(col("db").as("v"), col("l"))
+      val next = labels.select(col("v"), col("l")).union(viaEdge)
+        .groupBy(col("v")).agg(min(col("l")).as("l"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("l", "old"), "v")
+        .filter(col("l") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("l").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_components" -> qDedupComponents,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -153,6 +186,29 @@ object Dedup {
       FROM b GROUP BY doc_id"""
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_components" -> """
+      WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+             FROM toks, range(1, 1000) r(i) WHERE i <= len(t) - 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT da, db FROM inter
+                JOIN sizes sa ON da = sa.doc_id
+                JOIN sizes sb ON db = sb.doc_id
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
+                      >= 0.2),
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION SELECT db, da FROM pairs),
+      verts AS (SELECT DISTINCT src AS v FROM edges),
+      reach AS (SELECT v, v AS l FROM verts
+                UNION
+                SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)
+      SELECT v AS doc_id, min(l) AS component
+      FROM reach GROUP BY v ORDER BY doc_id""",
     "q_dedup_exact" -> """
       SELECT min(doc_id) AS canonical_id, md5(text) AS fp,
              count(*) AS copies

@@ -85,6 +85,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(ids == ids.sorted && ids.distinct.size == ids.size)
   }
 
+  test("AQE splits skewed join partitions at runtime (Hive skew join)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32k")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // hot key 0 holds half of 200k fact rows; dim is uniform
+      val fact = spark.range(200000)
+        .select(when($"id" % 2 === 0, 0L).otherwise($"id").as("k"),
+          $"id".as("v"))
+      val dim = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("w"))
+      val j = fact.join(dim, "k")
+      // materialize THIS QueryExecution so its adaptive plan finalizes
+      // (count() would spawn a separate execution)
+      // k=0: 100k fact rows x 1 dim row; odd k < 1000: 500 matches
+      assert(j.collect().length == 100500)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("partition recovery (MSCK REPAIR analogue) on an external table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ext").toFile
     dir.deleteOnExit()
