@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.{DotLongArrays, FieldExpr, MinHashAgg, ParseUrlTuple}
+import graft.plans.GroupedTopKStrategy
+
+/** SparkSessionExtensions entry point — the deployment-grade way to wire
+  * the engine's custom functions and planner strategy into ANY session:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   // or: --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  * The per-query registration in GraftFunctions/PlansOps covers the
+  * driver-contract sessions this repo is run with; this class is the same
+  * surface packaged for cluster deployment (Hive analogue: registering
+  * UDFs + hooks via hive-site.xml [hive: ql/src/java/org/apache/hadoop/
+  * hive/ql/exec/FunctionRegistry.java]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def info(name: String) = new ExpressionInfo("graft", name)
+    e.injectFunction((FunctionIdentifier("field"), info("field"),
+      exprs => FieldExpr(exprs)))
+    e.injectFunction((FunctionIdentifier("minhash32"), info("minhash32"),
+      exprs => MinHashAgg(exprs.head).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("parse_url_tuple"),
+      info("parse_url_tuple"), exprs => ParseUrlTuple(exprs.head)))
+    e.injectFunction((FunctionIdentifier("dotq"), info("dotq"),
+      exprs => DotLongArrays(exprs(0), exprs(1))))
+    e.injectPlannerStrategy(_ => GroupedTopKStrategy)
+  }
+}
