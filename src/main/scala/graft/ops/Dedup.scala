@@ -9,6 +9,13 @@ import graft.functions.GraftFunctions
   * banding (via the custom MinHashAgg TypedImperativeAggregate), and
   * SimHash fingerprints.
   *
+  * Published grounding: MinHash resemblance estimation — Broder, "On the
+  * resemblance and containment of documents" (SEQUENCES 1997); LSH band
+  * construction — Leskovec/Rajaraman/Ullman, Mining of Massive Datasets
+  * ch. 3; SimHash — Charikar, "Similarity estimation techniques from
+  * rounding algorithms" (STOC 2002) as applied by Manku et al.,
+  * "Detecting near-duplicates for web crawling" (WWW 2007).
+  *
   * Scale design: exact all-pairs Jaccard is the oracle-checkable baseline;
   * the path that survives 100 TB is MinHash: per-doc signatures are a
   * partial-aggregable 32-long sketch, LSH banding turns candidate

@@ -11,6 +11,11 @@ import graft.functions.GraftFunctions
   * threshold near-dup join, and a random-hyperplane LSH-bucketed ANN
   * variant as the 100 TB scale path.
   *
+  * Published grounding: LSH for ANN — Indyk/Motwani, "Approximate nearest
+  * neighbors: towards removing the curse of dimensionality" (STOC 1998);
+  * random-hyperplane cosine sketches — Charikar (STOC 2002); multi-table
+  * recall amplification per Gionis/Indyk/Motwani (VLDB 1999).
+  *
   * Cross-engine float hazard: summing float products in double is
   * order-dependent at the last ulp, so both engines quantize each
   * component to round(x * 1e6) as int64 first — the dot product and
