@@ -23,15 +23,25 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap policy (measured r02): large heaps WITHOUT pre-touch made
+// allocation sweep fresh pages and the kernel zeroing storm slowed
+// queries 10-40x with zero GCs; pre-touch fixes that but its own cost
+// explodes superlinearly on this kernel (16g: 14s, 24g: 188s, 90g:
+// ~15min — THP defrag). 16g is ample for every sf0.1 workload (full
+// bench: 17-30s), so clamp the requested driver memory to 16g and
+// pre-fault it once at JVM start.
+val driverMem: String = {
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g").toLowerCase
+  val mb = if (req.endsWith("g")) req.dropRight(1).toLong * 1024
+           else if (req.endsWith("m")) req.dropRight(1).toLong
+           else req.toLong / (1024 * 1024)
+  s"${math.min(mb, 16384L)}m"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  // Large heaps without pre-touch made allocation sweep through fresh
-  // (never-faulted) pages and the kernel zeroing storm slowed queries
-  // 10-40x with ZERO GCs (measured r02: cube 2s @16g vs 20-47s @90g).
-  // Pre-commit + pre-fault the whole heap once at JVM start instead.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx$driverMem",
+  s"-Xms$driverMem",
   "-XX:+UseParallelGC",
   "-XX:+AlwaysPreTouch",
 )
