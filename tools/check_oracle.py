@@ -56,6 +56,7 @@ def main():
         got_rel = con.execute(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         got_cols = [d[0] for d in got_rel.description]
+        got_types = {d[0]: str(d[1]) for d in got_rel.description}
         got = got_rel.fetchall()
         if name not in oracle:
             n_noracle += 1
@@ -70,6 +71,12 @@ def main():
             n_fail += 1
             print(f"  [FAIL] {name}: oracle SQL error: {e}")
             continue
+        # dtype audit: python == is laxer than a dtype-aware hash would be
+        e_t = {d[0]: str(d[1]) for d in exp_rel.description}
+        diff = {c: (got_types[c], e_t[c]) for c in got_types
+                if c in e_t and got_types[c] != e_t[c]}
+        if diff:
+            print(f"  [type-warn] {name}: {diff}")
         if sorted(got_cols) != sorted(exp_cols):
             n_fail += 1
             print(f"  [FAIL] {name}: cols spark={sorted(got_cols)} "
