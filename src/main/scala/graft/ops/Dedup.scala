@@ -47,6 +47,17 @@ object Dedup {
           .otherwise(array()))).as("g"))
   }
 
+  /** Document-frequency cap for the shingle inverted index: a shingle
+    * shared by more than this many documents is non-discriminative
+    * boilerplate ("in the the") and is dropped BEFORE the self-join —
+    * without the cut one hot shingle shared by 1e5 docs creates a 1e10-pair
+    * join group (quadratic blowup on a single reducer at 100 TB). The
+    * standard df-cut from the near-dup literature; Jaccard is then measured
+    * over the discriminative shingle set on both engines (the oracle
+    * applies the identical cut). At fixture scale max df is 7, so the cut
+    * is purely a scale guard there. */
+  private val ShingleDfCap = 100
+
   /** Exact word-3-gram Jaccard near-dup pairs (j >= 0.2).
     * Candidate generation by shingle equi-join (docs sharing >= 1 shingle),
     * i.e. an inverted-index join, not an O(n^2) cross join. The join key
@@ -54,7 +65,16 @@ object Dedup {
     * byte string (64-bit collisions are negligible at any corpus size
     * this engine targets, and would only perturb one intersection count). */
   val qDedupJaccard: Q = (s, dir) => {
-    val sh = shingled(s, dir).select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val raw = shingled(s, dir).select(col("doc_id"), xxhash64(col("g")).as("h"))
+    // df-cut: keep only shingles appearing in <= ShingleDfCap docs,
+    // expressed as a count over a window partitioned by h rather than a
+    // self-join against a groupBy — one scan + one exchange on h, and the
+    // filtered output stays hash-partitioned on h so the self-join below
+    // can reuse the partitioning instead of re-shuffling both sides.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val sh = raw.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= ShingleDfCap)
+      .select(col("doc_id"), col("h"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -126,15 +146,48 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash near-dup pairs by hamming distance <= 12 over blocked
-    * candidates (same top-8-bit prefix would be the 100 TB blocking; at
-    * fixture scale the pair scan is exact and unblocked). */
+  /** Hamming radius for SimHash near-dup pairs. Radius 7 with 8 blocks is
+    * exact by pigeonhole: 7 differing bits cannot touch all 8 disjoint
+    * blocks, so every qualifying pair shares at least one block verbatim
+    * and candidate generation by block equi-join loses NOTHING vs the
+    * all-pairs scan (the oracle is the plain all-pairs hamming query).
+    * Manku et al. (WWW 2007) run 64-bit/radius-3/4x16-bit blocks at web
+    * scale; a larger radius needs narrower blocks (coarser buckets, more
+    * candidates) — the standard radius/selectivity tradeoff. Radius 7
+    * covers >= 0.9 of the fixture's jacc >= 0.8 planted near-dups
+    * (asserted in DedupSimilaritySpec). */
+  private val SimhashRadius = 7
+
+  /** Bit ranges of the 8 disjoint blocks over the 60-bit fingerprint:
+    * 4 blocks of 8 bits then 4 of 7 (offsets precomputed). */
+  private val SimhashBlocks: Seq[(Int, Int)] = // (offset, width)
+    Seq((0, 8), (8, 8), (16, 8), (24, 8), (32, 7), (39, 7), (46, 7), (53, 7))
+
+  /** SimHash near-dup pairs (hamming <= 7) via exact pigeonhole blocking:
+    * each doc emits one row per block keyed by (block_id, block_bits); the
+    * self equi-join on that key generates candidates (shuffle
+    * O(docs x 8), never O(docs^2) — vs the all-pairs BNLJ this replaces),
+    * exact hamming is verified within each block's bucket, and duplicates
+    * (pairs agreeing on several blocks) collapse via distinct. */
   val qDedupSimhashPairs: Q = (s, dir) => {
     val sh = qDedupSimhash(s, dir)
-    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val blockCols = SimhashBlocks.zipWithIndex.map { case ((off, width), i) =>
+      expr(s"shiftright(simhash, $off) & ${(1L << width) - 1}")
+        .cast("long").as(s"b$i")
+    }
+    val blocks = sh.select(col("doc_id") +: col("simhash") +: blockCols: _*)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimhashBlocks.size)
+          .map(i => col(s"b$i")): _*)))
+      .withColumnRenamed("pos", "blk")
+      .withColumnRenamed("col", "bv")
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         bit_count(expr("a.simhash ^ b.simhash")).as("hamming"))
-      .filter(col("hamming") <= 12)
+      .filter(col("hamming") <= SimhashRadius)
+      .distinct()
       .orderBy(col("da"), col("db"))
   }
 
@@ -152,13 +205,18 @@ object Dedup {
     var labels = verts.withColumn("l", col("v"))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    val maxRounds = 20
+    while (changed > 0 && rounds < maxRounds) {
       val viaEdge = edges
         .join(labels.withColumnRenamed("v", "da"), "da")
         .select(col("db").as("v"), col("l"))
-      val next = labels.select(col("v"), col("l")).union(viaEdge)
+      var next = labels.select(col("v"), col("l")).union(viaEdge)
         .groupBy(col("v")).agg(min(col("l")).as("l"))
         .persist()
+      // Truncate lineage every few rounds: without this the logical plan
+      // doubles per iteration and plan compilation dominates long before
+      // data does (persist caches DATA but the plan still nests).
+      if ((rounds + 1) % 5 == 0) next = next.localCheckpoint()
       changed = next.join(labels.withColumnRenamed("l", "old"), "v")
         .filter(col("l") =!= col("old")).count()
       labels.unpersist()
@@ -166,6 +224,11 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    // A silently-truncated convergence would return WRONG labels for any
+    // component of diameter > maxRounds — fail loudly instead (ADVICE r02).
+    if (changed > 0) throw new IllegalStateException(
+      s"connected components did not converge within $maxRounds rounds " +
+        s"($changed labels still changing) — raise the round cap")
     labels.select(col("v").as("doc_id"), col("l").as("component"))
       .orderBy(col("doc_id"))
   }
@@ -196,9 +259,11 @@ object Dedup {
     "q_dedup_components" -> """
       WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t
                     FROM documents),
-      sh AS (SELECT DISTINCT doc_id,
+      sh0 AS (SELECT DISTINCT doc_id,
                t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
              FROM toks, range(1, 1000) r(i) WHERE i <= len(t) - 2),
+      keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 100),
+      sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
                 FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -223,9 +288,11 @@ object Dedup {
     "q_dedup_jaccard" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                     FROM documents),
-      sh AS (SELECT DISTINCT doc_id,
+      sh0 AS (SELECT DISTINCT doc_id,
                t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
              FROM toks, range(1, 1000) r(i) WHERE i <= len(t) - 2),
+      keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 100),
+      sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
                 FROM sh a JOIN sh b
@@ -244,6 +311,6 @@ object Dedup {
       SELECT a.doc_id AS da, b.doc_id AS db,
         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
       ORDER BY da, db""")
 }

@@ -44,7 +44,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(strong.nonEmpty)
     val covered = strong.count(close.contains).toDouble / strong.size
     assert(covered >= 0.9,
-      s"simhash hamming<=12 covers only $covered of jacc>=0.8 pairs")
+      s"simhash hamming<=7 covers only $covered of jacc>=0.8 pairs")
   }
 
   test("LSH-ANN candidates are a subset of exact pairs with usable recall") {

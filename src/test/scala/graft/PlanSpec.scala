@@ -87,6 +87,20 @@ class PlanSpec extends AnyFunSuite {
     assert(custom == window)
   }
 
+  test("simhash pair scan is a block-key equi-join, not an all-pairs BNLJ") {
+    // With broadcast disabled (the 100 TB regime) the candidate join must
+    // be a shuffle join hash-partitioned on the pigeonhole block key —
+    // an all-pairs BroadcastNestedLoopJoin here would be the O(n^2)
+    // scale-killer this plan exists to avoid.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_dedup_simhash_pairs")
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("hashpartitioning(blk"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("semi/anti joins use existence joins, not inner join + distinct") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
