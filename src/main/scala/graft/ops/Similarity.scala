@@ -80,13 +80,20 @@ object Similarity {
       .orderBy(col("va"), col("vb"))
   }
 
-  /** ANN via multi-table random-hyperplane LSH: 8 tables x 6 sign bits.
+  /** ANN via multi-table random-hyperplane LSH with MULTI-PROBE: 8 tables
+    * x 6 sign bits, and one side of the candidate join additionally probes
+    * the 6 hamming-1 neighbors of its bucket (Lv et al., "Multi-probe LSH",
+    * VLDB 2007) — a pair collides if its table buckets differ in <= 1 bit.
+    * For worst-case pairs at cos = 0.3 (per-bit agreement p ~ 0.597) this
+    * lifts per-table collision from p^6 ~ 0.046 to p^6 + 6 p^5 (1-p) ~ 0.23
+    * and 8-table recall from ~0.31 to ~0.87, for 7x probe rows on ONE join
+    * side instead of 2x+ more tables (at scale: probe the smaller side).
     * Hyperplane components are deterministic +-1 from xxhash64(plane, dim);
     * candidates come from the (table, bucket) equi-join, then exact rerank.
-    * At scale candidate generation is an equi-join (shuffle O(n * tables)),
-    * never O(n^2); more tables buy recall linearly in cost — the standard
-    * ANN tradeoff. Engine-specific hashes -> no SQL oracle; recall vs the
-    * exact q_sim_neardup is asserted in SimilaritySpec. */
+    * Candidate generation stays an equi-join (shuffle O(n * tables *
+    * probes)), never O(n^2). Engine-specific hashes -> no SQL oracle;
+    * recall >= 0.6 vs the exact q_sim_neardup is asserted in
+    * DedupSimilaritySpec. */
   val qSimAnnLsh: Q = (s, dir) => {
     val emb = withNorm(quantized(s, dir))
     // one row per (vector, table): bucket = 6 sign bits of dot(v, plane)
@@ -99,7 +106,13 @@ object Similarity {
                a2 + element_at(q, i) *
                     if(pmod(xxhash64(t * 6 + p, i), 2) = 0, 1L, -1L)) > 0,
                1L, 0L))"""))
-    val a = bucketed.select(col("t"), col("bucket"), col("vec_id").as("va"))
+    // probe side: own bucket + its 6 hamming-1 neighbors (bit flips)
+    val a = bucketed
+      .select(col("t"), col("vec_id").as("va"),
+        explode(expr(
+          """array(bucket, bucket ^ 1L, bucket ^ 2L, bucket ^ 4L,
+                   bucket ^ 8L, bucket ^ 16L, bucket ^ 32L)"""))
+          .as("bucket"))
     val b = bucketed.select(col("t"), col("bucket"), col("vec_id").as("vb"))
     val cand = a.join(b, Seq("t", "bucket"))
       .filter(col("va") < col("vb"))

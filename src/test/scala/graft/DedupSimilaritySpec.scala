@@ -56,7 +56,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .toSet
     assert(ann.subsetOf(exact), "ANN produced a pair the exact scan lacks")
     val recall = ann.size.toDouble / exact.size
-    assert(recall >= 0.15, s"ANN recall $recall (8 tables x 6 bits)")
+    assert(recall >= 0.6,
+      s"ANN recall $recall (8 tables x 6 bits, multi-probe hamming<=1)")
   }
 
   test("topk rank-1 neighbor has the maximum cosine per query") {
