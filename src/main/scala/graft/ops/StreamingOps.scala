@@ -84,7 +84,34 @@ object StreamingOps {
       .orderBy(col("event_type"), col("status"))
   }
 
+  /** Stream-stream join semantics as a batch query: click -> purchase
+    * attribution for the same user within 30 minutes. Under Structured
+    * Streaming (StreamingSpec) both sides carry a watermark and the SAME
+    * time-range condition, which is exactly what lets the join evict
+    * state: a click older than (watermark - 30 min) can never match a
+    * future purchase, so per-key state is bounded by the range width, not
+    * the stream length — the property that makes this join viable on an
+    * unbounded 100 TB/day stream. */
+  val qStreamStreamJoin: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clicks.join(buys,
+        col("user_id") === col("b_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        fmtTsUs(col("click_ts")).as("click_ts"),
+        fmtTsUs(col("purchase_ts")).as("purchase_ts"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_stream_join" -> qStreamStreamJoin,
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
@@ -92,6 +119,15 @@ object StreamingOps {
     "q_stream_watermark_cut" -> qStreamWatermarkCut)
 
   val oracle: Map[String, String] = Map(
+    "q_stream_stream_join" -> """
+      SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+        strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      ORDER BY a.user_id, click_id, purchase_id""",
     "q_stream_tumbling" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
              event_type, count(*) AS cnt,

@@ -102,6 +102,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream join with watermark range condition == batch") {
+    // both sides watermarked + time-range join condition: the combination
+    // that lets Structured Streaming bound join state (a click older than
+    // watermark - 30 min is evicted). Inner join -> append output.
+    val clicks = streamedEvents.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val buys = streamedEvents.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(buys,
+        col("user_id") === col("b_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        fmtTsUs(col("click_ts")).as("click_ts"),
+        fmtTsUs(col("purchase_ts")).as("purchase_ts"))
+    val q = joined.writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_ssjoin")
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      .collect().toSeq
+    val batch = SparkEntry.queries("q_stream_stream_join")(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture has no click->purchase pairs?")
+  }
+
   test("arbitrary stateful processing: flatMapGroupsWithState running count") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
