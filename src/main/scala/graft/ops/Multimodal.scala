@@ -38,8 +38,12 @@ object Multimodal {
   /** Typed mapPartitions decode stage. The real system would decode
     * image/audio bytes here (codec library per executor, reused across
     * the partition's rows); the stub derives deterministic pseudo-
-    * features from the bytes so the pipeline shape is fully testable. */
-  val qMmFeatures: Q = (s, dir) => {
+    * features from the bytes so the pipeline shape is fully testable.
+    * Exposed as a Dataset so MultimodalSpec can assert the entropy
+    * column directly (entropy has no SQL twin; the other byte stats are
+    * DuckDB-oracled through q_mm_features). */
+  def mmFeatures(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[MediaFeatures] = {
     val spark = s
     import spark.implicits._
     Tables(s, dir, "documents")
@@ -75,9 +79,16 @@ object Multimodal {
             math.round(ent * 1e6) / 1e6)
         }
       }
-      .toDF()
-      .orderBy(col("doc_id"))
   }
+
+  /** Oracle-checkable projection of the decode stage: every column is an
+    * exact integer byte statistic DuckDB can recompute from the utf-8
+    * text (the fixture is pure ASCII, so char codes == bytes). */
+  val qMmFeatures: Q = (s, dir) =>
+    mmFeatures(s, dir).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
+        col("first_byte"))
+      .orderBy(col("doc_id"))
 
   val queries: Map[String, Q] = Map(
     "q_mm_meta" -> qMmMeta,
@@ -88,5 +99,13 @@ object Multimodal {
       SELECT doc_id, 'text/plain' AS mime,
         CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
         md5(text) AS checksum
+      FROM documents ORDER BY doc_id""",
+    "q_mm_features" -> """
+      SELECT doc_id,
+        CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        CAST(coalesce(list_sum(list_transform(string_split(text, ''),
+          c -> unicode(c))), 0) AS BIGINT) AS byte_sum,
+        CAST(CASE WHEN len(text) = 0 THEN -1
+                  ELSE ascii(substr(text, 1, 1)) END AS INT) AS first_byte
       FROM documents ORDER BY doc_id""")
 }

@@ -2,13 +2,14 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Tables.dec
 
 /** Second wave of the Hive scalar library (SURVEY.md §2.I): the
-  * less-common string/date functions with exact DuckDB reconstructions,
-  * plus a rows-only query for functions with no cross-engine analogue
-  * (soundex, sentences, bround half-even on noisy doubles — DuckDB's
-  * round_even disagrees with Java BigDecimal on representational
-  * near-ties, measured r02 — format_number, crc32, xpath).
+  * less-common string/date/misc functions, each with an exact DuckDB
+  * reconstruction (q_fn_misc's soundex/bround/format_number emulations
+  * are empirically validated 0-mismatch on both fixture SFs; the only
+  * scalars left without a SQL oracle — crc32 / hash / xxhash64 — are
+  * pinned by hard in-test oracles in MiscSurfaceSpec).
   */
 object Scalars2 {
 
@@ -63,9 +64,18 @@ object Scalars2 {
       .orderBy(col("o_orderkey"))
   }
 
-  /** Functions with no faithful DuckDB twin — determinism is still
-    * guaranteed (pure functions of the input), so the driver's rows-only
-    * check plus the run-twice determinism spec cover them. */
+  /** The long-tail misc scalars, every column DuckDB-oracled (r02 VERDICT
+    * shrank the rows-only set to engine-internal hashes only, now covered
+    * by hard in-test oracles in MiscSurfaceSpec instead):
+    *  - soundex: reverse-engineered rule set (vowels+non-letters reset the
+    *    last code, H/W are transparent, adjacent equal codes collapse)
+    *    replicated as a recursive CTE, validated 0-mismatch vs Spark on
+    *    both fixtures;
+    *  - bround on an EXACT decimal operand — half-even ties are exact, so
+    *    DuckDB round_even agrees (on noisy doubles it does not, r02);
+    *  - format_number via integer-part thousand grouping + exact 1-dp
+    *    fraction; hypot == sqrt(n^2+9) exactly for small ints;
+    *  - xpath over per-row markup whose answer is the embedded column. */
   val qFnMisc: Q = (s, dir) => {
     Tables(s, dir, "part")
       .filter(col("p_partkey") < 200)
@@ -73,14 +83,16 @@ object Scalars2 {
         col("p_partkey"),
         soundex(col("p_name")).as("sdx"),
         size(sentences(col("p_name"))).as("n_sentences"),
-        bround(col("p_retailprice") / 7, 2).as("br"),
+        bround(dec(col("p_retailprice")) * 5, 1).cast("double").as("br"),
         format_number(col("p_retailprice"), 1).as("fn"),
-        crc32(col("p_name").cast("binary")).as("crc"),
         conv(col("p_partkey").cast("string"), 10, 16).as("cv"),
+        bin(col("p_size")).as("bn"),
+        factorial((col("p_size") % 10).cast("int")).as("fact"),
+        ascii(col("p_name")).as("asc"),
+        expr("char(65 + p_size % 26)").as("ch"),
         expr("hypot(p_size, 3.0)").as("hyp"),
-        expr("xpath_string('<a><b>hello</b></a>', 'a/b')").as("xp"),
-        hash(col("p_name"), col("p_size")).as("spark_hash"),
-        xxhash64(col("p_name")).as("xx64"))
+        expr("xpath_string(concat('<a><b>', p_brand, '</b></a>'), 'a/b')")
+          .as("xp"))
       .orderBy(col("p_partkey"))
   }
 
@@ -132,5 +144,59 @@ object Scalars2 {
         strftime(make_date(CAST(year(o_orderdate) AS BIGINT),
           CAST(month(o_orderdate) AS BIGINT), 1), '%Y-%m-%d') AS made,
         strftime(date_trunc('year', o_orderdate), '%Y-%m-%d') AS ytrunc
-      FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")
+      FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
+    // soundex rules replicated per Spark's mapping string
+    // '01230120022455012623010202': vowels/Y and non-letters reset the
+    // running code, H/W keep it, adjacent equal codes collapse; first
+    // letter verbatim + first 3 emitted digits zero-padded.
+    "q_fn_misc" -> """
+      WITH RECURSIVE base AS (
+        SELECT p_partkey, p_name, p_brand, p_size, p_retailprice,
+               upper(p_name) AS nm
+        FROM part WHERE p_partkey < 200),
+      step AS (
+        SELECT p_partkey, nm, 1 AS i, '' AS digits,
+          substr(translate(substr(nm, 1, 1),
+            'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+            '01230120022455012623010202') || '0', 1, 1) AS last
+        FROM base
+        UNION ALL
+        SELECT p_partkey, nm, i + 1,
+          CASE WHEN code BETWEEN '1' AND '6' AND code <> last
+               THEN digits || code ELSE digits END,
+          CASE WHEN ch IN ('H', 'W') THEN last
+               WHEN code BETWEEN '1' AND '6' THEN code
+               ELSE '0' END
+        FROM (SELECT p_partkey, nm, i, digits, last,
+                substr(nm, i + 1, 1) AS ch,
+                CASE WHEN substr(nm, i + 1, 1) BETWEEN 'A' AND 'Z'
+                     THEN translate(substr(nm, i + 1, 1),
+                       'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                       '01230120022455012623010202')
+                     ELSE '.' END AS code
+              FROM step WHERE i < len(nm)) t),
+      sdx AS (
+        SELECT p_partkey, substr(nm, 1, 1) || substr(digits || '000', 1, 3)
+                 AS sdx
+        FROM step
+        QUALIFY row_number() OVER (PARTITION BY p_partkey ORDER BY i DESC)
+                = 1)
+      SELECT b.p_partkey, s.sdx,
+        CAST(len(list_filter(regexp_split_to_array(p_name, '[.!?]+'),
+          x -> trim(x) <> '')) AS INT) AS n_sentences,
+        CAST(round_even(CAST(p_retailprice AS DECIMAL(18,4)) * 5, 1)
+          AS DOUBLE) AS br,
+        format('{:,}', CAST(floor(round(p_retailprice, 1)) AS BIGINT))
+          || '.' ||
+          CAST(CAST(round(round(p_retailprice, 1) % 1 * 10, 0) AS INT)
+            AS VARCHAR) AS fn,
+        upper(to_hex(b.p_partkey)) AS cv,
+        bin(p_size) AS bn,
+        CAST(factorial(CAST(p_size % 10 AS INT)) AS BIGINT) AS fact,
+        CAST(ascii(p_name) AS INT) AS asc,
+        chr(65 + p_size % 26) AS ch,
+        sqrt(p_size * p_size + 9.0) AS hyp,
+        p_brand AS xp
+      FROM base b JOIN sdx s ON b.p_partkey = s.p_partkey
+      ORDER BY b.p_partkey""")
 }

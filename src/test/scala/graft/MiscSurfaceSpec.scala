@@ -36,4 +36,53 @@ class MiscSurfaceSpec extends AnyFunSuite {
       .collect().head
     assert(r.getString(0) == "5" && r.getString(1) == "1010")
   }
+
+  test("crc32 matches the reference java.util.zip.CRC32 per row") {
+    // crc32 has no DuckDB twin; the JDK implementation of the standard
+    // CRC-32 polynomial is an independent in-process oracle.
+    val rows = Tables(spark, sf, "part").filter(col("p_partkey") < 200)
+      .select(col("p_name"), crc32(col("p_name").cast("binary")).as("crc"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ref = new java.util.zip.CRC32()
+      ref.update(r.getString(0).getBytes("UTF-8"))
+      assert(r.getLong(1) == ref.getValue, s"crc32('${r.getString(0)}')")
+    }
+  }
+
+  test("hash()/xxhash64() are stable: pinned golden values + determinism") {
+    // engine-internal Murmur3/xxHash64 (seed 42) — pin known values so a
+    // seed or algorithm change cannot slip through silently
+    val r = spark.sql(
+      "SELECT hash('graft') AS h, xxhash64('graft') AS x").collect().head
+    assert(r.getInt(0) == -1930494102, "Murmur3 hash('graft') drifted")
+    assert(r.getLong(1) == -4815631219266125053L, "xxhash64('graft') drifted")
+    val a = Tables(spark, sf, "part")
+      .select(xxhash64(col("p_name")).as("x"), hash(col("p_name"), col("p_size")).as("h"))
+      .orderBy(col("x")).collect().toSeq
+    val b = Tables(spark, sf, "part")
+      .select(xxhash64(col("p_name")).as("x"), hash(col("p_name"), col("p_size")).as("h"))
+      .orderBy(col("x")).collect().toSeq
+    assert(a == b)
+  }
+
+  test("multimodal decode stub: entropy_ish is a real byte-histogram entropy") {
+    import org.apache.spark.sql.functions.col
+    val feats = ops.Multimodal.mmFeatures(spark, sf)
+      .orderBy(col("doc_id")).collect()
+    val texts = Tables(spark, sf, "documents")
+      .orderBy(col("doc_id")).select(col("text")).collect()
+    assert(feats.length == texts.length && feats.nonEmpty)
+    feats.zip(texts).foreach { case (f, t) =>
+      val bytes = t.getString(0).getBytes("UTF-8")
+      val hist = bytes.groupBy(_ & 0xff).view.mapValues(_.length).toMap
+      val ent = -hist.values.map { c =>
+        val p = c.toDouble / bytes.length; p * math.log(p)
+      }.sum
+      assert(math.abs(f.entropy_ish - math.round(ent * 1e6) / 1e6) < 1e-9,
+        s"doc ${f.doc_id}")
+      assert(f.entropy_ish >= 0.0 && f.entropy_ish <= math.log(256.0))
+    }
+  }
 }
