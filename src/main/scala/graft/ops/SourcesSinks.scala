@@ -112,12 +112,85 @@ object SourcesSinks {
     } finally src.unpersist()
   }
 
+  /** LOAD DATA analogue (Hive: LOAD DATA INPATH '...' INTO TABLE t
+    * PARTITION (...) [hive: ql/src/java/org/apache/hadoop/hive/ql/exec/
+    * MoveTask.java]): Hive's LOAD DATA is a pure FILE MOVE into the
+    * partition directory plus metastore registration — no row rewrite.
+    * Reproduced faithfully: parquet files are staged, MOVED (not
+    * rewritten) under <table>/o_orderstatus=X/, registered via MSCK
+    * REPAIR (partition discovery), and the result reads through the
+    * catalog table — so partition pruning serves later queries. */
+  val qLoadData: Q = (s, dir) => {
+    val table = "graft_load_target"
+    val root = Files.createTempDirectory("graft_load").toFile
+    root.deleteOnExit()
+    val stage = Files.createTempDirectory("graft_load_stage").toFile
+    stage.deleteOnExit()
+    val statuses = Seq("F", "O", "P")
+    val src = Tables(s, dir, "orders")
+    statuses.foreach { st =>
+      src.filter(col("o_orderstatus") === st)
+        .select(col("o_orderkey"), col("o_custkey"),
+          dec(col("o_totalprice")).as("price"))
+        .write.mode("overwrite").parquet(s"$stage/st=$st")
+    }
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    s.sql(s"""CREATE TABLE $table (o_orderkey BIGINT, o_custkey BIGINT,
+              price DECIMAL(18,4)) USING parquet
+              PARTITIONED BY (o_orderstatus STRING)
+              LOCATION '${root.getAbsolutePath}'""")
+    statuses.foreach { st =>
+      val pdir = new java.io.File(root, s"o_orderstatus=$st")
+      pdir.mkdirs()
+      new java.io.File(s"$stage/st=$st").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(pdir, f.getName).toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+    }
+    s.sql(s"MSCK REPAIR TABLE $table")
+    s.table(table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("price")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** DECIMAL money end-to-end (Hive's money type) with NO double-cast
+    * scaffolding: lineitem re-written with a stored DECIMAL(12,2) schema,
+    * scanned back, aggregated in exact decimal, the aggregate written to
+    * a parquet sink and re-read — types stay DECIMAL through
+    * scan -> agg -> sink -> scan, and the driver compares decimals. */
+  val qDecimalE2e: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val path = tmp("graft_decstore")
+    Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(12, 2)).as("qty"),
+        col("l_extendedprice").cast(DecimalType(12, 2)).as("price"),
+        col("l_discount").cast(DecimalType(12, 2)).as("disc"))
+      .write.mode("overwrite").parquet(path)
+    val agg = s.read.parquet(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("qty")).cast(DecimalType(18, 2)).as("sum_qty"),
+        sum(col("price")).cast(DecimalType(18, 2)).as("sum_price"),
+        max(col("disc")).as("max_disc"))
+    val sink = tmp("graft_decsink")
+    agg.write.mode("overwrite").parquet(sink)
+    s.read.parquet(sink).orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_src_csv" -> qSrcCsv,
     "q_src_json" -> qSrcJson,
     "q_src_orc" -> qSrcOrc,
     "q_sink_partitioned" -> qSinkPartitioned,
-    "q_multi_insert" -> qMultiInsert)
+    "q_multi_insert" -> qMultiInsert,
+    "q_load_data" -> qLoadData,
+    "q_decimal_e2e" -> qDecimalE2e)
 
   val oracle: Map[String, String] = Map(
     "q_src_csv" -> """
@@ -144,5 +217,18 @@ object SourcesSinks {
       SELECT l_returnflag, count(*) AS cnt,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       FROM lineitem WHERE l_returnflag IN ('R', 'A')
-      GROUP BY l_returnflag ORDER BY l_returnflag""")
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_load_data" -> """
+      SELECT o_orderstatus, count(*) AS cnt,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_decimal_e2e" -> """
+      SELECT l_returnflag, count(*) AS cnt,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+          AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+          AS sum_price,
+        max(CAST(l_discount AS DECIMAL(12,2))) AS max_disc
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }
