@@ -34,7 +34,7 @@ val driverMem: String = {
   val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g").toLowerCase
   val mb = if (req.endsWith("g")) req.dropRight(1).toLong * 1024
            else if (req.endsWith("m")) req.dropRight(1).toLong
-           else req.toLong / (1024 * 1024)
+           else sys.error(s"SPARK_DRIVER_MEM needs a g/m unit, got '$req'")
   s"${math.min(mb, 16384L)}m"
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

@@ -19,7 +19,12 @@ object WeightedAvg extends Aggregator[WAIn, WABuf, Double] {
   override def zero: WABuf = WABuf(BigDecimal(0).setScale(4), 0L)
 
   override def reduce(b: WABuf, a: WAIn): WABuf =
-    WABuf(b.num + BigDecimal(a.x).setScale(4, BigDecimal.RoundingMode.HALF_UP) * a.w,
+    // BigDecimal(NaN/Infinity) throws NumberFormatException and would
+    // abort the whole aggregation; SQL AVG semantics skip non-values the
+    // way they skip NULLs (ADVICE r02)
+    if (a.x.isNaN || a.x.isInfinite) b
+    else WABuf(
+      b.num + BigDecimal(a.x).setScale(4, BigDecimal.RoundingMode.HALF_UP) * a.w,
       b.den + a.w)
 
   override def merge(b1: WABuf, b2: WABuf): WABuf =

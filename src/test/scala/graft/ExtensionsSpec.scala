@@ -65,6 +65,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("weighted avg skips non-finite inputs instead of aborting (ADVICE r02)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val wa = udaf(graft.functions.WeightedAvg)
+    val rows = Seq(("a", 2.0, 1L), ("a", Double.NaN, 5L),
+        ("a", 4.0, 1L), ("a", Double.PositiveInfinity, 9L))
+      .toDF("k", "x", "w")
+      .groupBy($"k").agg(wa($"x", $"w").as("wavg"))
+      .collect()
+    assert(rows.head.getDouble(1) == 3.0) // NaN/Inf rows contribute nothing
+  }
+
   test("TRANSFORM USING pipes rows through an external script (Hive ScriptOperator)") {
     Tables(spark, sf, "region").createOrReplaceTempView("r_tx")
     val rows = spark.sql(
