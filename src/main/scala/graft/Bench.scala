@@ -48,11 +48,11 @@ object Bench {
 
     // two timed runs per query, report the min: steady-state throughput,
     // not first-touch JIT/page-cache noise (which varied 3-10x, r02)
-    val results = headline.map { name =>
+    def timeAll(dir: String): Seq[(String, Double)] = headline.map { name =>
       def once(): Double =
         try {
           val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir)
+          SparkEntry.queries(name)(spark, dir)
             .write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
@@ -63,10 +63,21 @@ object Bench {
       val b = once()
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+        .mkString("{", ",", "}")
+    val results = timeAll(sfDir)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // second point on the scaling curve (r02 VERDICT #8): the same
+    // headline set at sf0.01, reported as extra keys on the same line
+    val sf001Dir = "/root/testdata/sf0.01"
+    val scaling =
+      if (sf001Dir != sfDir && new java.io.File(sf001Dir).isDirectory) {
+        val r = timeAll(sf001Dir)
+        val t = r.collect { case (_, v) if v >= 0 => v }.sum
+        f""","total_sf001":$t%.3f,"queries_sf001":${json(r)}"""
+      } else ""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$scaling}""")
     spark.stop()
   }
 }
