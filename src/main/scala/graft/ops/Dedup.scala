@@ -66,15 +66,14 @@ object Dedup {
     * this engine targets, and would only perturb one intersection count). */
   val qDedupJaccard: Q = (s, dir) => {
     val raw = shingled(s, dir).select(col("doc_id"), xxhash64(col("g")).as("h"))
-    // df-cut: keep only shingles appearing in <= ShingleDfCap docs,
-    // expressed as a count over a window partitioned by h rather than a
-    // self-join against a groupBy — one scan + one exchange on h, and the
-    // filtered output stays hash-partitioned on h so the self-join below
-    // can reuse the partitioning instead of re-shuffling both sides.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val sh = raw.withColumn("df", count(lit(1)).over(w))
-      .filter(col("df") <= ShingleDfCap)
-      .select(col("doc_id"), col("h"))
+    // df-cut via broadcast ANTI-join against the HOT-shingle list: the
+    // list of shingles with df > cap is the Zipf head — tiny at any
+    // corpus size — so the cut costs one partial-aggregated groupBy to
+    // build it and ZERO shuffles of the shingle table itself (a window-
+    // or semi-join formulation would sort/shuffle every shingle row).
+    val hot = raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select(col("h"))
+    val sh = raw.join(broadcast(hot), Seq("h"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

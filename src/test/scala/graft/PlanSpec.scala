@@ -87,6 +87,29 @@ class PlanSpec extends AnyFunSuite {
     assert(custom == window)
   }
 
+  test("jaccard df-cut is a broadcast anti-join, not a shuffle of shingles") {
+    val p = plan("q_dedup_jaccard")
+    assert(p.contains("LeftAnti"), p)
+    // the hot-list side broadcasts; the shingle table itself must not be
+    // re-sorted/windowed for the cut
+    assert(!p.contains("Window"), p)
+  }
+
+  test("jaccard shingle subtree is exchange-reused at scale (no broadcast)") {
+    // The static plan duplicates the shingle subtree per consumer; in the
+    // 100 TB regime (broadcast off) every duplicate sits under an
+    // identical Exchange, so runtime reuse must collapse them — pin that
+    // ReusedExchange actually appears in the executed plan.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q_dedup_jaccard")(spark, sf)
+      df.collect()
+      val executed = df.queryExecution.executedPlan.toString
+      assert(executed.contains("ReusedExchange"), executed)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("simhash pair scan is a block-key equi-join, not an all-pairs BNLJ") {
     // With broadcast disabled (the 100 TB regime) the candidate join must
     // be a shuffle join hash-partitioned on the pigeonhole block key —
