@@ -130,10 +130,63 @@ object Similarity {
       .orderBy(col("va"), col("vb"))
   }
 
+  /** IVF (inverted-file) ANN — the second scale path named by the north
+    * star alongside LSH. Coarse quantizer: the first K=16 vectors serve
+    * as deterministic centroids (production would k-means; seeding with
+    * data points is the standard init and keeps the oracle exact).
+    * Every vector is assigned to its nearest centroid by exact cosine —
+    * a broadcast join + map-side max_by aggregate, NO shuffle of the
+    * vector table; each query probes its NPROBE=4 nearest centroid
+    * lists, which turns candidate generation into an equi-join on cid
+    * (the IVF posting-list lookup). All arithmetic is the exact
+    * quantized-int64 dot/norm discipline, so unlike the LSH variant this
+    * ANN is fully DuckDB-oracled (IVF per Sivic/Zisserman "Video Google"
+    * ICCV 2003; IVF-flat as in FAISS, Johnson et al. 2017). */
+  val qSimIvf: Q = (s, dir) => {
+    val K = 16
+    val nprobe = 4
+    val emb = withNorm(quantized(s, dir))
+    val cents = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    // cosine of every vector against every centroid (n x K, broadcast)
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("n2"), col("cid"),
+        (dotq(col("q"), col("cq")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("ccos"))
+    // nearest centroid per vector: map-side-combinable max_by with a
+    // deterministic (ccos, -cid) tie-break — no window/sort of the table
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+        first(col("q")).as("q"), first(col("n2")).as("n2"))
+    // each query probes its nprobe nearest centroid posting lists
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probes = scored.filter(col("vec_id") < 10)
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        col("n2").as("qn2"), col("cid"))
+    val cand = probes.join(assigned, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor"))
+    cand
+      .select(col("qid"), col("vec_id").as("neighbor"),
+        (dotq(col("qv"), col("q")).cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+          .as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_topk" -> qSimTopK,
     "q_sim_neardup" -> qSimNearDup,
-    "q_sim_ann_lsh" -> qSimAnnLsh)
+    "q_sim_ann_lsh" -> qSimAnnLsh,
+    "q_sim_ivf" -> qSimIvf)
 
   private val quantSql =
     "SELECT vec_id, r.i AS i, CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000000) AS BIGINT) AS v FROM embeddings, range(1, 65) r(i)"
@@ -172,5 +225,41 @@ object Similarity {
       FROM d JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id
       WHERE CAST(dot AS DOUBLE) /
           (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.3
-      ORDER BY va, vb""")
+      ORDER BY va, vb""",
+    "q_sim_ivf" -> s"""
+      WITH e AS ($quantSql),
+      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      cd AS (SELECT a.vec_id, b.vec_id AS cid,
+               CAST(sum(a.v * b.v) AS BIGINT) AS dot
+             FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+             GROUP BY 1, 2),
+      ccos AS (SELECT cd.vec_id, cid,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) *
+                   sqrt(CAST(nc.n2 AS DOUBLE))) AS ccos
+               FROM cd JOIN n nv ON cd.vec_id = nv.vec_id
+                       JOIN n nc ON cid = nc.vec_id),
+      assigned AS (SELECT vec_id, cid FROM ccos
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, cid) = 1),
+      probes AS (SELECT vec_id AS qid, cid FROM ccos WHERE vec_id < 10
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cid) <= 4),
+      cand AS (SELECT p.qid, a.vec_id AS neighbor
+               FROM probes p JOIN assigned a USING (cid)
+               WHERE a.vec_id <> p.qid),
+      d AS (SELECT c.qid, c.neighbor,
+              CAST(sum(ea.v * eb.v) AS BIGINT) AS dot
+            FROM cand c JOIN e ea ON ea.vec_id = c.qid
+                        JOIN e eb ON eb.vec_id = c.neighbor AND ea.i = eb.i
+            GROUP BY 1, 2),
+      scored AS (SELECT qid, neighbor,
+              CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) *
+                sqrt(CAST(nn.n2 AS DOUBLE))) AS cos
+            FROM d JOIN n nq ON qid = nq.vec_id
+                   JOIN n nn ON neighbor = nn.vec_id)
+      SELECT qid, neighbor, cos,
+        CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY cos DESC, neighbor) AS INT) AS rnk
+      FROM scored QUALIFY rnk <= 5 ORDER BY qid, rnk""")
 }

@@ -60,6 +60,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"ANN recall $recall (8 tables x 6 bits, multi-probe hamming<=1)")
   }
 
+  test("IVF top-k recalls most exact brute-force neighbors") {
+    def nbrs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, sf).select("qid", "neighbor")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = nbrs("q_sim_topk")
+    val ivf = nbrs("q_sim_ivf")
+    assert(exact.nonEmpty)
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall (K=16, nprobe=4)")
+  }
+
   test("topk rank-1 neighbor has the maximum cosine per query") {
     val rows = SparkEntry.queries("q_sim_topk")(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
