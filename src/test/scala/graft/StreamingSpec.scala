@@ -7,6 +7,29 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.Tables._
 
+/** transformWithState processor: running event count per user (the
+  * Spark 4 successor of flatMapGroupsWithState, RocksDB-backed). */
+class UserCountProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long), (Long, Long)] {
+  import org.apache.spark.sql.Encoders
+  @transient private var count:
+    org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    count = getHandle.getValueState[Long]("cnt", Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long)] = {
+    val prev = if (count.exists()) count.get() else 0L
+    val total = prev + rows.size
+    count.update(total)
+    Iterator.single((key, total))
+  }
+}
+
 /** Batch ≡ stream equivalence (SURVEY.md §2.J, §5.2): the SAME windowed
   * transformations declared in StreamingOps run under Structured Streaming
   * from a file-replay source and must produce the batch rows. */
@@ -133,6 +156,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture has no click->purchase pairs?")
   }
 
+  test("stream-stream LEFT OUTER join emits null-padded rows after watermark expiry") {
+    // outer rows cannot emit until the watermark proves no future match
+    // can arrive; a far-future batch-2 row pushes both watermarks past
+    // every original event and flushes the unmatched-click state.
+    val d = Files.createTempDirectory("events_replay_outer").toFile
+    d.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      new java.io.File(d, "events.parquet").toPath)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$d/events.parquet").schema
+    val src = spark.readStream.schema(rawSchema).parquet(d.getAbsolutePath)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val buys = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(buys,
+        col("user_id") === col("b_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("t_ssouter")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: one far-future click + purchase (user -1, +30 days)
+    val raw = spark.read.parquet(s"$d/events.parquet")
+    val mx = raw.orderBy(col("ts").desc).limit(1)
+    def dummy(id: Long, et: String) = mx.selectExpr(
+      s"CAST($id AS BIGINT) AS event_id",
+      "CAST(ts + 2592000000000000 AS BIGINT) AS ts",
+      "CAST(-1 AS BIGINT) AS user_id", s"'$et' AS event_type",
+      "CAST(0.0 AS DOUBLE) AS value", "'' AS props")
+    val tmpOut = Files.createTempDirectory("late_dummy").toFile
+    tmpOut.deleteOnExit()
+    dummy(-1L, "click").union(dummy(-2L, "purchase"))
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut.getAbsolutePath)
+    val part = tmpOut.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(d, "late.parquet").toPath)
+    q.processAllAvailable(); q.stop()
+    // the dummy click itself stays in state (nothing advances past it)
+    val streamed = spark.table("t_ssouter").filter(col("click_id") >= 0)
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      .collect().toSeq
+    val ev = Tables(spark, sf, "events")
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val bb = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = bc.join(bb,
+        col("user_id") === col("b_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(batch.exists(_.isNullAt(2)), "no unmatched clicks in fixture?")
+  }
+
   test("arbitrary stateful processing: flatMapGroupsWithState running count") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -158,6 +250,37 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
       .orderBy(col("user_id")).collect().toSeq
     assert(streamed == batch)
+  }
+
+  test("transformWithState (Spark 4 stateful API) keeps a running count per key") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val counted = streamedEvents
+        .selectExpr("user_id", "event_id").as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new UserCountProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "total")
+      val q = counted.writeStream.format("memory").queryName("t_tws")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("t_tws")
+        .groupBy(col("user_id")).agg(max(col("total")).as("n"))
+        .orderBy(col("user_id")).collect().toSeq
+      val batch = Tables(spark, sf, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("user_id")).collect().toSeq
+      assert(streamed == batch)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
