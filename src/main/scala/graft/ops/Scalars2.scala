@@ -96,9 +96,33 @@ object Scalars2 {
       .orderBy(col("p_partkey"))
   }
 
+  /** Wave 3: the Spark-4 string/bit additions (contains/startswith/
+    * endswith predicates, url_encode/decode, bit_get/bit_count) — all
+    * Hive-replaceable surface a migrating user would reach for. The
+    * url_encode oracle exploits the fixture charset ([a-z ]): form
+    * encoding is exactly space -> '+' there. */
+  val qFnString3: Q = (s, dir) => {
+    Tables(s, dir, "part")
+      .filter(col("p_partkey") < 200)
+      .select(
+        col("p_partkey"),
+        expr("contains(p_name, 'ol')").as("ct"),
+        expr("startswith(p_name, 's')").as("sw"),
+        expr("endswith(p_name, 't')").as("ew"),
+        expr("url_encode(p_name)").as("ue"),
+        expr("url_decode(url_encode(p_name))").as("ud"),
+        expr("getbit(p_size, 2)").as("bg"),
+        bit_count(col("p_size")).as("bc"),
+        btrim(concat(lit("  "), col("p_name"), lit("  "))).as("bt"),
+        expr("left(p_name, 4)").as("lf"),
+        expr("right(p_name, 4)").as("rt"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_fn_string2" -> qFnString2,
     "q_fn_date2" -> qFnDate2,
+    "q_fn_string3" -> qFnString3,
     "q_fn_misc" -> qFnMisc)
 
   val oracle: Map[String, String] = Map(
@@ -145,6 +169,19 @@ object Scalars2 {
           CAST(month(o_orderdate) AS BIGINT), 1), '%Y-%m-%d') AS made,
         strftime(date_trunc('year', o_orderdate), '%Y-%m-%d') AS ytrunc
       FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
+    "q_fn_string3" -> """
+      SELECT p_partkey,
+        contains(p_name, 'ol') AS ct,
+        starts_with(p_name, 's') AS sw,
+        ends_with(p_name, 't') AS ew,
+        replace(p_name, ' ', '+') AS ue,
+        p_name AS ud,
+        CAST((p_size >> 2) & 1 AS TINYINT) AS bg,
+        CAST(bit_count(p_size) AS INT) AS bc,
+        trim(p_name) AS bt,
+        substr(p_name, 1, 4) AS lf,
+        substr(p_name, greatest(len(p_name) - 3, 1)) AS rt
+      FROM part WHERE p_partkey < 200 ORDER BY p_partkey""",
     // soundex rules replicated per Spark's mapping string
     // '01230120022455012623010202': vowels/Y and non-letters reset the
     // running code, H/W keep it, adjacent equal codes collapse; first

@@ -60,7 +60,8 @@ object Windows {
       .filter(col("o_orderkey") % 100 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"),
         first(col("o_orderkey")).over(w).as("first_key"),
-        last(col("o_orderkey")).over(w).as("last_key"))
+        last(col("o_orderkey")).over(w).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -169,7 +170,8 @@ object Windows {
     "q_window_firstlast" -> """
       SELECT o_orderkey, o_orderstatus,
         first_value(o_orderkey) OVER w AS first_key,
-        last_value(o_orderkey) OVER w AS last_key
+        last_value(o_orderkey) OVER w AS last_key,
+        nth_value(o_orderkey, 2) OVER w AS second_key
       FROM orders WHERE o_orderkey % 100 = 0
       WINDOW w AS (PARTITION BY o_orderstatus
                    ORDER BY o_orderdate, o_orderkey
