@@ -28,9 +28,12 @@ object Bench {
     "q_stream_sliding",        // overlapping-window agg
     "q_stream_session",        // session windows
     "q_dedup_minhash",         // sketch agg + LSH banding join
-    "q_dedup_jaccard",         // inverted-index shingle join
+    "q_dedup_jaccard",         // inverted-index shingle join (df-capped)
+    "q_dedup_simhash_pairs",   // pigeonhole-blocked hamming pair scan
     "q_sim_topk",              // broadcast brute-force cosine top-k
     "q_sim_neardup",           // all-pairs threshold join
+    "q_sim_ivf",               // IVF posting-list ANN
+    "q_stream_stream_join",    // time-range self-join (stream twin)
     "q_text_quality")          // per-doc text scoring
 
   def main(args: Array[String]): Unit = {
