@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 
 import graft.functions.{DotLongArrays, FieldExpr, MinHashAgg, ParseUrlTuple}
-import graft.plans.GroupedTopKStrategy
+import graft.plans.{GroupedTopKStrategy, RowNumberTopKRewrite}
 
 /** SparkSessionExtensions entry point — the deployment-grade way to wire
   * the engine's custom functions and planner strategy into ANY session:
@@ -31,5 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("dotq"), info("dotq"),
       exprs => DotLongArrays(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => GroupedTopKStrategy)
+    // optimizer rule: row_number()<=k window filters (incl. SQL QUALIFY)
+    // lower to the GroupedTopK operator when the rank column is dropped
+    e.injectOptimizerRule(_ => RowNumberTopKRewrite)
   }
 }

@@ -54,6 +54,18 @@ object ExtCheckMain {
          LATERAL VIEW parse_url_tuple(u) t AS pr, host, pa, q""")
       .collect().head.getString(0)
     require(host == "x.example.com", "generator")
+    // optimizer rule: a plain SQL QUALIFY-style top-k-per-group lowers to
+    // the GroupedTopK operator with zero user-side registration
+    val topk = s.sql(
+      """SELECT g, v FROM (
+           SELECT id % 5 AS g, id AS v,
+             row_number() OVER (PARTITION BY id % 5 ORDER BY id DESC) AS rn
+           FROM range(1000)) WHERE rn <= 2""")
+    require(topk.queryExecution.executedPlan.toString
+      .contains("GroupedTopKPartial"), "optimizer rule did not fire:\n" +
+      topk.queryExecution.executedPlan)
+    require(topk.collect().map(r => r.getLong(1)).sorted.toSeq ==
+      (990L to 999L).toSeq, "rewritten top-k rows wrong")
     println("EXTCHECK_OK")
     s.stop()
   }

@@ -74,6 +74,44 @@ class GroupedTopKSpec extends AnyFunSuite {
       want.sortBy(r => (-r.getDouble(2), r.getLong(0))))
   }
 
+  test("optimizer rule lowers row_number<=k + drop(rn) to GroupedTopK") {
+    import spark.implicits._
+    ensureStrategy()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RowNumberTopKRewrite
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_suppkey")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      def windowed = Tables(spark, sf, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+      // rank column dropped -> rule fires
+      val rewritten = windowed
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"l_extendedprice")
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("GroupedTopKPartial"), plan)
+      val got = rewritten
+        .orderBy($"l_suppkey", $"l_extendedprice".desc, $"l_orderkey")
+        .collect().toSeq
+      // rank column kept -> rule must NOT fire, results identical
+      val kept = windowed
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"l_extendedprice", $"rn")
+      assert(!kept.queryExecution.executedPlan.toString
+        .contains("GroupedTopK"))
+      val want = kept.drop("rn")
+        .orderBy($"l_suppkey", $"l_extendedprice".desc, $"l_orderkey")
+        .collect().toSeq
+      assert(got == want)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.RowNumberTopKRewrite)
+    }
+  }
+
   test("k < 1 is rejected at plan construction, not mid-task") {
     val li = Tables(spark, sf, "lineitem")
     val child = li.queryExecution.analyzed
