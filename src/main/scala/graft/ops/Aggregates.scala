@@ -121,9 +121,23 @@ object Aggregates {
         percentile(col("l_quantity"), lit(0.5)).as("p50"),
         percentile(col("l_quantity"), lit(0.9)).as("p90"),
         percentile(col("l_quantity"), lit(0.99)).as("p99"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("p25_disc"),
         min(col("l_quantity")).as("qmin"),
         max(col("l_quantity")).as("qmax"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Boolean/conditional aggregate family (Hive/ANSI every-any-some). */
+  val qAggBool: Q = (s, dir) => {
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        bool_and(col("o_totalprice") > 900).as("all_over_900"),
+        bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+        count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent"),
+        count_if(month(col("o_orderdate")) === 1).as("n_january"))
+      .orderBy(col("o_orderstatus"))
   }
 
   /** Approximate aggregates (HLL++ distinct, GK percentile, streaming
@@ -196,6 +210,7 @@ object Aggregates {
     "q_agg_grouping_sets" -> qAggGroupingSets,
     "q_agg_stats" -> qAggStats,
     "q_agg_percentile" -> qAggPercentile,
+    "q_agg_bool" -> qAggBool,
     "q_agg_approx" -> qAggApprox,
     "q_agg_minmax_by" -> qAggMinMaxBy,
     "q_agg_collect" -> qAggCollect,
@@ -265,9 +280,17 @@ object Aggregates {
         quantile_cont(l_quantity, 0.5) AS p50,
         quantile_cont(l_quantity, 0.9) AS p90,
         quantile_cont(l_quantity, 0.99) AS p99,
+        quantile_disc(l_quantity, 0.25) AS p25_disc,
         min(l_quantity) AS qmin,
         max(l_quantity) AS qmax
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_bool" -> """
+      SELECT o_orderstatus,
+        bool_and(o_totalprice > 900) AS all_over_900,
+        bool_or(o_totalprice > 400000) AS any_over_400k,
+        count_if(o_orderpriority = '1-URGENT') AS n_urgent,
+        count_if(month(o_orderdate) = 1) AS n_january
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_agg_minmax_by" -> """
       WITH ranked AS (
         SELECT o_orderstatus, o_orderkey,

@@ -110,6 +110,38 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // the 100 TB star-join pattern: fact partitioned on the join key, a
+    // selective dim filter — DPP must inject a runtime subquery into the
+    // fact scan's PartitionFilters so unneeded partitions are never read
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toFile
+    dir.deleteOnExit()
+    Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_suppkey"))
+      .join(Tables(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+      .write.mode("overwrite").partitionBy("o_orderstatus")
+      .parquet(dir.getAbsolutePath)
+    val fact = spark.read.parquet(dir.getAbsolutePath)
+    import spark.implicits._
+    // dim must be file-backed so the selective predicate survives as a
+    // Filter node (a LocalRelation constant-folds it away and DPP's
+    // hasSelectivePredicate check cannot see it)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toFile
+    dimDir.deleteOnExit()
+    Seq(("F", "keep"), ("O", "drop"), ("P", "drop")).toDF("st", "tag")
+      .write.mode("overwrite").parquet(dimDir.getAbsolutePath)
+    val dim = spark.read.parquet(dimDir.getAbsolutePath)
+      .filter(col("tag") === "keep")
+    val j = fact.join(dim, col("o_orderstatus") === col("st"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+    // and it actually returns only the F-partition rows
+    val expect = fact.filter(col("o_orderstatus") === "F").count()
+    assert(j.count() == expect && expect > 0)
+  }
+
   test("partition recovery (MSCK REPAIR analogue) on an external table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ext").toFile
     dir.deleteOnExit()
