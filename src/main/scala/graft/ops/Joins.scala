@@ -158,7 +158,41 @@ object Joins {
       .orderBy(col("p_type"))
   }
 
+  /** AS-OF join (each click matched to the latest purchase at-or-before
+    * its timestamp, per user) — the lakehouse operator Spark has no
+    * primitive for. Spelled scalably as a TAGGED UNION + one window pass:
+    * both streams union into a single (user, ts)-ordered sequence and
+    * `last(pid) IGNORE NULLS` over the running frame carries the most
+    * recent purchase forward — ONE shuffle on user_id total, no per-row
+    * range probe, no O(clicks x purchases) join (the naive band-join
+    * spelling explodes; this is the merge-scan shape an as-of needs at
+    * 100 TB). Purchases sort before clicks on equal ts => inclusive
+    * (pts <= ts) semantics. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val qJoinAsof: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("pid", lit(null).cast("long"))
+      .withColumn("is_r", lit(0))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+      .withColumn("event_id", lit(null).cast("long"))
+      .withColumn("is_r", lit(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_r").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    clicks.unionByName(buys)
+      .withColumn("asof_pid", last(col("pid"), ignoreNulls = true).over(w))
+      .filter(col("is_r") === 0)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        fmtTsUs(col("ts")).as("click_ts"), col("asof_pid"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_asof" -> qJoinAsof,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
     "q_join_left" -> qJoinLeft,
@@ -174,6 +208,14 @@ object Joins {
     "round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(5,4))), 4)"
 
   val oracle: Map[String, String] = Map(
+    "q_join_asof" -> """
+      SELECT c.user_id, c.event_id AS click_id,
+        strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        p.event_id AS asof_pid
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+      ORDER BY c.user_id, click_id""",
     "q3_shipping_priority" -> s"""
       SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
              CAST($revenue AS DOUBLE) AS revenue
