@@ -191,8 +191,31 @@ object Joins {
       .orderBy(col("user_id"), col("click_id"))
   }
 
+  /** Manual skew-salting for a JOIN (complements the AQE runtime skew
+    * split pinned in SqlSurfaceSpec and the salted two-stage agg): the
+    * probe side gets a deterministic salt in [0, R), the build side is
+    * replicated R times, and the join key becomes (key, salt) — a single
+    * hot key fans out over R reducers instead of one. Values are
+    * oracle-identical to the plain join. */
+  val qJoinSalted: Q = (s, dir) => {
+    val R = 8
+    val fact = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        (col("l_linenumber") % R).as("salt"))
+    val dim = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        explode(sequence(lit(0), lit(R - 1))).as("salt"))
+    fact.join(dim,
+        col("l_orderkey") === col("o_orderkey") &&
+          fact("salt") === dim("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_asof" -> qJoinAsof,
+    "q_join_salted" -> qJoinSalted,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
     "q_join_left" -> qJoinLeft,
@@ -216,6 +239,11 @@ object Joins {
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         ON c.user_id = p.user_id AND p.ts <= c.ts
       ORDER BY c.user_id, click_id""",
+    "q_join_salted" -> """
+      SELECT o_orderstatus, count(*) AS cnt,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q3_shipping_priority" -> s"""
       SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
              CAST($revenue AS DOUBLE) AS revenue
