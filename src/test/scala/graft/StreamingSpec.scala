@@ -283,6 +283,63 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("parquet file sink + checkpoint: restarts are exactly-once") {
+    val in = Files.createTempDirectory("eo_in").toFile
+    val out = Files.createTempDirectory("eo_out").toFile
+    val chk = Files.createTempDirectory("eo_chk").toFile
+    Seq(in, out, chk).foreach(_.deleteOnExit())
+    def addFile(name: String): Unit = java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      new java.io.File(in, name).toPath)
+    addFile("one.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$in/one.parquet").schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in.getAbsolutePath)
+        .select(col("event_id"))
+        .writeStream.format("parquet")
+        .option("path", out.getAbsolutePath)
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    val n = spark.read.parquet(s"$sf/events.parquet").count()
+    runOnce()
+    assert(spark.read.parquet(out.getAbsolutePath).count() == n)
+    // restart with one NEW file: only the new file is processed
+    addFile("two.parquet")
+    runOnce()
+    assert(spark.read.parquet(out.getAbsolutePath).count() == 2 * n)
+    // restart with nothing new: checkpoint prevents any reprocessing
+    runOnce()
+    assert(spark.read.parquet(out.getAbsolutePath).count() == 2 * n)
+  }
+
+  test("foreachBatch fans one stream out to two sinks (streaming multi-insert)") {
+    val out1 = Files.createTempDirectory("fb_clicks").toFile
+    val out2 = Files.createTempDirectory("fb_buys").toFile
+    Seq(out1, out2).foreach(_.deleteOnExit())
+    val q = streamedEvents.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // one scanned micro-batch feeding N sinks — the streaming shape
+        // of Hive's FROM t INSERT OVERWRITE t1 ... INSERT OVERWRITE t2
+        val cached = df.persist()
+        try {
+          cached.filter(col("event_type") === "click")
+            .write.mode("append").parquet(out1.getAbsolutePath)
+          cached.filter(col("event_type") === "purchase")
+            .write.mode("append").parquet(out2.getAbsolutePath)
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val ev = Tables(spark, sf, "events")
+    assert(spark.read.parquet(out1.getAbsolutePath).count() ==
+      ev.filter(col("event_type") === "click").count())
+    assert(spark.read.parquet(out2.getAbsolutePath).count() ==
+      ev.filter(col("event_type") === "purchase").count())
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
     val df = streamedEvents
       .withWatermark("ts", "1 hour")
