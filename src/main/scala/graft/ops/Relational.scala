@@ -134,7 +134,29 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
   }
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): a month ladder spanning the
+    * order-date range, LEFT-joined back to orders — the revenue-calendar
+    * idiom where empty months must still appear. Recursion depth ~80,
+    * under Spark's default 100 recursion-level limit; DuckDB runs the
+    * identical SQL shape. */
+  val qRecursiveCte: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      WITH RECURSIVE months(m) AS (
+        SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+      )
+      SELECT date_format(m, 'yyyy-MM') AS month,
+             count(o_orderkey) AS n_orders
+      FROM months LEFT JOIN orders
+        ON date_trunc('month', o_orderdate) = m
+      GROUP BY m ORDER BY month""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_recursive_cte" -> qRecursiveCte,
     "q_scan_filter" -> qScanFilter,
     "q_predicates" -> qPredicates,
     "q_null_safe_eq" -> qNullSafeEq,
@@ -147,6 +169,18 @@ object Relational {
     "q_topk" -> qTopK)
 
   val oracle: Map[String, String] = Map(
+    "q_recursive_cte" -> """
+      WITH RECURSIVE months(m) AS (
+        SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+      )
+      SELECT strftime(m, '%Y-%m') AS month,
+             count(o_orderkey) AS n_orders
+      FROM months LEFT JOIN orders
+        ON date_trunc('month', o_orderdate) = m
+      GROUP BY m ORDER BY month""",
     "q_scan_filter" -> """
       SELECT l_orderkey, l_linenumber, l_extendedprice,
              strftime(l_shipdate, '%Y-%m-%d') AS ship

@@ -197,7 +197,22 @@ object Scalars {
       .orderBy(col("c_custkey"))
   }
 
+  /** VARIANT (Spark 4 semi-structured type): parse the events.props JSON
+    * into variant, extract typed fields, aggregate — the open-schema path
+    * a training-data pipeline uses for heterogeneous metadata. Oracle:
+    * DuckDB json_extract on the same strings. */
+  val qVariantJson: Q = (s, dir) => {
+    Tables(s, dir, "events")
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_variant_json" -> qVariantJson,
     "q_fn_string" -> qFnString,
     "q_fn_regex" -> qFnRegex,
     "q_fn_date" -> qFnDate,
@@ -209,6 +224,13 @@ object Scalars {
     "q_fn_mask" -> qFnMask)
 
   val oracle: Map[String, String] = Map(
+    "q_variant_json" -> """
+      SELECT event_type, count(k) AS n,
+        CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+      FROM (SELECT event_type,
+              CAST(json_extract(props, '$.k') AS INT) AS k
+            FROM events)
+      GROUP BY event_type ORDER BY event_type""",
     "q_fn_string" -> """
       SELECT p_partkey,
         CAST(length(p_name) AS INT) AS len,
