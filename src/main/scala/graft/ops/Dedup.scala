@@ -128,20 +128,25 @@ object Dedup {
   }
 
   /** SimHash 60-bit fingerprints from md5-derived token hashes — fully
-    * deterministic AND oracle-checkable cross-engine (md5 is the hash). */
+    * deterministic AND oracle-checkable cross-engine (md5 is the hash).
+    * One hash-aggregate pass with 60 per-bit sum columns (map-side
+    * combinable) instead of exploding 60 rows per token — the naive
+    * (doc, bit) explode costs a 60x row blowup and a second shuffle. */
   val qDedupSimhash: Q = (s, dir) => {
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val h = toks.select(col("doc_id"),
       conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
-    h.select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(59))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(expr("shiftright(h, j) & 1") === 1, 1).otherwise(-1))
-        .as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L))
-        .as("simhash"))
+    val bitSums = (0 until 60).map { j =>
+      sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    val fingerprint = (0 until 60)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    h.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
       .orderBy(col("doc_id"))
   }
 
