@@ -211,8 +211,40 @@ object Scalars {
       .orderBy(col("event_type"))
   }
 
+  /** Collection wave 2: array set algebra, zip_with, flatten, map
+    * construction/inspection. Every array output is sorted on BOTH
+    * engines — Spark's array_intersect preserves left-operand order
+    * while DuckDB's list_intersect does not, so only the sorted set is
+    * hash-stable. */
+  val qFnCollection2: Q = (s, dir) => {
+    Tables(s, dir, "part")
+      .filter(col("p_partkey") < 200)
+      .withColumn("a", split(col("p_name"), " "))
+      .select(
+        col("p_partkey"),
+        sort_array(array_union(col("a"), array(col("p_brand")))).as("un"),
+        sort_array(array_intersect(col("a"), slice(col("a"), 2, 2)))
+          .as("inter"),
+        sort_array(array_except(col("a"), slice(col("a"), 1, 1))).as("exc"),
+        expr("""zip_with(sequence(1, 3),
+                array(p_size, p_size + 1, p_size + 2), (x, y) -> x * y)""")
+          .as("zw"),
+        flatten(array(slice(col("a"), 1, 1), slice(col("a"), 2, 1)))
+          .as("flat"),
+        arrays_overlap(col("a"), array(lit("spring"), lit("peru")))
+          .as("ovl"),
+        sort_array(map_keys(map_from_arrays(
+          array(lit("sz"), lit("key")),
+          array(col("p_size").cast("long"), col("p_partkey"))))).as("mk"),
+        sort_array(map_values(map_from_arrays(
+          array(lit("sz"), lit("key")),
+          array(col("p_size").cast("long"), col("p_partkey"))))).as("mv"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_variant_json" -> qVariantJson,
+    "q_fn_collection2" -> qFnCollection2,
     "q_fn_string" -> qFnString,
     "q_fn_regex" -> qFnRegex,
     "q_fn_date" -> qFnDate,
@@ -231,6 +263,22 @@ object Scalars {
               CAST(json_extract(props, '$.k') AS INT) AS k
             FROM events)
       GROUP BY event_type ORDER BY event_type""",
+    "q_fn_collection2" -> """
+      WITH t AS (SELECT p_partkey, p_brand, p_size,
+                   string_split(p_name, ' ') AS a
+                 FROM part WHERE p_partkey < 200)
+      SELECT p_partkey,
+        list_sort(list_distinct(list_concat(a, [p_brand]))) AS un,
+        list_sort(list_distinct(list_intersect(a, a[2:3]))) AS inter,
+        list_sort(list_distinct(list_filter(a, x -> x <> a[1]))) AS exc,
+        list_transform(list_zip([1, 2, 3],
+          [p_size, p_size + 1, p_size + 2]),
+          z -> CAST(z[1] * z[2] AS INT)) AS zw,
+        flatten([a[1:1], a[2:2]]) AS flat,
+        len(list_intersect(a, ['spring', 'peru'])) > 0 AS ovl,
+        list_sort(['sz', 'key']) AS mk,
+        list_sort([CAST(p_size AS BIGINT), p_partkey]) AS mv
+      FROM t ORDER BY p_partkey""",
     "q_fn_string" -> """
       SELECT p_partkey,
         CAST(length(p_name) AS INT) AS len,
