@@ -213,9 +213,40 @@ object Joins {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Bucketed RANGE join: purchases within 30 minutes after each click,
+    * across ALL users — a pure interval predicate with no equi key, which
+    * Spark would otherwise execute as an O(n x m) nested-loop. The
+    * standard fix (interval bucketing, as in Databricks' range-join
+    * optimization): quantize time into 30-minute buckets; a click in
+    * bucket b can only match purchases in buckets {b, b+1}, so the click
+    * side explodes to 2 probe rows and candidates come from a SHUFFLED
+    * EQUI-JOIN on the bucket with the exact range predicate as residual
+    * — shuffle O(n + m), never a broadcast loop over all pairs. */
+  val qJoinRangeBucketed: Q = (s, dir) => {
+    val bucketSec = 1800L
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"),
+        expr(s"unix_timestamp(ts) div $bucketSec").as("cb"))
+      .select(col("click_id"), col("cts"),
+        explode(array(col("cb"), col("cb") + 1)).as("pb"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("pts"),
+        expr(s"unix_timestamp(ts) div $bucketSec").as("pb"))
+    clicks.join(buys,
+        Seq("pb")) // equi-join on the bucket; range check is residual
+      .filter(col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        min(col("purchase_id")).as("first_pid"))
+      .orderBy(col("click_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_asof" -> qJoinAsof,
     "q_join_salted" -> qJoinSalted,
+    "q_join_range_bucketed" -> qJoinRangeBucketed,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
     "q_join_left" -> qJoinLeft,
@@ -244,6 +275,13 @@ object Joins {
         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_join_range_bucketed" -> """
+      SELECT c.event_id AS click_id, count(*) AS n_purchases,
+        min(p.event_id) AS first_pid
+      FROM events c JOIN events p
+        ON c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      GROUP BY c.event_id ORDER BY click_id""",
     "q3_shipping_priority" -> s"""
       SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
              CAST($revenue AS DOUBLE) AS revenue
