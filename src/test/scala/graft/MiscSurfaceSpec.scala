@@ -67,6 +67,24 @@ class MiscSurfaceSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("parquet codec round trips: snappy, zstd, gzip all lossless") {
+    // codec choice is a first-order knob at 100 TB; each must round-trip
+    // losslessly and actually engage (file sizes differ across codecs)
+    val src = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+    val n = src.count()
+    val sizes = Seq("snappy", "zstd", "gzip").map { codec =>
+      val d = java.nio.file.Files.createTempDirectory(s"codec_$codec").toFile
+      d.deleteOnExit()
+      src.write.mode("overwrite").option("compression", codec)
+        .parquet(d.getAbsolutePath)
+      assert(spark.read.parquet(d.getAbsolutePath).count() == n, codec)
+      codec -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    }.toMap
+    assert(sizes.values.toSet.size > 1, s"codecs produced equal sizes: $sizes")
+  }
+
   test("multimodal decode stub: entropy_ish is a real byte-histogram entropy") {
     import org.apache.spark.sql.functions.col
     val feats = ops.Multimodal.mmFeatures(spark, sf)
