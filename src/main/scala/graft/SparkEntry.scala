@@ -14,6 +14,7 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (Relational.queries, Relational.oracle),
+    (TpchMore.queries, TpchMore.oracle),
     (Joins.queries, Joins.oracle),
     (Aggregates.queries, Aggregates.oracle),
     (Windows.queries, Windows.oracle),
