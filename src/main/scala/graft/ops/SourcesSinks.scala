@@ -183,7 +183,23 @@ object SourcesSinks {
     s.read.parquet(sink).orderBy(col("l_returnflag"))
   }
 
+  /** The custom DataSource V2 exemplar (graft.sources.SyntheticDocsSource)
+    * read through a pushed doc_id range + aggregation; generation is pure
+    * int64 arithmetic, so DuckDB replays it from range() and this custom
+    * source is value-oracled like any table. */
+  val qSrcDsv2: Q = (s, _) => {
+    s.read.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "2000").option("partitions", "8").load()
+      .filter(col("doc_id") >= 500 && col("doc_id") < 1500)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("text"))).as("sum_len"),
+        min(col("text")).as("min_text"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_src_dsv2" -> qSrcDsv2,
     "q_src_csv" -> qSrcCsv,
     "q_src_json" -> qSrcJson,
     "q_src_orc" -> qSrcOrc,
@@ -193,6 +209,26 @@ object SourcesSinks {
     "q_decimal_e2e" -> qDecimalE2e)
 
   val oracle: Map[String, String] = Map(
+    "q_src_dsv2" -> """
+      WITH t AS (
+        SELECT range AS id, CAST(range % 10 AS INT) AS bucket,
+          ['alpha','bravo','charlie','delta','echo','foxtrot','golf',
+           'hotel','india','juliet','kilo','lima','mike','november',
+           'oscar','papa'][CAST((range * 7 + 1) % 16 AS INT) + 1]
+          || ' ' ||
+          ['alpha','bravo','charlie','delta','echo','foxtrot','golf',
+           'hotel','india','juliet','kilo','lima','mike','november',
+           'oscar','papa'][CAST((range * 13 + 3) % 16 AS INT) + 1]
+          || ' ' ||
+          ['alpha','bravo','charlie','delta','echo','foxtrot','golf',
+           'hotel','india','juliet','kilo','lima','mike','november',
+           'oscar','papa'][CAST((range * 31 + 5) % 16 AS INT) + 1]
+          AS text
+        FROM range(500, 1500))
+      SELECT bucket, count(*) AS cnt,
+        CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        min(text) AS min_text
+      FROM t GROUP BY bucket ORDER BY bucket""",
     "q_src_csv" -> """
       SELECT p_brand, count(*) AS cnt,
         CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
