@@ -97,7 +97,35 @@ object TextAnalysis {
       .orderBy(col("canonical_id"))
   }
 
+  /** TF-IDF-style term weighting, top-5 terms per document. The damping
+    * is an EXACT integer ratio weight = tf * 1e6 div df instead of
+    * tf * ln(N/df): Java Math.log and DuckDB's libm ln disagree by 1 ulp
+    * on 44 of 500 possible (N/df) inputs (measured r03), so a log-based
+    * weight cannot hash-match cross-engine; the ratio preserves the
+    * ranking tf/df induces for fixed N and keeps every value exact.
+    * Scale shape: two hash aggregations (term frequency, document
+    * frequency) + a broadcast-sized df join + per-doc top-k window. */
+  val qTextTfidf: Q = (s, dir) => {
+    val tok = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.distinct().groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("weight", expr("tf * 1000000L div df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("weight"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_tfidf" -> qTextTfidf,
     "q_text_langid" -> qTextLangId,
     "q_text_quality" -> qTextQuality,
     "q_text_tokens" -> qTextTokens,
@@ -110,6 +138,21 @@ object TextAnalysis {
     s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(words)}))) AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "q_text_tfidf" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM tok GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df
+             FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+      ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          tf.tf * 1000000 // df.df AS weight,
+          CAST(row_number() OVER (PARTITION BY tf.doc_id
+            ORDER BY tf.tf * 1000000 // df.df DESC, tf.term) AS INT) AS rnk
+        FROM tf JOIN df USING (term))
+      SELECT doc_id, term, tf, df, weight, rnk
+      FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""",
     "q_text_langid" -> s"""
       WITH scored AS (SELECT doc_id, lang,
         ${hitsSql(stopwords("en"))} AS s_en,
