@@ -182,11 +182,64 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** One k-means (Lloyd) iteration for the IVF coarse quantizer, as pure
+    * relational algebra with EXACT integer math: assign to seed
+    * centroids, aggregate each cluster's element-wise SUM vector
+    * (cosine is scale-invariant, so the integer sum stands in for the
+    * float mean — cos(v, mean) == cos(v, sum)), reassign against the
+    * updated centroids, and report per-cluster size and movement.
+    * Component sums stay under 2^63 and dot products under 2^53, so the
+    * whole iteration is bit-reproducible and DuckDB-oracled — the
+    * training loop a production IVF runs, one step of which is proven
+    * exactly here. Shapes: broadcast centroid joins (no vector-table
+    * shuffle for scoring), posexplode + two-level agg for the sums. */
+  val qSimKmeansStep: Q = (s, dir) => {
+    val K = 16
+    val emb = withNorm(quantized(s, dir))
+    val cents = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    def best(scored: DataFrame, out: String): DataFrame =
+      scored.groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as(out),
+          first(col("q")).as("q"), first(col("n2")).as("n2"))
+    val a0 = best(
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("q"), col("n2"), col("cid"),
+          (dotq(col("q"), col("cq")).cast("double") /
+            (sqrt(col("n2").cast("double")) *
+              sqrt(col("cn2").cast("double")))).as("ccos")),
+      "cid0")
+    // element-wise integer sum per cluster (posexplode + 2-level agg)
+    val csum = a0.select(col("cid0"), posexplode(col("q")))
+      .groupBy(col("cid0"), col("pos")).agg(sum(col("col")).as("s"))
+      .groupBy(col("cid0"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s))), x -> x.s)")
+        .as("cq"))
+      .select(col("cid0").as("cid"), col("cq"))
+      .withColumn("cn2", dotq(col("cq"), col("cq")))
+    val a1 = a0.join(
+        best(
+          a0.crossJoin(broadcast(csum))
+            .select(col("vec_id"), col("q"), col("n2"), col("cid"),
+              (dotq(col("q"), col("cq")).cast("double") /
+                (sqrt(col("n2").cast("double")) *
+                  sqrt(col("cn2").cast("double")))).as("ccos")),
+          "cid1").select(col("vec_id"), col("cid1")),
+        "vec_id")
+    a1.groupBy(col("cid1"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cid1") =!= col("cid0"), 1).otherwise(0)).as("moved"),
+        min(col("vec_id")).as("min_vec"))
+      .orderBy(col("cid1"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_topk" -> qSimTopK,
     "q_sim_neardup" -> qSimNearDup,
     "q_sim_ann_lsh" -> qSimAnnLsh,
-    "q_sim_ivf" -> qSimIvf)
+    "q_sim_ivf" -> qSimIvf,
+    "q_sim_kmeans_step" -> qSimKmeansStep)
 
   private val quantSql =
     "SELECT vec_id, r.i AS i, CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000000) AS BIGINT) AS v FROM embeddings, range(1, 65) r(i)"
@@ -261,5 +314,42 @@ object Similarity {
       SELECT qid, neighbor, cos,
         CAST(row_number() OVER (PARTITION BY qid
           ORDER BY cos DESC, neighbor) AS INT) AS rnk
-      FROM scored QUALIFY rnk <= 5 ORDER BY qid, rnk""")
+      FROM scored QUALIFY rnk <= 5 ORDER BY qid, rnk""",
+    "q_sim_kmeans_step" -> s"""
+      WITH e AS ($quantSql),
+      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      cd0 AS (SELECT a.vec_id, b.vec_id AS cid,
+                CAST(sum(a.v * b.v) AS BIGINT) AS dot
+              FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+              GROUP BY 1, 2),
+      s0 AS (SELECT cd0.vec_id, cid,
+               CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) *
+                 sqrt(CAST(nc.n2 AS DOUBLE))) AS ccos
+             FROM cd0 JOIN n nv ON cd0.vec_id = nv.vec_id
+                      JOIN n nc ON cid = nc.vec_id),
+      a0 AS (SELECT vec_id, cid AS cid0 FROM s0
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, cid) = 1),
+      csum AS (SELECT a0.cid0 AS cid, e.i, CAST(sum(e.v) AS BIGINT) AS s
+               FROM a0 JOIN e ON e.vec_id = a0.vec_id GROUP BY 1, 2),
+      cn2 AS (SELECT cid, CAST(sum(s * s) AS BIGINT) AS cn2
+              FROM csum GROUP BY cid),
+      cd1 AS (SELECT e.vec_id, csum.cid,
+                CAST(sum(e.v * csum.s) AS BIGINT) AS dot
+              FROM e JOIN csum ON e.i = csum.i GROUP BY 1, 2),
+      s1 AS (SELECT cd1.vec_id, cd1.cid,
+               CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) *
+                 sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+             FROM cd1 JOIN n nv ON cd1.vec_id = nv.vec_id
+                      JOIN cn2 c ON cd1.cid = c.cid),
+      a1 AS (SELECT vec_id, cid AS cid1 FROM s1
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, cid) = 1)
+      SELECT a1.cid1, count(*) AS n,
+        CAST(sum(CASE WHEN a1.cid1 <> a0.cid0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS moved,
+        min(a1.vec_id) AS min_vec
+      FROM a1 JOIN a0 ON a1.vec_id = a0.vec_id
+      GROUP BY a1.cid1 ORDER BY a1.cid1""")
 }
