@@ -90,9 +90,34 @@ object Multimodal {
         col("first_byte"))
       .orderBy(col("doc_id"))
 
+  /** Frame sampling + resize (the video/image decode analogues on the
+    * stub payload): each blob splits into fixed 64-byte frames
+    * (generator fan-out, no shuffle), each frame is checksummed and
+    * "resized" by 2:1 byte decimation — the per-frame mapPartitions
+    * shape a video pipeline runs, with deterministic byte ops standing
+    * in for the codec. Fully DuckDB-oracled via substring arithmetic. */
+  val qMmFrames: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, CAST(ceil(length(text) / 64.0) AS INT) - 1),
+             i -> substring(text, i * 64 + 1, 64))""")))
+      .withColumnRenamed("pos", "frame_no")
+      .withColumnRenamed("col", "frame")
+      .select(col("doc_id"), col("frame_no"),
+        length(col("frame")).as("frame_len"),
+        md5(col("frame").cast("binary")).as("frame_md5"),
+        md5(expr(
+          """concat_ws('', transform(sequence(1, length(frame), 2),
+             j -> substring(frame, j, 1)))""").cast("binary"))
+          .as("resized_md5"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_mm_meta" -> qMmMeta,
-    "q_mm_features" -> qMmFeatures)
+    "q_mm_features" -> qMmFeatures,
+    "q_mm_frames" -> qMmFrames)
 
   val oracle: Map[String, String] = Map(
     "q_mm_meta" -> """
@@ -107,5 +132,21 @@ object Multimodal {
           c -> unicode(c))), 0) AS BIGINT) AS byte_sum,
         CAST(CASE WHEN len(text) = 0 THEN -1
                   ELSE ascii(substr(text, 1, 1)) END AS INT) AS first_byte
-      FROM documents ORDER BY doc_id""")
+      FROM documents ORDER BY doc_id""",
+    "q_mm_frames" -> """
+      WITH f0 AS (
+        SELECT doc_id, text,
+          unnest(range(0, CAST(ceil(len(text) / 64.0) AS BIGINT))) AS i
+        FROM documents),
+      f AS (
+        SELECT doc_id, CAST(i AS INT) AS frame_no,
+          substr(text, CAST(i * 64 + 1 AS INT), 64) AS frame
+        FROM f0)
+      SELECT doc_id, frame_no,
+        CAST(len(frame) AS INT) AS frame_len,
+        md5(frame) AS frame_md5,
+        md5(array_to_string(list_transform(
+          range(1, len(frame) + 1, 2),
+          j -> substr(frame, CAST(j AS INT), 1)), '')) AS resized_md5
+      FROM f ORDER BY doc_id, frame_no""")
 }
