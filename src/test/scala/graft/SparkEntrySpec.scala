@@ -13,7 +13,8 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.Scalars.queries, ops.Scalars2.queries, ops.StreamingOps.queries,
       ops.SourcesSinks.queries, ops.Dedup.queries,
       ops.Similarity.queries, ops.TextAnalysis.queries,
-      ops.Multimodal.queries, ops.Extensions.queries, ops.PlansOps.queries).flatMap(_.keys)
+      ops.Multimodal.queries, ops.Extensions.queries, ops.PlansOps.queries,
+      ops.TpchMore.queries).flatMap(_.keys)
     val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query keys: $dups")
     assert(SparkEntry.queries.size == keys.size)
