@@ -66,14 +66,17 @@ object Dedup {
     * this engine targets, and would only perturb one intersection count). */
   val qDedupJaccard: Q = (s, dir) => {
     val raw = shingled(s, dir).select(col("doc_id"), xxhash64(col("g")).as("h"))
-    // df-cut via broadcast ANTI-join against the HOT-shingle list: the
-    // list of shingles with df > cap is the Zipf head — tiny at any
-    // corpus size — so the cut costs one partial-aggregated groupBy to
-    // build it and ZERO shuffles of the shingle table itself (a window-
-    // or semi-join formulation would sort/shuffle every shingle row).
+    // df-cut via ANTI-join against the HOT-shingle list: shingles with
+    // df > cap are the Zipf head — in real corpora small enough that
+    // Catalyst broadcasts the list and the cut costs ZERO shuffles of
+    // the shingle table (a window- or semi-join formulation would
+    // sort/shuffle every shingle row). No broadcast() hint on purpose:
+    // the hot list is bounded only by occurrences/cap, so a pathological
+    // corpus could exceed broadcast limits — unhinted, AQE degrades
+    // gracefully to a shuffled anti-join instead of OOMing the driver.
     val hot = raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap).select(col("h"))
-    val sh = raw.join(broadcast(hot), Seq("h"), "left_anti")
+    val sh = raw.join(hot, Seq("h"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -214,13 +217,16 @@ object Dedup {
       val viaEdge = edges
         .join(labels.withColumnRenamed("v", "da"), "da")
         .select(col("db").as("v"), col("l"))
-      var next = labels.select(col("v"), col("l")).union(viaEdge)
+      val merged = labels.select(col("v"), col("l")).union(viaEdge)
         .groupBy(col("v")).agg(min(col("l")).as("l"))
-        .persist()
       // Truncate lineage every few rounds: without this the logical plan
       // doubles per iteration and plan compilation dominates long before
       // data does (persist caches DATA but the plan still nests).
-      if ((rounds + 1) % 5 == 0) next = next.localCheckpoint()
+      // localCheckpoint materializes AND caches, so the plain-persist
+      // path is only taken on non-checkpoint rounds (persisting before
+      // checkpointing would leak the pre-checkpoint cache entry).
+      val next = if ((rounds + 1) % 5 == 0) merged.localCheckpoint()
+                 else merged.persist()
       changed = next.join(labels.withColumnRenamed("l", "old"), "v")
         .filter(col("l") =!= col("old")).count()
       labels.unpersist()
