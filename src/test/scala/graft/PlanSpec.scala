@@ -121,6 +121,12 @@ class PlanSpec extends AnyFunSuite {
       val p = plan("q_dedup_simhash_pairs")
       assert(!p.contains("BroadcastNestedLoopJoin"), p)
       assert(p.contains("hashpartitioning(blk"), p)
+      // both self-join sides are the same subtree under identical
+      // exchanges — runtime reuse must compute the fingerprints once
+      val df = SparkEntry.queries("q_dedup_simhash_pairs")(spark, sf)
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString
+        .contains("ReusedExchange"), "simhash subtree not exchange-reused")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
