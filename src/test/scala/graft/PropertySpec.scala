@@ -62,6 +62,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("approx sketches are run-to-run deterministic and error-bounded") {
+    val a = SparkEntry.queries("q_agg_approx")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("q_agg_approx")(spark, sf).collect().toSeq
+    assert(a == b, "sketch outputs drifted between runs")
+    // accuracy vs exact: HLL++ at default rsd (5%) and a 1000-accuracy
+    // KLL-style percentile must land near their exact counterparts
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+      .agg(
+        org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("l_partkey")).as("nd"),
+        org.apache.spark.sql.functions.expr(
+          "percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    a.foreach { row =>
+      val (nd, p50) = exact(row.getString(0))
+      val appNd = row.getLong(1)
+      assert(math.abs(appNd - nd).toDouble / nd <= 0.10,
+        s"approx_count_distinct $appNd vs exact $nd")
+      val appP50 = row.getDouble(2)
+      assert(math.abs(appP50 - p50) / p50 <= 0.10,
+        s"approx p50 $appP50 vs exact $p50")
+    }
+  }
+
   test("row_number over a total order is a permutation 1..n") {
     for (s <- seeds) {
       val rows = sample(rowsGen, s)
