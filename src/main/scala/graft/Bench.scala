@@ -34,6 +34,8 @@ object Bench {
     "q_sim_neardup",           // all-pairs threshold join
     "q_sim_ivf",               // IVF posting-list ANN
     "q_stream_stream_join",    // time-range self-join (stream twin)
+    "q_join_asof",             // tagged-union as-of join
+    "q_text_tfidf",            // tf agg + df join + per-doc top-k
     "q_text_quality")          // per-doc text scoring
 
   def main(args: Array[String]): Unit = {

@@ -159,8 +159,9 @@ object Joins {
   }
 
   /** AS-OF join (each click matched to the latest purchase at-or-before
-    * its timestamp, per user) — the lakehouse operator Spark has no
-    * primitive for. Spelled scalably as a TAGGED UNION + one window pass:
+    * its timestamp, per user) — the time-series operator (kdb+ `aj`,
+    * DuckDB/QuestDB ASOF JOIN) Spark has no primitive for. Spelled
+    * scalably as a TAGGED UNION + one window pass:
     * both streams union into a single (user, ts)-ordered sequence and
     * `last(pid) IGNORE NULLS` over the running frame carries the most
     * recent purchase forward — ONE shuffle on user_id total, no per-row

@@ -97,7 +97,9 @@ object TextAnalysis {
       .orderBy(col("canonical_id"))
   }
 
-  /** TF-IDF-style term weighting, top-5 terms per document. The damping
+  /** TF-IDF-style term weighting (Spärck Jones, "A statistical
+    * interpretation of term specificity", J. Doc. 1972), top-5 terms per
+    * document. The damping
     * is an EXACT integer ratio weight = tf * 1e6 div df instead of
     * tf * ln(N/df): Java Math.log and DuckDB's libm ln disagree by 1 ulp
     * on 44 of 500 possible (N/df) inputs (measured r03), so a log-based
