@@ -87,11 +87,110 @@ object TpchMore {
       .limit(25)
   }
 
+  /** TPC-H Q7 shape: shipping volume between two nations by year.
+    * Fact joins once each to the customer-nation and supplier-nation
+    * sides; both dim chains broadcast. */
+  val q7Volume: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val ord = Tables(s, dir, "orders")
+    val cust = Tables(s, dir, "customer")
+    val sup = Tables(s, dir, "supplier")
+    val nat = Tables(s, dir, "nation")
+    val cn = cust.join(broadcast(nat),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val sn = sup.join(broadcast(
+        nat.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("cust_nation") === "NATION_11" &&
+          col("supp_nation") === "NATION_20") ||
+        (col("cust_nation") === "NATION_20" &&
+          col("supp_nation") === "NATION_11"))
+      .groupBy(col("cust_nation"), col("supp_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(revenue("l_extendedprice", "l_discount").as("revenue"))
+      .orderBy(col("cust_nation"), col("supp_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q13 shape: distribution of order counts per customer
+    * (LEFT join keeps zero-order customers in the histogram). */
+  val q13OrderDist: Q = (s, dir) => {
+    val cust = Tables(s, dir, "customer")
+    val ord = Tables(s, dir, "orders")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 shape: the top-revenue supplier(s) of a quarter via a
+    * revenue CTE joined against its own max — no window needed. */
+  val q15TopSupplier: Q = (s, dir) => {
+    val rev = Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(revenue("l_extendedprice", "l_discount").as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mr"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mr"))
+      .join(broadcast(Tables(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 shape: revenue from small-quantity orders of a brand —
+    * the correlated "below 20% of this part's average quantity" scalar
+    * subquery, decorrelated by Catalyst into an aggregate + join. */
+  val q17SmallQty: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val part = Tables(s, dir, "part").filter(col("p_brand") === "Brand#23")
+    val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
+      .agg((davg(col("l_quantity")) * 0.2).as("qty_cut"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      // rounded-decimal sum FIRST, then one double division — a post-
+      // division round on a noisy double would hit the half-even trap
+      .agg((round(sum(dec10(col("l_extendedprice"))), 4).cast("double")
+        / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape: disjunctive multi-band predicates (OR of ANDs)
+    * over the fact-dim join — exercises CNF conversion + partial
+    * pushdown of the shared p_partkey equi-key. */
+  val q19Disjunct: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val part = Tables(s, dir, "part")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(revenue("l_extendedprice", "l_discount").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q6_forecast_revenue" -> q6Forecast,
+    "q7_volume_shipping" -> q7Volume,
     "q10_returned_items" -> q10Returned,
+    "q13_order_distribution" -> q13OrderDist,
     "q14_promo_share" -> q14PromoShare,
-    "q18_large_orders" -> q18LargeOrders)
+    "q15_top_supplier" -> q15TopSupplier,
+    "q17_small_qty_revenue" -> q17SmallQty,
+    "q18_large_orders" -> q18LargeOrders,
+    "q19_disjunctive_preds" -> q19Disjunct)
 
   val oracle: Map[String, String] = Map(
     "q6_forecast_revenue" -> """
@@ -139,5 +238,62 @@ object TpchMore {
         sum_qty
       FROM big JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
-      ORDER BY sum_qty DESC, o_orderkey LIMIT 25""")
+      ORDER BY sum_qty DESC, o_orderkey LIMIT 25""",
+    "q7_volume_shipping" -> """
+      SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        CAST(year(l_shipdate) AS INT) AS l_year,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+          CAST(1 - l_discount AS DECIMAL(5,4))), 4) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE (cn.n_name = 'NATION_11' AND sn.n_name = 'NATION_20')
+         OR (cn.n_name = 'NATION_20' AND sn.n_name = 'NATION_11')
+      GROUP BY 1, 2, 3 ORDER BY cust_nation, supp_nation, l_year""",
+    "q13_order_distribution" -> """
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey)
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q15_top_supplier" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+            CAST(1 - l_discount AS DECIMAL(5,4))), 4) AS DOUBLE)
+            AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      ORDER BY s_suppkey""",
+    "q17_small_qty_revenue" -> """
+      WITH cut AS (
+        SELECT l_partkey AS ap_key,
+          (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) /
+            count(l_quantity)) * 0.2 AS qty_cut
+        FROM lineitem GROUP BY l_partkey)
+      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,4))), 4)
+          AS DOUBLE) / 7.0 AS avg_yearly
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+      JOIN cut ON l_partkey = ap_key
+      WHERE l_quantity < qty_cut""",
+    "q19_disjunctive_preds" -> """
+      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+          CAST(1 - l_discount AS DECIMAL(5,4))), 4) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+             AND l_quantity BETWEEN 20 AND 30)""")
 }
