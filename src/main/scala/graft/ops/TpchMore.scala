@@ -181,7 +181,44 @@ object TpchMore {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q4 shape: order-priority counts for orders having at least
+    * one large-quantity line — a correlated EXISTS lowered to a
+    * LeftSemi join. */
+  val q4Priority: Q = (s, dir) => {
+    val ord = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1997-01-01"))
+    val bigLines = Tables(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 45).select(col("l_orderkey"))
+    ord.join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q22 shape: well-funded inactive customers — balance above the
+    * positive-balance average (scalar subquery) AND no orders in the
+    * window (anti join; every fixture customer orders eventually, so
+    * inactivity is per-month as a real churn query would ask). */
+  val q22Inactive: Q = (s, dir) => {
+    val cust = Tables(s, dir, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal")).as("ab"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01") &&
+            col("o_orderdate") < ts("1996-02-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q4_order_priority" -> q4Priority,
+    "q22_inactive_customers" -> q22Inactive,
     "q6_forecast_revenue" -> q6Forecast,
     "q7_volume_shipping" -> q7Volume,
     "q10_returned_items" -> q10Returned,
@@ -193,6 +230,29 @@ object TpchMore {
     "q19_disjunctive_preds" -> q19Disjunct)
 
   val oracle: Map[String, String] = Map(
+    "q4_order_priority" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q22_inactive_customers" -> """
+      WITH ab AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) /
+               count(c_acctbal) AS ab
+        FROM customer WHERE c_acctbal > 0)
+      SELECT c_mktsegment, count(*) AS numcust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+          AS totacctbal
+      FROM customer, ab
+      WHERE c_acctbal > ab
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1996-01-01'
+                          AND o_orderdate < TIMESTAMP '1996-02-01')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q6_forecast_revenue" -> """
       SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,4)) *
                CAST(l_discount AS DECIMAL(5,4))), 4) AS DOUBLE) AS revenue
