@@ -26,6 +26,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("l_quantity") && !read.contains("l_discount"), read)
   }
 
+  test("q6's scan-agg pushes every filter to parquet") {
+    val p = plan("q6_forecast_revenue")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), pushed)
+  }
+
   test("dimension joins broadcast (no shuffle of the fact side for dims)") {
     assert(plan("q5_local_supplier").contains("BroadcastHashJoin"))
     assert(plan("q3_shipping_priority").contains("BroadcastHashJoin"))
