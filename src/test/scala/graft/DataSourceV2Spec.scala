@@ -34,6 +34,19 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(scanDesc(full).contains("text"), scanDesc(full))
   }
 
+  test("filters the source cannot absorb are re-applied by Spark") {
+    // a text predicate is rejected by pushFilters — Spark must keep a
+    // Filter node above the scan and results must still be correct
+    val df = docs(rows = 64, parts = 2)
+      .filter(col("text").startsWith("bravo") && col("doc_id") < 32)
+    assert(scanDesc(df).contains("range=[0,32)"), scanDesc(df))
+    val got = df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val want = (0L until 32L)
+      .filter(id => graft.sources.SyntheticDocs.text(id).startsWith("bravo"))
+      .toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("partitions option controls scan parallelism") {
     assert(docs(rows = 1000, parts = 5).rdd.getNumPartitions == 5)
   }
