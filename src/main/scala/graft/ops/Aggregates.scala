@@ -288,8 +288,8 @@ object Aggregates {
       SELECT o_orderstatus,
         bool_and(o_totalprice > 900) AS all_over_900,
         bool_or(o_totalprice > 400000) AS any_over_400k,
-        count_if(o_orderpriority = '1-URGENT') AS n_urgent,
-        count_if(month(o_orderdate) = 1) AS n_january
+        CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+        CAST(count_if(month(o_orderdate) = 1) AS BIGINT) AS n_january
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_agg_minmax_by" -> """
       WITH ranked AS (

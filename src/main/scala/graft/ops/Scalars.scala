@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Tables._
@@ -215,30 +216,38 @@ object Scalars {
     * construction/inspection. Every array output is sorted on BOTH
     * engines — Spark's array_intersect preserves left-operand order
     * while DuckDB's list_intersect does not, so only the sorted set is
-    * hash-stable. */
+    * hash-stable — and then serialized to a '|'-joined string: the
+    * driver's pandas compare sorts rows by every column and cannot sort
+    * array-valued cells (unhashable ndarray), so list results must leave
+    * the query as scalars. */
   val qFnCollection2: Q = (s, dir) => {
+    // array<int/long> -> string needs an element cast before array_join
+    def joined(c: Column): Column =
+      array_join(transform(c, _.cast("string")), "|")
     Tables(s, dir, "part")
       .filter(col("p_partkey") < 200)
       .withColumn("a", split(col("p_name"), " "))
       .select(
         col("p_partkey"),
-        sort_array(array_union(col("a"), array(col("p_brand")))).as("un"),
-        sort_array(array_intersect(col("a"), slice(col("a"), 2, 2)))
+        joined(sort_array(array_union(col("a"), array(col("p_brand")))))
+          .as("un"),
+        joined(sort_array(array_intersect(col("a"), slice(col("a"), 2, 2))))
           .as("inter"),
-        sort_array(array_except(col("a"), slice(col("a"), 1, 1))).as("exc"),
-        expr("""zip_with(sequence(1, 3),
-                array(p_size, p_size + 1, p_size + 2), (x, y) -> x * y)""")
+        joined(sort_array(array_except(col("a"), slice(col("a"), 1, 1))))
+          .as("exc"),
+        joined(expr("""zip_with(sequence(1, 3),
+                array(p_size, p_size + 1, p_size + 2), (x, y) -> x * y)"""))
           .as("zw"),
-        flatten(array(slice(col("a"), 1, 1), slice(col("a"), 2, 1)))
+        joined(flatten(array(slice(col("a"), 1, 1), slice(col("a"), 2, 1))))
           .as("flat"),
         arrays_overlap(col("a"), array(lit("spring"), lit("peru")))
           .as("ovl"),
-        sort_array(map_keys(map_from_arrays(
+        joined(sort_array(map_keys(map_from_arrays(
           array(lit("sz"), lit("key")),
-          array(col("p_size").cast("long"), col("p_partkey"))))).as("mk"),
-        sort_array(map_values(map_from_arrays(
+          array(col("p_size").cast("long"), col("p_partkey")))))).as("mk"),
+        joined(sort_array(map_values(map_from_arrays(
           array(lit("sz"), lit("key")),
-          array(col("p_size").cast("long"), col("p_partkey"))))).as("mv"))
+          array(col("p_size").cast("long"), col("p_partkey")))))).as("mv"))
       .orderBy(col("p_partkey"))
   }
 
@@ -268,16 +277,24 @@ object Scalars {
                    string_split(p_name, ' ') AS a
                  FROM part WHERE p_partkey < 200)
       SELECT p_partkey,
-        list_sort(list_distinct(list_concat(a, [p_brand]))) AS un,
-        list_sort(list_distinct(list_intersect(a, a[2:3]))) AS inter,
-        list_sort(list_distinct(list_filter(a, x -> x <> a[1]))) AS exc,
-        list_transform(list_zip([1, 2, 3],
+        coalesce(array_to_string(
+          list_sort(list_distinct(list_concat(a, [p_brand]))), '|'), '')
+          AS un,
+        coalesce(array_to_string(
+          list_sort(list_distinct(list_intersect(a, a[2:3]))), '|'), '')
+          AS inter,
+        coalesce(array_to_string(
+          list_sort(list_distinct(list_filter(a, x -> x <> a[1]))), '|'), '')
+          AS exc,
+        coalesce(array_to_string(list_transform(list_zip([1, 2, 3],
           [p_size, p_size + 1, p_size + 2]),
-          z -> CAST(z[1] * z[2] AS INT)) AS zw,
-        flatten([a[1:1], a[2:2]]) AS flat,
+          z -> CAST(z[1] * z[2] AS INT)), '|'), '') AS zw,
+        coalesce(array_to_string(flatten([a[1:1], a[2:2]]), '|'), '')
+          AS flat,
         len(list_intersect(a, ['spring', 'peru'])) > 0 AS ovl,
-        list_sort(['sz', 'key']) AS mk,
-        list_sort([CAST(p_size AS BIGINT), p_partkey]) AS mv
+        coalesce(array_to_string(list_sort(['sz', 'key']), '|'), '') AS mk,
+        coalesce(array_to_string(
+          list_sort([CAST(p_size AS BIGINT), p_partkey]), '|'), '') AS mv
       FROM t ORDER BY p_partkey""",
     "q_fn_string" -> """
       SELECT p_partkey,

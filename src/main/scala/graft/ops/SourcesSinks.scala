@@ -180,7 +180,17 @@ object SourcesSinks {
         max(col("disc")).as("max_disc"))
     val sink = tmp("graft_decsink")
     agg.write.mode("overwrite").parquet(sink)
-    s.read.parquet(sink).orderBy(col("l_returnflag"))
+    // The pipeline stays DECIMAL through scan -> agg -> sink -> scan; the
+    // final cast to string is comparison formatting only (fixed-scale
+    // decimal -> string is exact on both engines, while the driver's
+    // pandas compare renders parquet decimals and DuckDB decimals
+    // differently: Decimal('990.00') vs float 990.0).
+    s.read.parquet(sink)
+      .select(col("l_returnflag"), col("cnt"),
+        col("sum_qty").cast("string").as("sum_qty"),
+        col("sum_price").cast("string").as("sum_price"),
+        col("max_disc").cast("string").as("max_disc"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** The custom DataSource V2 exemplar (graft.sources.SyntheticDocsSource)
@@ -261,10 +271,10 @@ object SourcesSinks {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_decimal_e2e" -> """
       SELECT l_returnflag, count(*) AS cnt,
-        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
-          AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-          AS sum_price,
-        max(CAST(l_discount AS DECIMAL(12,2))) AS max_disc
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+          AS VARCHAR) AS sum_qty,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+          AS DECIMAL(18,2)) AS VARCHAR) AS sum_price,
+        CAST(max(CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS max_disc
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }

@@ -8,11 +8,15 @@ matching SQL from oracle_sql.json in DuckDB over the same fixture parquet,
 and compares row count, column names (sorted), and cell values.
 Mirrors SURVEY.md §5.2; the real driver does the same at sf0.01.
 """
+import datetime
+import decimal
 import json
 import math
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -38,6 +42,49 @@ def cmp_cell(a, b):
         # report near-misses distinctly: driver hashing would fail these
         return False
     return a == b
+
+
+def pandas_audit(name, out_dir, con, sql):
+    """Reproduce the driver's compare path: spark result via
+    pandas.read_parquet (pyarrow), oracle via duckdb .df(). The driver
+    sorts rows by every column then hashes stringified values, so these
+    are hard failures even when python-level == passes:
+      - array/map cells (pandas lexsort crashes on ndarray)
+      - Decimal objects (parquet decimal -> Decimal('1.50'),
+        duckdb decimal -> float 1.5: different strings)
+      - datetime.date vs Timestamp (parquet date32 -> date object,
+        duckdb DATE -> datetime64: '2024-01-05' vs '2024-01-05 00:00:00')
+      - dtype-kind mismatch int vs float ('3' vs '3.0', HUGEINT trap)
+    Returns list of problem strings (empty = clean)."""
+    bad = []
+    try:
+        sdf = pd.read_parquet(f"{out_dir}/{name}")
+    except Exception as e:
+        return [f"spark parquet unreadable via pandas: {e}"]
+    odf = con.execute(sql).df()
+    for side, df in (("spark", sdf), ("duckdb", odf)):
+        for c in df.columns:
+            if df[c].dtype == object and len(df):
+                v = df[c].iloc[0]
+                if isinstance(v, (np.ndarray, list, dict)):
+                    bad.append(f"{side}.{c}: array/map cell "
+                               f"({type(v).__name__}) — driver sort crash")
+                elif isinstance(v, decimal.Decimal):
+                    bad.append(f"{side}.{c}: Decimal cell — "
+                               "cross-render mismatch")
+                elif isinstance(v, datetime.date) and \
+                        not isinstance(v, datetime.datetime):
+                    bad.append(f"{side}.{c}: raw date cell — renders "
+                               "differently per engine path")
+            if str(df[c].dtype) == "float32":
+                bad.append(f"{side}.{c}: float32 — repr differs from f64")
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+        if ks != ko and {ks, ko} != {"O"} and not (
+                {ks, ko} <= {"i", "u"}) and "M" not in (ks, ko):
+            bad.append(f"{c}: dtype kind spark={sdf[c].dtype} "
+                       f"duckdb={odf[c].dtype} — stringified hash differs")
+    return bad
 
 
 def main():
@@ -101,6 +148,13 @@ def main():
             n_fail += 1
             print(f"  [FAIL] {name}: row {bad[0]} col {bad[1]}: "
                   f"spark={bad[2]!r} duckdb={bad[3]!r}")
+            continue
+        probs = pandas_audit(name, out_dir, con, oracle[name])
+        if probs:
+            n_fail += 1
+            print(f"  [FAIL] {name}: driver-compare hazards:")
+            for p in probs:
+                print(f"         {p}")
         else:
             n_pass += 1
             print(f"  [pass] {name}: {len(got)} rows")
