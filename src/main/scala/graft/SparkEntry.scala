@@ -24,6 +24,7 @@ object SparkEntry {
     (Scalars2.queries, Scalars2.oracle),
     (StreamingOps.queries, StreamingOps.oracle),
     (SourcesSinks.queries, SourcesSinks.oracle),
+    (AcidDml.queries, AcidDml.oracle),
     (Dedup.queries, Dedup.oracle),
     (Similarity.queries, Similarity.oracle),
     (TextAnalysis.queries, TextAnalysis.oracle),

@@ -1,0 +1,157 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables._
+
+/** ACID DML analogue (SURVEY.md §2.L): UPDATE / DELETE / MERGE with
+  * copy-on-write parquet rewrites — the result semantics of Hive 3 full
+  * ACID [hive: ql/src/java/org/apache/hadoop/hive/ql/io/AcidUtils.java]
+  * re-expressed Spark-first, without delta files or a compactor.
+  *
+  * Scale design (the Iceberg/Delta COW strategy in plain Spark):
+  *  - The table is partitioned; a DML whose predicate pins the partition
+  *    column rewrites ONLY the affected partitions
+  *    (`partitionOverwriteMode=dynamic`), so a DELETE touching one
+  *    partition of a 100 TB table costs one partition's scan + write, not
+  *    a full rewrite. The scan's partition filter prunes at file-listing
+  *    time (asserted in DmlSpec).
+  *  - MERGE lowers to one full-outer shuffle join on the merge key — the
+  *    minimal data movement for an upsert; no driver-side row handling.
+  *  - The rewrite set is materialized (localCheckpoint) before the
+  *    overwrite commits, standing in for the write-new-then-atomic-swap
+  *    protocol a production table format uses: Spark refuses to overwrite
+  *    a path that is still a lazy source of the same plan, for exactly the
+  *    torn-read reason the real protocol exists.
+  *
+  * Each query seeds a temp COW table from the fixture, applies the DML,
+  * re-reads the final table state and aggregates it; the DuckDB oracle
+  * computes the same post-DML aggregate directly from the fixture —
+  * proving result-equivalence of the DML, not just that files moved.
+  */
+object AcidDml {
+
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    new java.io.File(d, "table").getAbsolutePath
+  }
+
+  /** Seed a partitioned COW table: orders partitioned by o_orderstatus,
+    * money as exact decimal so rewrites cannot perturb doubles. */
+  private def seedOrders(s: org.apache.spark.sql.SparkSession,
+                         dir: String, table: String): Unit = {
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        dec(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(table)
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  }
+
+  /** DELETE FROM orders WHERE o_orderstatus = 'F' AND o_totalprice < 50000
+    * — predicate pins partition 'F', so only that partition is rewritten
+    * with its survivors; 'O' and 'P' files are untouched (DmlSpec). */
+  val qDmlDelete: Q = (s, dir) => {
+    val table = tmp("graft_acid_del")
+    seedOrders(s, dir, table)
+    val doomed = col("o_orderstatus") === "F" && col("o_totalprice") < 50000
+    s.read.parquet(table)
+      .filter(col("o_orderstatus") === "F").filter(!doomed)
+      .localCheckpoint()
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(table)
+    s.read.parquet(table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** UPDATE orders SET o_orderpriority = '0-REPRICED'
+    * WHERE o_orderstatus = 'P' AND o_totalprice > 400000 — same
+    * partition-pruned COW shape, rewriting rows instead of dropping. */
+  val qDmlUpdate: Q = (s, dir) => {
+    val table = tmp("graft_acid_upd")
+    seedOrders(s, dir, table)
+    val hit = col("o_totalprice") > 400000
+    s.read.parquet(table)
+      .filter(col("o_orderstatus") === "P")
+      .withColumn("o_orderpriority",
+        when(hit, lit("0-REPRICED")).otherwise(col("o_orderpriority")))
+      .localCheckpoint()
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(table)
+    s.read.parquet(table)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** MERGE INTO target USING source ON o_orderkey
+    *   WHEN MATCHED THEN UPDATE SET status = 'U', price = price + 1000
+    *   WHEN NOT MATCHED THEN INSERT — the upsert lowered to ONE full-outer
+    * shuffle join (rows only in the target pass through untouched). */
+  val qDmlMerge: Q = (s, dir) => {
+    val table = tmp("graft_acid_mrg")
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).as("o_totalprice"))
+    val target = orders.filter(col("o_orderkey") % 3 === 0)
+    val source = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit("U").as("s_status"),
+        (col("o_totalprice") + 1000).as("s_price"))
+    target.join(source, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("s_status"), col("o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("s_price"), col("o_totalprice")).as("o_totalprice"))
+      .write.mode("overwrite").parquet(table)
+    s.read.parquet(table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dml_delete" -> qDmlDelete,
+    "q_dml_update" -> qDmlUpdate,
+    "q_dml_merge" -> qDmlMerge)
+
+  val oracle: Map[String, String] = Map(
+    "q_dml_delete" -> """
+      SELECT o_orderstatus, count(*) AS cnt,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          AS sum_price
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_dml_update" -> """
+      SELECT CASE WHEN o_orderstatus = 'P' AND o_totalprice > 400000
+                  THEN '0-REPRICED' ELSE o_orderpriority END
+               AS o_orderpriority,
+             count(*) AS cnt,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          AS sum_price
+      FROM orders
+      GROUP BY 1 ORDER BY o_orderpriority""",
+    "q_dml_merge" -> """
+      WITH tgt AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS p
+        FROM orders WHERE o_orderkey % 3 = 0),
+      src AS (
+        SELECT o_orderkey, 'U' AS s_status,
+               CAST(o_totalprice AS DECIMAL(18,4)) + 1000 AS s_price
+        FROM orders WHERE o_orderkey % 2 = 0),
+      merged AS (
+        SELECT coalesce(s.s_status, t.o_orderstatus) AS o_orderstatus,
+               coalesce(s.s_price, t.p) AS p
+        FROM tgt t FULL JOIN src s ON t.o_orderkey = s.o_orderkey)
+      SELECT o_orderstatus, count(*) AS cnt,
+        CAST(sum(p) AS DOUBLE) AS sum_price
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+}
