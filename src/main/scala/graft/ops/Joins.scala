@@ -244,7 +244,29 @@ object Joins {
       .orderBy(col("click_id"))
   }
 
+  /** UNIQUEJOIN PRESERVE analogue [hive: ql/src/java/org/apache/hadoop/
+    * hive/ql/parse/SemanticAnalyzer.java, genUniqueJoinTree]: an N-way
+    * key-aligned full outer join where every PRESERVEd table contributes
+    * its unmatched keys — expressed as chained full-outer using-column
+    * joins (Spark coalesces the join key), then summarized by
+    * key-presence pattern. Scale: all three sides shuffle once on the
+    * key; AQE coalesces the tiny post-join partitions. */
+  val qJoinUnique: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders").select(col("o_orderkey"))
+    def side(m: Int) = o.filter(col("o_orderkey") % m === 0)
+      .select(col("o_orderkey").as("k"), lit(1).as(s"m$m"))
+    side(3)
+      .join(side(5), Seq("k"), "full_outer")
+      .join(side(7), Seq("k"), "full_outer")
+      .select(col("m3").isNotNull.as("in3"), col("m5").isNotNull.as("in5"),
+        col("m7").isNotNull.as("in7"))
+      .groupBy(col("in3"), col("in5"), col("in7"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("in3"), col("in5"), col("in7"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_unique" -> qJoinUnique,
     "q_join_asof" -> qJoinAsof,
     "q_join_salted" -> qJoinSalted,
     "q_join_range_bucketed" -> qJoinRangeBucketed,
@@ -263,6 +285,17 @@ object Joins {
     "round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(5,4))), 4)"
 
   val oracle: Map[String, String] = Map(
+    "q_join_unique" -> """
+      WITH t3 AS (SELECT o_orderkey AS k, 1 AS m3 FROM orders
+                  WHERE o_orderkey % 3 = 0),
+           t5 AS (SELECT o_orderkey AS k, 1 AS m5 FROM orders
+                  WHERE o_orderkey % 5 = 0),
+           t7 AS (SELECT o_orderkey AS k, 1 AS m7 FROM orders
+                  WHERE o_orderkey % 7 = 0)
+      SELECT m3 IS NOT NULL AS in3, m5 IS NOT NULL AS in5,
+             m7 IS NOT NULL AS in7, count(*) AS cnt
+      FROM t3 FULL JOIN t5 USING (k) FULL JOIN t7 USING (k)
+      GROUP BY 1, 2, 3 ORDER BY in3, in5, in7""",
     "q_join_asof" -> """
       SELECT c.user_id, c.event_id AS click_id,
         strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,

@@ -119,13 +119,48 @@ object Scalars2 {
       .orderBy(col("p_partkey"))
   }
 
+  /** UNIONTYPE<string,double> analogue [hive: serde/src/java/org/apache/
+    * hadoop/hive/serde2/objectinspector/UnionObjectInspector.java],
+    * modeled per SURVEY §2 as STRUCT<tag:INT, field0:STRING,
+    * field1:DECIMAL>: `create_union` is a tagged struct() build,
+    * `extract_union` is field access guarded by tag. The struct stays
+    * internal; the query emits only scalar extracts, grouped by tag. */
+  val qUnionType: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    Tables(s, dir, "orders")
+      .select(
+        when(col("o_orderkey") % 2 === 0,
+          struct(lit(0).as("tag"),
+            col("o_orderpriority").as("field0"),
+            lit(null).cast(DecimalType(18, 4)).as("field1")))
+        .otherwise(
+          struct(lit(1).as("tag"),
+            lit(null).cast("string").as("field0"),
+            dec(col("o_totalprice")).as("field1")))
+        .as("u"))
+      .groupBy(col("u.tag").as("tag"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("u.field0")).as("max_s"),
+        sum(col("u.field1")).cast("double").as("sum_d"))
+      .orderBy(col("tag"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_fn_string2" -> qFnString2,
     "q_fn_date2" -> qFnDate2,
     "q_fn_string3" -> qFnString3,
+    "q_union_type" -> qUnionType,
     "q_fn_misc" -> qFnMisc)
 
   val oracle: Map[String, String] = Map(
+    "q_union_type" -> """
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS tag,
+        count(*) AS cnt,
+        max(CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END) AS max_s,
+        CAST(sum(CASE WHEN o_orderkey % 2 <> 0
+                 THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+          AS sum_d
+      FROM orders GROUP BY 1 ORDER BY tag""",
     "q_fn_string2" -> """
       SELECT p_partkey,
         split_part(p_name, ' ', 1) AS si1,

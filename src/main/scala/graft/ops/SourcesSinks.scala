@@ -208,7 +208,34 @@ object SourcesSinks {
       .orderBy(col("bucket"))
   }
 
+  /** SequenceFile round trip [hive: ql/src/java/org/apache/hadoop/hive/ql/
+    * io/HiveSequenceFileOutputFormat.java]: Hadoop's KV container, written
+    * and re-read through Spark core's native SequenceFile support
+    * (Text/Text via the RDD API — the one genuinely record-imperative IO
+    * path in this engine; everything downstream returns to DataFrames).
+    * Splittable at scale like any Hadoop input format. */
+  val qSrcSeqFile: Q = (s, dir) => {
+    val path = tmp("graft_seq")
+    Tables(s, dir, "part")
+      .select(col("p_partkey").cast("string"),
+        concat_ws("|", col("p_name"), col("p_brand")))
+      .rdd.map(r => (r.getString(0), r.getString(1)))
+      .saveAsSequenceFile(path)
+    val back = s.sparkContext.sequenceFile[String, String](path)
+    s.createDataFrame(back.map(kv => (kv._1.toLong, kv._2)))
+      .toDF("p_partkey", "v")
+      .select(col("p_partkey"),
+        split(col("v"), "\\|").getItem(0).as("p_name"),
+        split(col("v"), "\\|").getItem(1).as("p_brand"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("p_name"))).as("sum_len"),
+        min(col("p_partkey")).as("min_key"))
+      .orderBy(col("p_brand"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_src_seqfile" -> qSrcSeqFile,
     "q_src_dsv2" -> qSrcDsv2,
     "q_src_csv" -> qSrcCsv,
     "q_src_json" -> qSrcJson,
@@ -219,6 +246,11 @@ object SourcesSinks {
     "q_decimal_e2e" -> qDecimalE2e)
 
   val oracle: Map[String, String] = Map(
+    "q_src_seqfile" -> """
+      SELECT p_brand, count(*) AS cnt,
+        CAST(sum(length(p_name)) AS BIGINT) AS sum_len,
+        min(p_partkey) AS min_key
+      FROM part GROUP BY p_brand ORDER BY p_brand""",
     "q_src_dsv2" -> """
       WITH t AS (
         SELECT range AS id, CAST(range % 10 AS INT) AS bucket,

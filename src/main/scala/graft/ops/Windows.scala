@@ -127,7 +127,46 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** matchpath PTF analogue [hive: ql/src/java/org/apache/hadoop/hive/ql/
+    * udf/ptf/MatchPath.java]: path-pattern `view.click+.purchase` over each
+    * user's event stream, emitting one row per matched path with its
+    * attributes — re-expressed Spark-first as gaps-and-islands windows
+    * (no custom PTF operator needed):
+    *  - `grp` numbers islands: each non-click row opens an island that
+    *    carries its trailing clicks;
+    *  - the island's opener type/position propagate to every click via
+    *    first_value over (user, grp);
+    *  - a purchase matches iff its predecessor is a click whose island was
+    *    opened by a view; the click count falls out of the positions.
+    * Scale: three window specs over the SAME (user_id, rn) partitioning —
+    * one exchange, sorts only within partitions. */
+  val qMatchPath: Q = (s, dir) => {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("grp",
+        count(when(col("event_type") =!= "click", 1)).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wIsland = Window.partitionBy(col("user_id"), col("grp"))
+      .orderBy(col("rn"))
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    ev
+      .withColumn("opener_type", first(col("event_type")).over(wIsland))
+      .withColumn("opener_pos", first(col("rn")).over(wIsland))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wSeq))
+      .withColumn("prev_opener_type", lag(col("opener_type"), 1).over(wSeq))
+      .withColumn("prev_opener_pos", lag(col("opener_pos"), 1).over(wSeq))
+      .filter(col("event_type") === "purchase" &&
+        col("prev_type") === "click" && col("prev_opener_type") === "view")
+      .select(col("user_id"), col("event_id").as("purchase_event"),
+        (col("rn") - 1 - col("prev_opener_pos")).cast("int").as("n_clicks"))
+      .orderBy(col("user_id"), col("purchase_event"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_matchpath" -> qMatchPath,
     "q_window_ignore_nulls" -> qWindowIgnoreNulls,
     "q_window_rank" -> qWindowRank,
     "q_window_leadlag" -> qWindowLeadLag,
@@ -137,6 +176,37 @@ object Windows {
     "q_window_share" -> qWindowShare)
 
   val oracle: Map[String, String] = Map(
+    "q_matchpath" -> """
+      WITH e AS (
+        SELECT user_id, event_id, ts, event_type,
+          row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS rn,
+          count(CASE WHEN event_type <> 'click' THEN 1 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM events),
+      i AS (
+        SELECT *,
+          first_value(event_type)
+            OVER (PARTITION BY user_id, grp ORDER BY rn) AS opener_type,
+          first_value(rn)
+            OVER (PARTITION BY user_id, grp ORDER BY rn) AS opener_pos
+        FROM e),
+      l AS (
+        SELECT *,
+          lag(event_type)
+            OVER (PARTITION BY user_id ORDER BY rn) AS prev_type,
+          lag(opener_type)
+            OVER (PARTITION BY user_id ORDER BY rn) AS prev_opener_type,
+          lag(opener_pos)
+            OVER (PARTITION BY user_id ORDER BY rn) AS prev_opener_pos
+        FROM i)
+      SELECT user_id, event_id AS purchase_event,
+        CAST(rn - 1 - prev_opener_pos AS INT) AS n_clicks
+      FROM l
+      WHERE event_type = 'purchase' AND prev_type = 'click'
+        AND prev_opener_type = 'view'
+      ORDER BY user_id, purchase_event""",
     "q_window_ignore_nulls" -> """
       SELECT user_id, event_id,
         last_value(CASE WHEN event_type = 'purchase' THEN value END

@@ -11,7 +11,7 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.Relational.queries, ops.Joins.queries, ops.Aggregates.queries,
       ops.Windows.queries, ops.SetOps.queries, ops.Generators.queries,
       ops.Scalars.queries, ops.Scalars2.queries, ops.StreamingOps.queries,
-      ops.SourcesSinks.queries, ops.Dedup.queries,
+      ops.SourcesSinks.queries, ops.AcidDml.queries, ops.Dedup.queries,
       ops.Similarity.queries, ops.TextAnalysis.queries,
       ops.Multimodal.queries, ops.Extensions.queries, ops.PlansOps.queries,
       ops.TpchMore.queries).flatMap(_.keys)
