@@ -28,6 +28,7 @@ object SparkEntry {
     (Dedup.queries, Dedup.oracle),
     (Similarity.queries, Similarity.oracle),
     (TextAnalysis.queries, TextAnalysis.oracle),
+    (CorpusOps.queries, CorpusOps.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Extensions.queries, Extensions.oracle),
     (PlansOps.queries, PlansOps.oracle))
