@@ -36,7 +36,10 @@ object Bench {
     "q_stream_stream_join",    // time-range self-join (stream twin)
     "q_join_asof",             // tagged-union as-of join
     "q_text_tfidf",            // tf agg + df join + per-doc top-k
-    "q_text_quality")          // per-doc text scoring
+    "q_text_quality",          // per-doc text scoring
+    "q_contamination",         // broadcast gram semi-join (corpus ops)
+    "q_pack_sequences",        // sharded cumsum packing window
+    "q_dml_merge")             // COW upsert: full-outer join + rewrite
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,17 +75,24 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
         .mkString("{", ",", "}")
     val results = timeAll(sfDir)
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // a failed query POISONS the run (VERDICT r4): total = -1 and a
+    // non-zero exit, so a breakage can never read as a faster bench
+    def totalOf(rs: Seq[(String, Double)]): Double =
+      if (rs.exists(_._2 < 0)) -1.0 else rs.map(_._2).sum
+    val total = totalOf(results)
     // second point on the scaling curve (r02 VERDICT #8): the same
     // headline set at sf0.01, reported as extra keys on the same line
     val sf001Dir = "/root/testdata/sf0.01"
+    var anyFailed = total < 0
     val scaling =
       if (sf001Dir != sfDir && new java.io.File(sf001Dir).isDirectory) {
         val r = timeAll(sf001Dir)
-        val t = r.collect { case (_, v) if v >= 0 => v }.sum
+        val t = totalOf(r)
+        anyFailed ||= t < 0
         f""","total_sf001":$t%.3f,"queries_sf001":${json(r)}"""
       } else ""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$scaling}""")
     spark.stop()
+    if (anyFailed) sys.exit(1)
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 
 import graft.functions.{DotLongArrays, FieldExpr, MinHashAgg, ParseUrlTuple}
-import graft.plans.{GroupedTopKStrategy, RowNumberTopKRewrite}
+import graft.plans.{GroupedTopKStrategy, MaterializedViewRewrite, RowNumberTopKRewrite}
 
 /** SparkSessionExtensions entry point — the deployment-grade way to wire
   * the engine's custom functions and planner strategy into ANY session:
@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: row_number()<=k window filters (incl. SQL QUALIFY)
     // lower to the GroupedTopK operator when the rank column is dropped
     e.injectOptimizerRule(_ => RowNumberTopKRewrite)
+    // optimizer rule: aggregates over a registered fact are transparently
+    // answered from a materialized partial-aggregate table (no-op until
+    // MaterializedViewRewrite.register is called)
+    e.injectOptimizerRule(_ => MaterializedViewRewrite)
   }
 }

@@ -31,7 +31,8 @@ object SparkEntry {
     (CorpusOps.queries, CorpusOps.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Extensions.queries, Extensions.oracle),
-    (PlansOps.queries, PlansOps.oracle))
+    (PlansOps.queries, PlansOps.oracle),
+    (MatViews.queries, MatViews.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -36,7 +36,16 @@ object AcidDml {
 
   private def tmp(prefix: String): String = {
     val d = Files.createTempDirectory(prefix).toFile
-    d.deleteOnExit()
+    // deleteOnExit would only remove the (empty) parent dir; the COW table
+    // seeded under it is a full copy of orders, so without a recursive
+    // cleanup every driver run leaks it on disk (ADVICE r4).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(d)
+    }))
     new java.io.File(d, "table").getAbsolutePath
   }
 
@@ -50,7 +59,6 @@ object AcidDml {
         col("o_orderpriority"), col("o_orderstatus"))
       .write.mode("overwrite")
       .partitionBy("o_orderstatus").parquet(table)
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
   }
 
   /** DELETE FROM orders WHERE o_orderstatus = 'F' AND o_totalprice < 50000
@@ -63,7 +71,12 @@ object AcidDml {
     s.read.parquet(table)
       .filter(col("o_orderstatus") === "F").filter(!doomed)
       .localCheckpoint()
-      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(table)
+      // dynamic overwrite scoped to THIS write via the per-writer option —
+      // setting it on the session leaked the changed overwrite semantics
+      // into every later query in the shared session (VERDICT r4)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(table)
     s.read.parquet(table)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("cnt"),
@@ -83,7 +96,9 @@ object AcidDml {
       .withColumn("o_orderpriority",
         when(hit, lit("0-REPRICED")).otherwise(col("o_orderpriority")))
       .localCheckpoint()
-      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(table)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(table)
     s.read.parquet(table)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"),

@@ -40,12 +40,20 @@ object CorpusOps {
     * The multiplicative hash on doc_id replaces seeded RNG (which is
     * neither cross-engine nor cross-run stable on a cluster); the filter
     * is a pushdown-friendly scan predicate, zero shuffles before the
-    * final tiny aggregate. */
+    * final tiny aggregate.
+    *
+    * Overflow contract (VERDICT/ADVICE r4): doc_id is first reduced mod
+    * 1e9+7, so the product is bounded by ~2.66e18 < 2^63 — Spark's
+    * wrapping Int64 multiply and DuckDB's overflow-checked HUGEINT
+    * promotion then agree EXACTLY for any non-negative doc_id, instead of
+    * silently diverging (and dropping rows via negative remainders) once
+    * doc_id exceeds ~3.5e9. */
   val qSampleStratified: Q = (s, dir) => {
     Tables(s, dir, "documents")
       .withColumn("quota",
         when(col("lang") === "en", 100).otherwise(300))
-      .filter((col("doc_id") * 2654435761L) % 1000 < col("quota"))
+      .filter((col("doc_id") % 1000000007L) * 2654435761L % 1000
+        < col("quota"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"))
@@ -114,7 +122,7 @@ object CorpusOps {
       SELECT lang, count(*) AS cnt,
         CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents
-      WHERE (doc_id * 2654435761) % 1000 <
+      WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
             (CASE WHEN lang = 'en' THEN 100 ELSE 300 END)
       GROUP BY lang ORDER BY lang""",
     "q_contamination" -> """

@@ -130,12 +130,13 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
-  /** SimHash 60-bit fingerprints from md5-derived token hashes — fully
-    * deterministic AND oracle-checkable cross-engine (md5 is the hash).
-    * One hash-aggregate pass with 60 per-bit sum columns (map-side
-    * combinable) instead of exploding 60 rows per token — the naive
-    * (doc, bit) explode costs a 60x row blowup and a second shuffle. */
-  val qDedupSimhash: Q = (s, dir) => {
+  /** Unsorted SimHash fingerprint frame shared by the presentation query
+    * and the pair scan. The pair scan must NOT inherit a global orderBy:
+    * in r4 the inherited range-exchange + sort was computed once per join
+    * side (no exchange reuse through the sort), doubling the most
+    * expensive subtree for an ordering the join never needed. */
+  private def fingerprints(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val h = toks.select(col("doc_id"),
@@ -150,8 +151,15 @@ object Dedup {
     h.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fingerprint.as("simhash"))
-      .orderBy(col("doc_id"))
   }
+
+  /** SimHash 60-bit fingerprints from md5-derived token hashes — fully
+    * deterministic AND oracle-checkable cross-engine (md5 is the hash).
+    * One hash-aggregate pass with 60 per-bit sum columns (map-side
+    * combinable) instead of exploding 60 rows per token — the naive
+    * (doc, bit) explode costs a 60x row blowup and a second shuffle. */
+  val qDedupSimhash: Q = (s, dir) =>
+    fingerprints(s, dir).orderBy(col("doc_id"))
 
   /** Hamming radius for SimHash near-dup pairs. Radius 7 with 8 blocks is
     * exact by pigeonhole: 7 differing bits cannot touch all 8 disjoint
@@ -177,7 +185,7 @@ object Dedup {
     * exact hamming is verified within each block's bucket, and duplicates
     * (pairs agreeing on several blocks) collapse via distinct. */
   val qDedupSimhashPairs: Q = (s, dir) => {
-    val sh = qDedupSimhash(s, dir)
+    val sh = fingerprints(s, dir)
     val blockCols = SimhashBlocks.zipWithIndex.map { case ((off, width), i) =>
       expr(s"shiftright(simhash, $off) & ${(1L << width) - 1}")
         .cast("long").as(s"b$i")
@@ -188,7 +196,14 @@ object Dedup {
           .map(i => col(s"b$i")): _*)))
       .withColumnRenamed("pos", "blk")
       .withColumnRenamed("col", "bv")
-    blocks.as("a").join(blocks.as("b"),
+    // shuffle_hash hint: both self-join sides go through IDENTICAL shuffle
+    // exchanges on (blk, bv), so ReuseExchange computes the fingerprint
+    // subtree ONCE regardless of size estimates — unhinted, Catalyst
+    // broadcasts one side at small SF, and the BroadcastExchange wrapper
+    // defeats reuse (r4: the whole aggregation ran twice). At 100 TB the
+    // blocks table could never broadcast anyway, and SHJ avoids the sort
+    // a merge join would add per side.
+    blocks.as("a").join(blocks.as("b").hint("shuffle_hash"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),

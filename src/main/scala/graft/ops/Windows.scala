@@ -138,8 +138,9 @@ object Windows {
     *    first_value over (user, grp);
     *  - a purchase matches iff its predecessor is a click whose island was
     *    opened by a view; the click count falls out of the positions.
-    * Scale: three window specs over the SAME (user_id, rn) partitioning —
-    * one exchange, sorts only within partitions. */
+    * Scale: two hash exchanges — wOrd and wSeq share the user_id
+    * partitioning (one exchange), wIsland adds one on (user_id, grp);
+    * sorts only within partitions, never a global shuffle per spec. */
   val qMatchPath: Q = (s, dir) => {
     val wOrd = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

@@ -56,7 +56,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .toSet
     assert(ann.subsetOf(exact), "ANN produced a pair the exact scan lacks")
     val recall = ann.size.toDouble / exact.size
-    assert(recall >= 0.6,
+    // the multi-probe analysis (Similarity.scala) predicts ~0.87 recall
+    // for worst-case cos=0.3 pairs; 0.8 is tight enough that a broken
+    // hyperplane hash fails this test (0.6 was not — VERDICT r4)
+    assert(recall >= 0.8,
       s"ANN recall $recall (8 tables x 6 bits, multi-probe hamming<=1)")
   }
 

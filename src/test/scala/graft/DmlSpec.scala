@@ -30,12 +30,12 @@ class DmlSpec extends AnyFunSuite {
       .partitionBy("o_orderstatus").parquet(table.getAbsolutePath)
     val before = dataFiles(new File(table, "o_orderstatus=O"))
     assert(before.nonEmpty)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.read.parquet(table.getAbsolutePath)
       .filter(col("o_orderstatus") === "F")
       .filter(col("o_totalprice") >= 50000)
       .localCheckpoint()
       .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic") // scoped to this write
       .partitionBy("o_orderstatus").parquet(table.getAbsolutePath)
     // untouched partition: byte-identical file set, same mtimes
     assert(dataFiles(new File(table, "o_orderstatus=O")) == before)

@@ -103,4 +103,20 @@ class MiscSurfaceSpec extends AnyFunSuite {
       assert(f.entropy_ish >= 0.0 && f.entropy_ish <= math.log(256.0))
     }
   }
+
+  test("Avro source is environment-blocked: lookup fails cleanly, not silently") {
+    // SURVEY §2.A declares Avro unimplementable here: /opt/spark/jars has
+    // avro-core but NOT the spark-avro DataSource, and dependencies are
+    // frozen. Pin that claim executably (VERDICT r4 #9): the format lookup
+    // must fail with the standard missing-data-source error — if this test
+    // ever fails because the read SUCCEEDS, the jar appeared and the Avro
+    // source should be implemented.
+    val e = intercept[Exception] {
+      spark.read.format("avro").load("/tmp/nonexistent.avro").collect()
+    }
+    val msg = e.toString.toLowerCase
+    assert(msg.contains("avro"), msg)
+    assert(msg.contains("failed to find") || msg.contains("data source") ||
+      msg.contains("classnotfound"), msg)
+  }
 }

@@ -65,7 +65,11 @@ def pandas_audit(name, out_dir, con, sql):
     for side, df in (("spark", sdf), ("duckdb", odf)):
         for c in df.columns:
             if df[c].dtype == object and len(df):
-                v = df[c].iloc[0]
+                # probe the first NON-null value: a column whose first row
+                # is None but holds Decimal/array/date cells later would
+                # escape the hazard check (ADVICE r4)
+                nn = df[c].dropna()
+                v = nn.iloc[0] if len(nn) else None
                 if isinstance(v, (np.ndarray, list, dict)):
                     bad.append(f"{side}.{c}: array/map cell "
                                f"({type(v).__name__}) — driver sort crash")
