@@ -203,6 +203,14 @@ object Dedup {
     // defeats reuse (r4: the whole aggregation ran twice). At 100 TB the
     // blocks table could never broadcast anyway, and SHJ avoids the sort
     // a merge join would add per side.
+    // SKEW CAVEAT (ADVICE r5): SHJ's per-partition hash build must fit in
+    // memory, and simhash block values skew hard in near-dup-rich corpora
+    // (one hot bv = one giant partition). On a real 100 TB corpus either
+    // drop the hint and let AQE pick (sort-merge degrades gracefully and
+    // AQE splits skewed partitions), or pre-salt hot (blk, bv) keys the
+    // same way qDedupJaccard caps hot shingles; the hint is kept here
+    // because the pinned benchmark corpus is skew-free and reuse of the
+    // fingerprint exchange is worth 2x at this scale.
     blocks.as("a").join(blocks.as("b").hint("shuffle_hash"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import java.nio.file.Files
+import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -17,6 +18,11 @@ import graft.plans.MaterializedViewRewrite
   * in DuckDB, proving the rewrite is value-preserving end to end.
   */
 object MatViews {
+
+  /** sf-dir -> materialized MV path. One temp copy + one shutdown hook
+    * per fact table for the life of the JVM — NOT one per invocation
+    * (a long driver run calls each query builder many times). */
+  private val mvCache = new ConcurrentHashMap[String, String]()
 
   private def tmp(prefix: String): String = {
     val d = Files.createTempDirectory(prefix).toFile
@@ -44,11 +50,22 @@ object MatViews {
       .agg(sum(dec(col("l_quantity"))).as("mv_sum_qty"),
         count(lit(1)).as("mv_cnt"),
         max(dec(col("l_extendedprice"))).as("mv_max_price"))
-    val mvPath = tmp("graft_mv")
-    definition.write.mode("overwrite").parquet(mvPath)
-    MaterializedViewRewrite.register(factPath, definition,
-      s.read.parquet(mvPath))
-    if (!s.experimental.extraOptimizations.contains(MaterializedViewRewrite))
+    val mvPath = mvCache.computeIfAbsent(dir, _ => {
+      val p = tmp("graft_mv")
+      definition.write.mode("overwrite").parquet(p)
+      p
+    })
+    // registration survives a test-side clear(): re-arm if absent, from
+    // the already-materialized table (no re-write, no new hook)
+    if (!MaterializedViewRewrite.isRegistered(factPath))
+      MaterializedViewRewrite.register(factPath, definition,
+        s.read.parquet(mvPath))
+    // arm the rule only when the session was NOT built with
+    // GraftExtensions (which injects it) — never apply it twice
+    val injected = s.sessionState.optimizer
+      .extendedOperatorOptimizationRules.contains(MaterializedViewRewrite)
+    if (!injected &&
+        !s.experimental.extraOptimizations.contains(MaterializedViewRewrite))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ MaterializedViewRewrite
     // the user query: written against the FACT, answered from the MV

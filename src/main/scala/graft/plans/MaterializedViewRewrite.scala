@@ -1,10 +1,14 @@
 package graft.plans
 
+import java.security.MessageDigest
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min, Sum}
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -18,11 +22,27 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * aggregate is derivable from an MV partial (the standard aggregate-rollup
   * containment test).
   *
-  * Rollup algebra: sum -> SUM(partial_sum), count -> SUM(partial_count),
-  * min -> MIN(partial_min), max -> MAX(partial_max) — each partial is
-  * re-aggregated over the MV's finer grouping, cast back to the query's
-  * result type when decimal widening differs. avg/distinct are NOT
-  * rewritten (avg needs sum+count pairing; distinct does not roll up).
+  * Rollup algebra — an EXPLICIT whitelist, enforced at both registration
+  * and rewrite time (anything else is rejected, never "best-effort"):
+  *   sum   -> SUM(partial_sum)
+  *   count -> COALESCE(SUM(partial_count), 0)   (global count over an
+  *            empty fact must be 0, not NULL, like the un-rewritten plan)
+  *   min   -> MIN(partial_min)
+  *   max   -> MAX(partial_max)
+  * avg/distinct/stddev/anything-else do NOT roll up from these partials
+  * (avg of per-group averages is wrong; distinct does not decompose), so
+  * `register` throws on such a definition and `rolled` returns None even
+  * if a stale registration contains one.
+  *
+  * Staleness: Hive's registry tracks MV validity against fact-table write
+  * ids; the filesystem analogue here is a fingerprint of the fact's file
+  * listing (path + length + mtime, hashed) captured at `register` and
+  * re-checked before every rewrite — if the fact was rewritten (e.g. the
+  * copy-on-write DML in [[graft.ops.AcidDml]]), the rewrite silently
+  * stands down and the query runs against the fact. The per-query cost is
+  * one file listing of the fact root, which is the same metadata op the
+  * scan itself performs; a production deployment over a table format would
+  * compare snapshot ids instead.
   *
   * Matching is conservative by design: the fact scan must be bare (no
   * Filter between the Aggregate and the scan — a filtered query may touch
@@ -46,15 +66,20 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 object MaterializedViewRewrite extends Rule[LogicalPlan] {
 
   /** A registered MV: the scan of the materialized table, the fact group
-    * columns it carries, and the canonical-key -> partial-column map. */
+    * columns it carries, the canonical-key -> partial-column map, and the
+    * fact-listing fingerprint the registration is valid for. */
   private final case class MvDef(
       plan: LogicalPlan,
       groupCols: Set[String],
-      aggCols: Map[String, String])
+      aggCols: Map[String, String],
+      factFingerprint: String)
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
 
-  /** Register an MV for automatic rewrite.
+  /** Register an MV for automatic rewrite. Throws if the definition
+    * contains any aggregate outside the sum/count/min/max rollup
+    * whitelist, or a DISTINCT/FILTER aggregate — those partials cannot be
+    * re-aggregated and must never be registered.
     *
     * @param factPath   filesystem path of the fact table's parquet root
     * @param definition the MV's defining aggregate over the fact — its
@@ -77,17 +102,50 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     }.toSet
     val aggCols = agg.aggregateExpressions.collect {
       case al @ Alias(ae: AggregateExpression, _) =>
+        if (ae.isDistinct || ae.filter.nonEmpty)
+          throw new IllegalArgumentException(
+            s"DISTINCT/FILTER aggregates do not roll up: $ae")
+        ae.aggregateFunction match {
+          case _: Sum | _: Count | _: Min | _: Max => // whitelisted
+          case f => throw new IllegalArgumentException(
+            s"aggregate ${f.prettyName} is outside the rollup whitelist " +
+              "(sum/count/min/max); avg and friends do not roll up")
+        }
         keyOf(ae.aggregateFunction) -> al.name
     }.toMap
     registry.put(normalize(factPath),
-      MvDef(mvTable.queryExecution.analyzed, groupCols, aggCols))
+      MvDef(mvTable.queryExecution.analyzed, groupCols, aggCols,
+        fingerprint(factPath)))
   }
+
+  /** Whether a (still-valid-or-not) registration exists for the path. */
+  def isRegistered(factPath: String): Boolean =
+    registry.containsKey(normalize(factPath))
 
   /** Drop all registrations (test isolation). */
   def clear(): Unit = registry.clear()
 
   private def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Hash of the fact's recursive file listing (path, length, mtime) —
+    * the local-filesystem stand-in for a table-format snapshot id. Any
+    * IO failure (fact deleted, moved) yields a sentinel that can never
+    * equal a registration-time fingerprint, so the rewrite stands down. */
+  private def fingerprint(path: String): String = Try {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      entries += s"${f.getPath.toUri.getPath}:${f.getLen}:${f.getModificationTime}"
+    }
+    val md = MessageDigest.getInstance("MD5")
+    md.update(entries.sorted.mkString("\n").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }.getOrElse("<unreadable>")
 
   /** Canonical rendering of an aggregate call for matching: function name
     * + exact cast chain + leaf column names. Qualifier- and exprId-free,
@@ -113,22 +171,24 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Roll the query's aggregate call up from the matching MV partial. */
+  /** Roll the query's aggregate call up from the matching MV partial —
+    * whitelist-only; any function outside sum/count/min/max refuses the
+    * rewrite even if a registration key happens to match. */
   private def rolled(ae: AggregateExpression, mv: MvDef,
                      out: Map[String, Attribute]): Option[Expression] = {
     if (ae.isDistinct || ae.filter.nonEmpty) None
     else for {
       mvCol <- mv.aggCols.get(keyOf(ae.aggregateFunction))
       partial <- out.get(mvCol)
-    } yield {
-      val f = ae.aggregateFunction match {
-        case _: Min => Min(partial)
-        case _: Max => Max(partial)
-        case _ => Sum(partial) // sum AND count both roll up via SUM
+      e <- ae.aggregateFunction match {
+        case _: Min => Some(Min(partial).toAggregateExpression())
+        case _: Max => Some(Max(partial).toAggregateExpression())
+        case _: Sum => Some(Sum(partial).toAggregateExpression())
+        case _: Count => Some(Coalesce(Seq(
+          Sum(partial).toAggregateExpression(), Literal(0L))))
+        case _ => None
       }
-      val e = f.toAggregateExpression()
-      if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
-    }
+    } yield if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
   }
 
   /** Rewrite an expression onto the MV: aggregate calls roll up, grouping
@@ -161,7 +221,16 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate): Option[Aggregate] = for {
     path <- factPathOf(agg.child)
     mv <- Option(registry.get(path))
-    out = mv.plan.output.map(a => a.name -> a).toMap
+    // staleness gate: the fact was rewritten since registration (COW DML,
+    // re-load, compaction) -> the MV may not reflect it; stand down.
+    if mv.factFingerprint == fingerprint(path)
+    // fresh relation instance per rewrite site: a query with two
+    // rewritable aggregates (union/self-join) must not share exprIds
+    // across branches.
+    fresh = mv.plan.transformUp {
+      case m: MultiInstanceRelation => m.newInstance()
+    }
+    out = fresh.output.map(a => a.name -> a).toMap
     if agg.groupingExpressions.forall {
       case a: AttributeReference =>
         mv.groupCols.contains(a.name) && out.contains(a.name)
@@ -174,7 +243,7 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference => out(a.name)
     },
     aggregateExpressions = rewritten.flatten,
-    child = mv.plan)
+    child = fresh)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (registry.isEmpty) plan
