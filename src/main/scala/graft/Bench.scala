@@ -54,9 +54,16 @@ object Bench {
 
     spark.range(1000).selectExpr("sum(id)").collect() // warmup
 
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run for local profiling; the
+    // driver leaves it unset and gets the full headline.
+    val selected = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(names) => headline.filter(names.split(",").toSet)
+      case None => headline
+    }
+
     // two timed runs per query, report the min: steady-state throughput,
     // not first-touch JIT/page-cache noise (which varied 3-10x, r02)
-    def timeAll(dir: String): Seq[(String, Double)] = headline.map { name =>
+    def timeAll(dir: String): Seq[(String, Double)] = selected.map { name =>
       def once(): Double =
         try {
           val t0 = System.nanoTime()

@@ -65,7 +65,14 @@ object Dedup {
     * byte string (64-bit collisions are negligible at any corpus size
     * this engine targets, and would only perturb one intersection count). */
   val qDedupJaccard: Q = (s, dir) => {
+    // persist the hashed shingle stream: it feeds the hot-list agg, the
+    // per-doc sizes agg, and both self-join sides — without it the
+    // token-explode + concat_ws subtree (the CPU-heaviest part of the
+    // pipeline) is recomputed per consumer. MEMORY_AND_DISK: at corpus
+    // scale the (doc_id, h) pairs are ~16 bytes/shingle and spill
+    // gracefully instead of OOMing.
     val raw = shingled(s, dir).select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df-cut via ANTI-join against the HOT-shingle list: shingles with
     // df > cap are the Zipf head — in real corpora small enough that
     // Catalyst broadcasts the list and the cut costs ZERO shuffles of
