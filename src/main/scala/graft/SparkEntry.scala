@@ -29,6 +29,7 @@ object SparkEntry {
     (Similarity.queries, Similarity.oracle),
     (TextAnalysis.queries, TextAnalysis.oracle),
     (CorpusOps.queries, CorpusOps.oracle),
+    (CorpusOps2.queries, CorpusOps2.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Extensions.queries, Extensions.oracle),
     (PlansOps.queries, PlansOps.oracle),
