@@ -13,7 +13,7 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.Scalars.queries, ops.Scalars2.queries, ops.StreamingOps.queries,
       ops.SourcesSinks.queries, ops.AcidDml.queries, ops.Dedup.queries,
       ops.Similarity.queries, ops.TextAnalysis.queries,
-      ops.CorpusOps.queries,
+      ops.CorpusOps.queries, ops.CorpusOps2.queries, ops.MatViews.queries,
       ops.Multimodal.queries, ops.Extensions.queries, ops.PlansOps.queries,
       ops.TpchMore.queries).flatMap(_.keys)
     val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
