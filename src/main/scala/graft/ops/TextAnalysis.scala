@@ -126,12 +126,51 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Corpus-wide top-k n-gram frequency — the Hive `ngrams()` UDAF
+    * surface [hive: ql/.../udf/generic/GenericUDAFnGrams.java] done
+    * EXACTLY: Hive's UDAF estimates per-mapper with bounded heaps
+    * because MR lacked cheap two-stage top-k; on Spark the same result
+    * is a partial-aggregable count + TakeOrderedAndProject, exact at
+    * any corpus size with one shuffle of distinct grams. */
+  val qFnNgrams: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .select(split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(a) - 1),
+           i -> concat_ws(' ', element_at(a, i), element_at(a, i + 1)))"""))
+        .as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram"))
+      .limit(10)
+      .orderBy(col("ngram"))
+  }
+
+  /** Hive `context_ngrams()` analogue: top-k successors of a fixed
+    * context token ("data", null) — same exact two-stage top-k shape. */
+  val qFnContextNgrams: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .select(split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(a) - 1),
+           i -> struct(element_at(a, i) AS w1,
+                       element_at(a, i + 1) AS w2))""")).as("p"))
+      .filter(col("p.w1") === "data")
+      .groupBy(col("p.w2").as("next_tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("next_tok"))
+      .limit(10)
+      .orderBy(col("next_tok"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_tfidf" -> qTextTfidf,
     "q_text_langid" -> qTextLangId,
     "q_text_quality" -> qTextQuality,
     "q_text_tokens" -> qTextTokens,
-    "q_text_fingerprint" -> qTextFingerprint)
+    "q_text_fingerprint" -> qTextFingerprint,
+    "q_fn_ngrams" -> qFnNgrams,
+    "q_fn_context_ngrams" -> qFnContextNgrams)
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
@@ -140,6 +179,21 @@ object TextAnalysis {
     s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(words)}))) AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "q_fn_ngrams" -> """
+      WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
+      g AS (SELECT a[i] || ' ' || a[i + 1] AS ngram
+            FROM toks, range(1, 1000) r(i) WHERE i <= len(a) - 1),
+      c AS (SELECT ngram, count(*) AS freq FROM g GROUP BY ngram),
+      t AS (SELECT * FROM c ORDER BY freq DESC, ngram LIMIT 10)
+      SELECT ngram, freq FROM t ORDER BY ngram""",
+    "q_fn_context_ngrams" -> """
+      WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
+      p AS (SELECT a[i] AS w1, a[i + 1] AS w2
+            FROM toks, range(1, 1000) r(i) WHERE i <= len(a) - 1),
+      c AS (SELECT w2 AS next_tok, count(*) AS freq
+            FROM p WHERE w1 = 'data' GROUP BY w2),
+      t AS (SELECT * FROM c ORDER BY freq DESC, next_tok LIMIT 10)
+      SELECT next_tok, freq FROM t ORDER BY next_tok""",
     "q_text_tfidf" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                    FROM documents),

@@ -175,6 +175,34 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // InjectRuntimeFilter: when a shuffle join's build side is small and
+    // filtered, Spark plants bloom_filter_agg on it and a might_contain
+    // filter on the probe side — at 100 TB this skips shuffling probe
+    // rows that can never match (the runtime analogue of DPP for
+    // non-partition keys). Pin that the engine's config regime actually
+    // produces it (broadcast off = the at-scale join path; scan-size
+    // threshold 0 because fixture tables are tiny).
+    val savedB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val savedT = spark.conf.get(key)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(key, "0")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy().count()
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedB)
+      spark.conf.set(key, savedT)
+    }
+  }
+
   test("materialized-view rewrite answers the aggregate from the MV scan") {
     // The query is written against the FACT (lineitem); the optimizer
     // rule must swap the scan for the registered MV — at 100 TB this is
