@@ -159,6 +159,29 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Heavy hitters via the Spark 4.1 approx_top_k sketch (frequent-items
+    * / Misra-Gries family — the modern form of Hive's ngrams-style
+    * estimation). Sized EXACT here: maxItemsTracked (10000) exceeds the
+    * corpus vocabulary, so every count is precise and the DuckDB oracle
+    * can replay it — the query still exercises the sketch's
+    * partial-aggregable merge path, which is what survives 100 TB (a
+    * bounded sketch per partition, merged; never a full groupBy when
+    * only the head of the distribution is wanted). Deterministic
+    * re-rank (freq desc, item) after the sketch, then top 10. */
+  val qAggTopkSketch: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(expr("approx_top_k(tok, 100, 10000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("freq"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("freq").desc, col("item"))))
+      .filter(col("rk") <= 10)
+      .select(col("item"), col("freq"))
+      .orderBy(col("item"))
+  }
+
   /** min_by / max_by with a struct ordering key so ties are impossible
     * (oracle expresses the same thing with window row_number). */
   val qAggMinMaxBy: Q = (s, dir) => {
@@ -214,7 +237,8 @@ object Aggregates {
     "q_agg_approx" -> qAggApprox,
     "q_agg_minmax_by" -> qAggMinMaxBy,
     "q_agg_collect" -> qAggCollect,
-    "q_agg_salted" -> qAggSalted)
+    "q_agg_salted" -> qAggSalted,
+    "q_agg_topk_sketch" -> qAggTopkSketch)
 
   private val q1Sql = """
     SELECT l_returnflag, l_linestatus,
@@ -233,6 +257,14 @@ object Aggregates {
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
+    "q_agg_topk_sketch" -> """
+      WITH c AS (
+        SELECT tok AS item, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY tok),
+      t AS (SELECT * FROM c ORDER BY freq DESC, item LIMIT 10)
+      SELECT item, freq FROM t ORDER BY item""",
     "q_agg_distinct" -> """
       SELECT l_returnflag,
         count(DISTINCT l_partkey) AS nd_part,

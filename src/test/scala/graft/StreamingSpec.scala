@@ -340,6 +340,52 @@ class StreamingSpec extends AnyFunSuite {
       ev.filter(col("event_type") === "purchase").count())
   }
 
+  test("foreachBatch maintains an MV incrementally across micro-batches") {
+    // streaming incremental view maintenance: each micro-batch appends
+    // its PARTIAL aggregates as an MV delta partition; reading the MV
+    // rolls the deltas up. At 100 TB this is the standard streaming-
+    // warehouse shape (append-only delta MV + rollup-on-read /
+    // compaction): per batch the write is O(batch's group keys), never
+    // a rewrite of the MV, and the rollup stays partial-aggregable.
+    val multi = Files.createTempDirectory("mv_replay").toFile
+    multi.deleteOnExit()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$replayDir/events.parquet")
+      .repartition(4) // 4 files -> 4 micro-batches with maxFilesPerTrigger=1
+      .write.mode("overwrite").parquet(multi.getAbsolutePath)
+    val mvDir = Files.createTempDirectory("mv_deltas").toFile
+    mvDir.deleteOnExit()
+    val rawSchema = spark.read.parquet(s"$replayDir/events.parquet").schema
+    var batches = 0
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(multi.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("d_cnt"),
+            sum(dec(col("value"))).as("d_sum")) // exact decimal partials:
+          // float partial sums would not re-associate bit-identically
+          .write.mode("append").parquet(mvDir.getAbsolutePath)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    // rollup-on-read of the deltas == direct batch aggregate
+    val got = spark.read.parquet(mvDir.getAbsolutePath)
+      .groupBy(col("event_type"))
+      .agg(sum(col("d_cnt")).as("cnt"),
+        sum(col("d_sum")).cast("double").as("sum_value"))
+      .orderBy(col("event_type")).collect().toSeq
+    val want = spark.read.parquet(multi.getAbsolutePath)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(got == want)
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
     val df = streamedEvents
       .withWatermark("ts", "1 hour")
