@@ -234,7 +234,36 @@ object SourcesSinks {
       .orderBy(col("p_brand"))
   }
 
+  /** RegexSerDe analogue [hive: contrib/.../serde2/RegexSerDe.java]: raw
+    * log lines parsed into typed columns with a capture-group regex —
+    * Hive's standard answer to "the data is a web log, not a table".
+    * Spark-first form: `spark.read.text` + `regexp_extract` projections,
+    * which stay inside whole-stage codegen (no SerDe reflection per
+    * row); the parse is a scan-side map, so it pushes through to any
+    * downstream aggregation untouched at 100 TB. The fixture writes the
+    * lines from `events` and the oracle aggregates the same rows from
+    * parquet — equality proves the round trip is lossless. */
+  val qSrcRegex: Q = (s, dir) => {
+    val path = tmp("graft_regex")
+    Tables(s, dir, "events")
+      .select(format_string("evt id=%d user=%d type=[%s]",
+        col("event_id"), col("user_id"), col("event_type")).as("value"))
+      .write.mode("overwrite").text(path)
+    val re = "^evt id=(\\d+) user=(\\d+) type=\\[(\\w+)\\]$"
+    s.read.text(path)
+      .select(
+        regexp_extract(col("value"), re, 1).cast("long").as("event_id"),
+        regexp_extract(col("value"), re, 2).cast("long").as("user_id"),
+        regexp_extract(col("value"), re, 3).as("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        sum(col("user_id")).as("sum_users"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_src_regex" -> qSrcRegex,
     "q_src_seqfile" -> qSrcSeqFile,
     "q_src_dsv2" -> qSrcDsv2,
     "q_src_csv" -> qSrcCsv,
@@ -246,6 +275,11 @@ object SourcesSinks {
     "q_decimal_e2e" -> qDecimalE2e)
 
   val oracle: Map[String, String] = Map(
+    "q_src_regex" -> """
+      SELECT event_type, count(*) AS cnt, min(event_id) AS min_id,
+        max(event_id) AS max_id,
+        CAST(sum(user_id) AS BIGINT) AS sum_users
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "q_src_seqfile" -> """
       SELECT p_brand, count(*) AS cnt,
         CAST(sum(length(p_name)) AS BIGINT) AS sum_len,

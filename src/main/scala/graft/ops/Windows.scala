@@ -166,7 +166,30 @@ object Windows {
       .orderBy(col("user_id"), col("purchase_event"))
   }
 
+  /** Funnel analysis (behavioral analytics, the aggregate sibling of
+    * matchpath): per user, the first time of each stage; the corpus-level
+    * row counts users whose first click follows their first view and
+    * whose first purchase completes the ordered chain — the min-ts
+    * funnel, one partial-aggregable groupBy + a single-row rollup, no
+    * window state, no per-user ordering shuffle beyond the hash agg. */
+  val qFunnel: Q = (s, dir) => {
+    val per = graft.Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+    per.agg(
+      count(lit(1)).as("users"),
+      count(col("t_view")).as("viewed"),
+      sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L))
+        .as("clicked_after_view"),
+      sum(when(col("t_buy") > col("t_click") &&
+        col("t_click") > col("t_view"), 1L).otherwise(0L)).as("converted"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_funnel" -> qFunnel,
     "q_matchpath" -> qMatchPath,
     "q_window_ignore_nulls" -> qWindowIgnoreNulls,
     "q_window_rank" -> qWindowRank,
@@ -177,6 +200,19 @@ object Windows {
     "q_window_share" -> qWindowShare)
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" -> """
+      WITH per AS (
+        SELECT user_id,
+          min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+          min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+          min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id)
+      SELECT count(*) AS users, count(t_view) AS viewed,
+        CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)
+          AS BIGINT) AS clicked_after_view,
+        CAST(sum(CASE WHEN t_buy > t_click AND t_click > t_view
+          THEN 1 ELSE 0 END) AS BIGINT) AS converted
+      FROM per""",
     "q_matchpath" -> """
       WITH e AS (
         SELECT user_id, event_id, ts, event_type,
