@@ -30,6 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("parse_url_tuple"), exprs => ParseUrlTuple(exprs.head)))
     e.injectFunction((FunctionIdentifier("dotq"), info("dotq"),
       exprs => DotLongArrays(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("zorder64"), info("zorder64"),
+      exprs => graft.functions.ZOrder64(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => GroupedTopKStrategy)
     // optimizer rule: row_number()<=k window filters (incl. SQL QUALIFY)
     // lower to the GroupedTopK operator when the rank column is dropped

@@ -21,6 +21,8 @@ object GraftFunctions {
       "parse_url_tuple", exprs => ParseUrlTuple(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "dotq", exprs => DotLongArrays(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "zorder64", exprs => ZOrder64(exprs(0), exprs(1)), "built-in")
     spark.udf.register("wavg", udaf(WeightedAvg))
   }
 }

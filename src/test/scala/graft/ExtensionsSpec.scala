@@ -30,6 +30,45 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(vals.subsetOf(Set(1, 2, 3)))
   }
 
+  test("zorder64 interleaves bits exactly and runs in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // bit-exact: a's bit i -> 2i, b's bit i -> 2i+1
+    val r = spark.sql(
+      """SELECT zorder64(0L, 0L) AS z0,
+                zorder64(1L, 0L) AS za,
+                zorder64(0L, 1L) AS zb,
+                zorder64(63L, 63L) AS zf,
+                zorder64(5L, 3L) AS zm""").collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 4095L)
+    // a=101b -> bits 0,4; b=011b -> bits 1,3 => 1 + 16 + 2 + 8 = 27
+    assert(r.getLong(4) == 27L)
+    // scala-side helper agrees with the SQL expression
+    assert(graft.functions.ZOrder64.interleave(5L, 3L) == 27L)
+    // codegen participation over a table scan
+    Tables(spark, sf, "lineitem").createOrReplaceTempView("z_cg")
+    val df = spark.sql(
+      "SELECT zorder64(l_partkey % 64, l_suppkey % 64) AS z FROM z_cg")
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+    assert(df.agg(org.apache.spark.sql.functions.max(org.apache.spark.sql
+      .functions.col("z"))).collect().head.getLong(0) <= 4095L)
+  }
+
+  test("z-order buckets stay tight tiles in both dimensions") {
+    // the data-skipping property: every 64-wide z-range is an 8x8 tile,
+    // so min/max zone maps on EITHER column prune after a z-ordered
+    // write (a lexicographic sort would leave the second column's range
+    // at full width in every bucket)
+    val rows = SparkEntry.queries("q_zorder_cluster")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (minA, maxA) = (r.getLong(2), r.getLong(3))
+      val (minB, maxB) = (r.getLong(4), r.getLong(5))
+      assert(maxA - minA <= 7, s"a-range too wide in bucket $r")
+      assert(maxB - minB <= 7, s"b-range too wide in bucket $r")
+    }
+  }
+
   test("parse_url_tuple handles malformed and null urls") {
     GraftFunctions.register(spark)
     val rows = spark.sql(
