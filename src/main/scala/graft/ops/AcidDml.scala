@@ -131,12 +131,64 @@ object AcidDml {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Snapshot isolation / time travel over versioned COW commits — the
+    * read side of the ACID story (Hive ACID readers pick a write-id
+    * snapshot; Iceberg/Delta expose it as VERSION AS OF). A commit here
+    * is manifest-style: the UPDATE writes ONLY the rewritten partition
+    * into a new version dir; v1 readers take the changed partition from
+    * v1 and every untouched partition from v0 — shared, never copied.
+    * At 100 TB that is the whole point: a commit costs the changed
+    * partition, old snapshots stay readable for free, and a reader of
+    * v0 is never torn by the v1 writer. The query aggregates BOTH
+    * versions; the oracle recomputes each from the fixture. */
+  val qDmlTimeTravel: Q = (s, dir) => {
+    val base = tmp("graft_acid_tt")
+    val v0 = s"$base/v0"
+    val v1 = s"$base/v1"
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        dec(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(v0)
+    // the UPDATE: bump every price in partition 'P'; commit touches only
+    // that partition's files, written under the NEW version dir
+    s.read.parquet(v0).filter(col("o_orderstatus") === "P")
+      .withColumn("o_totalprice",
+        (col("o_totalprice") + lit(1000)).cast("decimal(18,4)"))
+      .write.mode("overwrite").parquet(v1)
+    val readV0 = s.read.parquet(v0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val readV1 = s.read.parquet(v0).filter(col("o_orderstatus") =!= "P")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .union(s.read.parquet(v1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus")))
+    def snap(tag: String, df: DataFrame) = df.agg(
+      count(lit(1)).as("cnt"),
+      sum(col("o_totalprice")).cast("double").as("sum_price"))
+      .select(lit(tag).as("version"), col("cnt"), col("sum_price"))
+    snap("v0", readV0).union(snap("v1", readV1)).orderBy(col("version"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dml_delete" -> qDmlDelete,
     "q_dml_update" -> qDmlUpdate,
-    "q_dml_merge" -> qDmlMerge)
+    "q_dml_merge" -> qDmlMerge,
+    "q_dml_timetravel" -> qDmlTimeTravel)
 
   val oracle: Map[String, String] = Map(
+    "q_dml_timetravel" -> """
+      SELECT 'v0' AS version, count(*) AS cnt,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          AS sum_price
+      FROM orders
+      UNION ALL
+      SELECT 'v1', count(*),
+        CAST(sum(CASE WHEN o_orderstatus = 'P'
+          THEN CAST(o_totalprice AS DECIMAL(18,4)) + 1000
+          ELSE CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+      FROM orders
+      ORDER BY version""",
     "q_dml_delete" -> """
       SELECT o_orderstatus, count(*) AS cnt,
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)

@@ -82,7 +82,36 @@ class DmlSpec extends AnyFunSuite {
   }
 
   test("DML aggregates run non-empty at the smoke scale factor") {
-    Seq(AcidDml.qDmlDelete, AcidDml.qDmlUpdate, AcidDml.qDmlMerge)
+    Seq(AcidDml.qDmlDelete, AcidDml.qDmlUpdate, AcidDml.qDmlMerge,
+      AcidDml.qDmlTimeTravel)
       .foreach { q => assert(q(spark, sf).count() > 0) }
+  }
+
+  test("compaction rewrites many small files into few, data unchanged") {
+    // the Hive-ACID compactor analogue for delta-style layouts (the
+    // streaming MV test appends one delta file per micro-batch; at 100 TB
+    // small-file pressure kills scan throughput): write-new + atomic-swap
+    // into a compacted dir, assert byte-identical content and a real
+    // file-count drop.
+    val base = java.nio.file.Files.createTempDirectory("compact").toFile
+    base.deleteOnExit()
+    val hot = new java.io.File(base, "hot").getAbsolutePath
+    val compacted = new java.io.File(base, "compacted").getAbsolutePath
+    Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .repartition(16) // 16 small "delta" files
+      .write.mode("overwrite").parquet(hot)
+    def parquetFiles(p: String) =
+      Option(new java.io.File(p).listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(hot) == 16)
+    spark.read.parquet(hot).repartition(2)
+      .write.mode("overwrite").parquet(compacted)
+    assert(parquetFiles(compacted) == 2)
+    val before = spark.read.parquet(hot)
+      .orderBy(col("o_orderkey")).collect().toSeq
+    val after = spark.read.parquet(compacted)
+      .orderBy(col("o_orderkey")).collect().toSeq
+    assert(before == after)
   }
 }

@@ -24,6 +24,10 @@ class PlanSpec extends AnyFunSuite {
     // only the 4 referenced columns in ReadSchema
     val read = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(!read.contains("l_quantity") && !read.contains("l_discount"), read)
+    // and the scan is the VECTORIZED reader (columnar batches feeding
+    // whole-stage codegen) — a row-at-a-time scan would be the first
+    // thing to cost 2-5x at 100 TB
+    assert(p.contains("Batched: true"), p)
   }
 
   test("q6's scan-agg pushes every filter to parquet") {

@@ -35,6 +35,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("zorder64 interleave round-trips every bit (generated keys)") {
+    // inverse of the dilation: collect even (resp. odd) bits back down
+    def compact(v: Long): Long = {
+      var x = v & 0x5555555555555555L
+      x = (x | (x >> 1)) & 0x3333333333333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FF00FF00FFL
+      x = (x | (x >> 8)) & 0x0000FFFF0000FFFFL
+      x = (x | (x >> 16)) & 0x00000000FFFFFFFFL
+      x
+    }
+    val keyGen = Gen.zip(Gen.choose(0L, (1L << 32) - 1),
+      Gen.choose(0L, (1L << 32) - 1))
+    for (s <- seeds; i <- 1 to 50) {
+      val (a, b) = sample(keyGen, s * 1009 + i)
+      val z = graft.functions.ZOrder64.interleave(a, b)
+      assert(compact(z) == a && compact(z >> 1) == b,
+        s"round trip failed for ($a, $b)")
+    }
+  }
+
   test("filter pushdown on/off produces identical results") {
     val q = () => Tables(spark, sf, "lineitem")
       .filter($"l_extendedprice" > 50000 && $"l_suppkey" <= 5)
