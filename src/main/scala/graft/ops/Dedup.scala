@@ -228,6 +228,42 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Incremental ingest dedup — the production shape of fuzzy dedup: a
+    * small NEW batch (doc_id % 10 == 0) is checked against the EXISTING
+    * corpus (the rest) without ever forming corpus-corpus pairs. The
+    * batch's block table broadcasts (it's the day's ingest, not the
+    * 100 TB corpus), so the corpus side streams map-side through the
+    * block equi-join with ZERO shuffle of corpus rows; pigeonhole
+    * blocking stays exact for cross-set pairs (same radius-7/8-block
+    * argument as qDedupSimhashPairs). Oracle: all cross-set pairs by
+    * brute-force hamming. */
+  val qDedupIncremental: Q = (s, dir) => {
+    val sh = fingerprints(s, dir)
+    val blockCols = SimhashBlocks.zipWithIndex.map { case ((off, width), i) =>
+      expr(s"shiftright(simhash, $off) & ${(1L << width) - 1}")
+        .cast("long").as(s"b$i")
+    }
+    def blocks(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id") +: col("simhash") +: blockCols: _*)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimhashBlocks.size)
+          .map(i => col(s"b$i")): _*)))
+      .withColumnRenamed("pos", "blk")
+      .withColumnRenamed("col", "bv")
+    val corpus = blocks(sh.filter(col("doc_id") % 10 =!= 0))
+      .select(col("doc_id").as("old_id"), col("simhash").as("old_sh"),
+        col("blk"), col("bv"))
+    val batch = blocks(sh.filter(col("doc_id") % 10 === 0))
+      .select(col("doc_id").as("new_id"), col("simhash").as("new_sh"),
+        col("blk"), col("bv"))
+    corpus.join(broadcast(batch), Seq("blk", "bv"))
+      .select(col("new_id"), col("old_id"),
+        bit_count(expr("new_sh ^ old_sh")).as("hamming"))
+      .filter(col("hamming") <= SimhashRadius)
+      .distinct()
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
   /** Connected components over the near-dup pair graph (the clustering
     * step of fuzzy dedup): iterative min-label propagation as a DataFrame
     * loop — the 100 TB shape (each iteration is one shuffle join; rounds
@@ -279,7 +315,8 @@ object Dedup {
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
-    "q_dedup_simhash_pairs" -> qDedupSimhashPairs)
+    "q_dedup_simhash_pairs" -> qDedupSimhashPairs,
+    "q_dedup_incremental" -> qDedupIncremental)
 
   private val simhashSql = """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -352,5 +389,13 @@ object Dedup {
         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
-      ORDER BY da, db""")
+      ORDER BY da, db""",
+    "q_dedup_incremental" -> s"""
+      WITH sh AS ($simhashSql)
+      SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+        CAST(bit_count(xor(n.simhash, o.simhash)) AS INT) AS hamming
+      FROM sh n JOIN sh o
+        ON n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+      WHERE bit_count(xor(n.simhash, o.simhash)) <= 7
+      ORDER BY new_id, old_id""")
 }

@@ -179,6 +179,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
 
+  test("incremental dedup broadcasts the ingest batch, streams the corpus") {
+    // the production dedup shape: the day's batch is the broadcast side,
+    // the 100 TB corpus side must stream map-side with NO shuffle of its
+    // block table (a shuffle join here re-shuffles the whole corpus per
+    // ingest cycle)
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     // InjectRuntimeFilter: when a shuffle join's build side is small and
     // filtered, Spark plants bloom_filter_agg on it and a might_contain
