@@ -145,14 +145,43 @@ object Scalars2 {
       .orderBy(col("tag"))
   }
 
+  /** ANSI-safe try_* family (Spark 4 runs ANSI mode by default, so the
+    * error-returning forms NEED these escapes — the Hive-behavior
+    * analogue of silent-NULL arithmetic, made explicit): divide-by-zero,
+    * bigint overflow, bad casts, and out-of-bounds element access all
+    * yield NULL instead of failing the job. At 100 TB a single dirty row
+    * must never kill a 6-hour pipeline; try_* is the row-level quarantine
+    * that replaces job-level retry. */
+  val qFnTry: Q = (s, dir) => {
+    Tables(s, dir, "part").filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"),
+        expr("try_divide(100000L, p_size % 5)").as("td"),
+        expr("try_add(9223372036854775807L, p_partkey)").as("ta"),
+        expr("try_cast(p_brand AS INT)").as("tc"),
+        expr("try_element_at(split(p_name, ' '), 99)").as("te"),
+        expr("try_cast(substr(p_brand, 7) AS INT)").as("tn"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_fn_string2" -> qFnString2,
     "q_fn_date2" -> qFnDate2,
     "q_fn_string3" -> qFnString3,
     "q_union_type" -> qUnionType,
+    "q_fn_try" -> qFnTry,
     "q_fn_misc" -> qFnMisc)
 
   val oracle: Map[String, String] = Map(
+    "q_fn_try" -> """
+      SELECT p_partkey,
+        CASE WHEN p_size % 5 = 0 THEN NULL
+             ELSE 100000 / (p_size % 5) END AS td,
+        CASE WHEN p_partkey = 0 THEN 9223372036854775807
+             ELSE NULL END AS ta,
+        TRY_CAST(p_brand AS INT) AS tc,
+        string_split(p_name, ' ')[99] AS te,
+        TRY_CAST(substr(p_brand, 7) AS INT) AS tn
+      FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""",
     "q_union_type" -> """
       SELECT CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS tag,
         count(*) AS cnt,
