@@ -188,7 +188,34 @@ object Windows {
         col("t_click") > col("t_view"), 1L).otherwise(0L)).as("converted"))
   }
 
+  /** Cohort retention (the warehouse staple next to funnels): users are
+    * cohorted by the ISO week of their first event; each (cohort week,
+    * week offset) cell counts users still active that many weeks later.
+    * Two partial-aggregable groupBys + one equi-join on user_id — the
+    * retention triangle costs no window state and shuffles only
+    * (user, week) pairs, not events. Week truncation is ISO-Monday in
+    * both engines, so the cells are exact integers. */
+  val qCohortRetention: Q = (s, dir) => {
+    val weeks = graft.Tables(s, dir, "events")
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val cohort = weeks.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    weeks.join(cohort, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(wk, cohort_week) div 7").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      // render the date as text: raw date cells hash differently across
+      // the parquet/duckdb compare paths (driver-contract trap)
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd")
+        .as("cohort_week"), col("week_offset"), col("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cohort_retention" -> qCohortRetention,
     "q_funnel" -> qFunnel,
     "q_matchpath" -> qMatchPath,
     "q_window_ignore_nulls" -> qWindowIgnoreNulls,
@@ -200,6 +227,19 @@ object Windows {
     "q_window_share" -> qWindowShare)
 
   val oracle: Map[String, String] = Map(
+    "q_cohort_retention" -> """
+      WITH weeks AS (
+        SELECT DISTINCT user_id,
+          CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events),
+      cohort AS (
+        SELECT user_id, min(wk) AS cohort_week FROM weeks GROUP BY user_id)
+      SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+        CAST(datediff('day', c.cohort_week, w.wk) // 7 AS INT)
+          AS week_offset,
+        count(*) AS n_users
+      FROM weeks w JOIN cohort c ON w.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
     "q_funnel" -> """
       WITH per AS (
         SELECT user_id,
