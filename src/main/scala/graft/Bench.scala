@@ -41,7 +41,8 @@ object Bench {
     "q_pack_sequences",        // sharded cumsum packing window
     "q_dml_merge",             // COW upsert: full-outer join + rewrite
     "q_text_repetition",       // per-doc bigram quality stats (r6)
-    "q_dedup_spans")           // span ownership join dedup (r6)
+    "q_dedup_spans",           // span ownership join dedup (r6)
+    "q_dedup_incremental")     // batch-broadcast ingest dedup (r6)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

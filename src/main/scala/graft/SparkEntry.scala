@@ -30,6 +30,7 @@ object SparkEntry {
     (TextAnalysis.queries, TextAnalysis.oracle),
     (CorpusOps.queries, CorpusOps.oracle),
     (CorpusOps2.queries, CorpusOps2.oracle),
+    (DataQuality.queries, DataQuality.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Extensions.queries, Extensions.oracle),
     (PlansOps.queries, PlansOps.oracle),

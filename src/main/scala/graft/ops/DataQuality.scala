@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Declarative data-quality constraints (SURVEY.md §2.M) — the guardrail
+  * layer every production pipeline runs before publishing a table
+  * (Deequ-style checks / dbt tests; Hive's analogue is enforced-or-
+  * audited constraints, [hive: ql/.../ddl/table/constraint]): primary-key
+  * uniqueness, referential integrity, range bounds, and null-rate, each
+  * reported as one row with its violation count and verdict.
+  *
+  * Scale: every check is either a partial-aggregable count (range,
+  * null-rate), a two-stage count-distinct-violations aggregate (PK), or
+  * a broadcast/shuffle anti-join (FK) — nothing quadratic, nothing
+  * driver-side; at 100 TB the whole suite is one pass per table plus one
+  * join, exactly what a publish gate can afford to run every cycle.
+  */
+object DataQuality {
+
+  val qDqChecks: Q = (s, dir) => {
+    val orders = Tables(s, dir, "orders")
+    val lineitem = Tables(s, dir, "lineitem")
+    val customer = Tables(s, dir, "customer")
+    def row(name: String, violations: org.apache.spark.sql.DataFrame) =
+      violations.select(lit(name).as("check"),
+        col("violations"),
+        (col("violations") === 0L).as("pass"))
+    val pkUnique = orders.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(count(lit(1)).as("violations"))
+    val fkOrders = lineitem
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    val qtyRange = lineitem
+      .filter(!col("l_quantity").between(1, 50))
+      .agg(count(lit(1)).as("violations"))
+    val nameNotNull = customer.filter(col("c_name").isNull)
+      .agg(count(lit(1)).as("violations"))
+    row("orders_pk_unique", pkUnique)
+      .union(row("lineitem_fk_orders", fkOrders))
+      .union(row("lineitem_qty_range", qtyRange))
+      .union(row("customer_name_not_null", nameNotNull))
+      .orderBy(col("check"))
+  }
+
+  val queries: Map[String, Q] = Map("q_dq_checks" -> qDqChecks)
+
+  val oracle: Map[String, String] = Map(
+    "q_dq_checks" -> """
+      WITH pk AS (
+        SELECT count(*) AS v FROM (
+          SELECT o_orderkey FROM orders GROUP BY o_orderkey
+          HAVING count(*) > 1)),
+      fk AS (
+        SELECT count(*) AS v FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)),
+      rng AS (
+        SELECT count(*) AS v FROM lineitem
+        WHERE l_quantity NOT BETWEEN 1 AND 50),
+      nn AS (
+        SELECT count(*) AS v FROM customer WHERE c_name IS NULL)
+      SELECT 'customer_name_not_null' AS check, v AS violations,
+        v = 0 AS pass FROM nn
+      UNION ALL
+      SELECT 'lineitem_fk_orders', v, v = 0 FROM fk
+      UNION ALL
+      SELECT 'lineitem_qty_range', v, v = 0 FROM rng
+      UNION ALL
+      SELECT 'orders_pk_unique', v, v = 0 FROM pk
+      ORDER BY "check"""")
+}

@@ -14,6 +14,7 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.SourcesSinks.queries, ops.AcidDml.queries, ops.Dedup.queries,
       ops.Similarity.queries, ops.TextAnalysis.queries,
       ops.CorpusOps.queries, ops.CorpusOps2.queries, ops.MatViews.queries,
+      ops.DataQuality.queries,
       ops.Multimodal.queries, ops.Extensions.queries, ops.PlansOps.queries,
       ops.TpchMore.queries).flatMap(_.keys)
     val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
