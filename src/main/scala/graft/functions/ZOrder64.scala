@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
 /** Z-order (Morton) interleave of two 32-bit keys into one long — the
   * multi-dimensional clustering key used for data-skipping layouts
@@ -20,10 +21,24 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class ZOrder64(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e =>
+      e.dataType == LongType || e.dataType == IntegerType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"zorder64 expects integral keys, got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
   override def dataType: DataType = LongType
 
+  private def asLong(v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.toLong
+  }
+
+  // codegen needs no cast: Java widens int -> long at the call site
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    ZOrder64.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    ZOrder64.interleave(asLong(a), asLong(b))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
