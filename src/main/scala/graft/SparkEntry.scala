@@ -15,6 +15,7 @@ object SparkEntry {
   private def modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (Relational.queries, Relational.oracle),
     (TpchMore.queries, TpchMore.oracle),
+    (TpchFull.queries, TpchFull.oracle),
     (Joins.queries, Joins.oracle),
     (Aggregates.queries, Aggregates.oracle),
     (Windows.queries, Windows.oracle),

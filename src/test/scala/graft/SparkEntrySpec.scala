@@ -16,7 +16,7 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.CorpusOps.queries, ops.CorpusOps2.queries, ops.MatViews.queries,
       ops.DataQuality.queries,
       ops.Multimodal.queries, ops.Extensions.queries, ops.PlansOps.queries,
-      ops.TpchMore.queries).flatMap(_.keys)
+      ops.TpchMore.queries, ops.TpchFull.queries).flatMap(_.keys)
     val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query keys: $dups")
     assert(SparkEntry.queries.size == keys.size)
