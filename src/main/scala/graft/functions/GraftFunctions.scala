@@ -20,6 +20,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "parse_url_tuple", exprs => ParseUrlTuple(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "kmv", exprs => {
+        // second arg = sketch size k, a foldable int literal
+        val k = exprs(1).eval(null).asInstanceOf[Int]
+        KmvAgg(exprs.head, k).toAggregateExpression()
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
       "dotq", exprs => DotLongArrays(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "zorder64", exprs => ZOrder64(exprs(0), exprs(1)), "built-in")

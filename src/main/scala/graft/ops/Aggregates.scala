@@ -182,6 +182,40 @@ object Aggregates {
       .orderBy(col("item"))
   }
 
+  /** Theta-sketch distinct-count set algebra (the Hive 4 DataSketches
+    * integration analogue — Hive registers theta sketch_union /
+    * sketch_intersect UDAFs; here one custom KMV
+    * TypedImperativeAggregate carries the whole algebra): per-source
+    * KMV sketches over the 3-gram shingle space, then pairwise
+    * overlap / union NDV computed declaratively on the sketch arrays
+    * (array_intersect + inclusion-exclusion — codegen'd, no second
+    * custom function). k = 16384 >= every per-source shingle NDV at
+    * bench scale, so the sketch is EXACT below its cap and fully
+    * DuckDB-oracled; the k << NDV estimator path (the 100 TB shape:
+    * 128 KiB bounded state per group, map-side mergeable) is
+    * error-bounded in SketchSpec. */
+  val qAggThetaSketch: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val sh = Tables(s, dir, "documents")
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .select(col("source"),
+        explode(when(size(col("t")) >= 3,
+          expr("""transform(sequence(1, size(t) - 2),
+                  i -> concat_ws(' ', element_at(t, i),
+                                 element_at(t, i + 1),
+                                 element_at(t, i + 2)))"""))
+          .otherwise(array())).as("g"))
+    val sk = sh.groupBy(col("source"))
+      .agg(expr("kmv(xxhash64(g), 16384)").as("sk"))
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        size(col("a.sk")).as("ndv_a"), size(col("b.sk")).as("ndv_b"),
+        size(array_intersect(col("a.sk"), col("b.sk"))).as("overlap"))
+      .withColumn("union_ndv", col("ndv_a") + col("ndv_b") - col("overlap"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** min_by / max_by with a struct ordering key so ties are impossible
     * (oracle expresses the same thing with window row_number). */
   val qAggMinMaxBy: Q = (s, dir) => {
@@ -238,7 +272,8 @@ object Aggregates {
     "q_agg_minmax_by" -> qAggMinMaxBy,
     "q_agg_collect" -> qAggCollect,
     "q_agg_salted" -> qAggSalted,
-    "q_agg_topk_sketch" -> qAggTopkSketch)
+    "q_agg_topk_sketch" -> qAggTopkSketch,
+    "q_agg_theta_sketch" -> qAggThetaSketch)
 
   private val q1Sql = """
     SELECT l_returnflag, l_linestatus,
@@ -257,6 +292,24 @@ object Aggregates {
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
+    "q_agg_theta_sketch" -> """
+      WITH toks AS (SELECT source, string_split(text, ' ') AS t
+                    FROM documents
+                    WHERE source IN ('src0','src1','src2','src3')),
+      sh AS (SELECT DISTINCT source,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+             FROM toks, range(1, 1000) r(i) WHERE i <= len(t) - 2),
+      nd AS (SELECT source, count(*) AS c FROM sh GROUP BY source),
+      ov AS (SELECT a.source AS sa, b.source AS sb, count(*) AS o
+             FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT na.source AS src_a, nb.source AS src_b,
+        CAST(na.c AS INT) AS ndv_a, CAST(nb.c AS INT) AS ndv_b,
+        CAST(coalesce(o, 0) AS INT) AS overlap,
+        CAST(na.c + nb.c - coalesce(o, 0) AS INT) AS union_ndv
+      FROM nd na JOIN nd nb ON na.source < nb.source
+      LEFT JOIN ov ON sa = na.source AND sb = nb.source
+      ORDER BY src_a, src_b""",
     "q_agg_topk_sketch" -> """
       WITH c AS (
         SELECT tok AS item, count(*) AS freq
