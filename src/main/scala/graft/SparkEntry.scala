@@ -31,6 +31,7 @@ object SparkEntry {
     (TextAnalysis.queries, TextAnalysis.oracle),
     (CorpusOps.queries, CorpusOps.oracle),
     (CorpusOps2.queries, CorpusOps2.oracle),
+    (CorpusOps3.queries, CorpusOps3.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Extensions.queries, Extensions.oracle),

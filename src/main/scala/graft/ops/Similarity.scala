@@ -234,7 +234,44 @@ object Similarity {
       .orderBy(col("cid1"))
   }
 
+  /** Cluster-balanced diversity sampling: assign every vector to its
+    * nearest IVF centroid, then take a fixed per-cluster quota of the
+    * most-central vectors — the standard "cover the embedding space,
+    * don't oversample the dense head" selection step for curating a
+    * training subset (cf. DeepCore / coreset selection literature;
+    * same mechanics as k-center greedy's cluster-quota approximation).
+    *
+    * Scale: centroid scoring is a broadcast cross join (no vector
+    * shuffle); the per-cluster quota is a grouped top-k — K partitions
+    * of bounded size, never a global sort. Exact integer dot products
+    * keep it fully DuckDB-oracled. */
+  val qSampleDiverse: Q = (s, dir) => {
+    val K = 16
+    val quota = 5
+    val emb = withNorm(quantized(s, dir))
+    val cents = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dotq(col("q"), col("cq")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("ccos"))
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("ccos")),
+        struct(col("ccos"), -col("cid"))).as("b"))
+      .select(col("vec_id"), col("b.cid").as("cid"), col("b.ccos").as("ccos"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("ccos").desc, col("vec_id"))
+    assigned
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= quota)
+      .select(col("cid"), col("rnk"), col("vec_id"), col("ccos"))
+      .orderBy(col("cid"), col("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sim_diverse" -> qSampleDiverse,
     "q_sim_topk" -> qSimTopK,
     "q_sim_neardup" -> qSimNearDup,
     "q_sim_ann_lsh" -> qSimAnnLsh,
@@ -245,6 +282,27 @@ object Similarity {
     "SELECT vec_id, r.i AS i, CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000000) AS BIGINT) AS v FROM embeddings, range(1, 65) r(i)"
 
   val oracle: Map[String, String] = Map(
+    "q_sim_diverse" -> s"""
+      WITH e AS ($quantSql),
+      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      cd AS (SELECT a.vec_id, b.vec_id AS cid,
+               CAST(sum(a.v * b.v) AS BIGINT) AS dot
+             FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+             GROUP BY 1, 2),
+      ccos AS (SELECT cd.vec_id, cid,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) *
+                   sqrt(CAST(nc.n2 AS DOUBLE))) AS ccos
+               FROM cd JOIN n nv ON cd.vec_id = nv.vec_id
+                       JOIN n nc ON cid = nc.vec_id),
+      assigned AS (SELECT vec_id, cid, ccos FROM ccos
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, cid) = 1)
+      SELECT cid,
+        CAST(row_number() OVER (PARTITION BY cid
+          ORDER BY ccos DESC, vec_id) AS INT) AS rnk,
+        vec_id, ccos
+      FROM assigned QUALIFY rnk <= 5 ORDER BY cid, rnk""",
     "q_sim_topk" -> s"""
       WITH e AS ($quantSql),
       n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2

@@ -13,7 +13,8 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.Scalars.queries, ops.Scalars2.queries, ops.StreamingOps.queries,
       ops.SourcesSinks.queries, ops.AcidDml.queries, ops.Dedup.queries,
       ops.Similarity.queries, ops.TextAnalysis.queries,
-      ops.CorpusOps.queries, ops.CorpusOps2.queries, ops.MatViews.queries,
+      ops.CorpusOps.queries, ops.CorpusOps2.queries, ops.CorpusOps3.queries,
+      ops.MatViews.queries,
       ops.DataQuality.queries,
       ops.Multimodal.queries, ops.Extensions.queries, ops.PlansOps.queries,
       ops.TpchMore.queries, ops.TpchFull.queries).flatMap(_.keys)
