@@ -42,7 +42,12 @@ object Bench {
     "q_dml_merge",             // COW upsert: full-outer join + rewrite
     "q_text_repetition",       // per-doc bigram quality stats (r6)
     "q_dedup_spans",           // span ownership join dedup (r6)
-    "q_dedup_incremental")     // batch-broadcast ingest dedup (r6)
+    "q_dedup_incremental",     // batch-broadcast ingest dedup (r6)
+    "q9_product_profit",       // widest TPC-H join tree (5-way + decimal)
+    "q21_waiting_suppliers",   // fact-fact semi + anti self-joins
+    "q_agg_theta_sketch",      // KMV sketch agg + array set algebra
+    "q_decontaminate",         // broadcast gram anti-join (clean split)
+    "q_sim_diverse")           // centroid assign + grouped quota top-k
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
