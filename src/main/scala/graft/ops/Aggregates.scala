@@ -216,6 +216,19 @@ object Aggregates {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** SQL:2016 LISTAGG (Spark 4 native; Hive expresses the same via
+    * concat_ws(collect_list)) with DISTINCT + WITHIN GROUP ordering so
+    * the string is deterministic cross-engine. */
+  val qAggListagg: Q = (s, dir) => {
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("listagg(DISTINCT o_orderstatus, ',') " +
+          "WITHIN GROUP (ORDER BY o_orderstatus)").as("statuses"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** min_by / max_by with a struct ordering key so ties are impossible
     * (oracle expresses the same thing with window row_number). */
   val qAggMinMaxBy: Q = (s, dir) => {
@@ -273,7 +286,8 @@ object Aggregates {
     "q_agg_collect" -> qAggCollect,
     "q_agg_salted" -> qAggSalted,
     "q_agg_topk_sketch" -> qAggTopkSketch,
-    "q_agg_theta_sketch" -> qAggThetaSketch)
+    "q_agg_theta_sketch" -> qAggThetaSketch,
+    "q_agg_listagg" -> qAggListagg)
 
   private val q1Sql = """
     SELECT l_returnflag, l_linestatus,
@@ -292,6 +306,12 @@ object Aggregates {
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
+    "q_agg_listagg" -> """
+      SELECT o_orderpriority,
+        string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+          AS statuses,
+        count(*) AS cnt
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_agg_theta_sketch" -> """
       WITH toks AS (SELECT source, string_split(text, ' ') AS t
                     FROM documents

@@ -265,7 +265,43 @@ object Joins {
       .orderBy(col("in3"), col("in5"), col("in7"))
   }
 
+  /** Blocked fuzzy string self-join (entity matching): customer names
+    * within edit distance 1, candidates generated by DELETION-
+    * NEIGHBORHOOD blocking — each name emits its length+1 one-char-
+    * deleted variants; two strings at distance <= 1 (substitution,
+    * insertion or deletion) always share a variant, so the variant
+    * equi-join is an EXACT blocking and the levenshtein verify loses
+    * nothing vs the all-pairs scan (cf. FastSS, Bocek et al. 2007 —
+    * public deletion-neighborhood dedup literature).
+    *
+    * Scale: shuffle is O(rows x name_len) variant pairs, never
+    * O(rows^2); the oracle replays all-pairs levenshtein in DuckDB,
+    * which both engines implement as the same exact integer DP. */
+  val qJoinFuzzy: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // variants: the name itself (distance-0 anchor for insert/delete
+    // pairs) plus every one-char deletion
+    val variants = c.select(col("id"), col("name"), explode(expr(
+      """array_union(
+           array(name),
+           transform(sequence(1, length(name)),
+             i -> concat(substring(name, 1, i - 1),
+                         substring(name, i + 1, length(name)))))"""))
+      .as("v"))
+    variants.as("a").join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("a.name").as("na"),
+        col("b.id").as("idb"), col("b.name").as("nb"))
+      .distinct()
+      .filter(levenshtein(col("na"), col("nb")) <= 1)
+      .select(col("ida"), col("idb"),
+        levenshtein(col("na"), col("nb")).as("dist"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_fuzzy" -> qJoinFuzzy,
     "q_join_unique" -> qJoinUnique,
     "q_join_asof" -> qJoinAsof,
     "q_join_salted" -> qJoinSalted,
@@ -285,6 +321,12 @@ object Joins {
     "round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(5,4))), 4)"
 
   val oracle: Map[String, String] = Map(
+    "q_join_fuzzy" -> """
+      SELECT a.c_custkey AS ida, b.c_custkey AS idb,
+        CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY ida, idb""",
     "q_join_unique" -> """
       WITH t3 AS (SELECT o_orderkey AS k, 1 AS m3 FROM orders
                   WHERE o_orderkey % 3 = 0),

@@ -74,6 +74,35 @@ class HiveQlDialectSpec extends AnyFunSuite {
     assert(r == exp)
   }
 
+  test("Hive MAPJOIN hint spelling lowers to a broadcast join") {
+    views
+    val df = spark.sql(
+      """SELECT /*+ MAPJOIN(nation) */ n_name, count(*) AS n
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"MAPJOIN hint did not produce a broadcast join:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("SQL:2016 LISTAGG parses and matches concat_ws(collect)") {
+    views
+    val r = spark.sql(
+      """SELECT o_orderpriority,
+           listagg(DISTINCT o_orderstatus, ',')
+             WITHIN GROUP (ORDER BY o_orderstatus) AS st
+         FROM orders GROUP BY o_orderpriority""")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r.nonEmpty)
+    r.values.foreach { v =>
+      val parts = v.split(",")
+      assert(parts.sorted.sameElements(parts), s"not WITHIN-GROUP sorted: $v")
+      assert(parts.toSet.subsetOf(Set("F", "O", "P")), s"unexpected: $v")
+    }
+    assert(r.values.exists(_.contains(",")))
+  }
+
   test("INSERT OVERWRITE DIRECTORY-style write via CTAS table") {
     views
     spark.sql("DROP TABLE IF EXISTS hq_ctas")
