@@ -217,6 +217,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy join blocks on deletion variants — no cartesian, no BNLJ") {
+    val p = plan("q_join_fuzzy")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join fell back to all-pairs:\n$p")
+    // candidate generation is an equi-join on the variant key
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
+  test("decontamination held-out grams and contaminated ids broadcast") {
+    val p = plan("q_decontaminate")
+    // two map-side joins: gram semi-join + doc anti-join; the corpus
+    // side must never shuffle for either
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("theta sketch aggregates partially before the shuffle") {
+    val p = plan("q_agg_theta_sketch")
+    // TypedImperativeAggregate lowers to ObjectHashAggregate with a
+    // partial mode before the exchange — at 100 TB the shuffle carries
+    // one <=k-slot sketch per (source, partition), not the gram stream
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("diversity sampling quota is a WindowGroupLimit, not a full sort+filter") {
+    val p = plan("q_sim_diverse")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastExchange"), p) // centroids broadcast
+  }
+
   test("materialized-view rewrite answers the aggregate from the MV scan") {
     // The query is written against the FACT (lineitem); the optimizer
     // rule must swap the scan for the registered MV — at 100 TB this is
