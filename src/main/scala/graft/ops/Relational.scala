@@ -155,7 +155,39 @@ object Relational {
       GROUP BY m ORDER BY month""")
   }
 
+  /** PIVOT: long -> wide reshaping with an EXPLICIT value list (the
+    * open-ended form needs a values scan first; pinning the list keeps
+    * the plan one pass and the output schema static — the only shape
+    * that makes sense at 100 TB). Counts + exact decimal sums per cell. */
+  val qPivot: Q = (s, dir) => {
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** UNPIVOT (melt): wide -> long via the native unpivot operator
+    * (Hive users spell this stack(); q_stack covers that form), then
+    * an exact-decimal rollup per measure. */
+  val qUnpivot: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(dsum(col("val")).as("sum_val"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pivot" -> qPivot,
+    "q_unpivot" -> qUnpivot,
     "q_recursive_cte" -> qRecursiveCte,
     "q_scan_filter" -> qScanFilter,
     "q_predicates" -> qPredicates,
@@ -169,6 +201,27 @@ object Relational {
     "q_topk" -> qTopK)
 
   val oracle: Map[String, String] = Map(
+    "q_pivot" -> """
+      SELECT o_orderpriority,
+        count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_unpivot" -> """
+      SELECT l_returnflag, metric,
+        CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+        count(*) AS cnt
+      FROM (
+        SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+      GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric""",
     "q_recursive_cte" -> """
       WITH RECURSIVE months(m) AS (
         SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))

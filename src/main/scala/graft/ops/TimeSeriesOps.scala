@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables._
+
+/** Time-series operators over the events stream table (SURVEY.md §2.E/
+  * §2.M adjacents): gap-based sessionization (the batch twin of
+  * session_window that also ASSIGNS session ids, which the streaming
+  * operator does not expose) and calendar-spine gap filling with
+  * last-observation-carried-forward — the two shapes every
+  * product-analytics warehouse runs daily.
+  *
+  * Both are exact: session math is integer microsecond arithmetic,
+  * LOCF carries stored values without recomputation, so DuckDB
+  * replays them bit-identically.
+  */
+object TimeSeriesOps {
+
+  private val GapUs = 1800L * 1000000L // 30-minute session gap
+
+  /** Gap-based sessionization: a new session starts at the first event
+    * or after a >30 min silence; session_id is the running count of
+    * session starts per user. One shuffle on user_id feeds both
+    * windows AND the final aggregation (same partitioning) — at scale
+    * the sort is per-user, never global. Ties on ts break by event_id
+    * so the numbering is deterministic. */
+  val qSessionize: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > GapUs, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        fmtTsUs(min(col("ts"))).as("sess_start"),
+        fmtTsUs(max(col("ts"))).as("sess_end"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("dur_us"))
+      .orderBy(col("user_id"), col("sess"))
+  }
+
+  /** Calendar gap fill + LOCF downsample: hourly per-user aggregates on
+    * an unbroken hour spine (sequence() from each user's first to last
+    * active hour), missing hours filled with count 0 and the last
+    * observed hourly value carried forward.
+    *
+    * Scale: the spine generates O(users x hours) rows with no shuffle
+    * (explode over the per-user span aggregate); the LOCF window sorts
+    * per user only. The first spine hour is an observed hour by
+    * construction, so the carried value is never null. */
+  val qGapfill: Q = (s, dir) => {
+    val hourly = Tables(s, dir, "events")
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+    val spine = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("v_fill", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), fmtTs(col("h")).as("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"), col("v_fill"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_ts_sessionize" -> qSessionize,
+    "q_ts_gapfill" -> qGapfill)
+
+  val oracle: Map[String, String] = Map(
+    "q_ts_sessionize" -> """
+      WITH o AS (
+        SELECT user_id, event_id, ts,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev
+        FROM events),
+      f AS (
+        SELECT *, CASE WHEN prev IS NULL
+            OR epoch_us(ts) - epoch_us(prev) > 1800000000
+          THEN 1 ELSE 0 END AS ns
+        FROM o),
+      s AS (
+        SELECT *, sum(ns) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        FROM f)
+      SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n_events,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+        strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+        epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+      FROM s GROUP BY user_id, sess ORDER BY user_id, sess""",
+    "q_ts_gapfill" -> """
+      WITH e AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        FROM events WHERE user_id < 20 GROUP BY 1, 2),
+      span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+               FROM e GROUP BY 1),
+      spine AS (SELECT user_id,
+                  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                FROM span),
+      j AS (SELECT s.user_id, s.h, e.n, e.v
+            FROM spine s LEFT JOIN e
+              ON s.user_id = e.user_id AND s.h = e.h)
+      SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        coalesce(n, 0) AS n_events,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY h ROWS UNBOUNDED PRECEDING) AS v_fill
+      FROM j ORDER BY user_id, hour""")
+}

@@ -14,7 +14,7 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.SourcesSinks.queries, ops.AcidDml.queries, ops.Dedup.queries,
       ops.Similarity.queries, ops.TextAnalysis.queries,
       ops.CorpusOps.queries, ops.CorpusOps2.queries, ops.CorpusOps3.queries,
-      ops.MatViews.queries,
+      ops.TimeSeriesOps.queries, ops.MatViews.queries,
       ops.DataQuality.queries,
       ops.Multimodal.queries, ops.Extensions.queries, ops.PlansOps.queries,
       ops.TpchMore.queries, ops.TpchFull.queries).flatMap(_.keys)
