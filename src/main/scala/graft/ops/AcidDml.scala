@@ -170,13 +170,71 @@ object AcidDml {
     snap("v0", readV0).union(snap("v1", readV1)).orderBy(col("version"))
   }
 
+  /** SCD Type-2 dimension build: compress each customer's order-status
+    * stream into versioned rows — a new version opens only when the
+    * attribute CHANGES (lag filter), valid_to = next version's start,
+    * open versions flagged current. The standard slowly-changing-
+    * dimension history table (Kimball SCD2), built in two window
+    * passes over ONE per-key shuffle.
+    *
+    * Scale: both windows partition by c_custkey — one exchange, per-key
+    * sorts, no global ordering anywhere; the change filter compresses
+    * before the second (lead) pass. */
+  val qDimScd2: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderstatus"))
+      .withColumn("prev_st", lag(col("o_orderstatus"), 1).over(w))
+      .filter(col("prev_st").isNull ||
+        col("o_orderstatus") =!= col("prev_st"))
+    val w2 = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    changes
+      .withColumn("ver", row_number().over(w2))
+      .withColumn("next_from", lead(col("o_orderdate"), 1).over(w2))
+      .select(col("o_custkey"), col("ver"),
+        col("o_orderstatus").as("status"),
+        fmtTs(col("o_orderdate")).as("valid_from"),
+        coalesce(fmtTs(col("next_from")), lit("9999-12-31 00:00:00"))
+          .as("valid_to"),
+        col("next_from").isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("ver"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dim_scd2" -> qDimScd2,
     "q_dml_delete" -> qDmlDelete,
     "q_dml_update" -> qDmlUpdate,
     "q_dml_merge" -> qDmlMerge,
     "q_dml_timetravel" -> qDmlTimeTravel)
 
   val oracle: Map[String, String] = Map(
+    "q_dim_scd2" -> """
+      WITH ordered AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+          lag(o_orderstatus) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS prev_st
+        FROM orders),
+      changes AS (
+        SELECT * FROM ordered
+        WHERE prev_st IS NULL OR o_orderstatus <> prev_st),
+      v AS (
+        SELECT o_custkey,
+          CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS INT) AS ver,
+          o_orderstatus AS status, o_orderdate,
+          lead(o_orderdate) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS next_from
+        FROM changes)
+      SELECT o_custkey, ver, status,
+        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        coalesce(strftime(next_from, '%Y-%m-%d %H:%M:%S'),
+          '9999-12-31 00:00:00') AS valid_to,
+        next_from IS NULL AS is_current
+      FROM v ORDER BY o_custkey, ver""",
     "q_dml_timetravel" -> """
       SELECT 'v0' AS version, count(*) AS cnt,
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)

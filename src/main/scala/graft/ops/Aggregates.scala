@@ -216,6 +216,28 @@ object Aggregates {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Equi-depth (height-balanced) histogram — the Hive column-stats
+    * histogram ANALYZE builds for the CBO (Hive 4 computes it from a
+    * KLL sketch; classic Hive from a sample). Mirrors that practice:
+    * ntile(32) over a DETERMINISTIC ~5% hash sample, so the global
+    * sort the ranking needs runs on sample-sized data by design —
+    * never on the full 100 TB column. Bucket min/max/count are exact
+    * over the sample on both engines (min/max of doubles, no sums). */
+  val qAggHistogram: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sample = Tables(s, dir, "lineitem")
+      .filter(((col("l_orderkey") % 1000000007L) * 2654435761L) % 1000 < 50)
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
+      col("l_linenumber"))
+    sample.withColumn("bucket", ntile(32).over(w))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   /** SQL:2016 LISTAGG (Spark 4 native; Hive expresses the same via
     * concat_ws(collect_list)) with DISTINCT + WITHIN GROUP ordering so
     * the string is deterministic cross-engine. */
@@ -287,7 +309,8 @@ object Aggregates {
     "q_agg_salted" -> qAggSalted,
     "q_agg_topk_sketch" -> qAggTopkSketch,
     "q_agg_theta_sketch" -> qAggThetaSketch,
-    "q_agg_listagg" -> qAggListagg)
+    "q_agg_listagg" -> qAggListagg,
+    "q_agg_histogram" -> qAggHistogram)
 
   private val q1Sql = """
     SELECT l_returnflag, l_linestatus,
@@ -306,6 +329,19 @@ object Aggregates {
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
+    "q_agg_histogram" -> """
+      WITH s AS (
+        SELECT l_extendedprice, l_orderkey, l_linenumber
+        FROM lineitem
+        WHERE ((l_orderkey % 1000000007) * 2654435761) % 1000 < 50),
+      b AS (
+        SELECT l_extendedprice,
+          ntile(32) OVER (ORDER BY l_extendedprice, l_orderkey,
+            l_linenumber) AS bucket
+        FROM s)
+      SELECT CAST(bucket AS INT) AS bucket, count(*) AS n,
+        min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM b GROUP BY bucket ORDER BY bucket""",
     "q_agg_listagg" -> """
       SELECT o_orderpriority,
         string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
