@@ -109,6 +109,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kmv sketch laws: sized-exact, merge-order invariant, serde round trip") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.LongType
+    val longsGen = Gen.listOfN(500, Gen.choose(Long.MinValue, Long.MaxValue))
+    for (s <- seeds) {
+      val vals = sample(longsGen, s)
+      val masked = vals.map(_ & Long.MaxValue).distinct
+      def agg(k: Int) = functions.KmvAgg(
+        BoundReference(0, LongType, nullable = false), k)
+      // sized-exact: k >= NDV -> the sketch IS the distinct set
+      val big = agg(4096)
+      val full = vals.foldLeft(big.createAggregationBuffer()) {
+        (b, v) => big.update(b, InternalRow(v))
+      }
+      assert(big.eval(full).asInstanceOf[ArrayData].toLongArray().toSeq ==
+        masked.sorted, s"seed $s: sized sketch != distinct set")
+      // merge-order invariance at k << NDV
+      val small = agg(64)
+      def sketchOf(chunk: Seq[Long]) = chunk.foldLeft(
+        small.createAggregationBuffer()) {
+        (b, v) => small.update(b, InternalRow(v))
+      }
+      val chunks = vals.grouped(97).map(sketchOf).toList
+      def arr(b: java.util.TreeSet[java.lang.Long]) =
+        small.eval(b).asInstanceOf[ArrayData].toLongArray().toSeq
+      val fwd = arr(chunks.map(c => small.deserialize(small.serialize(c)))
+        .reduceLeft(small.merge))
+      val rev = arr(chunks.reverse
+        .map(c => small.deserialize(small.serialize(c)))
+        .reduceLeft(small.merge))
+      assert(fwd == rev, s"seed $s: merge order changed the sketch")
+      assert(fwd == masked.sorted.take(64), s"seed $s: merged sketch is " +
+        "not the k smallest distinct values")
+    }
+  }
+
   test("row_number over a total order is a permutation 1..n") {
     for (s <- seeds) {
       val rows = sample(rowsGen, s)
