@@ -252,6 +252,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming gap sessionization (flatMapGroupsWithState) == batch q_ts_sessionize") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 1800L * 1000000L
+    // three ts-ordered replay files -> three micro-batches, so session
+    // state genuinely carries across batch boundaries (a session that
+    // spans a boundary must be stitched by the state, not the batch)
+    val dir = Files.createTempDirectory("sess_replay").toFile
+    dir.deleteOnExit()
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    for ((lo, hi, i) <- Seq(("2024-01-01", "2024-01-11", 1),
+        ("2024-01-11", "2024-01-21", 2), ("2024-01-21", "2024-02-01", 3))) {
+      ev.filter(col("ts_us") >= unix_micros(lit(lo).cast("timestamp")) &&
+          col("ts_us") < unix_micros(lit(hi).cast("timestamp")))
+        .coalesce(1).write.parquet(s"$dir/b$i")
+      Thread.sleep(1100) // file source orders batches by mod time
+    }
+    val sessions = spark.readStream
+      .schema(ev.schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/b*")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        // state: (sessionId, startUs, lastUs, nEvents)
+        (uid: Long, rows: Iterator[(Long, Long, Long)],
+         st: GroupState[(Int, Long, Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          val closed = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Long, Long, Long)]
+          var cur = st.getOption
+          for ((_, _, ts) <- sorted) {
+            cur match {
+              case Some((sid, start, last, n)) if ts - last <= gapUs =>
+                cur = Some((sid, start, ts, n + 1))
+              case Some((sid, start, last, n)) =>
+                closed += ((uid, sid, n, start, last))
+                cur = Some((sid + 1, ts, ts, 1L))
+              case None =>
+                cur = Some((1, ts, ts, 1L))
+            }
+          }
+          cur.foreach(st.update)
+          closed.iterator
+      }
+      .toDF("user_id", "sess", "n_events", "start_us", "end_us")
+    val q = sessions.writeStream.format("memory").queryName("t_sess")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_sess")
+      .select(col("user_id"), col("sess").cast("long").as("sess"),
+        col("n_events"),
+        fmtTsUs(timestamp_micros(col("start_us"))).as("sess_start"),
+        fmtTsUs(timestamp_micros(col("end_us"))).as("sess_end"))
+      .orderBy(col("user_id"), col("sess")).collect().toSeq
+    // the stream can only emit CLOSED sessions (the final open session
+    // per user has no successor to close it) -> batch minus each
+    // user's last session
+    val batch = ops.TimeSeriesOps.qSessionize(spark, sf)
+      .withColumn("last_sess", max(col("sess")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .filter(col("sess") =!= col("last_sess"))
+      .select(col("user_id"), col("sess"), col("n_events"),
+        col("sess_start"), col("sess_end"))
+      .orderBy(col("user_id"), col("sess")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} closed sessions != batch ${batch.size}")
+  }
+
   test("transformWithState (Spark 4 stateful API) keeps a running count per key") {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
