@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{DotLongArrays, FieldExpr, MinHashAgg, ParseUrlTuple}
+import graft.functions.{DotLongArrays, FieldExpr, KmvAgg, MinHashAgg, ParseUrlTuple}
 import graft.plans.{GroupedTopKStrategy, MaterializedViewRewrite, RowNumberTopKRewrite}
 
 /** SparkSessionExtensions entry point — the deployment-grade way to wire
@@ -30,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("parse_url_tuple"), exprs => ParseUrlTuple(exprs.head)))
     e.injectFunction((FunctionIdentifier("dotq"), info("dotq"),
       exprs => DotLongArrays(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("kmv"), info("kmv"),
+      exprs => {
+        val k = exprs(1).eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"kmv(hash, k): k must be an integer literal, got $other")
+        }
+        KmvAgg(exprs.head, k).toAggregateExpression()
+      }))
     e.injectFunction((FunctionIdentifier("zorder64"), info("zorder64"),
       exprs => graft.functions.ZOrder64(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => GroupedTopKStrategy)

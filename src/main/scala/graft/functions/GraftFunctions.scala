@@ -22,7 +22,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "kmv", exprs => {
         // second arg = sketch size k, a foldable int literal
-        val k = exprs(1).eval(null).asInstanceOf[Int]
+        val k = exprs(1).eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"kmv(hash, k): k must be an integer literal, got $other")
+        }
         KmvAgg(exprs.head, k).toAggregateExpression()
       }, "built-in")
     reg.createOrReplaceTempFunction(

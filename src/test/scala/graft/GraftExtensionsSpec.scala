@@ -49,6 +49,10 @@ object ExtCheckMain {
          (SELECT xxhash64(CAST(id AS STRING)) AS h FROM range(100))""")
       .collect().head.getInt(0)
     require(mh == 32, "minhash aggregate")
+    val kmv = s.sql(
+      """SELECT size(kmv(xxhash64(CAST(id AS STRING)), 64)) FROM range(100)""")
+      .collect().head.getInt(0)
+    require(kmv == 64, s"kmv sketch via extensions: $kmv")
     val host = s.sql(
       """SELECT t.host FROM (SELECT 'https://x.example.com/p?q=1' AS u)
          LATERAL VIEW parse_url_tuple(u) t AS pr, host, pa, q""")
