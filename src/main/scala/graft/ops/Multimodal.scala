@@ -114,12 +114,69 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_no"))
   }
 
+  /** Frame-fingerprint near-dup (the video/image dedup shape: two
+    * assets are near-dups when they share many frame checksums —
+    * Manku-style fingerprint containment over the decode stub's
+    * 64-byte frames). Inverted-index join on the frame hash with the
+    * same df-cap discipline as the jaccard shingle join (a boilerplate
+    * frame shared by >100 assets is dropped BEFORE the self-join, so
+    * no hot-key quadratic blowup at corpus scale); containment =
+    * shared / min(frames) as an exact int ratio. */
+  val qMmFrameDup: Q = (s, dir) => {
+    val frames = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, CAST(ceil(length(text) / 64.0) AS INT) - 1),
+           i -> substring(text, i * 64 + 1, 64))""")).as("frame"))
+      .select(col("doc_id"), md5(col("frame").cast("binary")).as("fh"))
+      .distinct()
+    val hot = frames.groupBy(col("fh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 100).select(col("fh"))
+    val fr = frames.join(hot, Seq("fh"), "left_anti")
+    val sizes = fr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = fr.as("a").join(fr.as("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("shared") >= 3)
+      .select(col("da"), col("db"), col("shared"),
+        (col("shared").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("containment"))
+      .orderBy(col("da"), col("db"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mm_framedup" -> qMmFrameDup,
     "q_mm_meta" -> qMmMeta,
     "q_mm_features" -> qMmFeatures,
     "q_mm_frames" -> qMmFrames)
 
   val oracle: Map[String, String] = Map(
+    "q_mm_framedup" -> """
+      WITH f0 AS (
+        SELECT doc_id, text,
+          unnest(range(0, CAST(ceil(len(text) / 64.0) AS BIGINT))) AS i
+        FROM documents),
+      fr0 AS (
+        SELECT DISTINCT doc_id,
+          md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS fh
+        FROM f0),
+      keep AS (SELECT fh FROM fr0 GROUP BY fh HAVING count(*) <= 100),
+      fr AS (SELECT fr0.doc_id, fr0.fh FROM fr0 JOIN keep USING (fh)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM fr GROUP BY doc_id),
+      shared AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        FROM fr a JOIN fr b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT da, db, shared,
+        CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+      FROM shared
+      JOIN sizes sa ON da = sa.doc_id
+      JOIN sizes sb ON db = sb.doc_id
+      WHERE shared >= 3
+      ORDER BY da, db""",
     "q_mm_meta" -> """
       SELECT doc_id, 'text/plain' AS mime,
         CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
