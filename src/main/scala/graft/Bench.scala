@@ -47,7 +47,9 @@ object Bench {
     "q21_waiting_suppliers",   // fact-fact semi + anti self-joins
     "q_agg_theta_sketch",      // KMV sketch agg + array set algebra
     "q_decontaminate",         // broadcast gram anti-join (clean split)
-    "q_sim_diverse")           // centroid assign + grouped quota top-k
+    "q_sim_diverse",           // centroid assign + grouped quota top-k
+    "q_ts_sessionize",         // gap sessionization windows over events
+    "q_mm_framedup")           // frame-fingerprint inverted-index join
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -74,11 +74,43 @@ object TimeSeriesOps {
       .orderBy(col("user_id"), col("hour"))
   }
 
+  /** Rolling 7-day distinct users per day (WAU-over-DAU): the classic
+    * engagement metric. Distinct (day, user) pairs first (one map-side-
+    * combinable distinct — at 100 TB this collapses the event stream to
+    * days x users), then a bounded 7-row range self-join on the day
+    * spine replaces a sliding-window COUNT DISTINCT (which no engine
+    * can partial-aggregate). Exact integers, fully oracled. */
+  val qRollingNdv: Q = (s, dir) => {
+    val dayUsers = Tables(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = dayUsers.select(col("day").as("d")).distinct()
+    days.join(dayUsers,
+        col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"),
+        countDistinct(when(col("day") === col("d"), col("user_id")))
+          .as("dau"))
+      .select(fmtTs(col("d").cast("timestamp")).as("day"),
+        col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ts_sessionize" -> qSessionize,
-    "q_ts_gapfill" -> qGapfill)
+    "q_ts_gapfill" -> qGapfill,
+    "q_ts_rolling_ndv" -> qRollingNdv)
 
   val oracle: Map[String, String] = Map(
+    "q_ts_rolling_ndv" -> """
+      WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      days AS (SELECT DISTINCT day AS d FROM du)
+      SELECT strftime(CAST(d AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS day,
+        count(DISTINCT CASE WHEN du.day = d THEN user_id END) AS dau,
+        count(DISTINCT user_id) AS wau
+      FROM days JOIN du ON du.day BETWEEN d - 6 AND d
+      GROUP BY d ORDER BY day""",
     "q_ts_sessionize" -> """
       WITH o AS (
         SELECT user_id, event_id, ts,
