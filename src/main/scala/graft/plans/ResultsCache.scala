@@ -1,0 +1,111 @@
+package graft.plans
+
+import java.nio.file.Files
+import java.security.MessageDigest
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.util.Try
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Query results cache — the Hive 3 `hive.query.results.cache` analogue
+  * [hive: ql/src/java/org/apache/hadoop/hive/ql/cache/results/
+  * QueryResultsCache.java]: a repeated identical query is answered from
+  * its previously materialized result instead of re-executing, with the
+  * same two validity rules Hive applies:
+  *
+  *   - semantic identity: the key is the CANONICALIZED analyzed plan, so
+  *     alias renames / column reorders that normalize identically share
+  *     one entry, while any semantic change misses;
+  *   - staleness: every source table's file listing (path, length,
+  *     mtime) is fingerprinted at fill time; a mutated input invalidates
+  *     the entry (Hive checks transactional write ids — the filesystem
+  *     fingerprint is this repo's snapshot analogue, same as
+  *     [[MaterializedViewRewrite]]).
+  *
+  * Non-deterministic plans (rand(), current_timestamp, ...) are never
+  * cached, matching Hive's eligibility rule. Results are materialized as
+  * parquet (spilled to disk, re-read through the vectorized scan), so a
+  * hit costs one small scan and ZERO recomputation — at 100 TB this is
+  * the difference between a dashboard refresh re-running a fact scan and
+  * reading back kilobytes.
+  */
+object ResultsCache {
+
+  private case class Entry(sourcesFp: String, path: String)
+  private val cache = new ConcurrentHashMap[String, Entry]()
+
+  /** Observability for tests: did the last run() hit the cache? */
+  @volatile private var lastWasHit = false
+  def lastHit: Boolean = lastWasHit
+
+  def clear(): Unit = cache.clear()
+
+  /** Run df through the cache: answer from a valid prior materialization
+    * when the canonical plan + source fingerprints match; otherwise
+    * execute, materialize, and fill. Uncacheable frames (no file
+    * sources, or non-deterministic expressions) pass through untouched. */
+  def run(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val analyzed = df.queryExecution.analyzed
+    val roots = scanRoots(analyzed)
+    val deterministic = analyzed.collect { case p => p }
+      .forall(_.expressions.forall(_.deterministic))
+    if (roots.isEmpty || !deterministic) { lastWasHit = false; return df }
+    val key = md5(analyzed.canonicalized.toString)
+    val fp = roots.sorted.map(fingerprint).mkString("|")
+    Option(cache.get(key)).filter(_.sourcesFp == fp) match {
+      case Some(e) =>
+        lastWasHit = true
+        spark.read.parquet(e.path)
+      case None =>
+        lastWasHit = false
+        val out = tmpDir()
+        df.write.mode("overwrite").parquet(out)
+        cache.put(key, Entry(fp, out))
+        spark.read.parquet(out)
+    }
+  }
+
+  private def scanRoots(plan: LogicalPlan): Seq[String] = plan.collect {
+    case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
+      h.location.rootPaths.map(_.toString)
+  }.flatten
+
+  private def md5(s: String): String = {
+    val md = MessageDigest.getInstance("MD5")
+    md.update(s.getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Same listing fingerprint as MaterializedViewRewrite: any file
+    * add/remove/resize/touch under a source root invalidates. */
+  private def fingerprint(path: String): String = Try {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      entries +=
+        s"${f.getPath.toUri.getPath}:${f.getLen}:${f.getModificationTime}"
+    }
+    md5(entries.sorted.mkString("\n"))
+  }.getOrElse("<unreadable>")
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory("graft_qcache").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(d)
+    }))
+    new java.io.File(d, "result").getAbsolutePath
+  }
+}
