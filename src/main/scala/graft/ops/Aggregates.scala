@@ -216,6 +216,22 @@ object Aggregates {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Bitwise aggregates (bit_or/bit_and/bit_xor) — presence-bitmap
+    * building blocks (e.g. "which line numbers ever occur per order
+    * class" as one int): trivially partial-aggregable, exact. */
+  val qAggBitwise: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("shiftleft(1, l_linenumber)").as("m"),
+        col("l_linenumber"))
+      .groupBy(col("l_returnflag"))
+      .agg(bit_or(col("m")).as("line_mask"),
+        bit_and(col("m")).as("common_mask"),
+        bit_xor(col("l_linenumber")).as("xor_lines"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Equi-depth (height-balanced) histogram — the Hive column-stats
     * histogram ANALYZE builds for the CBO (Hive 4 computes it from a
     * KLL sketch; classic Hive from a sample). Mirrors that practice:
@@ -310,7 +326,8 @@ object Aggregates {
     "q_agg_topk_sketch" -> qAggTopkSketch,
     "q_agg_theta_sketch" -> qAggThetaSketch,
     "q_agg_listagg" -> qAggListagg,
-    "q_agg_histogram" -> qAggHistogram)
+    "q_agg_histogram" -> qAggHistogram,
+    "q_agg_bitwise" -> qAggBitwise)
 
   private val q1Sql = """
     SELECT l_returnflag, l_linestatus,
@@ -329,6 +346,13 @@ object Aggregates {
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
+    "q_agg_bitwise" -> """
+      SELECT l_returnflag,
+        bit_or(1 << l_linenumber) AS line_mask,
+        bit_and(1 << l_linenumber) AS common_mask,
+        bit_xor(l_linenumber) AS xor_lines,
+        count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_histogram" -> """
       WITH s AS (
         SELECT l_extendedprice, l_orderkey, l_linenumber

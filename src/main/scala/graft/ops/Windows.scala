@@ -214,7 +214,52 @@ object Windows {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Moving median (7-row centered-trailing window): percentile over a
+    * ROWS frame — the robust-smoothing twin of the q_window_frames
+    * moving average. Interpolated median of doubles is (a+b)/2 of
+    * exact stored values, bit-identical cross-engine; the frame is
+    * bounded so state never grows with partition size. */
+  val qWindowMedian: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-6, 0)
+    Tables(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        fmtTs(col("o_orderdate")).as("odate"),
+        expr("percentile(o_totalprice, 0.5)")
+          .over(w).as("moving_median"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
+  /** Time-range window frame (RANGE BETWEEN INTERVAL ... PRECEDING):
+    * rolling 1-hour event count + exact value sum per user — the
+    * event-time frame a streaming engine would express with a sliding
+    * window, here as a batch RANGE frame over the timestamp ordering.
+    * The frame bound is event-time, so row-count skew cannot widen
+    * the state. */
+  val qWindowTimeRange: Q = (s, dir) => {
+    // interval RANGE bounds have no DataFrame-API spelling (the
+    // Column overload of rangeBetween was removed in Spark 3) — the
+    // SQL frame syntax is the canonical form
+    Tables(s, dir, "events")
+      .filter(col("user_id") < 15)
+      .selectExpr("user_id", "event_id", "ts",
+        """count(*) OVER (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           AS n_1h""",
+        """CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS sum_1h""")
+      .select(col("user_id"), col("event_id"),
+        fmtTsUs(col("ts")).as("ets"), col("n_1h"), col("sum_1h"))
+      .orderBy(col("user_id"), col("ets"), col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_median" -> qWindowMedian,
+    "q_window_time_range" -> qWindowTimeRange,
     "q_cohort_retention" -> qCohortRetention,
     "q_funnel" -> qFunnel,
     "q_matchpath" -> qMatchPath,
@@ -227,6 +272,23 @@ object Windows {
     "q_window_share" -> qWindowShare)
 
   val oracle: Map[String, String] = Map(
+    "q_window_median" -> """
+      SELECT o_orderstatus, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+        median(o_totalprice) OVER (PARTITION BY o_orderstatus
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS moving_median
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_orderstatus, o_orderkey""",
+    "q_window_time_range" -> """
+      SELECT user_id, event_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ets,
+        count(*) OVER w AS n_1h,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+      FROM events WHERE user_id < 15
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ets, event_id""",
     "q_cohort_retention" -> """
       WITH weeks AS (
         SELECT DISTINCT user_id,
