@@ -185,7 +185,42 @@ object Relational {
       .orderBy(col("l_returnflag"), col("metric"))
   }
 
+  /** Correlated LATERAL derived table (SQL:1999 LATERAL, Spark 3.2+):
+    * top-2 customers per nation via a correlated ordered-limit
+    * subquery — the "for each row, run this parameterized query"
+    * surface. Catalyst decorrelates it into a ranked join (same
+    * machinery the QUALIFY/top-k rewrite rides), so it scales as a
+    * grouped top-k, not a per-row re-execution. */
+  val qLateralSubquery: Q = (s, dir) => {
+    Tables(s, dir, "nation").createOrReplaceTempView("lat_nation")
+    Tables(s, dir, "customer").createOrReplaceTempView("lat_customer")
+    s.sql("""
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM lat_nation n,
+      LATERAL (
+        SELECT c_name, c_acctbal FROM lat_customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+  }
+
+  /** Explicit NULLS FIRST / NULLS LAST ordering — a classic migration
+    * gotcha (Spark defaults to NULLS FIRST ascending, DuckDB to NULLS
+    * LAST); pinning the placement explicitly makes the same query
+    * hash-identical on both engines. Nulls are injected via nullif()
+    * since the fixtures are null-free. */
+  val qOrderNulls: Q = (s, dir) => {
+    Tables(s, dir, "orders")
+      .filter(col("o_orderkey") < 200)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("st"))
+      .orderBy(col("st").asc_nulls_first, col("o_orderkey").desc)
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_lateral_subquery" -> qLateralSubquery,
+    "q_order_nulls" -> qOrderNulls,
     "q_pivot" -> qPivot,
     "q_unpivot" -> qUnpivot,
     "q_recursive_cte" -> qRecursiveCte,
@@ -201,6 +236,18 @@ object Relational {
     "q_topk" -> qTopK)
 
   val oracle: Map[String, String] = Map(
+    "q_lateral_subquery" -> """
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation n,
+      LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""",
+    "q_order_nulls" -> """
+      SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st
+      FROM orders WHERE o_orderkey < 200
+      ORDER BY st ASC NULLS FIRST, o_orderkey DESC LIMIT 50""",
     "q_pivot" -> """
       SELECT o_orderpriority,
         count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
