@@ -248,6 +248,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p) // centroids broadcast
   }
 
+  test("LATERAL subquery decorrelates to rank-window + join, never per-row") {
+    val p = plan("q_lateral_subquery")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ordered-limit correlated subquery becomes ONE windowed rank
+    // over the inner table plus an equi-join on the correlation key
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
   test("materialized-view rewrite answers the aggregate from the MV scan") {
     // The query is written against the FACT (lineitem); the optimizer
     // rule must swap the scan for the registered MV — at 100 TB this is
