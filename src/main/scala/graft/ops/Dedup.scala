@@ -83,6 +83,11 @@ object Dedup {
     // gracefully to a shuffled anti-join instead of OOMing the driver.
     val hot = raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap).select(col("h"))
+    // NOT persisted: the anti-join re-runs per consumer over the CACHED
+    // raw stream (cheap map-side broadcast anti-join), and the two
+    // self-join sides already collapse into one computation via
+    // ReuseExchange — measured r6: persisting here is noise-neutral at
+    // sf0.1 while adding cache pressure at corpus scale
     val sh = raw.join(hot, Seq("h"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
