@@ -43,7 +43,8 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("representative queries are run-to-run deterministic") {
     for (name <- Seq("q1_pricing_summary", "q_window_rank", "q_sim_topk",
-        "q_dedup_minhash", "q_stream_session")) {
+        "q_dedup_minhash", "q_stream_session", "q_agg_theta_sketch",
+        "q_ts_sessionize")) {
       val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
       val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
       assert(a == b, s"$name not deterministic across runs")
