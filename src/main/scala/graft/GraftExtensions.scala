@@ -31,14 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("dotq"), info("dotq"),
       exprs => DotLongArrays(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("kmv"), info("kmv"),
-      exprs => {
-        val k = exprs(1).eval(null) match {
-          case i: Int => i
-          case other => throw new IllegalArgumentException(
-            s"kmv(hash, k): k must be an integer literal, got $other")
-        }
-        KmvAgg(exprs.head, k).toAggregateExpression()
-      }))
+      KmvAgg.builder))
     e.injectFunction((FunctionIdentifier("zorder64"), info("zorder64"),
       exprs => graft.functions.ZOrder64(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => GroupedTopKStrategy)

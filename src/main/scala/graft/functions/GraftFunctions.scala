@@ -19,16 +19,7 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "parse_url_tuple", exprs => ParseUrlTuple(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "kmv", exprs => {
-        // second arg = sketch size k, a foldable int literal
-        val k = exprs(1).eval(null) match {
-          case i: Int => i
-          case other => throw new IllegalArgumentException(
-            s"kmv(hash, k): k must be an integer literal, got $other")
-        }
-        KmvAgg(exprs.head, k).toAggregateExpression()
-      }, "built-in")
+    reg.createOrReplaceTempFunction("kmv", KmvAgg.builder, "built-in")
     reg.createOrReplaceTempFunction(
       "dotq", exprs => DotLongArrays(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

@@ -43,6 +43,19 @@ case class KmvAgg(
 
   require(k >= 2, s"kmv sketch size must be >= 2, got $k")
 
+  /** The hash input must already be a 64-bit hash (the caller supplies
+    * xxhash64(...) or similar); enforced at analysis so kmv over e.g. an
+    * int column fails with a type error, not a runtime ClassCastException
+    * in update() (ADVICE r6). */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv(hash, k) requires a BIGINT hash input " +
+          s"(e.g. xxhash64(col)), got ${child.dataType.simpleString}")
+
   override def createAggregationBuffer(): JTreeSet[java.lang.Long] =
     new JTreeSet[java.lang.Long]()
 
@@ -104,4 +117,28 @@ case class KmvAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
+}
+
+object KmvAgg {
+  /** SQL-registration builder shared by GraftFunctions and
+    * GraftExtensions: validates arity and the foldability of k up front
+    * (ADVICE r6 — kmv(h) previously threw IndexOutOfBoundsException and
+    * a column-valued k could NPE inside eval). The child's LongType is
+    * enforced by checkInputDataTypes once the analyzer resolves it. */
+  def builder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2) throw new IllegalArgumentException(
+      s"kmv(hash, k) takes exactly 2 arguments, got ${exprs.length}")
+    if (!exprs(1).foldable) throw new IllegalArgumentException(
+      "kmv(hash, k): k must be a foldable integer literal, got " +
+        exprs(1).sql)
+    val k = exprs(1).eval(null) match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"kmv(hash, k): k must be an integer literal, got $other")
+    }
+    KmvAgg(exprs.head, k).toAggregateExpression()
+  }
 }

@@ -115,10 +115,19 @@ object Dedup {
     // sets are near-identical across this small-vocab corpus, so only
     // shingles give a discriminative Jaccard.
     val sh = shingled(s, dir)
+    // persist the signature frame: it feeds BOTH band self-join sides and
+    // both signature re-joins (4 consumers). Unpersisted, the dominant
+    // cost — tokenize -> shingle -> xxhash64 -> MinHashAgg over every
+    // document — is recomputed per consumer (r6 plan: four full
+    // documents scans, each with its own ObjectHashAggregate pair, no
+    // exchange reuse because broadcast wrappers differ per consumer).
+    // The cached frame is one 32-long sketch per doc — tiny relative to
+    // the corpus — and MEMORY_AND_DISK spills instead of OOMing at scale.
     val sigs = sh
       .withColumn("th", xxhash64(col("g")))
       .groupBy(col("doc_id"))
       .agg(expr("minhash32(th)").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
         """transform(sequence(0, 15),
@@ -343,7 +352,7 @@ object Dedup {
                     FROM documents),
       sh0 AS (SELECT DISTINCT doc_id,
                t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-             FROM toks, range(1, 1000) r(i) WHERE i <= len(t) - 2),
+             FROM toks, range(1, len(t) - 1) r(i)),
       keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 100),
       sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -372,7 +381,7 @@ object Dedup {
                     FROM documents),
       sh0 AS (SELECT DISTINCT doc_id,
                t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-             FROM toks, range(1, 1000) r(i) WHERE i <= len(t) - 2),
+             FROM toks, range(1, len(t) - 1) r(i)),
       keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 100),
       sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -113,9 +113,11 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
         }
         keyOf(ae.aggregateFunction) -> al.name
     }.toMap
+    val fp = fingerprint(factPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot register MV: fact listing unreadable at $factPath"))
     registry.put(normalize(factPath),
-      MvDef(mvTable.queryExecution.analyzed, groupCols, aggCols,
-        fingerprint(factPath)))
+      MvDef(mvTable.queryExecution.analyzed, groupCols, aggCols, fp))
   }
 
   /** Whether a (still-valid-or-not) registration exists for the path. */
@@ -129,10 +131,12 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   /** Hash of the fact's recursive file listing (path, length, mtime) —
-    * the local-filesystem stand-in for a table-format snapshot id. Any
-    * IO failure (fact deleted, moved) yields a sentinel that can never
-    * equal a registration-time fingerprint, so the rewrite stands down. */
-  private def fingerprint(path: String): String = Try {
+    * the local-filesystem stand-in for a table-format snapshot id. None
+    * on any IO failure (fact deleted, moved): registration then throws,
+    * and the rewrite-time staleness gate stands down (a constant failure
+    * sentinel would compare equal to a registration-time failure and
+    * fail OPEN — ADVICE r6). */
+  private def fingerprint(path: String): Option[String] = Try {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
@@ -145,7 +149,7 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     val md = MessageDigest.getInstance("MD5")
     md.update(entries.sorted.mkString("\n").getBytes("UTF-8"))
     md.digest().map("%02x".format(_)).mkString
-  }.getOrElse("<unreadable>")
+  }.toOption
 
   /** Canonical rendering of an aggregate call for matching: function name
     * + exact cast chain + leaf column names. Qualifier- and exprId-free,
@@ -223,7 +227,9 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     mv <- Option(registry.get(path))
     // staleness gate: the fact was rewritten since registration (COW DML,
     // re-load, compaction) -> the MV may not reflect it; stand down.
-    if mv.factFingerprint == fingerprint(path)
+    // fingerprint() is None when the listing fails, which never matches
+    // (fail closed).
+    if fingerprint(path).contains(mv.factFingerprint)
     // fresh relation instance per rewrite site: a query with two
     // rewritable aggregates (union/self-join) must not share exprIds
     // across branches.

@@ -35,8 +35,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object ResultsCache {
 
-  private case class Entry(sourcesFp: String, path: String)
-  private val cache = new ConcurrentHashMap[String, Entry]()
+  /** The stored canonicalized plan is the REAL key: the semanticHash map
+    * key only routes to a bucket, and a hit is confirmed with
+    * `sameResult` on the full plan tree. Keying on a rendered string was
+    * wrong (ADVICE r6): plan toString truncates node fields at
+    * spark.sql.debug.maxToStringFields (default 25), so two projections
+    * differing only past the 25th field rendered identically and the
+    * second query was served the first one's result. */
+  private case class Entry(plan: LogicalPlan, sourcesFp: String, path: String)
+  private val cache = new ConcurrentHashMap[Int, Entry]()
 
   /** Observability for tests: did the last run() hit the cache? */
   @volatile private var lastWasHit = false
@@ -44,20 +51,43 @@ object ResultsCache {
 
   def clear(): Unit = cache.clear()
 
+  /** Expressions that Catalyst marks deterministic but that are pinned
+    * per-query (ComputeCurrentTime) and so must never be served from a
+    * prior query's materialization — Hive's QueryResultsCache applies the
+    * same eligibility rule (ADVICE r6). Matched by class name to cover
+    * the whole current_* family without importing each node. */
+  private val ContextDependent = Set(
+    "CurrentTimestamp", "CurrentDate", "Now", "LocalTimestamp",
+    "CurrentTimeZone", "CurrentDatabase", "CurrentCatalog", "CurrentUser")
+
+  private def contextDependent(plan: LogicalPlan): Boolean =
+    plan.exists(_.expressions.exists(_.exists(e =>
+      ContextDependent.contains(e.getClass.getSimpleName))))
+
   /** Run df through the cache: answer from a valid prior materialization
     * when the canonical plan + source fingerprints match; otherwise
     * execute, materialize, and fill. Uncacheable frames (no file
-    * sources, or non-deterministic expressions) pass through untouched. */
+    * sources, non-deterministic or context-dependent expressions, or
+    * unreadable source listings) pass through untouched. */
   def run(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val analyzed = df.queryExecution.analyzed
     val roots = scanRoots(analyzed)
     val deterministic = analyzed.collect { case p => p }
       .forall(_.expressions.forall(_.deterministic))
-    if (roots.isEmpty || !deterministic) { lastWasHit = false; return df }
-    val key = md5(analyzed.canonicalized.toString)
-    val fp = roots.sorted.map(fingerprint).mkString("|")
-    Option(cache.get(key)).filter(_.sourcesFp == fp) match {
+    if (roots.isEmpty || !deterministic || contextDependent(analyzed)) {
+      lastWasHit = false; return df
+    }
+    // fail closed (ADVICE r6): an unlistable source means staleness
+    // cannot be judged — bypass the cache entirely (neither serve nor
+    // fill) rather than validate against a constant error sentinel.
+    val fps = roots.sorted.map(fingerprint)
+    if (fps.exists(_.isEmpty)) { lastWasHit = false; return df }
+    val fp = fps.map(_.get).mkString("|")
+    val canonical = analyzed.canonicalized
+    val key = canonical.semanticHash()
+    Option(cache.get(key))
+      .filter(e => e.plan.sameResult(canonical) && e.sourcesFp == fp) match {
       case Some(e) =>
         lastWasHit = true
         spark.read.parquet(e.path)
@@ -65,7 +95,7 @@ object ResultsCache {
         lastWasHit = false
         val out = tmpDir()
         df.write.mode("overwrite").parquet(out)
-        cache.put(key, Entry(fp, out))
+        cache.put(key, Entry(canonical, fp, out))
         spark.read.parquet(out)
     }
   }
@@ -82,8 +112,11 @@ object ResultsCache {
   }
 
   /** Same listing fingerprint as MaterializedViewRewrite: any file
-    * add/remove/resize/touch under a source root invalidates. */
-  private def fingerprint(path: String): String = Try {
+    * add/remove/resize/touch under a source root invalidates. None on
+    * any listing failure — the caller must treat that as uncacheable
+    * (a constant failure sentinel would compare equal to a previous
+    * failure and serve a possibly-stale entry). */
+  private def fingerprint(path: String): Option[String] = Try {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
@@ -95,7 +128,7 @@ object ResultsCache {
         s"${f.getPath.toUri.getPath}:${f.getLen}:${f.getModificationTime}"
     }
     md5(entries.sorted.mkString("\n"))
-  }.getOrElse("<unreadable>")
+  }.toOption
 
   private def tmpDir(): String = {
     val d = Files.createTempDirectory("graft_qcache").toFile

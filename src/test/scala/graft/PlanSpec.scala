@@ -125,6 +125,27 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("minhash signature subtree is computed once (cached at all 4 consumers)") {
+    // r6 regression: the signature frame (tokenize -> shingle -> xxhash64
+    // -> MinHashAgg, the dominant cost) fed four consumers — both band
+    // self-join sides and both signature re-joins — and was recomputed
+    // per consumer (four full documents scans). The explicit persist must
+    // put an InMemoryTableScan at EVERY consumer, with broadcast off
+    // (the 100 TB regime where no consumer hides behind a
+    // BroadcastExchange wrapper).
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      df.collect()
+      val executed = df.queryExecution.executedPlan.toString
+      val scans = "InMemoryTableScan".r.findAllIn(executed).size
+      assert(scans >= 4,
+        s"expected the cached signature frame at all 4 consumers, " +
+          s"saw $scans InMemoryTableScan(s):\n$executed")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("simhash pair scan is a block-key equi-join, not an all-pairs BNLJ") {
     // The candidate join must be a shuffle join hash-partitioned on the
     // pigeonhole block key — an all-pairs BroadcastNestedLoopJoin here
