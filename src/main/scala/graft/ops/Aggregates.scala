@@ -378,7 +378,7 @@ object Aggregates {
                     WHERE source IN ('src0','src1','src2','src3')),
       sh AS (SELECT DISTINCT source,
                t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-             FROM toks, range(1, len(t) - 1) r(i)),
+             FROM (SELECT *, unnest(range(1, len(t) - 1)) AS i FROM toks)),
       nd AS (SELECT source, count(*) AS c FROM sh GROUP BY source),
       ov AS (SELECT a.source AS sa, b.source AS sb, count(*) AS o
              FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source

@@ -161,7 +161,7 @@ object CorpusOps2 {
         FROM (SELECT doc_id, unnest(a) AS tok FROM toks) GROUP BY doc_id),
       bg AS (
         SELECT doc_id, a[i] || ' ' || a[i + 1] AS bg
-        FROM toks, range(1, len(a)) r(i)),
+        FROM (SELECT *, unnest(range(1, len(a))) AS i FROM toks)),
       bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
       b AS (SELECT doc_id, max(c) AS max2, CAST(sum(c) AS BIGINT) AS tot2
             FROM bc GROUP BY doc_id)

@@ -352,7 +352,7 @@ object Dedup {
                     FROM documents),
       sh0 AS (SELECT DISTINCT doc_id,
                t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-             FROM toks, range(1, len(t) - 1) r(i)),
+             FROM (SELECT *, unnest(range(1, len(t) - 1)) AS i FROM toks)),
       keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 100),
       sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -381,7 +381,7 @@ object Dedup {
                     FROM documents),
       sh0 AS (SELECT DISTINCT doc_id,
                t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-             FROM toks, range(1, len(t) - 1) r(i)),
+             FROM (SELECT *, unnest(range(1, len(t) - 1)) AS i FROM toks)),
       keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 100),
       sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

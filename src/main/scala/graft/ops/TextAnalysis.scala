@@ -182,14 +182,14 @@ object TextAnalysis {
     "q_fn_ngrams" -> """
       WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
       g AS (SELECT a[i] || ' ' || a[i + 1] AS ngram
-            FROM toks, range(1, len(a)) r(i)),
+            FROM (SELECT *, unnest(range(1, len(a))) AS i FROM toks)),
       c AS (SELECT ngram, count(*) AS freq FROM g GROUP BY ngram),
       t AS (SELECT * FROM c ORDER BY freq DESC, ngram LIMIT 10)
       SELECT ngram, freq FROM t ORDER BY ngram""",
     "q_fn_context_ngrams" -> """
       WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
       p AS (SELECT a[i] AS w1, a[i + 1] AS w2
-            FROM toks, range(1, len(a)) r(i)),
+            FROM (SELECT *, unnest(range(1, len(a))) AS i FROM toks)),
       c AS (SELECT w2 AS next_tok, count(*) AS freq
             FROM p WHERE w1 = 'data' GROUP BY w2),
       t AS (SELECT * FROM c ORDER BY freq DESC, next_tok LIMIT 10)
