@@ -86,6 +86,11 @@ object Bench {
         }
       val a = once()
       val b = once()
+      // drop per-invocation persists AFTER both runs (ADVICE r7 leak
+      // fix): run 2 keeps the warm-cache steady state the min() is
+      // meant to measure, while the loop no longer accumulates one
+      // pinned MEMORY_AND_DISK frame per query per invocation
+      CacheScope.release()
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     def json(rs: Seq[(String, Double)]): String =

@@ -34,6 +34,7 @@ object SparkEntry {
     (CorpusOps3.queries, CorpusOps3.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
+    (SecurityPolicies.queries, SecurityPolicies.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Extensions.queries, Extensions.oracle),
     (PlansOps.queries, PlansOps.oracle),

@@ -70,9 +70,12 @@ object Dedup {
     // token-explode + concat_ws subtree (the CPU-heaviest part of the
     // pipeline) is recomputed per consumer. MEMORY_AND_DISK: at corpus
     // scale the (doc_id, h) pairs are ~16 bytes/shingle and spill
-    // gracefully instead of OOMing.
-    val raw = shingled(s, dir).select(col("doc_id"), xxhash64(col("g")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // gracefully instead of OOMing. CacheScope-tracked: the harness
+    // unpersists after materializing, so bench loops don't accumulate
+    // one pinned frame per invocation (ADVICE r7).
+    val raw = graft.CacheScope.track(
+      shingled(s, dir).select(col("doc_id"), xxhash64(col("g")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // df-cut via ANTI-join against the HOT-shingle list: shingles with
     // df > cap are the Zipf head — in real corpora small enough that
     // Catalyst broadcasts the list and the cut costs ZERO shuffles of
@@ -123,11 +126,13 @@ object Dedup {
     // exchange reuse because broadcast wrappers differ per consumer).
     // The cached frame is one 32-long sketch per doc — tiny relative to
     // the corpus — and MEMORY_AND_DISK spills instead of OOMing at scale.
-    val sigs = sh
+    // CacheScope-tracked like the jaccard shingle stream: released by
+    // the harness after materialization (ADVICE r7).
+    val sigs = graft.CacheScope.track(sh
       .withColumn("th", xxhash64(col("g")))
       .groupBy(col("doc_id"))
       .agg(expr("minhash32(th)").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
         """transform(sequence(0, 15),
@@ -314,6 +319,9 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    // the final labels frame stays persisted for the consumer; tracked so
+    // the harness releases it after materialization (ADVICE r7)
+    graft.CacheScope.track(labels)
     // A silently-truncated convergence would return WRONG labels for any
     // component of diameter > maxRounds — fail loudly instead (ADVICE r02).
     if (changed > 0) throw new IllegalStateException(

@@ -37,8 +37,27 @@ object PlansOps {
         col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Results-cache hit path as a declared query (VERDICT r7 item 3):
+    * the same aggregate runs twice through
+    * [[graft.plans.ResultsCache]]; the returned frame is the SECOND
+    * run, served from the materialized parquet (require()-pinned), so
+    * the driver's oracle compare covers the cache-serve path — values
+    * must survive the round trip bit-exact — not just the spec. */
+  val qResultsCacheHit: Q = (s, dir) => {
+    import graft.plans.ResultsCache
+    def q = Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(Tables.dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    ResultsCache.run(q) // fill (or hit, if a prior run already filled)
+    val served = ResultsCache.run(q)
+    require(ResultsCache.lastHit, "results cache must serve the rerun")
+    served.orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_topk_grouped_custom" -> qTopKGrouped)
+    "q_topk_grouped_custom" -> qTopKGrouped,
+    "q_results_cache_hit" -> qResultsCacheHit)
 
   val oracle: Map[String, String] = Map(
     "q_topk_grouped_custom" -> """
@@ -49,5 +68,11 @@ object PlansOps {
                 AS rn
             FROM lineitem)
       WHERE rn <= 3
-      ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""")
+      ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""",
+    "q_results_cache_hit" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
 }

@@ -1,6 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Row-filter + column-mask policy views — the HiveServer2/Ranger
   * dynamic-policy surface (Hive applies Ranger row-level filters and
@@ -29,4 +32,34 @@ object SecurityPolicies {
     }
     df.filter(rowFilter).select(projected.toIndexedSeq: _*)
   }
+
+  /** Declared-query twin of SecuritySpec: customers through a policy
+    * view — rows restricted to three nations, account balance masked to
+    * its bucket, name masked to a prefix. The oracle is the same
+    * filter+mask spelled in plain SQL, so the driver checks the policy
+    * rewrite end to end (VERDICT r7 item 3). */
+  val qPolicyView: Q = (s, dir) => {
+    val cust = Tables(s, dir, "customer")
+    secureView(cust,
+      rowFilter = col("c_nationkey").isin(1, 2, 3),
+      masks = Map(
+        "c_name" -> concat(substring(col("c_name"), 1, 9), lit("***")),
+        "c_acctbal" ->
+          (floor(col("c_acctbal") / 1000) * 1000).cast("double")))
+      .orderBy(col("c_custkey"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_policy_view" -> qPolicyView)
+
+  val oracle: Map[String, String] = Map(
+    "q_policy_view" -> """
+      SELECT c_custkey,
+        substr(c_name, 1, 9) || '***' AS c_name,
+        c_nationkey,
+        CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS c_acctbal,
+        c_mktsegment
+      FROM customer
+      WHERE c_nationkey IN (1, 2, 3)
+      ORDER BY c_custkey""")
 }

@@ -41,9 +41,27 @@ object ResultsCache {
     * wrong (ADVICE r6): plan toString truncates node fields at
     * spark.sql.debug.maxToStringFields (default 25), so two projections
     * differing only past the 25th field rendered identically and the
-    * second query was served the first one's result. */
-  private case class Entry(plan: LogicalPlan, sourcesFp: String, path: String)
-  private val cache = new ConcurrentHashMap[Int, Entry]()
+    * second query was served the first one's result.
+    *
+    * Each 32-bit hash bucket holds a LIST of entries (ADVICE r7): two
+    * semantically different plans that collide on semanticHash coexist
+    * instead of evicting each other on every fill. Total entries are
+    * LRU-bounded (the `hive.query.results.cache.max.size` analogue, conf
+    * below) so a long-lived session cannot grow plan trees without
+    * bound. Evicted entries only drop the in-memory plan + path; the
+    * parquet dir stays on disk until the JVM shutdown hook because a
+    * previously returned (lazy) DataFrame may still read it. */
+  private case class Entry(plan: LogicalPlan, sourcesFp: String, path: String) {
+    @volatile var lastAccess: Long = 0L
+  }
+  private val cache = new ConcurrentHashMap[Int, List[Entry]]()
+  private val tick = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Session conf knob for the LRU bound; Hive's equivalent is byte-sized
+    * (hive.query.results.cache.max.size) — entry-count is the analogue
+    * that makes sense for a plan+path registry. */
+  val MaxEntriesConf = "spark.graft.resultsCache.maxEntries"
+  private val DefaultMaxEntries = 64
 
   /** Observability for tests: did the last run() hit the cache? */
   @volatile private var lastWasHit = false
@@ -60,8 +78,16 @@ object ResultsCache {
     "CurrentTimestamp", "CurrentDate", "Now", "LocalTimestamp",
     "CurrentTimeZone", "CurrentDatabase", "CurrentCatalog", "CurrentUser")
 
+  /** All plan nodes including those inside scalar/IN/EXISTS subqueries.
+    * The outer-only walks were a blind spot (ADVICE r7): current_date()
+    * inside a subquery passed the eligibility gate, and a file source
+    * referenced only in a subquery was missing from the staleness
+    * fingerprint. */
+  private def allNodes(plan: LogicalPlan): Seq[LogicalPlan] =
+    plan.collectWithSubqueries { case p => p }
+
   private def contextDependent(plan: LogicalPlan): Boolean =
-    plan.exists(_.expressions.exists(_.exists(e =>
+    allNodes(plan).exists(_.expressions.exists(_.exists(e =>
       ContextDependent.contains(e.getClass.getSimpleName))))
 
   /** Run df through the cache: answer from a valid prior materialization
@@ -73,8 +99,8 @@ object ResultsCache {
     val spark = df.sparkSession
     val analyzed = df.queryExecution.analyzed
     val roots = scanRoots(analyzed)
-    val deterministic = analyzed.collect { case p => p }
-      .forall(_.expressions.forall(_.deterministic))
+    val deterministic =
+      allNodes(analyzed).forall(_.expressions.forall(_.deterministic))
     if (roots.isEmpty || !deterministic || contextDependent(analyzed)) {
       lastWasHit = false; return df
     }
@@ -86,24 +112,58 @@ object ResultsCache {
     val fp = fps.map(_.get).mkString("|")
     val canonical = analyzed.canonicalized
     val key = canonical.semanticHash()
-    Option(cache.get(key))
-      .filter(e => e.plan.sameResult(canonical) && e.sourcesFp == fp) match {
+    cache.getOrDefault(key, Nil)
+      .find(e => e.plan.sameResult(canonical) && e.sourcesFp == fp) match {
       case Some(e) =>
+        e.lastAccess = tick.incrementAndGet()
         lastWasHit = true
         spark.read.parquet(e.path)
       case None =>
         lastWasHit = false
         val out = tmpDir()
         df.write.mode("overwrite").parquet(out)
-        cache.put(key, Entry(canonical, fp, out))
+        val entry = Entry(canonical, fp, out)
+        entry.lastAccess = tick.incrementAndGet()
+        val maxEntries = Try(
+          spark.conf.get(MaxEntriesConf).toInt).getOrElse(DefaultMaxEntries)
+        fill(key, entry, maxEntries)
         spark.read.parquet(out)
     }
   }
 
-  private def scanRoots(plan: LogicalPlan): Seq[String] = plan.collect {
-    case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
-      h.location.rootPaths.map(_.toString)
-  }.flatten
+  /** Insert under the global LRU bound. A same-plan entry in the bucket
+    * (typically a stale fingerprint being refreshed) is replaced in
+    * place so a hot query refilled after every source mutation holds one
+    * slot, not a trail of dead ones. */
+  private def fill(key: Int, entry: Entry, maxEntries: Int): Unit =
+    cache.synchronized {
+      val bucket = cache.getOrDefault(key, Nil)
+        .filterNot(_.plan.sameResult(entry.plan))
+      cache.put(key, entry :: bucket)
+      var total = 0
+      cache.forEach((_, es) => total += es.size)
+      while (total > math.max(1, maxEntries)) {
+        var lruKey = 0
+        var lru: Entry = null
+        cache.forEach { (k, es) =>
+          es.foreach { e =>
+            if (lru == null || e.lastAccess < lru.lastAccess) {
+              lru = e; lruKey = k
+            }
+          }
+        }
+        val rest = cache.get(lruKey).filterNot(_ eq lru)
+        if (rest.isEmpty) cache.remove(lruKey) else cache.put(lruKey, rest)
+        total -= 1
+      }
+    }
+
+  private def scanRoots(plan: LogicalPlan): Seq[String] =
+    allNodes(plan).flatMap {
+      case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
+        h.location.rootPaths.map(_.toString)
+      case _ => Nil
+    }
 
   private def md5(s: String): String = {
     val md = MessageDigest.getInstance("MD5")

@@ -13,6 +13,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).select("da", "db")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("CacheScope.release drops per-invocation persists (no leak)") {
+    // two invocations + release must not grow the persistent-RDD set
+    // (ADVICE r7: bench loops accumulated one pinned frame per run)
+    graft.CacheScope.release()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 2).foreach { _ =>
+      SparkEntry.queries("q_dedup_minhash")(spark, sf)
+        .write.mode("overwrite").format("noop").save()
+      graft.CacheScope.release()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before,
+      s"persisted RDD count grew $before -> $after across released runs")
+  }
+
   test("minhash candidates recover strong exact-Jaccard pairs") {
     val exact = SparkEntry.queries("q_dedup_jaccard")(spark, sf)
       .filter(col("jacc") >= 0.5)

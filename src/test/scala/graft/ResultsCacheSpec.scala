@@ -64,4 +64,69 @@ class ResultsCacheSpec extends AnyFunSuite {
     ResultsCache.run(nd); ResultsCache.run(nd)
     assert(!ResultsCache.lastHit, "rand() plan must never hit")
   }
+
+  test("context-dependent expression inside a subquery bypasses the cache") {
+    ResultsCache.clear()
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .createOrReplaceTempView("rc_li")
+    // current_date lives ONLY in the scalar subquery; the outer plan is
+    // clean — an outer-only eligibility walk misses it (ADVICE r7)
+    val q = () => spark.sql(
+      """SELECT l_returnflag, count(*) AS n FROM rc_li
+         WHERE l_shipdate <= (SELECT current_date())
+         GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ResultsCache.run(q()); ResultsCache.run(q())
+    assert(!ResultsCache.lastHit,
+      "current_date() in a subquery must not be served a pinned time")
+  }
+
+  test("source referenced only in a subquery contributes to staleness") {
+    ResultsCache.clear()
+    val dir = Files.createTempDirectory("qcache_subq").toFile
+    dir.deleteOnExit()
+    Files.copy(Paths.get(s"$sf/orders.parquet"),
+      Paths.get(s"${dir.getAbsolutePath}/orders.parquet"))
+    val d = dir.getAbsolutePath
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .createOrReplaceTempView("rc_li2")
+    val q = () => {
+      spark.read.parquet(s"$d/orders.parquet")
+        .createOrReplaceTempView("rc_ord")
+      spark.sql(
+        """SELECT l_returnflag, count(*) AS n FROM rc_li2
+           WHERE l_orderkey IN (SELECT o_orderkey FROM rc_ord)
+           GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }
+    ResultsCache.run(q())
+    ResultsCache.run(q())
+    assert(ResultsCache.lastHit)
+    Thread.sleep(1100)
+    Files.copy(Paths.get(s"$sf/orders.parquet"),
+      Paths.get(s"${dir.getAbsolutePath}/orders.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    ResultsCache.run(q())
+    assert(!ResultsCache.lastHit,
+      "mutating a subquery-only source must invalidate (ADVICE r7)")
+  }
+
+  test("cache is LRU-bounded by spark.graft.resultsCache.maxEntries") {
+    ResultsCache.clear()
+    spark.conf.set(ResultsCache.MaxEntriesConf, "2")
+    try {
+      val byFlag = agg(sf)
+      val byStatus = spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_linestatus"))
+      val byMode = spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy(col("l_linenumber")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_linenumber"))
+      ResultsCache.run(byFlag)   // fills slot 1
+      ResultsCache.run(byStatus) // fills slot 2
+      ResultsCache.run(byMode)   // evicts byFlag (LRU)
+      ResultsCache.run(byStatus)
+      assert(ResultsCache.lastHit, "recently used entry must survive")
+      ResultsCache.run(byFlag)
+      assert(!ResultsCache.lastHit, "LRU entry past the bound is evicted")
+    } finally spark.conf.unset(ResultsCache.MaxEntriesConf)
+  }
 }

@@ -15,7 +15,7 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.Similarity.queries, ops.TextAnalysis.queries,
       ops.CorpusOps.queries, ops.CorpusOps2.queries, ops.CorpusOps3.queries,
       ops.TimeSeriesOps.queries, ops.MatViews.queries,
-      ops.DataQuality.queries,
+      ops.DataQuality.queries, ops.SecurityPolicies.queries,
       ops.Multimodal.queries, ops.Extensions.queries, ops.PlansOps.queries,
       ops.TpchMore.queries, ops.TpchFull.queries).flatMap(_.keys)
     val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
