@@ -206,8 +206,16 @@ object Aggregates {
                                  element_at(t, i + 1),
                                  element_at(t, i + 2)))"""))
           .otherwise(array())).as("g"))
-    val sk = sh.groupBy(col("source"))
-      .agg(expr("kmv(xxhash64(g), 16384)").as("sk"))
+    // persist the sketch frame (4 rows x one <=16K-slot array): without
+    // it the pairwise self-join recomputes the whole shingle+agg subtree
+    // per side — TWO full documents scans where one suffices (VERDICT
+    // r7 item 4). The set algebra then runs over the cached sketches;
+    // at 100 TB the corpus is scanned exactly once and the join moves
+    // kilobytes. CacheScope releases it after materialization.
+    val sk = graft.CacheScope.track(
+      sh.groupBy(col("source"))
+        .agg(expr("kmv(xxhash64(g), 16384)").as("sk"))
+        .persist())
     sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
         size(col("a.sk")).as("ndv_a"), size(col("b.sk")).as("ndv_b"),

@@ -261,6 +261,12 @@ class PlanSpec extends AnyFunSuite {
     // partial mode before the exchange — at 100 TB the shuffle carries
     // one <=k-slot sketch per (source, partition), not the gram stream
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    // one-pass pin (VERDICT r7 item 4): the pairwise set algebra joins
+    // the CACHED sketch frame against itself — the corpus is scanned
+    // once, not once per join side
+    assert("documents\\.parquet".r.findAllIn(p).size <= 1,
+      s"theta sketch must scan documents once:\n$p")
+    assert(p.contains("InMemoryTableScan"), p)
   }
 
   test("diversity sampling quota is a WindowGroupLimit, not a full sort+filter") {
