@@ -222,30 +222,71 @@ object Dedup {
           .map(i => col(s"b$i")): _*)))
       .withColumnRenamed("pos", "blk")
       .withColumnRenamed("col", "bv")
-    // shuffle_hash hint: both self-join sides go through IDENTICAL shuffle
-    // exchanges on (blk, bv), so ReuseExchange computes the fingerprint
-    // subtree ONCE regardless of size estimates — unhinted, Catalyst
-    // broadcasts one side at small SF, and the BroadcastExchange wrapper
-    // defeats reuse (r4: the whole aggregation ran twice). At 100 TB the
-    // blocks table could never broadcast anyway, and SHJ avoids the sort
-    // a merge join would add per side.
-    // SKEW CAVEAT (ADVICE r5): SHJ's per-partition hash build must fit in
-    // memory, and simhash block values skew hard in near-dup-rich corpora
-    // (one hot bv = one giant partition). On a real 100 TB corpus either
-    // drop the hint and let AQE pick (sort-merge degrades gracefully and
-    // AQE splits skewed partitions), or pre-salt hot (blk, bv) keys the
-    // same way qDedupJaccard caps hot shingles; the hint is kept here
-    // because the pinned benchmark corpus is skew-free and reuse of the
-    // fingerprint exchange is worth 2x at this scale.
-    blocks.as("a").join(blocks.as("b").hint("shuffle_hash"),
+    val saltBuckets = s.conf.getOption(SimhashSaltConf).map(_.toInt)
+      .getOrElse(0)
+    val joined = if (saltBuckets <= 1) {
+      // shuffle_hash hint: both self-join sides go through IDENTICAL
+      // shuffle exchanges on (blk, bv), so ReuseExchange computes the
+      // fingerprint subtree ONCE regardless of size estimates —
+      // unhinted, Catalyst broadcasts one side at small SF, and the
+      // BroadcastExchange wrapper defeats reuse (r4: the whole
+      // aggregation ran twice). At 100 TB the blocks table could never
+      // broadcast anyway, and SHJ avoids the sort a merge join would
+      // add per side. SHJ's per-partition hash build must fit in
+      // memory, and simhash block values skew hard in near-dup-rich
+      // corpora (one hot bv = one giant partition) — on such a corpus
+      // set the salt conf below and the salted path takes over.
+      blocks.as("a").join(blocks.as("b").hint("shuffle_hash"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
+    } else {
+      // Skew fallback (VERDICT r7 item 5, was comment-only): hot
+      // (blk, bv) keys — df above spark.graft.simhash.hotBlockDf — get
+      // salted the same way qDedupJaccard caps hot shingles: the hot
+      // list is a small aggregate that broadcasts unhinted (AQE
+      // degrades to a shuffled join on a pathological corpus instead
+      // of OOMing the driver). Probe side A scatters each hot row into
+      // one of `saltBuckets` sub-keys by doc_id hash; build side B
+      // replicates hot rows across ALL sub-keys, so every qualifying
+      // pair still meets on exactly one (blk, bv, salt) key — the
+      // giant partition splits into `saltBuckets` bounded ones at the
+      // cost of replicating only the hot slice of one side. Cold keys
+      // keep salt 0 on both sides: no replication, no extra shuffle
+      // width. The block table is persisted because the two sides now
+      // project differently (no exchange reuse through explode).
+      val hotDf = s.conf.getOption(SimhashHotDfConf).map(_.toLong)
+        .getOrElse(1000L)
+      val hot = blocks.groupBy(col("blk"), col("bv"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > hotDf)
+        .select(col("blk"), col("bv"), lit(true).as("hot"))
+      val marked = graft.CacheScope.track(
+        blocks.join(hot, Seq("blk", "bv"), "left").persist())
+      val probe = marked.withColumn("salt",
+        when(col("hot").isNotNull,
+          pmod(xxhash64(col("doc_id")), lit(saltBuckets.toLong)))
+          .otherwise(lit(0L)))
+      val build = marked.withColumn("salt",
+        explode(when(col("hot").isNotNull,
+          sequence(lit(0L), lit(saltBuckets.toLong - 1)))
+          .otherwise(array(lit(0L)))))
+      probe.as("a").join(build.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.salt") === col("b.salt") &&
+          col("a.doc_id") < col("b.doc_id"))
+    }
+    joined
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         bit_count(expr("a.simhash ^ b.simhash")).as("hamming"))
       .filter(col("hamming") <= SimhashRadius)
       .distinct()
       .orderBy(col("da"), col("db"))
   }
+
+  /** >1 enables the skew-salting fallback in [[qDedupSimhashPairs]]. */
+  val SimhashSaltConf = "spark.graft.simhash.saltBuckets"
+
+  /** (blk, bv) keys with df above this are salted when salting is on. */
+  val SimhashHotDfConf = "spark.graft.simhash.hotBlockDf"
 
   /** Incremental ingest dedup — the production shape of fuzzy dedup: a
     * small NEW batch (doc_id % 10 == 0) is checked against the EXISTING
