@@ -107,11 +107,23 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Where [[qDedupMinhash]] dumps its signature frame so the DuckDB
+    * oracle can replay band candidacy + signature agreement from the
+    * same arrays (VERDICT r7 item 6). The permutations themselves stay
+    * engine-specific (spec-checked: determinism + recall vs exact
+    * Jaccard); what the oracle now value-checks is everything DOWNSTREAM
+    * of the signatures — banding, candidate generation, the est_jacc
+    * arithmetic and the threshold — which is where a Spark-side plan bug
+    * would actually land. */
+  val MinhashSigDump = "/tmp/graft_minhash_sigs"
+
   /** MinHash + LSH near-dup candidates: 32-perm signatures via the custom
     * TypedImperativeAggregate, 16 bands x 2 rows, candidates from the band
     * equi-join, ranked by estimated Jaccard (signature agreement).
-    * No DuckDB oracle (engine-specific hash permutations) — determinism
-    * and recall vs exact Jaccard are asserted in DedupSpec. */
+    * Oracle: replays banding over the dumped signature arrays (the one
+    * semantic difference — Spark buckets on xxhash64(band pair), the
+    * oracle on the pair itself — only diverges on a 64-bit hash
+    * collision). */
   val qDedupMinhash: Q = (s, dir) => {
     GraftFunctions.register(s)
     // same 3-gram shingles as the exact-Jaccard baseline: single-token
@@ -133,6 +145,11 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(expr("minhash32(th)").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // dump for the oracle replay (doubles as the cache fill — the heavy
+    // subtree runs exactly once, here). coalesce(1): one 32-long array
+    // per doc is kilobytes at any test SF; the dump is a test artifact,
+    // not a production sink.
+    sigs.coalesce(1).write.mode("overwrite").parquet(MinhashSigDump)
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
         """transform(sequence(0, 15),
@@ -396,6 +413,26 @@ object Dedup {
       FROM b GROUP BY doc_id"""
 
   val oracle: Map[String, String] = Map(
+    // replay oracle: reads the signature arrays the query itself dumped
+    // (see MinhashSigDump) and re-derives band candidacy + agreement —
+    // a value check over everything downstream of the engine-specific
+    // permutations. bi in 0..15 selects band rows (2i+1, 2i+2) of the
+    // 1-indexed 32-slot signature, mirroring the Spark banding exactly.
+    "q_dedup_minhash" -> """
+      WITH s AS (SELECT doc_id, sig
+                 FROM read_parquet('/tmp/graft_minhash_sigs/*.parquet')),
+      c AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+          CAST(list_sum(list_transform(range(1, 33),
+            i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+            AS DOUBLE) / 32.0 AS est_jacc,
+          len(list_filter(range(0, 16),
+            bi -> a.sig[bi * 2 + 1] = b.sig[bi * 2 + 1]
+              AND a.sig[bi * 2 + 2] = b.sig[bi * 2 + 2])) AS bands
+        FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      SELECT da, db, est_jacc FROM c
+      WHERE bands > 0 AND est_jacc >= 0.2
+      ORDER BY da, db""",
     "q_dedup_components" -> """
       WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t
                     FROM documents),
