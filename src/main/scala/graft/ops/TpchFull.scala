@@ -18,9 +18,11 @@ import graft.Tables._
   * Money math follows the exact-decimal discipline (SURVEY §5.4).
   *
   * Scale notes: every dim or derived dim that joins a fact is
-  * broadcast; the only fact-fact operations are q21's semi/anti
-  * self-joins (one shuffle on l_orderkey, reused across both) and the
-  * bridge aggregations (map-side partial on (part,supp)).
+  * broadcast; the only fact-fact operations are q21's lineitem-orders
+  * join (one shuffle on l_orderkey; the EXISTS/NOT EXISTS pair runs as
+  * per-order aggregates over the persisted join projection, so lineitem
+  * is scanned once — pinned in PlanSpec) and the bridge aggregations
+  * (map-side partial on (part,supp)).
   */
 object TpchFull {
 
@@ -227,7 +229,21 @@ object TpchFull {
     * NOT EXISTS(other late supplier) as semi + anti self-joins that
     * share one l_orderkey shuffle. */
   val q21Waiting: Q = (s, dir) => {
-    val li = Tables(s, dir, "lineitem")
+    // One narrow (orderkey, suppkey, late) projection of the
+    // lineitem–orders join, persisted: the r6/r7 formulation ran the
+    // EXISTS/NOT EXISTS as semi + anti self-joins, which re-scanned and
+    // re-shuffled lineitem three times (the scale-notes comment claimed
+    // reuse the static plan never had — VERDICT r7 item 7). The
+    // subquery pair decorrelates into per-order supplier counts
+    // instead: a supplier's late line waits iff the order has >= 2
+    // distinct suppliers (EXISTS another line) and exactly 1 distinct
+    // late supplier (NOT EXISTS another late one — itself). Both aggs
+    // and the stats join cluster on l_orderkey, the partitioning the
+    // orders join already produced, so the whole query moves lineitem
+    // through ONE exchange and reads the persisted projection (17
+    // bytes/row, MEMORY_AND_DISK) at every consumer. Pinned in
+    // PlanSpec: a single lineitem scan in the executed plan.
+    val li = graft.CacheScope.track(Tables(s, dir, "lineitem")
       .join(Tables(s, dir, "orders")
           .filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate")),
@@ -235,16 +251,14 @@ object TpchFull {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") >
           col("o_orderdate") + expr("INTERVAL 75 DAYS")).as("late"))
-    val l1 = li.filter(col("late"))
-    val others = li.select(col("l_orderkey").as("b_orderkey"),
-      col("l_suppkey").as("b_suppkey"), col("late").as("b_late"))
-    l1
-      .join(others,
-        col("l_orderkey") === col("b_orderkey") &&
-          col("l_suppkey") =!= col("b_suppkey"), "left_semi")
-      .join(others.filter(col("b_late")),
-        col("l_orderkey") === col("b_orderkey") &&
-          col("l_suppkey") =!= col("b_suppkey"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("late"), 1).otherwise(0)).as("supp_late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("supp_late")).as("n_late"))
+    li.filter(col("late"))
+      .join(perOrder, "l_orderkey")
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
       .join(broadcast(Tables(s, dir, "supplier")),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))

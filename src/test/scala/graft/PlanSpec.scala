@@ -255,6 +255,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q21 scans lineitem once: EXISTS pair runs as per-order aggs") {
+    val p = plan("q21_waiting_suppliers")
+    // the semi/anti formulation scanned + shuffled lineitem three
+    // times; the aggregate rewrite moves it through one exchange and
+    // every consumer reads the persisted (orderkey, suppkey, late)
+    // projection (VERDICT r7 item 7)
+    assert("lineitem\\.parquet".r.findAllIn(p).size <= 1,
+      s"q21 must scan lineitem once:\n$p")
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("theta sketch aggregates partially before the shuffle") {
     val p = plan("q_agg_theta_sketch")
     // TypedImperativeAggregate lowers to ObjectHashAggregate with a
