@@ -49,7 +49,10 @@ object Bench {
     "q_decontaminate",         // broadcast gram anti-join (clean split)
     "q_sim_diverse",           // centroid assign + grouped quota top-k
     "q_ts_sessionize",         // gap sessionization windows over events
-    "q_mm_framedup")           // frame-fingerprint inverted-index join
+    "q_mm_framedup",           // frame-fingerprint inverted-index join
+    "q_join_fuzzy",            // deletion-variant blocked fuzzy join (r8)
+    "q_dedup_components",      // iterative min-label propagation (r8)
+    "q_mv_rewrite")            // optimizer-rule MV rewrite path (r8)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -64,7 +64,16 @@ object Dedup {
     * is xxhash64 of the shingle: an 8-byte shuffle key instead of a ~20-
     * byte string (64-bit collisions are negligible at any corpus size
     * this engine targets, and would only perturb one intersection count). */
-  val qDedupJaccard: Q = (s, dir) => {
+  val qDedupJaccard: Q = (s, dir) =>
+    jaccardPairs(s, dir).orderBy(col("da"), col("db"))
+
+  /** Unsorted jaccard pair pipeline shared by the presentation query
+    * (which adds the total ORDER BY) and connected components (which
+    * must NOT inherit it: the range exchange + global sort buys the
+    * iterative join nothing — the same inherited-orderBy tax the
+    * simhash pair scan shed in r4). */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
     // persist the hashed shingle stream: it feeds the hot-list agg, the
     // per-doc sizes agg, and both self-join sides — without it the
     // token-explode + concat_ws subtree (the CPU-heaviest part of the
@@ -104,7 +113,6 @@ object Dedup {
         (col("i").cast("double") /
           (col("na") + col("nb") - col("i")).cast("double")).as("jacc"))
       .filter(col("jacc") >= 0.2)
-      .orderBy(col("da"), col("db"))
   }
 
   /** Where [[qDedupMinhash]] dumps its signature frame so the DuckDB
@@ -347,31 +355,53 @@ object Dedup {
     * = graph diameter, small for dedup clusters). Oracle: DuckDB
     * recursive-CTE reachability closure. */
   val qDedupComponents: Q = (s, dir) => {
-    val pairs = qDedupJaccard(s, dir).select(col("da"), col("db"))
+    // unsorted pairs: the presentation query's total ORDER BY would tax
+    // the edge fill with a range exchange + global sort the iterative
+    // join never needs. repartition(da): every round's edges-side probe
+    // reuses this one cached partitioning instead of re-exchanging the
+    // edge set per iteration.
+    val pairs = jaccardPairs(s, dir).select(col("da"), col("db"))
     val edges = pairs
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .repartition(col("da"))
       .persist()
-    val verts = edges.select(col("da").as("v")).distinct()
-    var labels = verts.withColumn("l", col("v"))
-    var changed = 1L
+    // Seed with round 1 directly: label(v) = min(v, min neighbor) in
+    // the same single shuffle a bare verts-distinct would have cost —
+    // the loop starts one round ahead (r8: one fewer checkpoint+sum
+    // round, measured ~10% off the query at sf0.1).
+    var labels = edges.groupBy(col("da"))
+      .agg(min(col("db")).as("mn"))
+      .select(col("da").as("v"), least(col("da"), col("mn")).as("l"))
+    // Convergence check: min-label propagation only ever DECREASES a
+    // label, so the label sum strictly decreases iff any label changed
+    // — one scan-and-sum of the cached frame per round instead of the
+    // next-vs-previous join the r7 loop paid. The sentinel skips the
+    // round-0 sum (an extra action that re-derived verts from the edge
+    // set): round 1 always changes labels on a non-empty graph, and an
+    // empty graph just runs one extra trivial round. sum(l) over
+    // cached bigint labels cannot overflow before doc_id counts do.
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum(col("l")), lit(0L))).collect()(0).getLong(0)
+    var prevSum = Long.MinValue
+    var changed = true
     var rounds = 0
     val maxRounds = 20
-    while (changed > 0 && rounds < maxRounds) {
+    while (changed && rounds < maxRounds) {
       val viaEdge = edges
         .join(labels.withColumnRenamed("v", "da"), "da")
         .select(col("db").as("v"), col("l"))
       val merged = labels.select(col("v"), col("l")).union(viaEdge)
         .groupBy(col("v")).agg(min(col("l")).as("l"))
-      // Truncate lineage every few rounds: without this the logical plan
-      // doubles per iteration and plan compilation dominates long before
-      // data does (persist caches DATA but the plan still nests).
-      // localCheckpoint materializes AND caches, so the plain-persist
-      // path is only taken on non-checkpoint rounds (persisting before
-      // checkpointing would leak the pre-checkpoint cache entry).
-      val next = if ((rounds + 1) % 5 == 0) merged.localCheckpoint()
-                 else merged.persist()
-      changed = next.join(labels.withColumnRenamed("l", "old"), "v")
-        .filter(col("l") =!= col("old")).count()
+      // Truncate lineage EVERY round (r8; was every 5): persist caches
+      // DATA but the logical plan still nests, so each round re-analyzed
+      // a plan embedding the whole jaccard pipeline plus every prior
+      // iteration — at tiny per-round data volumes that recompilation
+      // WAS the round cost. localCheckpoint materializes AND caches,
+      // making round r's plan a constant-depth read of round r-1's RDD.
+      val next = merged.localCheckpoint()
+      val nextSum = labelSum(next)
+      changed = nextSum != prevSum
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       rounds += 1
@@ -382,9 +412,9 @@ object Dedup {
     graft.CacheScope.track(labels)
     // A silently-truncated convergence would return WRONG labels for any
     // component of diameter > maxRounds — fail loudly instead (ADVICE r02).
-    if (changed > 0) throw new IllegalStateException(
+    if (changed) throw new IllegalStateException(
       s"connected components did not converge within $maxRounds rounds " +
-        s"($changed labels still changing) — raise the round cap")
+        "(label sum still decreasing) — raise the round cap")
     labels.select(col("v").as("doc_id"), col("l").as("component"))
       .orderBy(col("doc_id"))
   }

@@ -276,27 +276,44 @@ object Joins {
     *
     * Scale: shuffle is O(rows x name_len) variant pairs, never
     * O(rows^2); the oracle replays all-pairs levenshtein in DuckDB,
-    * which both engines implement as the same exact integer DP. */
+    * which both engines implement as the same exact integer DP.
+    *
+    * r8 plan rework (promoted into the bench headline, was 8.9 s at
+    * sf0.1): (1) the join key is xxhash64(variant) — an 8-byte shuffle
+    * key instead of a full name substring; a 64-bit collision can only
+    * ADD a candidate, which the levenshtein verify then rejects;
+    * (2) the shuffle_hash hint makes both self-join sides identical
+    * shuffle exchanges, so ReuseExchange computes the variant explode
+    * once (a broadcast wrapper defeats reuse — same finding as the
+    * simhash pair scan, r4); (3) distinct runs on bare (ida, idb) id
+    * pairs and the names join back afterwards — the wide strings never
+    * enter the dedup shuffle. Unhinted name join-backs: Catalyst
+    * broadcasts the entity table while it fits, AQE degrades to a
+    * shuffled join when it doesn't. */
   val qJoinFuzzy: Q = (s, dir) => {
     val c = Tables(s, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
     // variants: the name itself (distance-0 anchor for insert/delete
     // pairs) plus every one-char deletion
-    val variants = c.select(col("id"), col("name"), explode(expr(
+    val variants = c.select(col("id"), explode(expr(
       """array_union(
            array(name),
            transform(sequence(1, length(name)),
              i -> concat(substring(name, 1, i - 1),
                          substring(name, i + 1, length(name)))))"""))
       .as("v"))
-    variants.as("a").join(variants.as("b"),
-        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("a.name").as("na"),
-        col("b.id").as("idb"), col("b.name").as("nb"))
+      .select(col("id"), xxhash64(col("v")).as("h"))
+    val cand = variants.as("a")
+      .join(variants.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
-      .filter(levenshtein(col("na"), col("nb")) <= 1)
-      .select(col("ida"), col("idb"),
-        levenshtein(col("na"), col("nb")).as("dist"))
+    cand
+      .join(c.select(col("id").as("ida"), col("name").as("na")), "ida")
+      .join(c.select(col("id").as("idb"), col("name").as("nb")), "idb")
+      .withColumn("dist", levenshtein(col("na"), col("nb")))
+      .filter(col("dist") <= 1)
+      .select(col("ida"), col("idb"), col("dist"))
       .orderBy(col("ida"), col("idb"))
   }
 
