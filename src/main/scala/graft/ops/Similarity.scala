@@ -270,13 +270,76 @@ object Similarity {
       .orderBy(col("cid"), col("rnk"))
   }
 
+  /** Semantic dedup (SemDeDup — Abbas et al. 2023, arXiv:2303.09540):
+    * near-duplicate embedding pairs found within shared IVF cells, the
+    * production-scale counterpart of the deliberately all-pairs
+    * q_sim_neardup yardstick. Soft assignment: every vector probes its
+    * NPROBE=6 nearest coarse cells (multi-probe, same recall device as
+    * qSimIvf — hard single-cell assignment recalled only ~0.2 of
+    * cos>=0.3 pairs on this fixture because moderate-similarity pairs
+    * straddle cell boundaries), a pair is a candidate iff the probe
+    * sets intersect, and the verify is the exact quantized-int64
+    * cosine. Shuffle is O(n x nprobe) probe rows + candidates, never
+    * O(n^2); dots are computed once per DISTINCT candidate pair, after
+    * dedup, on the persisted narrow vector frame. Fully DuckDB-oracled
+    * (the oracle replays probing, pairing and the cosine in SQL).
+    * Keep policy: va is the canonical survivor (va < vb). Blocking
+    * recall vs the exact baseline is asserted in DedupSimilaritySpec
+    * (measured 0.845 at sf0.01 for half the candidate volume of a
+    * K=16 hard blocking — the K/nprobe pair is the recall-vs-cost
+    * dial). */
+  val qDedupSemantic: Q = (s, dir) => {
+    // K = 64 cells (vs the IVF query's 16): the within-cell candidate
+    // join is quadratic per cell, so cell population — n/K hard
+    // assignments, x nprobe probe rows — is the scale knob. SemDeDup
+    // grows K with corpus size for exactly this reason; 64 keeps the
+    // fixture's cells bounded while nprobe=6 holds recall.
+    val K = 64
+    val nprobe = 6
+    // persisted: feeds centroid scoring AND both cosine re-joins;
+    // (vec_id, q, n2) is 64 longs/row — the narrow frame discipline
+    val emb = graft.CacheScope.track(
+      withNorm(quantized(s, dir)).persist())
+    val cents = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dotq(col("q"), col("cq")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("ccos"))
+    val wP = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probes = scored
+      .withColumn("prnk", row_number().over(wP))
+      .filter(col("prnk") <= nprobe)
+      .select(col("vec_id"), col("cid"))
+    val cand = probes.as("a").join(probes.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("va"), col("q").as("qa"),
+        col("n2").as("na")), "va")
+      .join(emb.select(col("vec_id").as("vb"), col("q").as("qb"),
+        col("n2").as("nb")), "vb")
+      .select(col("va"), col("vb"),
+        (dotq(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy(col("va"), col("vb"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_diverse" -> qSampleDiverse,
     "q_sim_topk" -> qSimTopK,
     "q_sim_neardup" -> qSimNearDup,
     "q_sim_ann_lsh" -> qSimAnnLsh,
     "q_sim_ivf" -> qSimIvf,
-    "q_sim_kmeans_step" -> qSimKmeansStep)
+    "q_sim_kmeans_step" -> qSimKmeansStep,
+    "q_dedup_semantic" -> qDedupSemantic)
 
   private val quantSql =
     "SELECT vec_id, r.i AS i, CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000000) AS BIGINT) AS v FROM embeddings, range(1, 65) r(i)"
@@ -409,5 +472,36 @@ object Similarity {
           AS BIGINT) AS moved,
         min(a1.vec_id) AS min_vec
       FROM a1 JOIN a0 ON a1.vec_id = a0.vec_id
-      GROUP BY a1.cid1 ORDER BY a1.cid1""")
+      GROUP BY a1.cid1 ORDER BY a1.cid1""",
+    "q_dedup_semantic" -> s"""
+      WITH e AS ($quantSql),
+      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      cd AS (SELECT a.vec_id, b.vec_id AS cid,
+               CAST(sum(a.v * b.v) AS BIGINT) AS dot
+             FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 64
+             GROUP BY 1, 2),
+      ccos AS (SELECT cd.vec_id, cid,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) *
+                   sqrt(CAST(nc.n2 AS DOUBLE))) AS ccos
+               FROM cd JOIN n nv ON cd.vec_id = nv.vec_id
+                       JOIN n nc ON cid = nc.vec_id),
+      probes AS (SELECT vec_id, cid FROM ccos
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cid) <= 6),
+      cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+               FROM probes a JOIN probes b
+                 ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      pd AS (SELECT va, vb, CAST(sum(ea.v * eb.v) AS BIGINT) AS dot
+             FROM cand
+             JOIN e ea ON ea.vec_id = va
+             JOIN e eb ON eb.vec_id = vb AND eb.i = ea.i
+             GROUP BY 1, 2)
+      SELECT * FROM (
+        SELECT va, vb,
+          CAST(pd.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) *
+            sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+        FROM pd JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id)
+      WHERE cos >= 0.3
+      ORDER BY va, vb""")
 }

@@ -97,6 +97,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"ANN recall $recall (8 tables x 6 bits, multi-probe hamming<=1)")
   }
 
+  test("semantic dedup pairs are exact near-dups found within clusters") {
+    val exact = SparkEntry.queries("q_sim_neardup")(spark, sf)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val sem = SparkEntry.queries("q_dedup_semantic")(spark, sf)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // within-cluster blocking can only LOSE cross-cluster pairs, never
+    // invent one: every semantic pair must be an exact pair, and the
+    // cosine values are the identical int64-exact arithmetic
+    assert(sem.subsetOf(exact),
+      "semantic dedup produced a pair the exact scan lacks")
+    val recall = sem.size.toDouble / exact.size
+    // near-dup pairs are by construction semantically close, so most
+    // land in the same coarse cell; 0.5 fails if assignment breaks
+    // (random cid assignment would put ~1/16 of pairs together)
+    assert(recall >= 0.5,
+      s"semantic-dedup within-cluster recall $recall vs exact all-pairs")
+  }
+
   test("IVF top-k recalls most exact brute-force neighbors") {
     def nbrs(name: String): Set[(Long, Long)] =
       SparkEntry.queries(name)(spark, sf).select("qid", "neighbor")

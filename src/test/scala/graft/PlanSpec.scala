@@ -255,6 +255,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("semantic dedup pairs via cid equi-join over cached assignment") {
+    val p = plan("q_dedup_semantic")
+    // the ONLY nested-loop allowed is the broadcast centroid scoring
+    // (n x K by design); pair generation must be an equi-join on cid
+    // over the persisted assignment — never an n^2 cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"),
+      s"assignment frame not cached:\n$p")
+  }
+
   test("q21 scans lineitem once: EXISTS pair runs as per-order aggs") {
     val p = plan("q21_waiting_suppliers")
     // the semi/anti formulation scanned + shuffled lineitem three
