@@ -44,7 +44,11 @@ class SparkEntrySpec extends AnyFunSuite {
   test("representative queries are run-to-run deterministic") {
     for (name <- Seq("q1_pricing_summary", "q_window_rank", "q_sim_topk",
         "q_dedup_minhash", "q_stream_session", "q_agg_theta_sketch",
-        "q_ts_sessionize")) {
+        "q_ts_sessionize",
+        // r8 additions: the cache-serve path must round-trip values
+        // bit-exact; semantic dedup's probe ranking must tie-break
+        // deterministically
+        "q_results_cache_hit", "q_dedup_semantic", "q_policy_view")) {
       val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
       val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
       assert(a == b, s"$name not deterministic across runs")
