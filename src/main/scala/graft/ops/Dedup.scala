@@ -122,8 +122,25 @@ object Dedup {
     * Jaccard); what the oracle now value-checks is everything DOWNSTREAM
     * of the signatures — banding, candidate generation, the est_jacc
     * arithmetic and the threshold — which is where a Spark-side plan bug
-    * would actually land. */
+    * would actually land.
+    *
+    * The dump is partitioned by a corpus fingerprint (k = bit_xor of
+    * md5-prefix hashes over document text — the same cross-engine hash
+    * trick the simhash oracle uses) and the oracle selects WHERE k
+    * matches the corpus it reads: concurrent or interleaved runs at
+    * different scale factors write different partitions instead of
+    * clobbering each other (row counts alone can't disambiguate —
+    * sf0.001 and sf0.01 both hold 500 docs). */
   val MinhashSigDump = "/tmp/graft_minhash_sigs"
+
+  /** Cross-engine corpus fingerprint: XOR is order-independent and the
+    * 60-bit md5-prefix values are exact in both engines. */
+  private def corpusFingerprint(s: org.apache.spark.sql.SparkSession,
+                                dir: String): Long =
+    Tables(s, dir, "documents")
+      .agg(expr("""bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10)
+                   as bigint))"""))
+      .collect()(0).getLong(0)
 
   /** MinHash + LSH near-dup candidates: 32-perm signatures via the custom
     * TypedImperativeAggregate, 16 bands x 2 rows, candidates from the band
@@ -156,8 +173,9 @@ object Dedup {
     // dump for the oracle replay (doubles as the cache fill — the heavy
     // subtree runs exactly once, here). coalesce(1): one 32-long array
     // per doc is kilobytes at any test SF; the dump is a test artifact,
-    // not a production sink.
-    sigs.coalesce(1).write.mode("overwrite").parquet(MinhashSigDump)
+    // not a production sink. One partition per corpus fingerprint.
+    sigs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$MinhashSigDump/k=${corpusFingerprint(s, dir)}")
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
         """transform(sequence(0, 15),
@@ -450,7 +468,11 @@ object Dedup {
     // 1-indexed 32-slot signature, mirroring the Spark banding exactly.
     "q_dedup_minhash" -> """
       WITH s AS (SELECT doc_id, sig
-                 FROM read_parquet('/tmp/graft_minhash_sigs/*.parquet')),
+                 FROM read_parquet('/tmp/graft_minhash_sigs/*/*.parquet',
+                                   hive_partitioning = true)
+                 WHERE k = (SELECT bit_xor(CAST('0x' ||
+                     substr(md5(text), 1, 15) AS BIGINT))
+                   FROM documents)),
       c AS (
         SELECT a.doc_id AS da, b.doc_id AS db,
           CAST(list_sum(list_transform(range(1, 33),
