@@ -122,10 +122,55 @@ object CorpusOps3 {
       .orderBy(col("source"))
   }
 
+  /** DSIR-style importance selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", 2023,
+    * arXiv:2302.03169): rank raw-pool documents by how target-like
+    * their hashed-bigram feature vector is, where the target profile is
+    * a designated high-quality slice (here source = 'src0'). Features
+    * are bigrams hashed into 128 buckets via the cross-engine
+    * md5-prefix trick; a document's score is the exact integer dot
+    * product of its bucket counts with the target's bucket counts,
+    * length-normalized by one IEEE division (bit-identical in both
+    * engines). Top-50 selected.
+    *
+    * Scale: the target profile is BOUNDED (128 rows however large the
+    * target corpus) and broadcasts; the pool side is one map-side
+    * partial-aggregated shuffle on (doc_id, bucket) followed by a
+    * per-doc agg; selection is orderBy+limit, which lowers to
+    * TakeOrderedAndProject (no global sort). The target slice reads
+    * through a pushed-down source filter — at 100 TB it would be its
+    * own small corpus, not a rescan. */
+  val qSelectImportance: Q = (s, dir) => {
+    val B = 128
+    val grams = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("source"),
+        explode(when(size(col("t")) >= 2,
+          expr("""transform(sequence(1, size(t) - 1),
+                  i -> concat_ws(' ', element_at(t, i),
+                                 element_at(t, i + 1)))"""))
+          .otherwise(array())).as("g"))
+      .withColumn("b", expr(
+        s"cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % $B"))
+    val target = grams.filter(col("source") === "src0")
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val docBuckets = grams.filter(col("source") =!= "src0")
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    docBuckets.join(broadcast(target), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * coalesce(col("tc"), lit(0L))).as("score"),
+        sum(col("c")).as("nbig"))
+      .withColumn("sim",
+        col("score").cast("double") / col("nbig").cast("double"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pii_redact" -> qPiiRedact,
     "q_decontaminate" -> qDecontaminate,
-    "q_vocab_coverage" -> qVocabCoverage)
+    "q_vocab_coverage" -> qVocabCoverage,
+    "q_select_importance" -> qSelectImportance)
 
   val oracle: Map[String, String] = Map(
     "q_pii_redact" -> """
@@ -189,5 +234,24 @@ object CorpusOps3 {
         CAST(coalesce(oov_toks, 0) AS DOUBLE) / CAST(tot_toks AS DOUBLE)
           AS oov_rate
       FROM tot t LEFT JOIN oov o ON t.source = o.source
-      ORDER BY t.source""")
+      ORDER BY t.source""",
+    "q_select_importance" -> """
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                    FROM documents),
+      g AS (SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS g
+            FROM (SELECT *, unnest(range(1, len(t))) AS i FROM toks)),
+      gb AS (SELECT doc_id, source,
+               CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 128 AS b
+             FROM g),
+      target AS (SELECT b, count(*) AS tc FROM gb
+                 WHERE source = 'src0' GROUP BY b),
+      db AS (SELECT doc_id, b, count(*) AS c FROM gb
+             WHERE source <> 'src0' GROUP BY 1, 2),
+      sc AS (SELECT doc_id,
+               CAST(sum(c * coalesce(tc, 0)) AS BIGINT) AS score,
+               CAST(sum(c) AS BIGINT) AS nbig
+             FROM db LEFT JOIN target USING (b) GROUP BY doc_id)
+      SELECT doc_id, score, nbig,
+        CAST(score AS DOUBLE) / CAST(nbig AS DOUBLE) AS sim
+      FROM sc ORDER BY sim DESC, doc_id LIMIT 50""")
 }

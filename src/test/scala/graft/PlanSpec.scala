@@ -255,6 +255,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("importance selection broadcasts the bounded target profile") {
+    val p = plan("q_select_importance")
+    // the target profile is <= 128 rows regardless of target-corpus
+    // size — it must broadcast (pool side never shuffles for the join),
+    // and the top-50 must lower to TakeOrderedAndProject, not a global
+    // sort of the scored pool
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"target profile not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("semantic dedup pairs via cid equi-join over cached assignment") {
     val p = plan("q_dedup_semantic")
     // the ONLY nested-loop allowed is the broadcast centroid scoring
