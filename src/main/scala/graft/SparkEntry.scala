@@ -32,6 +32,7 @@ object SparkEntry {
     (CorpusOps.queries, CorpusOps.oracle),
     (CorpusOps2.queries, CorpusOps2.oracle),
     (CorpusOps3.queries, CorpusOps3.oracle),
+    (CorpusOps4.queries, CorpusOps4.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -1,0 +1,235 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Fourth wave of corpus-preparation operators (SURVEY.md §2.M):
+  * CCNet-style language-model perplexity filtering and a sharded
+  * Bloom-filter membership pre-filter for ingest dedup.
+  *
+  * Published grounding: perplexity filtering per CCNet (Wenzek et al.,
+  * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+  * Data", 2020, arXiv:1911.00359) — score each candidate document under
+  * an n-gram LM trained on a trusted slice and bucket the corpus into
+  * head/middle/tail; Bloom-filter dedup per Bloom (CACM 1970) as used
+  * for web-scale corpus dedup (e.g. the allenai/bff "Big Friendly
+  * Filter" tool for RefinedWeb-style pipelines).
+  *
+  * Both are deterministic integer pipelines. The perplexity LM scores
+  * are fixed-point: log2 values are scaled to integer micro-bits BEFORE
+  * the per-document sum, so the aggregate is shuffle-order-invariant
+  * (a float log-prob sum would differ run-to-run with partitioning);
+  * the only IEEE ops are one division and one round per output row.
+  */
+object CorpusOps4 {
+
+  /** CCNet-style perplexity filter: train an add-one-smoothed bigram LM
+    * on the trusted slice (source = 'src0', the same designated
+    * high-quality slice q_select_importance targets), score every other
+    * document by its per-bigram negative log-likelihood, and bucket
+    * into head/middle/tail.
+    *
+    * P(w2|w1) = (c12 + 1) / (c1 + V) with c12/c1 reference bigram and
+    * context counts and V the reference vocabulary size. A document's
+    * score is sum over its bigrams of -log2 P, kept exact as integer
+    * micro-bits (round(log2(k) * 1e6)); the head/middle/tail cut
+    * compares nll_micro against n_bigrams * threshold in pure integer
+    * arithmetic, so bucket labels are bit-stable in both engines.
+    *
+    * Scale: the LM tables are bounded by the reference slice's vocab
+    * (c12 <= V^2 rows however large the corpus) and broadcast; the
+    * corpus bigram stream joins them map-side with zero corpus-side
+    * shuffle, then partial-aggregates on doc_id. At 100 TB the
+    * reference slice is a curated corpus orders of magnitude smaller
+    * than the pool — if its LM outgrows broadcast, the joins fall back
+    * to shuffle joins on w1 without changing the plan shape. */
+  val qTextPerplexity: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val bg = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("source"),
+        explode(when(size(col("t")) >= 2,
+          expr("""transform(sequence(1, size(t) - 1),
+                  i -> struct(element_at(t, i) as w1,
+                              element_at(t, i + 1) as w2))"""))
+          .otherwise(array())).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+    val ref = bg.filter(col("source") === "src0")
+    val c12 = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = ref.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = docs.filter(col("source") === "src0")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bg.filter(col("source") =!= "src0")
+      .join(broadcast(c12), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("bits_micro", expr(
+        """cast(round(log2(coalesce(c1, 0) + v) * 1e6) as bigint)
+           - cast(round(log2(coalesce(c12, 0) + 1) * 1e6) as bigint)"""))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bits_micro")).as("nll_micro"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micro"),
+        round(col("nll_micro").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1e6)), 4)
+          .as("bits_per_bigram"),
+        when(col("nll_micro") < col("n_bigrams") * lit(5000000L), "head")
+          .when(col("nll_micro") < col("n_bigrams") * lit(5200000L), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sharded-Bloom ingest pre-filter: the corpus's distinct 3-gram
+    * shingles populate a blocked Bloom filter (512 blocks x 4 words x
+    * 62 usable bits, k = 3 md5-derived positions; bit 62+ unused so no
+    * engine hits the 1<<63 overflow), and an incoming batch probes it
+    * to classify each of its shingles before any join against the
+    * corpus: a missed bit proves novelty (Bloom has no false
+    * negatives), only bloom-positive shingles reach the exact
+    * membership join. Per batch document: shingle counts, bloom
+    * positives, verified members, false positives, and a novelty rate.
+    *
+    * Scale: the filter is NB x 4 longs REGARDLESS of corpus row count
+    * (size NB with the corpus key cardinality; 512 fits the fixture's
+    * ~27k shingles at ~10% fp) so it always broadcasts, the probe is
+    * map-side, and the exact-verify shuffle join runs only on the
+    * bloom-positive subset — at a production 1% fp rate that cuts the
+    * verify join's probe side to ~member-rate + 1% of the batch
+    * stream. Same trick as ORC bloom indexes and Spark's own runtime
+    * bloom-filter join pushdown, expressed as data. */
+  val qDedupBloom: Q = (s, dir) => {
+    val NB = 512
+    val h = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(when(size(col("t")) >= 3,
+          expr("""transform(sequence(1, size(t) - 2),
+                  i -> concat_ws(' ', element_at(t, i),
+                                 element_at(t, i + 1),
+                                 element_at(t, i + 2)))"""))
+          .otherwise(array()))).as("g"))
+      .withColumn("m", md5(col("g")))
+      .select(col("doc_id"), col("g"),
+        expr(s"cast(conv(substring(m, 1, 8), 16, 10) as bigint) % $NB")
+          .as("blk"),
+        expr("cast(conv(substring(m, 9, 6), 16, 10) as bigint) % 248")
+          .as("p1"),
+        expr("cast(conv(substring(m, 15, 6), 16, 10) as bigint) % 248")
+          .as("p2"),
+        expr("cast(conv(substring(m, 21, 6), 16, 10) as bigint) % 248")
+          .as("p3"))
+    val corpus = h.filter(col("doc_id") % 101 =!= 0)
+      .select(col("g"), col("blk"), col("p1"), col("p2"), col("p3"))
+      .distinct()
+    val bloom = corpus
+      .select(col("blk"), explode(array(col("p1"), col("p2"), col("p3")))
+        .as("p"))
+      .select(col("blk"), expr("p div 62").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 62 as int))").as("mask"))
+      .groupBy(col("blk"), col("word"))
+      .agg(expr("bit_or(mask)").as("w"))
+    val bloomR = bloom.withColumnRenamed("blk", "b_blk")
+      .withColumnRenamed("word", "b_word")
+    val probe = h.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id"), col("g"), col("blk"),
+        explode(array(col("p1"), col("p2"), col("p3"))).as("p"))
+      .join(broadcast(bloomR),
+        col("blk") === col("b_blk") &&
+          expr("p div 62") === col("b_word"), "left")
+      .select(col("doc_id"), col("g"),
+        coalesce(expr("shiftright(w, cast(p % 62 as int)) & 1"), lit(0L))
+          .as("hit"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("hit")).as("hit"))
+    // exact verification ONLY on the bloom-positive subset — the
+    // pre-filter's whole purpose; negatives are proven novel.
+    val verified = probe.filter(col("hit") === 1)
+      .join(corpus.select(col("g")).distinct(), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("g"), lit(1L).as("mem"))
+    probe.join(verified, Seq("doc_id", "g"), "left")
+      .withColumn("mem", coalesce(col("mem"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("hit")).as("n_bloom_pos"),
+        sum(col("mem")).as("n_member"),
+        sum(col("hit") * (lit(1L) - col("mem"))).as("n_fp"))
+      .withColumn("novelty",
+        round((col("n_shingles") - col("n_member")).cast("double") /
+          col("n_shingles").cast("double"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_text_perplexity" -> qTextPerplexity,
+    "q_dedup_bloom" -> qDedupBloom)
+
+  val oracle: Map[String, String] = Map(
+    "q_text_perplexity" -> """
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                    FROM documents),
+      bg AS (SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+             FROM (SELECT *, unnest(range(1, len(t))) AS i FROM toks)),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg
+              WHERE source = 'src0' GROUP BY 1, 2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg
+             WHERE source = 'src0' GROUP BY 1),
+      v AS (SELECT count(DISTINCT u.tok) AS v
+            FROM (SELECT unnest(t) AS tok FROM toks
+                  WHERE source = 'src0') u),
+      sc AS (SELECT doc_id,
+               CAST(sum(
+                 CAST(round(log2(coalesce(c1, 0) + v) * 1e6) AS BIGINT)
+                 - CAST(round(log2(coalesce(c12, 0) + 1) * 1e6) AS BIGINT))
+                 AS BIGINT) AS nll_micro,
+               count(*) AS n_bigrams
+             FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+             CROSS JOIN v
+             WHERE source <> 'src0' GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, nll_micro,
+        round(CAST(nll_micro AS DOUBLE) /
+          (CAST(n_bigrams AS DOUBLE) * 1e6), 4) AS bits_per_bigram,
+        CASE WHEN nll_micro < n_bigrams * 5000000 THEN 'head'
+             WHEN nll_micro < n_bigrams * 5200000 THEN 'middle'
+             ELSE 'tail' END AS ppl_bucket
+      FROM sc ORDER BY doc_id""",
+    "q_dedup_bloom" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+      g AS (SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS g
+            FROM (SELECT *, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+      h AS (SELECT doc_id, g,
+              CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 512 AS blk,
+              CAST('0x' || substr(md5(g), 9, 6) AS BIGINT) % 248 AS p1,
+              CAST('0x' || substr(md5(g), 15, 6) AS BIGINT) % 248 AS p2,
+              CAST('0x' || substr(md5(g), 21, 6) AS BIGINT) % 248 AS p3
+            FROM g),
+      corpus AS (SELECT DISTINCT g, blk, p1, p2, p3 FROM h
+                 WHERE doc_id % 101 <> 0),
+      bloom AS (
+        SELECT blk, p // 62 AS word,
+          bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS w
+        FROM (SELECT blk, unnest([p1, p2, p3]) AS p FROM corpus)
+        GROUP BY 1, 2),
+      bp AS (SELECT doc_id, g, blk, unnest([p1, p2, p3]) AS p
+             FROM h WHERE doc_id % 101 = 0),
+      probe AS (
+        SELECT bp.doc_id, bp.g,
+          min(coalesce((b.w >> CAST(bp.p % 62 AS INT)) & 1, 0)) AS hit
+        FROM bp LEFT JOIN bloom b
+          ON b.blk = bp.blk AND b.word = bp.p // 62
+        GROUP BY 1, 2),
+      member AS (SELECT DISTINCT g FROM corpus),
+      cls AS (SELECT p.doc_id, p.hit,
+                CASE WHEN p.hit = 1 AND m.g IS NOT NULL THEN 1 ELSE 0 END
+                  AS mem
+              FROM probe p LEFT JOIN member m ON p.g = m.g)
+      SELECT doc_id, count(*) AS n_shingles,
+        CAST(sum(hit) AS BIGINT) AS n_bloom_pos,
+        CAST(sum(mem) AS BIGINT) AS n_member,
+        CAST(sum(CASE WHEN hit = 1 AND mem = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_fp,
+        round(CAST(count(*) - sum(mem) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE), 4) AS novelty
+      FROM cls GROUP BY doc_id ORDER BY doc_id""")
+}

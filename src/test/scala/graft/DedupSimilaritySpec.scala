@@ -128,6 +128,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall (K=16, nprobe=4)")
   }
 
+  test("bloom pre-filter never yields a false negative") {
+    // the Bloom guarantee the exact-verify join relies on: every true
+    // member is bloom-positive, so n_member <= n_bloom_pos per doc and
+    // skipping exact verification for negatives loses nothing
+    val rows = SparkEntry.queries("q_dedup_bloom")(spark, sf)
+      .select("n_shingles", "n_bloom_pos", "n_member", "n_fp").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, pos, mem, fp) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(mem <= pos, s"member $mem > bloom-positive $pos")
+      assert(fp == pos - mem, s"fp $fp != pos $pos - mem $mem")
+      assert(pos <= n)
+    }
+  }
+
+  test("perplexity buckets are monotone in bits_per_bigram") {
+    // the head/middle/tail cut is an integer compare on the same
+    // quantity bits_per_bigram reports — labels must never cross
+    val rows = SparkEntry.queries("q_text_perplexity")(spark, sf)
+      .select("bits_per_bigram", "ppl_bucket").collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    val maxHead = rows.filter(_._2 == "head").map(_._1).maxOption
+    val tail = rows.filter(_._2 == "tail").map(_._1)
+    val minTail = tail.minOption
+    val mids = rows.filter(_._2 == "middle").map(_._1)
+    for (h <- maxHead; m <- mids.minOption) assert(h <= m + 1e-4)
+    for (m <- mids.maxOption; t <- minTail) assert(m <= t + 1e-4)
+  }
+
   test("topk rank-1 neighbor has the maximum cosine per query") {
     val rows = SparkEntry.queries("q_sim_topk")(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -266,6 +266,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("perplexity LM tables broadcast — corpus side never shuffles to score") {
+    val p = plan("q_text_perplexity")
+    // c12 + c1 are bounded by the reference slice's vocab and must
+    // reach the corpus bigram stream as broadcast hash joins; the only
+    // aggregation shuffle is the final per-doc rollup
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"LM tables not broadcast:\n$p")
+  }
+
+  test("bloom filter table broadcasts and probe is an equi-join") {
+    val p = plan("q_dedup_bloom")
+    // the NB x 4-word filter is constant-size whatever the corpus —
+    // it must broadcast into the batch probe, and nothing in the
+    // pipeline may fall back to an all-pairs plan
+    assert(p.contains("BroadcastHashJoin"), s"bloom not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("semantic dedup pairs via cid equi-join over cached assignment") {
     val p = plan("q_dedup_semantic")
     // the ONLY nested-loop allowed is the broadcast centroid scoring

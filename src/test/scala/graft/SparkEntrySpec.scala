@@ -14,6 +14,7 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.SourcesSinks.queries, ops.AcidDml.queries, ops.Dedup.queries,
       ops.Similarity.queries, ops.TextAnalysis.queries,
       ops.CorpusOps.queries, ops.CorpusOps2.queries, ops.CorpusOps3.queries,
+      ops.CorpusOps4.queries,
       ops.TimeSeriesOps.queries, ops.MatViews.queries,
       ops.DataQuality.queries, ops.SecurityPolicies.queries,
       ops.Multimodal.queries, ops.Extensions.queries, ops.PlansOps.queries,
@@ -48,7 +49,10 @@ class SparkEntrySpec extends AnyFunSuite {
         // r8 additions: the cache-serve path must round-trip values
         // bit-exact; semantic dedup's probe ranking must tie-break
         // deterministically
-        "q_results_cache_hit", "q_dedup_semantic", "q_policy_view")) {
+        "q_results_cache_hit", "q_dedup_semantic", "q_policy_view",
+        // r8 wave 2: fixed-point LM sums and bloom bit probes must be
+        // partition-order invariant
+        "q_text_perplexity", "q_dedup_bloom")) {
       val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
       val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
       assert(a == b, s"$name not deterministic across runs")
