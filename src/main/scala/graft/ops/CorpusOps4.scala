@@ -54,9 +54,11 @@ object CorpusOps4 {
                               element_at(t, i + 1) as w2))"""))
           .otherwise(array())).as("b"))
       .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
-    val ref = bg.filter(col("source") === "src0")
-    val c12 = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = ref.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c12 = bg.filter(col("source") === "src0")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // context counts are the w2-marginal of c12 — derived from the tiny
+    // aggregated table, not a second bigram scan of the reference slice
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = docs.filter(col("source") === "src0")
       .select(explode(split(col("text"), " ")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
@@ -119,9 +121,14 @@ object CorpusOps4 {
           .as("p2"),
         expr("cast(conv(substring(m, 21, 6), 16, 10) as bigint) % 248")
           .as("p3"))
-    val corpus = h.filter(col("doc_id") % 101 =!= 0)
-      .select(col("g"), col("blk"), col("p1"), col("p2"), col("p3"))
-      .distinct()
+    // two consumers (bloom build + exact verify) — persist so the
+    // corpus shingle+md5 scan runs once; CacheScope releases after the
+    // harness materializes the result
+    val corpus = graft.CacheScope.track(
+      h.filter(col("doc_id") % 101 =!= 0)
+        .select(col("g"), col("blk"), col("p1"), col("p2"), col("p3"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bloom = corpus
       .select(col("blk"), explode(array(col("p1"), col("p2"), col("p3")))
         .as("p"))
@@ -131,7 +138,8 @@ object CorpusOps4 {
       .agg(expr("bit_or(mask)").as("w"))
     val bloomR = bloom.withColumnRenamed("blk", "b_blk")
       .withColumnRenamed("word", "b_word")
-    val probe = h.filter(col("doc_id") % 101 === 0)
+    // probe also has two consumers (verify filter + final stats join)
+    val probe = graft.CacheScope.track(h.filter(col("doc_id") % 101 === 0)
       .select(col("doc_id"), col("g"), col("blk"),
         explode(array(col("p1"), col("p2"), col("p3"))).as("p"))
       .join(broadcast(bloomR),
@@ -142,6 +150,7 @@ object CorpusOps4 {
           .as("hit"))
       .groupBy(col("doc_id"), col("g"))
       .agg(min(col("hit")).as("hit"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // exact verification ONLY on the bloom-positive subset — the
     // pre-filter's whole purpose; negatives are proven novel.
     val verified = probe.filter(col("hit") === 1)
