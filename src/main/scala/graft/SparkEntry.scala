@@ -28,6 +28,7 @@ object SparkEntry {
     (AcidDml.queries, AcidDml.oracle),
     (Dedup.queries, Dedup.oracle),
     (Similarity.queries, Similarity.oracle),
+    (EmbeddingOps.queries, EmbeddingOps.oracle),
     (TextAnalysis.queries, TextAnalysis.oracle),
     (CorpusOps.queries, CorpusOps.oracle),
     (CorpusOps2.queries, CorpusOps2.oracle),

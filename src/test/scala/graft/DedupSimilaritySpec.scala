@@ -158,6 +158,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     for (m <- mids.maxOption; t <- minTail) assert(m <= t + 1e-4)
   }
 
+  test("gram matrix agrees with a driver-side recomputation") {
+    // the one-pass map-side pair generation must equal the naive
+    // per-vector outer product; diagonal cells are the squared norms
+    val rows = SparkEntry.queries("q_emb_gram")(spark, sf)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val vecs = TestSpark.spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .selectExpr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q")
+      .collect().map(_.getSeq[Long](0))
+    val expected = Array.ofDim[Long](65, 65)
+    for (v <- vecs; i <- 1 to 64; j <- i to 64)
+      expected(i)(j) += v(i - 1) * v(j - 1)
+    assert(rows.size == 64 * 65 / 2)
+    rows.foreach { case ((i, j), g) =>
+      assert(g == expected(i)(j), s"gram($i,$j) $g != ${expected(i)(j)}")
+    }
+  }
+
+  test("classifier output is a valid confusion accounting") {
+    val rows = SparkEntry.queries("q_emb_classify")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (label, pred, correct) = (r.getInt(1), r.getInt(2), r.getInt(4))
+      assert(pred >= 0 && pred <= 9)
+      assert(correct == (if (label == pred) 1 else 0))
+    }
+  }
+
   test("topk rank-1 neighbor has the maximum cosine per query") {
     val rows = SparkEntry.queries("q_sim_topk")(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -285,6 +285,27 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("centroid classifier: L x d profile broadcasts, test side map-only") {
+    val p = plan("q_emb_classify")
+    // the ONLY nested-loop is the deliberate test x L centroid cross
+    // (L = 10 rows); the vector stream itself must never self-join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"vector stream shuffled to join:\n$p")
+  }
+
+  test("gram accumulation generates pairs map-side — no vector self-join") {
+    val p = plan("q_emb_gram")
+    // pair products come from flatten/transform inside the scan
+    // projection; the only shuffle is the (i, j) aggregate, and the
+    // dim-sum joins ride broadcasts
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"gram fell back to a vector self-join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   test("semantic dedup pairs via cid equi-join over cached assignment") {
     val p = plan("q_dedup_semantic")
     // the ONLY nested-loop allowed is the broadcast centroid scoring

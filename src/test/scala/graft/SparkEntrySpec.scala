@@ -12,7 +12,8 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.Windows.queries, ops.SetOps.queries, ops.Generators.queries,
       ops.Scalars.queries, ops.Scalars2.queries, ops.StreamingOps.queries,
       ops.SourcesSinks.queries, ops.AcidDml.queries, ops.Dedup.queries,
-      ops.Similarity.queries, ops.TextAnalysis.queries,
+      ops.Similarity.queries, ops.EmbeddingOps.queries,
+      ops.TextAnalysis.queries,
       ops.CorpusOps.queries, ops.CorpusOps2.queries, ops.CorpusOps3.queries,
       ops.CorpusOps4.queries,
       ops.TimeSeriesOps.queries, ops.MatViews.queries,
@@ -52,7 +53,9 @@ class SparkEntrySpec extends AnyFunSuite {
         "q_results_cache_hit", "q_dedup_semantic", "q_policy_view",
         // r8 wave 2: fixed-point LM sums and bloom bit probes must be
         // partition-order invariant
-        "q_text_perplexity", "q_dedup_bloom")) {
+        "q_text_perplexity", "q_dedup_bloom",
+        // r8 wave 3: centroid argmax tie-break + gram cell sums
+        "q_emb_classify", "q_emb_gram")) {
       val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
       val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
       assert(a == b, s"$name not deterministic across runs")
