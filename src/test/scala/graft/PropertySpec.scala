@@ -56,6 +56,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bloom bit algebra has no false negatives on generated strings") {
+    // same md5-position expressions as q_dedup_bloom, on arbitrary keys:
+    // every inserted key must probe positive whatever the input set —
+    // the law the gated exact-verify join relies on
+    val strGen = Gen.listOfN(300, Gen.identifier.suchThat(_.nonEmpty))
+    for (s <- seeds.take(2)) {
+      val keys = sample(strGen, s).distinct
+      val hashed = keys.toDF("g")
+        .withColumn("m", md5($"g"))
+        .select($"g",
+          expr("cast(conv(substring(m, 1, 8), 16, 10) as bigint) % 512")
+            .as("blk"),
+          explode(array(
+            expr("cast(conv(substring(m, 9, 6), 16, 10) as bigint) % 248"),
+            expr("cast(conv(substring(m, 15, 6), 16, 10) as bigint) % 248"),
+            expr("cast(conv(substring(m, 21, 6), 16, 10) as bigint) % 248")))
+            .as("p"))
+      val bloom = hashed
+        .select($"blk", expr("p div 62").as("word"),
+          expr("shiftleft(cast(1 as bigint), cast(p % 62 as int))").as("mask"))
+        .groupBy($"blk", $"word").agg(expr("bit_or(mask)").as("w"))
+        .withColumnRenamed("blk", "b_blk").withColumnRenamed("word", "b_word")
+      val misses = hashed
+        .join(bloom, $"blk" === $"b_blk" &&
+          expr("p div 62") === $"b_word", "left")
+        .select($"g",
+          coalesce(expr("shiftright(w, cast(p % 62 as int)) & 1"), lit(0L))
+            .as("hit"))
+        .groupBy($"g").agg(min($"hit").as("hit"))
+        .filter($"hit" === 0).count()
+      assert(misses == 0, s"false negatives on seed $s")
+    }
+  }
+
   test("filter pushdown on/off produces identical results") {
     val q = () => Tables(spark, sf, "lineitem")
       .filter($"l_extendedprice" > 50000 && $"l_suppkey" <= 5)
