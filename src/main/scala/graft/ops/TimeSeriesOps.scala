@@ -96,9 +96,39 @@ object TimeSeriesOps {
       .orderBy(col("day"))
   }
 
+  /** OHLC/VWAP time-bucket downsampling: per (event_type, hour) the
+    * open/high/low/close of `value` plus an exact-decimal mean — the
+    * feature-engineering resample every metrics store and quant
+    * pipeline runs. Open/close pick the extreme event by a
+    * deterministic (ts, event_id) order via min_by/max_by, so results
+    * are partition-order invariant without a window sort.
+    *
+    * Scale: one shuffle on the (type, bucket) grouping key with
+    * map-side partial min_by/max_by/min/max/sum state — constant per
+    * group, no per-bucket sort, no window. At 100 TB the bucket count
+    * (types x hours) is bounded by the calendar, not the row count. */
+  val qDownsample: Q = (s, dir) => {
+    Tables(s, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        davg(col("value")).as("mean_value"))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n_events"), col("open"), col("high"), col("low"),
+        col("close"), col("mean_value"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ts_sessionize" -> qSessionize,
     "q_ts_gapfill" -> qGapfill,
+    "q_ts_downsample" -> qDownsample,
     "q_ts_rolling_ndv" -> qRollingNdv)
 
   val oracle: Map[String, String] = Map(
@@ -131,6 +161,24 @@ object TimeSeriesOps {
         strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
       FROM s GROUP BY user_id, sess ORDER BY user_id, sess""",
+    "q_ts_downsample" -> """
+      WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value
+        FROM events),
+      oc AS (
+        SELECT *,
+          first_value(value) OVER w AS open,
+          last_value(value) OVER w AS close
+        FROM b
+        WINDOW w AS (PARTITION BY event_type, h ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        count(*) AS n_events,
+        min(open) AS open, max(value) AS high, min(value) AS low,
+        min(close) AS close,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value)
+          AS mean_value
+      FROM oc GROUP BY event_type, h ORDER BY event_type, hour""",
     "q_ts_gapfill" -> """
       WITH e AS (
         SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n,

@@ -54,8 +54,9 @@ class SparkEntrySpec extends AnyFunSuite {
         // r8 wave 2: fixed-point LM sums and bloom bit probes must be
         // partition-order invariant
         "q_text_perplexity", "q_dedup_bloom",
-        // r8 wave 3: centroid argmax tie-break + gram cell sums
-        "q_emb_classify", "q_emb_gram")) {
+        // r8 wave 3: centroid argmax tie-break + gram cell sums;
+        // min_by/max_by open-close selection must be order-invariant
+        "q_emb_classify", "q_emb_gram", "q_ts_downsample")) {
       val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
       val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
       assert(a == b, s"$name not deterministic across runs")
