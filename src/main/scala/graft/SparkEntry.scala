@@ -29,6 +29,7 @@ object SparkEntry {
     (Dedup.queries, Dedup.oracle),
     (Similarity.queries, Similarity.oracle),
     (EmbeddingOps.queries, EmbeddingOps.oracle),
+    (GraphOps.queries, GraphOps.oracle),
     (TextAnalysis.queries, TextAnalysis.oracle),
     (CorpusOps.queries, CorpusOps.oracle),
     (CorpusOps2.queries, CorpusOps2.oracle),

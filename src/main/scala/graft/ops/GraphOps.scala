@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+
+/** Relational graph analytics (SURVEY.md §2.M adjacents): fixed-point
+  * PageRank over the supplier–customer interaction graph derived from
+  * lineitem ⨝ orders. Complements the connected-components operator
+  * (`q_dedup_components`, unweighted min-label propagation) with the
+  * weighted iterative-aggregation shape (Page et al., 1999).
+  *
+  * Determinism: ranks live in integer micro-units; each step is
+  * floor-division and integer sums only — both engines produce
+  * bit-identical trajectories, no float accumulation across
+  * iterations.
+  */
+object GraphOps {
+
+  /** Three unrolled PageRank iterations (damping 0.85 as the exact
+    * rational 85/100, base 0.15 as 150000 micro-units) over the
+    * bipartite supplier/customer graph, reporting the top-20 nodes
+    * with a deterministic (rank desc, node) tie-break.
+    *
+    * Scale: the per-node state (rank, degree) is |V| rows while the
+    * edge set is |E| >> |V| — rank and degree broadcast, the edge
+    * stream joins them MAP-SIDE, and the only shuffle per iteration
+    * is the contribution aggregate on dst (partial-aggregated).
+    * Edges are computed once and persisted (CacheScope-released).
+    * At a billion-node graph the rank join flips to a shuffle join
+    * co-partitioned on src — the plan shape otherwise stands. */
+  val qGraphPagerank: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("S"), col("l_suppkey")).as("a"),
+        concat(lit("C"), col("o_custkey")).as("b"))
+      .distinct()
+    val edges = graft.CacheScope.track(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(broadcast(deg), Seq("src"))
+    var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      rank = edgesD
+        .join(broadcast(rank), col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(expr("cast(150000 + (sum(c) * 85) div 100 as bigint)").as("r"))
+        .select(col("dst").as("node"), col("r"))
+    }
+    rank.orderBy(col("r").desc, col("node")).limit(20)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_graph_pagerank" -> qGraphPagerank)
+
+  val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" -> """
+      WITH pairs AS (
+        SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,
+               'C' || CAST(o_custkey AS VARCHAR) AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+      e AS (SELECT edges.src, edges.dst, deg.deg
+            FROM edges JOIN deg USING (src)),
+      r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+      r1 AS (SELECT e.dst AS node,
+               CAST(150000 + (sum(r0.r // e.deg) * 85) // 100 AS BIGINT)
+                 AS r
+             FROM e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+      r2 AS (SELECT e.dst AS node,
+               CAST(150000 + (sum(r1.r // e.deg) * 85) // 100 AS BIGINT)
+                 AS r
+             FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+      r3 AS (SELECT e.dst AS node,
+               CAST(150000 + (sum(r2.r // e.deg) * 85) // 100 AS BIGINT)
+                 AS r
+             FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst)
+      SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 20""")
+}

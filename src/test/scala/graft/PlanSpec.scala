@@ -306,6 +306,17 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("pagerank: node state broadcasts, edges cached, top-k pushed down") {
+    val p = plan("q_graph_pagerank")
+    // deg + the 3 per-iteration rank tables are |V|-sized and must all
+    // reach the |E|-sized edge stream as broadcasts; the edge union is
+    // persisted once; the top-20 must not global-sort
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"rank/deg tables not broadcast:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"edges not cached:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("semantic dedup pairs via cid equi-join over cached assignment") {
     val p = plan("q_dedup_semantic")
     // the ONLY nested-loop allowed is the broadcast centroid scoring

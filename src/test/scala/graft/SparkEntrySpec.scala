@@ -13,7 +13,7 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.Scalars.queries, ops.Scalars2.queries, ops.StreamingOps.queries,
       ops.SourcesSinks.queries, ops.AcidDml.queries, ops.Dedup.queries,
       ops.Similarity.queries, ops.EmbeddingOps.queries,
-      ops.TextAnalysis.queries,
+      ops.GraphOps.queries, ops.TextAnalysis.queries,
       ops.CorpusOps.queries, ops.CorpusOps2.queries, ops.CorpusOps3.queries,
       ops.CorpusOps4.queries,
       ops.TimeSeriesOps.queries, ops.MatViews.queries,
@@ -56,7 +56,9 @@ class SparkEntrySpec extends AnyFunSuite {
         "q_text_perplexity", "q_dedup_bloom",
         // r8 wave 3: centroid argmax tie-break + gram cell sums;
         // min_by/max_by open-close selection must be order-invariant
-        "q_emb_classify", "q_emb_gram", "q_ts_downsample")) {
+        "q_emb_classify", "q_emb_gram", "q_ts_downsample",
+        // integer fixed-point trajectories must not drift across runs
+        "q_graph_pagerank")) {
       val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
       val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
       assert(a == b, s"$name not deterministic across runs")
