@@ -45,9 +45,59 @@ object DataQuality {
       .orderBy(col("check"))
   }
 
-  val queries: Map[String, Q] = Map("q_dq_checks" -> qDqChecks)
+  /** Statistical anomaly gate (Deequ anomaly-detection analogue): flag
+    * events whose value sits more than 3 population-sigma from their
+    * event_type's mean. The moments come from exact-decimal sums
+    * (partition-order invariant); mean/std/z are then plain IEEE
+    * arithmetic on identical doubles in both engines, so the >3σ cut
+    * is bit-stable without any rounding of the comparison itself.
+    *
+    * Scale: one partial-aggregable stats pass (per-type sum/sumsq/n —
+    * 20 rows out however many events in), broadcast back into a
+    * map-side scoring scan: two passes over the stream, zero shuffles
+    * of the event stream itself — the shape a publish gate can run
+    * every cycle at 100 TB. */
+  val qDqAnomaly: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(col("value")).as("n"),
+        Tables.dsum(col("value")).as("sv"),
+        round(sum(Tables.dec10(col("value")) * Tables.dec10(col("value"))), 4)
+          .cast("double").as("sq"))
+      .withColumn("mean", col("sv") / col("n"))
+      .withColumn("sd",
+        sqrt(col("sq") / col("n") - col("mean") * col("mean")))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mean")) / col("sd"))
+      .filter(abs(col("z")) > 3)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 4).as("z"),
+        round(col("mean"), 4).as("type_mean"),
+        round(col("sd"), 4).as("type_sd"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dq_checks" -> qDqChecks,
+    "q_dq_anomaly" -> qDqAnomaly)
 
   val oracle: Map[String, String] = Map(
+    "q_dq_anomaly" -> """
+      WITH s AS (
+        SELECT event_type, count(value) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+          CAST(round(sum(CAST(value AS DECIMAL(10,4)) *
+                         CAST(value AS DECIMAL(10,4))), 4) AS DOUBLE) AS sq
+        FROM events GROUP BY 1),
+      m AS (SELECT event_type, n, sv / n AS mean,
+              sqrt(sq / n - (sv / n) * (sv / n)) AS sd
+            FROM s)
+      SELECT event_id, e.event_type, value,
+        round((value - mean) / sd, 4) AS z,
+        round(mean, 4) AS type_mean, round(sd, 4) AS type_sd
+      FROM events e JOIN m ON e.event_type = m.event_type
+      WHERE abs((value - mean) / sd) > 3
+      ORDER BY event_id""",
     "q_dq_checks" -> """
       WITH pk AS (
         SELECT count(*) AS v FROM (
