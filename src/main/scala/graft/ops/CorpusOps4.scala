@@ -153,8 +153,10 @@ object CorpusOps4 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // exact verification ONLY on the bloom-positive subset — the
     // pre-filter's whole purpose; negatives are proven novel.
+    // corpus is already distinct per g (hash cols are functions of g),
+    // and a semi-join ignores right-side duplicates anyway
     val verified = probe.filter(col("hit") === 1)
-      .join(corpus.select(col("g")).distinct(), Seq("g"), "left_semi")
+      .join(corpus.select(col("g")), Seq("g"), "left_semi")
       .select(col("doc_id"), col("g"), lit(1L).as("mem"))
     probe.join(verified, Seq("doc_id", "g"), "left")
       .withColumn("mem", coalesce(col("mem"), lit(0L)))

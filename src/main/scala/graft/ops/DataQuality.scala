@@ -65,11 +65,16 @@ object DataQuality {
         round(sum(Tables.dec10(col("value")) * Tables.dec10(col("value"))), 4)
           .cast("double").as("sq"))
       .withColumn("mean", col("sv") / col("n"))
-      .withColumn("sd",
-        sqrt(col("sq") / col("n") - col("mean") * col("mean")))
+      // floor the variance at 0: sumsq rounding can push a (near-)
+      // constant type microscopically negative, where Spark's sqrt
+      // yields NaN but DuckDB errors — and guard sd > 0 so a
+      // zero-variance type drops identically in both engines instead
+      // of Spark emitting z = +-Infinity where DuckDB's x/0.0 is NULL
+      .withColumn("sd", sqrt(greatest(
+        col("sq") / col("n") - col("mean") * col("mean"), lit(0.0))))
     ev.join(broadcast(stats), Seq("event_type"))
       .withColumn("z", (col("value") - col("mean")) / col("sd"))
-      .filter(abs(col("z")) > 3)
+      .filter(col("sd") > 0 && abs(col("z")) > 3)
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("z"), 4).as("z"),
         round(col("mean"), 4).as("type_mean"),
@@ -90,13 +95,13 @@ object DataQuality {
                          CAST(value AS DECIMAL(10,4))), 4) AS DOUBLE) AS sq
         FROM events GROUP BY 1),
       m AS (SELECT event_type, n, sv / n AS mean,
-              sqrt(sq / n - (sv / n) * (sv / n)) AS sd
+              sqrt(greatest(sq / n - (sv / n) * (sv / n), 0.0)) AS sd
             FROM s)
       SELECT event_id, e.event_type, value,
         round((value - mean) / sd, 4) AS z,
         round(mean, 4) AS type_mean, round(sd, 4) AS type_sd
       FROM events e JOIN m ON e.event_type = m.event_type
-      WHERE abs((value - mean) / sd) > 3
+      WHERE sd > 0 AND abs((value - mean) / sd) > 3
       ORDER BY event_id""",
     "q_dq_checks" -> """
       WITH pk AS (

@@ -2,8 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
-import graft.functions.GraftFunctions
 
 /** Embedding-matrix operators beyond search (SURVEY.md §2.M): supervised
   * nearest-centroid classification and the one-pass Gram/covariance
@@ -23,16 +21,12 @@ import graft.functions.GraftFunctions
   */
 object EmbeddingOps {
 
-  private def quantized(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
-          .as("q"))
-  }
+  // quantization + integer dot are the shared EmbQuant contract (ops
+  // package object) — same 1e6 scale as Similarity and both oracles
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    EmbQuant.quantized(s, dir)
 
-  private def dotq(a: Column, b: Column): Column =
-    call_function("dotq", a, b)
+  private def dotq(a: Column, b: Column): Column = EmbQuant.dotq(a, b)
 
   /** Nearest-centroid (Rocchio) label classifier: per-label integer SUM
     * centroids from the train split (cosine is scale-invariant, so the

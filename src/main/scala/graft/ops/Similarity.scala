@@ -3,8 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
-import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` fixture (north star /
   * SURVEY.md §2.M): brute-force cosine top-k as the exact baseline, a
@@ -26,19 +24,12 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
-  /** Quantized embedding: array<long> of round(x * 1e6). */
-  private def quantized(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
-          .as("q"))
-  }
+  /** Quantized embedding: array<long> of round(x * 1e6) — the shared
+    * contract lives in [[EmbQuant]] (ops package object). */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    EmbQuant.quantized(s, dir)
 
-  /** Exact integer dot product via the custom codegen expression
-    * (graft.functions.DotLongArrays) — allocation-free hot loop. */
-  private def dotq(a: Column, b: Column): Column =
-    call_function("dotq", a, b)
+  private def dotq(a: Column, b: Column): Column = EmbQuant.dotq(a, b)
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("n2", dotq(col("q"), col("q")))

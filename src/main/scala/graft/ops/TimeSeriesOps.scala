@@ -118,8 +118,7 @@ object TimeSeriesOps {
         min(col("value")).as("low"),
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         davg(col("value")).as("mean_value"))
-      .select(col("event_type"),
-        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+      .select(col("event_type"), fmtTs(col("h")).as("hour"),
         col("n_events"), col("open"), col("high"), col("low"),
         col("close"), col("mean_value"))
       .orderBy(col("event_type"), col("hour"))
