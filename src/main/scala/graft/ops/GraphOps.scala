@@ -46,12 +46,17 @@ object GraphOps {
     val edgesD = edges.join(broadcast(deg), Seq("src"))
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
-      rank = edgesD
+      // persist each iterate: broadcast(rank) executes rank's full
+      // lineage, so an unpersisted chain recomputes iteration k-1 (and
+      // everything before it) inside iteration k — 1+2+3 passes
+      // instead of 3 (measured ~40% of the query's runtime)
+      rank = graft.CacheScope.track(edgesD
         .join(broadcast(rank), col("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst"))
         .agg(expr("cast(150000 + (sum(c) * 85) div 100 as bigint)").as("r"))
         .select(col("dst").as("node"), col("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     }
     rank.orderBy(col("r").desc, col("node")).limit(20)
   }
