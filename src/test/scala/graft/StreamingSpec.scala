@@ -30,6 +30,57 @@ class UserCountProcessor
   }
 }
 
+/** Bounded-state streaming dedup (bff-style): each grouping key is a
+  * Bloom BLOCK (16 blocks x 4 words x 62 bits here); state per key is
+  * four longs — 32 bytes per block REGARDLESS of how many ids stream
+  * through, the bounded-memory alternative to dropDuplicates' one
+  * state row per key. Bloom guarantees no false negatives, so a
+  * repeated id is always suppressed; a false positive suppresses a
+  * genuinely-new id at the (tunable) fp rate.
+  * Input: (blk, id, p1, p2, p3); output: ids emitted on first sight. */
+class BloomDedupProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long, Long, Long), Long] {
+  import org.apache.spark.sql.Encoders
+  @transient private var words:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    words = getHandle.getValueState[(Long, Long, Long, Long)]("bloom",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long, Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[Long] = {
+    var w = if (words.exists()) words.get() else (0L, 0L, 0L, 0L)
+    def word(i: Long): Long = (i / 62) match {
+      case 0 => w._1; case 1 => w._2; case 2 => w._3; case _ => w._4
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    rows.foreach { case (_, id, p1, p2, p3) =>
+      val ps = Seq(p1, p2, p3)
+      val seen = ps.forall(p => (word(p) >> (p % 62).toInt & 1L) == 1L)
+      if (!seen) {
+        out += id
+        ps.foreach { p =>
+          val m = 1L << (p % 62).toInt
+          (p / 62) match {
+            case 0 => w = w.copy(_1 = w._1 | m)
+            case 1 => w = w.copy(_2 = w._2 | m)
+            case 2 => w = w.copy(_3 = w._3 | m)
+            case _ => w = w.copy(_4 = w._4 | m)
+          }
+        }
+      }
+    }
+    words.update(w)
+    out.iterator
+  }
+}
+
 /** Batch ≡ stream equivalence (SURVEY.md §2.J, §5.2): the SAME windowed
   * transformations declared in StreamingOps run under Structured Streaming
   * from a file-replay source and must produce the batch rows. */
@@ -346,6 +397,51 @@ class StreamingSpec extends AnyFunSuite {
         .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
         .orderBy(col("user_id")).collect().toSeq
       assert(streamed == batch)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("bounded-state bloom dedup: 32 bytes per block, no repeat ever emitted") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    // user_id dedup through a 16-block bloom: state is <= 16 x 32 bytes
+    // however many users stream through (dropDuplicates would hold one
+    // row per user); md5-position spelling identical to q_dedup_bloom
+    val hashed = streamedEvents
+      .withColumn("m", md5(col("user_id").cast("string")))
+      .selectExpr(
+        "cast(conv(substring(m, 1, 8), 16, 10) as bigint) % 16 as blk",
+        "user_id",
+        "cast(conv(substring(m, 9, 6), 16, 10) as bigint) % 248 as p1",
+        "cast(conv(substring(m, 15, 6), 16, 10) as bigint) % 248 as p2",
+        "cast(conv(substring(m, 21, 6), 16, 10) as bigint) % 248 as p3")
+      .as[(Long, Long, Long, Long, Long)]
+    val deduped = hashed.groupByKey(_._1)
+      .transformWithState(new BloomDedupProcessor,
+        TimeMode.None(), OutputMode.Append())
+    val q = deduped.toDF("user_id").writeStream.format("memory")
+      .queryName("t_bloom_dedup").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("t_bloom_dedup")
+      .select(col("user_id")).collect().map(_.getLong(0)).toSeq
+    val distinctUsers = Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    // no false negatives: a user can never be emitted twice
+    assert(emitted.size == emitted.toSet.size,
+      "a repeated user slipped past the bloom")
+    // at this load (~tens of users over 16x248 bits) no block's bits
+    // cover another user's triple, so nothing is falsely suppressed
+    // either: the emitted set IS the distinct-user set
+    assert(emitted.toSet == distinctUsers,
+      s"emitted ${emitted.size} vs ${distinctUsers.size} distinct users")
     } finally {
       saved match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
