@@ -79,24 +79,38 @@ object Similarity {
     * lifts per-table collision from p^6 ~ 0.046 to p^6 + 6 p^5 (1-p) ~ 0.23
     * and 8-table recall from ~0.31 to ~0.87, for 7x probe rows on ONE join
     * side instead of 2x+ more tables (at scale: probe the smaller side).
-    * Hyperplane components are deterministic +-1 from xxhash64(plane, dim);
-    * candidates come from the (table, bucket) equi-join, then exact rerank.
-    * Candidate generation stays an equi-join (shuffle O(n * tables *
-    * probes)), never O(n^2). Engine-specific hashes -> no SQL oracle;
-    * recall >= 0.6 vs the exact q_sim_neardup is asserted in
-    * DedupSimilaritySpec. */
+    * Hyperplane components are deterministic +-1 from the parity of an
+    * md5-prefix of (table, plane, dim) — the cross-engine hash trick —
+    * materialized as a 3072-row plane table both engines derive
+    * identically, which makes the WHOLE query DuckDB-oracle-checkable
+    * (r8; previously xxhash64 made it rows-only). Candidates come from
+    * the (table, bucket) equi-join, then exact rerank. Candidate
+    * generation stays an equi-join (shuffle O(n * tables * probes)),
+    * never O(n^2); the plane table is constant-size and broadcasts, and
+    * both bucket aggregations partial-aggregate map-side — an index
+    * BUILD pass at 100 TB, run once per corpus snapshot. Recall >= 0.6
+    * vs the exact q_sim_neardup stays asserted in DedupSimilaritySpec. */
   val qSimAnnLsh: Q = (s, dir) => {
     val emb = withNorm(quantized(s, dir))
+    // 8 tables x 6 planes x 64 dims of deterministic +-1 components
+    val planes = s.range(1)
+      .select(explode(sequence(lit(0), lit(7))).as("t"))
+      .select(col("t"), explode(sequence(lit(0), lit(5))).as("p"))
+      .select(col("t"), col("p"), explode(sequence(lit(1), lit(64))).as("i"))
+      .withColumn("sgn", expr(
+        """if(cast(conv(substring(md5(concat_ws('_', t, p, i)), 1, 8),
+                       16, 10) as bigint) % 2 = 0, 1L, -1L)"""))
     // one row per (vector, table): bucket = 6 sign bits of dot(v, plane)
     val bucketed = emb
-      .select(col("vec_id"), col("q"), col("n2"),
-        explode(sequence(lit(0), lit(7))).as("t"))
-      .withColumn("bucket", expr(
-        """aggregate(sequence(0, 5), 0L, (acc, p) ->
-             acc * 2 + if(aggregate(sequence(1, size(q)), 0L, (a2, i) ->
-               a2 + element_at(q, i) *
-                    if(pmod(xxhash64(t * 6 + p, i), 2) = 0, 1L, -1L)) > 0,
-               1L, 0L))"""))
+      .select(col("vec_id"), posexplode(col("q")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("v"))
+      .join(broadcast(planes), Seq("i"))
+      .groupBy(col("vec_id"), col("t"), col("p"))
+      .agg(sum(col("v") * col("sgn")).as("sdot"))
+      .groupBy(col("vec_id"), col("t"))
+      .agg(sum(when(col("sdot") > 0,
+        expr("shiftleft(1L, cast(5 - p as int))")).otherwise(0L))
+        .as("bucket"))
     // probe side: own bucket + its 6 hamming-1 neighbors (bit flips)
     val a = bucketed
       .select(col("t"), col("vec_id").as("va"),
@@ -383,6 +397,44 @@ object Similarity {
       d AS (SELECT a.vec_id AS va, b.vec_id AS vb,
               CAST(sum(a.v * b.v) AS BIGINT) AS dot
             FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2)
+      SELECT va, vb,
+        CAST(dot AS DOUBLE) /
+          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+      FROM d JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id
+      WHERE CAST(dot AS DOUBLE) /
+          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.3
+      ORDER BY va, vb""",
+    "q_sim_ann_lsh" -> s"""
+      WITH e AS ($quantSql),
+      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      planes AS (
+        SELECT t, p, i,
+          CASE WHEN CAST('0x' ||
+              substr(md5(t || '_' || p || '_' || i), 1, 8) AS BIGINT)
+              % 2 = 0
+            THEN 1 ELSE -1 END AS sgn
+        FROM range(0, 8) rt(t), range(0, 6) rp(p), range(1, 65) ri(i)),
+      sd AS (SELECT e.vec_id, pl.t, pl.p,
+               CAST(sum(e.v * pl.sgn) AS BIGINT) AS sdot
+             FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2, 3),
+      bk AS (SELECT vec_id, t,
+               CAST(sum(CASE WHEN sdot > 0
+                 THEN (CAST(1 AS BIGINT) << CAST(5 - p AS INT))
+                 ELSE 0 END) AS BIGINT) AS bucket
+             FROM sd GROUP BY 1, 2),
+      a AS (SELECT t, vec_id AS va,
+              unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                      xor(bucket, 4), xor(bucket, 8), xor(bucket, 16),
+                      xor(bucket, 32)]) AS bucket
+            FROM bk),
+      b AS (SELECT t, bucket, vec_id AS vb FROM bk),
+      cand AS (SELECT DISTINCT va, vb
+               FROM a JOIN b USING (t, bucket) WHERE va < vb),
+      d AS (SELECT va, vb, CAST(sum(ea.v * eb.v) AS BIGINT) AS dot
+            FROM cand JOIN e ea ON ea.vec_id = va
+                      JOIN e eb ON eb.vec_id = vb AND ea.i = eb.i
             GROUP BY 1, 2)
       SELECT va, vb,
         CAST(dot AS DOUBLE) /
