@@ -100,8 +100,9 @@ object Similarity {
       .withColumn("sgn", expr(
         """if(cast(conv(substring(md5(concat_ws('_', t, p, i)), 1, 8),
                        16, 10) as bigint) % 2 = 0, 1L, -1L)"""))
-    // one row per (vector, table): bucket = 6 sign bits of dot(v, plane)
-    val bucketed = emb
+    // one row per (vector, table): bucket = 6 sign bits of dot(v, plane);
+    // persisted — both sides of the candidate join consume it
+    val bucketed = graft.CacheScope.track(emb
       .select(col("vec_id"), posexplode(col("q")))
       .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("v"))
       .join(broadcast(planes), Seq("i"))
@@ -111,6 +112,7 @@ object Similarity {
       .agg(sum(when(col("sdot") > 0,
         expr("shiftleft(1L, cast(5 - p as int))")).otherwise(0L))
         .as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // probe side: own bucket + its 6 hamming-1 neighbors (bit flips)
     val a = bucketed
       .select(col("t"), col("vec_id").as("va"),
