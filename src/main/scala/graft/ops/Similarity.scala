@@ -88,10 +88,14 @@ object Similarity {
     * generation stays an equi-join (shuffle O(n * tables * probes)),
     * never O(n^2); the plane table is constant-size and broadcasts, and
     * both bucket aggregations partial-aggregate map-side — an index
-    * BUILD pass at 100 TB, run once per corpus snapshot. Recall >= 0.6
-    * vs the exact q_sim_neardup stays asserted in DedupSimilaritySpec. */
+    * BUILD pass at 100 TB, run once per corpus snapshot. Recall >= 0.8
+    * vs the exact q_sim_neardup stays asserted in DedupSimilaritySpec
+    * (0.8, not 0.6 — the tight bound that catches a broken hash). */
   val qSimAnnLsh: Q = (s, dir) => {
-    val emb = withNorm(quantized(s, dir))
+    // three consumers (bucket build + both exact-rerank joins) — same
+    // persist discipline as qDedupSemantic's identical frame
+    val emb = graft.CacheScope.track(withNorm(quantized(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // 8 tables x 6 planes x 64 dims of deterministic +-1 components
     val planes = s.range(1)
       .select(explode(sequence(lit(0), lit(7))).as("t"))

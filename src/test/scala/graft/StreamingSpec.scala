@@ -106,6 +106,19 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** transformWithState requires the RocksDB state store; save/restore
+    * the provider conf around the body (shared by every tWS test). */
+  private def withRocksDBStateStore[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def runToBatch(df: org.apache.spark.sql.DataFrame,
       name: String): org.apache.spark.sql.DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
@@ -376,10 +389,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("transformWithState (Spark 4 stateful API) keeps a running count per key") {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBStateStore {
       import spark.implicits._
       val counted = streamedEvents
         .selectExpr("user_id", "event_id").as[(Long, Long)]
@@ -397,21 +407,13 @@ class StreamingSpec extends AnyFunSuite {
         .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
         .orderBy(col("user_id")).collect().toSeq
       assert(streamed == batch)
-    } finally {
-      saved match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
   test("bounded-state bloom dedup: 32 bytes per block, no repeat ever emitted") {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import spark.implicits._
-    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBStateStore {
     // user_id dedup through a 16-block bloom: state is <= 16 x 32 bytes
     // however many users stream through (dropDuplicates would hold one
     // row per user); md5-position spelling identical to q_dedup_bloom
@@ -442,11 +444,6 @@ class StreamingSpec extends AnyFunSuite {
     // either: the emitted set IS the distinct-user set
     assert(emitted.toSet == distinctUsers,
       s"emitted ${emitted.size} vs ${distinctUsers.size} distinct users")
-    } finally {
-      saved match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
