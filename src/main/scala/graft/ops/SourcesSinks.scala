@@ -262,7 +262,33 @@ object SourcesSinks {
       .orderBy(col("event_type"))
   }
 
+  /** Schema evolution (Hive ALTER TABLE ADD COLUMNS + schema-on-read):
+    * generation 1 files carry (key, name), generation 2 adds
+    * n_regionkey; a mergeSchema read unifies them and the old files'
+    * missing column reads as NULL — exactly how a Hive table serves
+    * old partitions after a column add.
+    *
+    * Scale: mergeSchema's footer reconciliation is per-file metadata
+    * work at planning time; the data path stays the vectorized reader
+    * with nulls materialized for absent columns — no rewrite of old
+    * partitions, which is the entire point at 100 TB. */
+  val qSrcSchemaMerge: Q = (s, dir) => {
+    val v1 = tmp("graft_ev_v1")
+    val v2 = tmp("graft_ev_v2")
+    val nation = Tables(s, dir, "nation")
+    nation.select(col("n_nationkey"), col("n_name"), lit(1L).as("gen"))
+      .write.mode("overwrite").parquet(v1)
+    nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"), lit(2L).as("gen"))
+      .write.mode("overwrite").parquet(v2)
+    s.read.option("mergeSchema", "true").parquet(v1, v2)
+      .select(col("gen"), col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))
+      .orderBy(col("gen"), col("n_nationkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_src_schema_merge" -> qSrcSchemaMerge,
     "q_src_regex" -> qSrcRegex,
     "q_src_seqfile" -> qSrcSeqFile,
     "q_src_dsv2" -> qSrcDsv2,
@@ -275,6 +301,15 @@ object SourcesSinks {
     "q_decimal_e2e" -> qDecimalE2e)
 
   val oracle: Map[String, String] = Map(
+    "q_src_schema_merge" -> """
+      SELECT gen, n_nationkey, n_name, n_regionkey FROM (
+        SELECT CAST(1 AS BIGINT) AS gen, n_nationkey, n_name,
+          CAST(NULL AS BIGINT) AS n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT CAST(2 AS BIGINT) AS gen, n_nationkey, n_name, n_regionkey
+        FROM nation)
+      ORDER BY gen, n_nationkey""",
     "q_src_regex" -> """
       SELECT event_type, count(*) AS cnt, min(event_id) AS min_id,
         max(event_id) AS max_id,
