@@ -317,6 +317,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("triangles: support-pruned edges cached + broadcast, no cartesian") {
+    val p = plan("q_graph_triangles")
+    // the lineitem self-join partial-aggregates into the support>=2
+    // edge set, which is persisted once and reaches the degree joins,
+    // the wedge self-join and the closing-edge probe as broadcasts;
+    // nothing may fall back to a cartesian wedge enumeration
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), s"edge set not cached:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"deg/wedge/closing joins not broadcast:\n$p")
+  }
+
   test("semantic dedup pairs via cid equi-join over cached assignment") {
     val p = plan("q_dedup_semantic")
     // the ONLY nested-loop allowed is the broadcast centroid scoring

@@ -58,7 +58,10 @@ class SparkEntrySpec extends AnyFunSuite {
         // min_by/max_by open-close selection must be order-invariant
         "q_emb_classify", "q_emb_gram", "q_ts_downsample",
         // integer fixed-point trajectories must not drift across runs
-        "q_graph_pagerank", "q_dq_anomaly", "q_src_schema_merge")) {
+        "q_graph_pagerank", "q_dq_anomaly", "q_src_schema_merge",
+        // r8 wave 4: triangle census — degree-orientation ties must
+        // break on node id, not partition order
+        "q_graph_triangles")) {
       val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
       val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
       assert(a == b, s"$name not deterministic across runs")
