@@ -163,7 +163,35 @@ object TextAnalysis {
       .orderBy(col("next_tok"))
   }
 
+  /** BPE merge-candidate statistics (Sennrich et al. 2016, the
+    * tokenizer-training inner loop): weighted counts of adjacent
+    * symbol pairs — characters plus the end-of-word marker — reporting
+    * the top-20 merge candidates.
+    *
+    * Scale: the corpus collapses to the word-frequency DICTIONARY
+    * first (one partial-aggregated scan to |V| rows), and the pair
+    * fan-out runs over the dictionary weighted by frequency — the
+    * standard BPE trick. A 100 TB corpus still reduces to a few
+    * million dictionary rows, so every merge iteration after the
+    * first scan is dictionary-sized, not corpus-sized. */
+  val qBpePairCount: Q = (s, dir) => {
+    val dict = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    dict
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, length(word)),
+           i -> concat(substring(word, i, 1), ' ',
+             if(i = length(word), '</w>', substring(word, i + 1, 1))))"""))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+      .orderBy(col("pair"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bpe_pair_count" -> qBpePairCount,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_langid" -> qTextLangId,
     "q_text_quality" -> qTextQuality,
@@ -179,6 +207,19 @@ object TextAnalysis {
     s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(words)}))) AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "q_bpe_pair_count" -> """
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+      dict AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+      pairs AS (
+        SELECT word[i] || ' ' ||
+               CASE WHEN i = len(word) THEN '</w>' ELSE word[i + 1] END
+          AS pair, freq
+        FROM (SELECT *, unnest(range(1, len(word) + 1)) AS i FROM dict)),
+      c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM pairs GROUP BY 1),
+      t AS (SELECT * FROM c ORDER BY cnt DESC, pair LIMIT 20)
+      SELECT pair, cnt FROM t ORDER BY pair""",
     "q_fn_ngrams" -> """
       WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
       g AS (SELECT a[i] || ' ' || a[i + 1] AS ngram
