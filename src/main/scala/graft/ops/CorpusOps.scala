@@ -59,6 +59,42 @@ object CorpusOps {
       .orderBy(col("lang"))
   }
 
+  /** Weighted sampling proportional-to-size, without replacement:
+    * systematic (Madow 1949) PPS sampling of k=5 docs per source,
+    * weighted by n_chars — the "sample training docs by length/quality
+    * weight" pipeline step. Each source lays its docs on a cumulative
+    * weight line and takes the docs covering the k midpoint strides
+    * ((2m-1)·W/2k), so inclusion probability is proportional to weight
+    * and the draw is exact-integer deterministic (the float-free
+    * alternative to Efraimidis–Spirakis exponential keys, whose
+    * ln/pow ordering is not bit-stable across engines).
+    *
+    * Scale: one window cumsum per source partition (same sharded
+    * discipline as qPackSequences — never a global single partition),
+    * the k sample points are a per-row predicate on the cumsum, and
+    * nothing else shuffles. 100 TB = one shuffle on source. */
+  val qSampleWeighted: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cw", sum(col("n_chars")).over(wCum))
+      .withColumn("tot", sum(col("n_chars")).over(wAll))
+      .select(col("source"), col("doc_id"), col("n_chars"), col("cw"),
+        col("tot"),
+        explode(expr(s"sequence(1L, ${k}L)")).as("m"))
+      .withColumn("p", expr(s"((2 * m - 1) * tot) div ${2 * k}"))
+      .filter(col("cw") - col("n_chars") < col("p") &&
+        col("p") <= col("cw"))
+      .select(col("source"), col("m"), col("p"), col("doc_id"),
+        col("n_chars"))
+      .orderBy(col("source"), col("m"))
+  }
+
   /** Benchmark-contamination detection: count distinct word 4-grams each
     * corpus doc shares with a held-out benchmark set (here: doc_id % 97
     * = 0). Scale: the benchmark gram set is tiny and broadcast, so the
@@ -101,6 +137,7 @@ object CorpusOps {
   val queries: Map[String, Q] = Map(
     "q_pack_sequences" -> qPackSequences,
     "q_sample_stratified" -> qSampleStratified,
+    "q_sample_weighted" -> qSampleWeighted,
     "q_contamination" -> qContamination,
     "q_chunk_docs" -> qChunkDocs)
 
@@ -125,6 +162,20 @@ object CorpusOps {
       WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
             (CASE WHEN lang = 'en' THEN 100 ELSE 300 END)
       GROUP BY lang ORDER BY lang""",
+    "q_sample_weighted" -> """
+      WITH d AS (
+        SELECT doc_id, source, n_chars,
+          sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+          sum(n_chars) OVER (PARTITION BY source) AS tot
+        FROM documents),
+      s AS (SELECT *, unnest(range(1, 6)) AS m FROM d),
+      x AS (SELECT source, m, ((2 * m - 1) * tot) // 10 AS p,
+                   doc_id, n_chars, cw
+            FROM s)
+      SELECT source, m, CAST(p AS BIGINT) AS p, doc_id, n_chars
+      FROM x WHERE cw - n_chars < p AND p <= cw
+      ORDER BY source, m""",
     "q_contamination" -> """
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS a FROM documents),
