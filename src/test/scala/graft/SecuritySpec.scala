@@ -46,4 +46,19 @@ class SecuritySpec extends AnyFunSuite {
         Map("no_such_col" -> lit(0)))
     }
   }
+
+  test("k-anonymity gate: every published row covers >= k docs, none lost") {
+    val rows = SparkEntry.queries("q_privacy_kanon")(spark, sf).collect()
+    // the residual suppression row is exempt from k (it identifies no
+    // QI combination); every real row must meet the floor
+    val k = 3
+    val (residual, published) =
+      rows.partition(r => r.getString(0) == "*" && r.getString(1) == "*")
+    assert(published.forall(_.getLong(3) >= k),
+      s"published group under k: ${published.minBy(_.getLong(3))}")
+    assert(residual.size <= 1)
+    // conservation: published + suppressed = corpus size
+    val total = rows.map(_.getLong(3)).sum
+    assert(total == Tables(spark, sf, "documents").count(), total)
+  }
 }
