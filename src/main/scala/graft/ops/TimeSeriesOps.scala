@@ -124,13 +124,65 @@ object TimeSeriesOps {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** First/last-touch marketing attribution: every purchase is credited
+    * to the first and the most recent engagement touch (click/view) in
+    * the same user's preceding history — the standard warehouse
+    * attribution model, expressed as IGNORE NULLS window picks over
+    * the event stream (no self-join, no correlated subquery).
+    *
+    * Scale: one shuffle on user_id; both attribution columns and the
+    * touch counter ride the same per-user sort. The purchase filter
+    * happens AFTER the window (it must see non-purchase rows), so the
+    * only post-shuffle cost is the windowed pass itself. Purchase
+    * `value` is carried verbatim (no float arithmetic) — exact. */
+  val qAttrTouch: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"),
+        when(col("event_type").isin("click", "view"), col("event_id"))
+          .as("touch_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"),
+        first(col("touch_id"), ignoreNulls = true).over(w)
+          .as("first_touch_id"),
+        last(col("touch_id"), ignoreNulls = true).over(w)
+          .as("last_touch_id"),
+        count(col("touch_id")).over(w).as("n_touches"))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("first_touch_id"), col("last_touch_id"), col("n_touches"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ts_sessionize" -> qSessionize,
     "q_ts_gapfill" -> qGapfill,
     "q_ts_downsample" -> qDownsample,
-    "q_ts_rolling_ndv" -> qRollingNdv)
+    "q_ts_rolling_ndv" -> qRollingNdv,
+    "q_attr_touch" -> qAttrTouch)
 
   val oracle: Map[String, String] = Map(
+    "q_attr_touch" -> """
+      WITH t AS (
+        SELECT user_id, event_id, ts, event_type, value,
+          CASE WHEN event_type IN ('click', 'view') THEN event_id END
+            AS touch_id
+        FROM events),
+      w AS (
+        SELECT user_id, event_id, event_type, value,
+          first_value(touch_id IGNORE NULLS) OVER win AS first_touch_id,
+          last_value(touch_id IGNORE NULLS) OVER win AS last_touch_id,
+          count(touch_id) OVER win AS n_touches
+        FROM t
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT user_id, event_id, value,
+             first_touch_id, last_touch_id, n_touches
+      FROM w WHERE event_type = 'purchase'
+      ORDER BY user_id, event_id""",
     "q_ts_rolling_ndv" -> """
       WITH du AS (
         SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
