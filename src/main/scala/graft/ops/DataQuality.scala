@@ -82,11 +82,51 @@ object DataQuality {
       .orderBy(col("event_id"))
   }
 
+  /** Column-statistics profiler — the `ANALYZE TABLE ... COMPUTE
+    * STATISTICS FOR COLUMNS` surface (Hive 0.10+, HIVE-1362) as a
+    * query: per-column row/null/NDV counts and min/max over the
+    * lineitem measures, one row per column.
+    *
+    * Scale: a single scan computes every per-column aggregate; the
+    * multi-DISTINCT expansion (one expand branch per NDV column) is
+    * exactly Hive's compute_stats shape with exact NDV. At 100 TB the
+    * NDVs swap to approx_count_distinct (HLL, one pass, no expand —
+    * `q_agg_approx` demonstrates it); min/max/counts are unchanged.
+    * Min/max are value PICKS (no float arithmetic), so doubles pass
+    * the cross-engine hash exactly. */
+  val qProfileColumns: Q = (s, dir) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables(s, dir, "lineitem")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"))
+    }
+    val stacked = cols.map(c =>
+      s"'$c', ${c}__n, ${c}__nulls, ${c}__ndv, ${c}__min, ${c}__max")
+      .mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stacked)")
+        .as(Seq("col_name", "n", "n_nulls", "ndv", "min_v", "max_v")))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dq_checks" -> qDqChecks,
-    "q_dq_anomaly" -> qDqAnomaly)
+    "q_dq_anomaly" -> qDqAnomaly,
+    "q_profile_columns" -> qProfileColumns)
 
   val oracle: Map[String, String] = Map(
+    "q_profile_columns" -> (Seq(
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c => s"""
+      SELECT '$c' AS col_name, count($c) AS n,
+        CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_nulls,
+        count(DISTINCT $c) AS ndv, min($c) AS min_v, max($c) AS max_v
+      FROM lineitem""").mkString(" UNION ALL ") +
+      " ORDER BY col_name"),
     "q_dq_anomaly" -> """
       WITH s AS (
         SELECT event_type, count(value) AS n,
