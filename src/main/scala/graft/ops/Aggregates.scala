@@ -318,7 +318,47 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Market-basket association mining (the Apriori support/lift step,
+    * Agrawal & Srikant 1994): top part pairs co-purchased in the same
+    * order, ranked by support then lift. Lift is kept in exact integer
+    * micro-units (supp·N·1e6 div cnt_a·cnt_b) so both engines agree
+    * bit-for-bit — no float division.
+    *
+    * Scale: the pair fan-out partial-aggregates on (a, b) before the
+    * support>=2 prune (same market-basket discipline as
+    * q_graph_triangles); per-item order counts are |parts|-sized and
+    * broadcast to the surviving pairs. One corpus-sized stage. */
+  val qBasketPairs: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val liP = graft.CacheScope.track(
+      li.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // scalar total as a 1-row broadcast, not a driver-side count()
+    val nOrders = liP.agg(
+      countDistinct(col("l_orderkey")).as("n_orders"))
+    val itemCnt = liP.groupBy(col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = liP.as("a")
+      .join(liP.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 2)
+    pairs
+      .join(broadcast(itemCnt.as("ca")), col("pa") === col("ca.p"))
+      .join(broadcast(itemCnt.as("cb")), col("pb") === col("cb.p"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("supp"),
+        expr("(supp * n_orders * 1000000L) div " +
+          "(`ca`.cnt * `cb`.cnt)").as("lift_micro"))
+      .orderBy(col("supp").desc, col("lift_micro").desc,
+        col("pa"), col("pb"))
+      .limit(20)
+      .orderBy(col("pa"), col("pb"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_basket_pairs" -> qBasketPairs,
     "q1_pricing_summary" -> q1Pricing,
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_rollup" -> qAggRollup,
@@ -353,6 +393,24 @@ object Aggregates {
     ORDER BY l_returnflag, l_linestatus"""
 
   val oracle: Map[String, String] = Map(
+    "q_basket_pairs" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+      ic AS (SELECT l_partkey AS p, count(*) AS cnt FROM li GROUP BY 1),
+      pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS supp
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      t AS (
+        SELECT pa, pb, supp,
+          CAST((supp * n.n_orders * 1000000) // (ca.cnt * cb.cnt)
+            AS BIGINT) AS lift_micro
+        FROM pairs JOIN ic ca ON pairs.pa = ca.p
+                   JOIN ic cb ON pairs.pb = cb.p
+                   CROSS JOIN n
+        ORDER BY supp DESC, lift_micro DESC, pa, pb LIMIT 20)
+      SELECT pa, pb, supp, lift_micro FROM t ORDER BY pa, pb""",
     "q1_pricing_summary" -> q1Sql,
     "q_agg_bitwise" -> """
       SELECT l_returnflag,
