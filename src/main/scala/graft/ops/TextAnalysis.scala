@@ -190,8 +190,47 @@ object TextAnalysis {
       .orderBy(col("pair"))
   }
 
+  /** One full BPE merge iteration (the loop body of tokenizer
+    * training): symbolize the dictionary (chars + `</w>`), pick the
+    * best-scoring adjacent pair, apply the merge to every word's
+    * symbol string (left-to-right non-overlapping `replace`, identical
+    * in both engines), and recount — emitting the applied merge with
+    * the post-merge top-20 pair table. Iterating this step IS BPE
+    * training; `q_bpe_pair_count` is its cold-start statistics pass.
+    *
+    * Scale: everything after the first corpus scan is dictionary-sized
+    * — the best pair is a 1-row broadcast, the merge is a map-side
+    * string rewrite over |V| rows, and the recount fans out |V|·len.
+    * 100 TB of text never re-enters the loop. */
+  val qBpeMergeStep: Q = (s, dir) => {
+    val dict = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("sym",
+        concat(regexp_replace(col("word"), "(.)", "$1 "), lit("</w>")))
+    def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, size(split(sym, ' ')) - 1),
+           i -> concat(element_at(split(sym, ' '), i), ' ',
+                       element_at(split(sym, ' '), i + 1)))"""))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+    val best = pairCounts(dict)
+      .orderBy(col("cnt").desc, col("pair")).limit(1)
+      .select(col("pair").as("merge"))
+    val merged = dict.crossJoin(broadcast(best))
+      .withColumn("sym",
+        expr("replace(sym, merge, replace(merge, ' ', ''))"))
+    pairCounts(merged.select(col("freq"), col("sym"), col("merge")))
+      .crossJoin(broadcast(best))
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
+      .select(col("merge"), col("pair"), col("cnt"))
+      .orderBy(col("pair"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bpe_pair_count" -> qBpePairCount,
+    "q_bpe_merge_step" -> qBpeMergeStep,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_langid" -> qTextLangId,
     "q_text_quality" -> qTextQuality,
@@ -220,6 +259,31 @@ object TextAnalysis {
             FROM pairs GROUP BY 1),
       t AS (SELECT * FROM c ORDER BY cnt DESC, pair LIMIT 20)
       SELECT pair, cnt FROM t ORDER BY pair""",
+    "q_bpe_merge_step" -> """
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+      dict AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+      d AS (SELECT freq,
+              regexp_replace(word, '(.)', '\1 ', 'g') || '</w>' AS sym
+            FROM dict),
+      p0 AS (SELECT a[i] || ' ' || a[i + 1] AS pair, sum(freq) AS cnt
+             FROM (SELECT *, unnest(range(1, len(a))) AS i
+                   FROM (SELECT freq, string_split(sym, ' ') AS a FROM d))
+             GROUP BY 1),
+      best AS (SELECT pair AS merge FROM p0
+               ORDER BY cnt DESC, pair LIMIT 1),
+      m AS (SELECT freq,
+              replace(sym, best.merge, replace(best.merge, ' ', '')) AS sym,
+              best.merge
+            FROM d CROSS JOIN best),
+      p1 AS (SELECT merge, a[i] || ' ' || a[i + 1] AS pair,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT *, unnest(range(1, len(a))) AS i
+                   FROM (SELECT freq, merge, string_split(sym, ' ') AS a
+                         FROM m))
+             GROUP BY 1, 2),
+      t AS (SELECT * FROM p1 ORDER BY cnt DESC, pair LIMIT 20)
+      SELECT merge, pair, cnt FROM t ORDER BY pair""",
     "q_fn_ngrams" -> """
       WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
       g AS (SELECT a[i] || ' ' || a[i + 1] AS ngram
