@@ -128,9 +128,60 @@ object GraphOps {
       .orderBy(col("kind"), col("cnt").desc, col("node"))
   }
 
+  /** Three unrolled k-core peeling rounds (Seidman 1983, k=3) over the
+    * same support-pruned co-purchase graph as the triangle census:
+    * each round drops nodes of degree < k and induces the remaining
+    * subgraph. Emits per-round (nodes, edges) survivors plus the
+    * top-10 residual degrees — the "dense-core extraction" companion
+    * to PageRank (value iteration) and components (label propagation):
+    * iterative semi-join FILTERING rather than aggregation.
+    *
+    * Scale: the surviving node set is |V|-sized and broadcasts into
+    * both endpoint filters; each round's induced edge list is
+    * persisted (the iterative-broadcast lesson — an unpersisted chain
+    * re-peels every earlier round inside round r). At a graph where
+    * |V| outgrows broadcast, both filters become shuffle semi-joins
+    * co-partitioned on the endpoint. */
+  val qGraphKcore: Q = (s, dir) => {
+    val k = 3
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e0 = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+    var und = graft.CacheScope.track(
+      e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var summaries = Seq.empty[org.apache.spark.sql.DataFrame]
+    for (r <- 1 to 3) {
+      val keep = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u").as("n"))
+      und = graft.CacheScope.track(und
+        .join(broadcast(keep.as("ka")), col("u") === col("ka.n"))
+        .select(col("u"), col("v"))
+        .join(broadcast(keep.as("kb")), col("v") === col("kb.n"))
+        .select(col("u"), col("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+      summaries = summaries :+ und
+        .agg(countDistinct(col("u")).as("a"),
+          (count(lit(1)) / 2).cast("long").as("b"))
+        .select(lit(s"round$r").as("kind"), col("a"), col("b"))
+    }
+    val top = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("u")).limit(10)
+      .select(lit("top").as("kind"), col("u").as("a"), col("d").as("b"))
+    summaries.reduce(_ union _).union(top)
+      .orderBy(col("kind"), col("b").desc, col("a"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> qGraphPagerank,
-    "q_graph_triangles" -> qGraphTriangles)
+    "q_graph_triangles" -> qGraphTriangles,
+    "q_graph_kcore" -> qGraphKcore)
 
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> """
@@ -186,5 +237,34 @@ object GraphOps {
         SELECT 'triangles', -1, count(*) FROM tri)
       SELECT kind, node, cnt FROM summary
       UNION ALL SELECT kind, node, cnt FROM per_node
-      ORDER BY kind, cnt DESC, node""")
+      ORDER BY kind, cnt DESC, node""",
+    "q_graph_kcore" -> """
+      WITH e0 AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      u0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      n1 AS (SELECT u AS n FROM u0 GROUP BY 1 HAVING count(*) >= 3),
+      u1 AS (SELECT u0.u, u0.v FROM u0
+             JOIN n1 a ON u0.u = a.n JOIN n1 b ON u0.v = b.n),
+      n2 AS (SELECT u AS n FROM u1 GROUP BY 1 HAVING count(*) >= 3),
+      u2 AS (SELECT u1.u, u1.v FROM u1
+             JOIN n2 a ON u1.u = a.n JOIN n2 b ON u1.v = b.n),
+      n3 AS (SELECT u AS n FROM u2 GROUP BY 1 HAVING count(*) >= 3),
+      u3 AS (SELECT u2.u, u2.v FROM u2
+             JOIN n3 a ON u2.u = a.n JOIN n3 b ON u2.v = b.n),
+      summary AS (
+        SELECT 'round1' AS kind, count(DISTINCT u) AS a,
+               count(*) // 2 AS b FROM u1
+        UNION ALL
+        SELECT 'round2', count(DISTINCT u), count(*) // 2 FROM u2
+        UNION ALL
+        SELECT 'round3', count(DISTINCT u), count(*) // 2 FROM u3),
+      top AS (
+        SELECT 'top' AS kind, u AS a, count(*) AS b
+        FROM u3 GROUP BY 2 ORDER BY b DESC, a LIMIT 10)
+      SELECT kind, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+      FROM (SELECT * FROM summary UNION ALL SELECT * FROM top)
+      ORDER BY kind, b DESC, a""")
 }
