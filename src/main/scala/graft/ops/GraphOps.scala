@@ -63,6 +63,24 @@ object GraphOps {
     rank.orderBy(col("r").desc, col("node")).limit(20)
   }
 
+  /** Support-pruned part co-purchase edges (u < v, co-ordered >= 2
+    * times): the shared graph of the triangle census and k-core
+    * peeling. The lineitem self-join partial-aggregates on (u, v)
+    * BEFORE the support filter — the market-basket prune that bounds
+    * edge density at any corpus size. */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+  }
+
   /** Exact triangle census over the part co-purchase graph (parts that
     * ship in the same order, kept only at support >= 2 co-orders), via
     * the degree-ordered node-iterator algorithm (Schank & Wagner 2005;
@@ -83,19 +101,11 @@ object GraphOps {
     * on the shared key, and the census still never materializes
     * open wedges beyond the join stream. */
   val qGraphTriangles: Q = (s, dir) => {
-    val li = Tables(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
     // e0 is the only |lineitem|-sized stage and feeds und (twice), deg,
     // the oriented join and the summary count — persist or the
     // self-join re-runs ~5x (the q_graph_pagerank lesson).
-    val e0 = graft.CacheScope.track(li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select(col("u"), col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    val e0 = graft.CacheScope.track(
+      copurchaseEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK))
     val und = e0.union(e0.select(col("v"), col("u")))
     val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
     val o = graft.CacheScope.track(und
@@ -144,15 +154,7 @@ object GraphOps {
     * co-partitioned on the endpoint. */
   val qGraphKcore: Q = (s, dir) => {
     val k = 3
-    val li = Tables(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val e0 = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select(col("u"), col("v"))
+    val e0 = copurchaseEdges(s, dir)
     var und = graft.CacheScope.track(
       e0.union(e0.select(col("v").as("u"), col("u").as("v")))
         .persist(StorageLevel.MEMORY_AND_DISK))
