@@ -70,8 +70,10 @@ object GraphOps {
     * edge density at any corpus size. */
   private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
+    // distinct first: a part listed twice in one order must not count
+    // as two co-orders (same edge definition as qBasketPairs)
     val li = Tables(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
     li.as("a")
       .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
@@ -108,15 +110,21 @@ object GraphOps {
       copurchaseEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK))
     val und = e0.union(e0.select(col("v"), col("u")))
     val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    // the oriented edge keeps the DESTINATION's (degree, node) key: the
+    // wedge pair below must be ordered by the SAME key the orientation
+    // uses, or closing edges whose degree order disagrees with node-id
+    // order are never probed (undercounts ~50%, caught in r8 review)
     val o = graft.CacheScope.track(und
       .join(broadcast(deg.as("du")), col("u") === col("du.n"))
       .join(broadcast(deg.as("dv")), col("v") === col("dv.n"))
       .filter(struct(col("du.d"), col("u")) < struct(col("dv.d"), col("v")))
-      .select(col("u"), col("v"))
+      .select(col("u"), col("v"), col("dv.d").as("dv"))
       .persist(StorageLevel.MEMORY_AND_DISK))
     val tri = o.as("w1")
       .join(broadcast(o.as("w2")),
-        col("w1.u") === col("w2.u") && col("w1.v") < col("w2.v"))
+        col("w1.u") === col("w2.u") &&
+          (struct(col("w1.dv"), col("w1.v")) <
+            struct(col("w2.dv"), col("w2.v"))))
       .join(broadcast(o.as("e")),
         col("e.u") === col("w1.v") && col("e.v") === col("w2.v"))
       .select(col("w1.u").as("a"), col("w1.v").as("b"), col("w2.v").as("c"))
@@ -211,18 +219,20 @@ object GraphOps {
              FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst)
       SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 20""",
     "q_graph_triangles" -> """
-      WITH e0 AS (
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (
         SELECT a.l_partkey AS u, b.l_partkey AS v
-        FROM lineitem a JOIN lineitem b
+        FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2 HAVING count(*) >= 2),
       und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
       deg AS (SELECT u AS n, count(*) AS d FROM und GROUP BY 1),
-      o AS (SELECT und.u, und.v FROM und
+      o AS (SELECT und.u, und.v, dv.d AS dvd FROM und
             JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v
             WHERE (du.d, und.u) < (dv.d, und.v)),
       tri AS (SELECT w1.u AS a, w1.v AS b, w2.v AS c
-              FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v < w2.v
+              FROM o w1 JOIN o w2
+                ON w1.u = w2.u AND (w1.dvd, w1.v) < (w2.dvd, w2.v)
               JOIN o e ON e.u = w1.v AND e.v = w2.v),
       per_node AS (
         SELECT 'top' AS kind, node, count(*) AS cnt
@@ -241,9 +251,10 @@ object GraphOps {
       UNION ALL SELECT kind, node, cnt FROM per_node
       ORDER BY kind, cnt DESC, node""",
     "q_graph_kcore" -> """
-      WITH e0 AS (
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (
         SELECT a.l_partkey AS u, b.l_partkey AS v
-        FROM lineitem a JOIN lineitem b
+        FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2 HAVING count(*) >= 2),
       u0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),

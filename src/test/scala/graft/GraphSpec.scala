@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph-operator semantics (ops/GraphOps.scala): the degree-oriented
+  * triangle census must agree with an orientation-FREE brute force —
+  * the r8 review caught a ~50% undercount from ordering wedge pairs by
+  * node id while edges were oriented by (degree, node); this pins the
+  * invariant independently of the oracle (which shared the bug). */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("triangle census equals orientation-free brute force") {
+    val rows = SparkEntry.queries("q_graph_triangles")(spark, sf).collect()
+    val reported = rows.find(_.getString(0) == "triangles").get.getLong(2)
+    // brute force on the node-id-normalized undirected edge set: a
+    // triangle {a<b<c} is one row of e0xe0xe0 — no orientation involved
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e0 = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+    val brute = e0.as("x")
+      .join(e0.as("y"), col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .join(e0.as("z"),
+        col("z.u") === col("x.v") && col("z.v") === col("y.v"))
+      .count()
+    assert(reported == brute, s"census $reported != brute force $brute")
+    assert(reported > 0)
+  }
+
+  test("k-core peeling is monotone: survivors shrink, round3 degrees >= k") {
+    val rows = SparkEntry.queries("q_graph_kcore")(spark, sf).collect()
+    def round(r: Int) = rows.find(_.getString(0) == s"round$r").get
+    assert((1 to 2).forall(r => round(r).getLong(1) >= round(r + 1).getLong(1)),
+      "node survivors must be non-increasing")
+    val degs = rows.filter(_.getString(0) == "top").map(_.getLong(2))
+    assert(degs.forall(_ >= 3), s"residual degree under k: ${degs.toSeq}")
+  }
+}
