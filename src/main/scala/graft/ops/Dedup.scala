@@ -404,6 +404,10 @@ object Dedup {
     var changed = true
     var rounds = 0
     val maxRounds = 20
+    // checkpoint blocks live at the RDD level, invisible to
+    // Dataset.unpersist — free each superseded round's RDD directly
+    // (r8 review: the former labels.unpersist() here freed nothing)
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     while (changed && rounds < maxRounds) {
       val viaEdge = edges
         .join(labels.withColumnRenamed("v", "da"), "da")
@@ -420,14 +424,19 @@ object Dedup {
       val nextSum = labelSum(next)
       changed = nextSum != prevSum
       prevSum = nextSum
-      labels.unpersist()
+      // round r is materialized, so round r-1's blocks are dead (a lost
+      // block of r would be unrecoverable either way — the documented
+      // localCheckpoint trade)
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = graft.CacheScope.checkpointRdd(next)
       labels = next
       rounds += 1
     }
     edges.unpersist()
-    // the final labels frame stays persisted for the consumer; tracked so
-    // the harness releases it after materialization (ADVICE r7)
-    graft.CacheScope.track(labels)
+    // the final round's checkpoint blocks stay live for the consumer;
+    // tracked at the RDD level so the harness release actually frees
+    // them after materialization (ADVICE r7, corrected r8)
+    prevCkpt.foreach(graft.CacheScope.trackRdd)
     // A silently-truncated convergence would return WRONG labels for any
     // component of diameter > maxRounds — fail loudly instead (ADVICE r02).
     if (changed) throw new IllegalStateException(

@@ -28,6 +28,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"persisted RDD count grew $before -> $after across released runs")
   }
 
+  test("components loop frees its localCheckpoint blocks (no RDD leak)") {
+    // localCheckpoint stores blocks at the RDD level where
+    // Dataset.unpersist cannot see them (r8 review) — the loop must
+    // free superseded rounds itself and CacheScope.release the final one
+    graft.CacheScope.release()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 2).foreach { _ =>
+      SparkEntry.queries("q_dedup_components")(spark, sf)
+        .write.mode("overwrite").format("noop").save()
+      graft.CacheScope.release()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before,
+      s"checkpoint RDD count grew $before -> $after across released runs")
+  }
+
   test("minhash candidates recover strong exact-Jaccard pairs") {
     val exact = SparkEntry.queries("q_dedup_jaccard")(spark, sf)
       .filter(col("jacc") >= 0.5)
