@@ -130,7 +130,12 @@ object Dedup {
     * matches the corpus it reads: concurrent or interleaved runs at
     * different scale factors write different partitions instead of
     * clobbering each other (row counts alone can't disambiguate —
-    * sf0.001 and sf0.01 both hold 500 docs). */
+    * sf0.001 and sf0.01 both hold 500 docs). A complete partition
+    * (_SUCCESS present) is never rewritten — same fingerprint means
+    * same signatures — which also closes the overwrite-vs-reader race
+    * for repeat runs over the same corpus; only two processes racing
+    * the FIRST materialization of a fingerprint can still collide.
+    * Bench skips the dump entirely (graft.noDumps). */
   val MinhashSigDump = "/tmp/graft_minhash_sigs"
 
   /** Cross-engine corpus fingerprint: XOR is order-independent and the
@@ -170,12 +175,21 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(expr("minhash32(th)").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // dump for the oracle replay (doubles as the cache fill — the heavy
-    // subtree runs exactly once, here). coalesce(1): one 32-long array
-    // per doc is kilobytes at any test SF; the dump is a test artifact,
-    // not a production sink. One partition per corpus fingerprint.
-    sigs.coalesce(1).write.mode("overwrite")
-      .parquet(s"$MinhashSigDump/k=${corpusFingerprint(s, dir)}")
+    // dump for the oracle replay — a TEST artifact, not engine work.
+    // Skipped under Bench (graft.noDumps): the fingerprint scan and the
+    // parquet write would otherwise be timed as query cost (r8 review).
+    // Skipped when the fingerprint partition is already complete: the
+    // fingerprint keys the corpus CONTENT, so an existing partition
+    // holds identical signatures — rewriting it would only re-open the
+    // overwrite window against a concurrent oracle reader. coalesce(1):
+    // one 32-long array per doc is kilobytes at any test SF.
+    if (!sys.props.contains("graft.noDumps")) {
+      val part = s"$MinhashSigDump/k=${corpusFingerprint(s, dir)}"
+      val done = new org.apache.hadoop.fs.Path(part, "_SUCCESS")
+      val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(done))
+        sigs.coalesce(1).write.mode("overwrite").parquet(part)
+    }
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
         """transform(sequence(0, 15),
