@@ -329,6 +329,26 @@ class PlanSpec extends AnyFunSuite {
       s"deg/wedge/closing joins not broadcast:\n$p")
   }
 
+  test("k-core rounds: survivor sets broadcast, induced edges cached") {
+    val p = plan("q_graph_kcore")
+    // each peeling round's two endpoint filters ride broadcasts of the
+    // |V|-sized survivor set; induced edge lists are persisted so later
+    // rounds and the summary never re-peel earlier rounds
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 6,
+      s"endpoint filters not broadcast:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"rounds not cached:\n$p")
+  }
+
+  test("basket pairs: item counts broadcast, scalar total is 1-row BNLJ") {
+    val p = plan("q_basket_pairs")
+    // per-item counts reach the surviving pairs as broadcasts; the only
+    // nested-loop is the deliberate 1-row corpus-total attach
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), s"distinct scan not cached:\n$p")
+  }
+
   test("semantic dedup pairs via cid equi-join over cached assignment") {
     val p = plan("q_dedup_semantic")
     // the ONLY nested-loop allowed is the broadcast centroid scoring
