@@ -204,7 +204,57 @@ object AcidDml {
       .orderBy(col("o_custkey"), col("ver"))
   }
 
+  /** Change-data-feed snapshot diff — Delta's `table_changes` / Iceberg's
+    * changelog scan over two COW versions: the v0→v1 commit updates,
+    * deletes and inserts rows in partition 'P', and the diff classifies
+    * every change with pre/post images, reported as per-class counts and
+    * exact-decimal sums.
+    *
+    * Scale: the diff scans ONLY the partition the commit's manifest
+    * touched — unchanged partitions are shared between versions by
+    * construction (same files), so they cannot contribute changes and
+    * are never read. The classification itself is one full-outer join
+    * on the key, co-partitioned on both sides. */
+  val qDmlSnapshotDiff: Q = (s, dir) => {
+    val base = tmp("graft_acid_cdf")
+    val v0 = s"$base/v0"
+    val v1 = s"$base/v1"
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        dec(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(v0)
+    // the commit, all three change classes in partition 'P':
+    // custkey % 3 == 0 deleted, the rest price-bumped (update), plus
+    // re-keyed copies of custkey % 7 == 0 rows appended (insert)
+    val p0 = s.read.parquet(v0).filter(col("o_orderstatus") === "P")
+    p0.filter(col("o_custkey") % 3 =!= 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice") + lit(1000)).cast("decimal(18,4)"))
+      .union(p0.filter(col("o_custkey") % 7 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      .write.mode("overwrite").parquet(v1)
+    // CDF: only the rewritten partition is diffed; the join is keyed
+    val pre = s.read.parquet(v0).filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey").as("k0"),
+        col("o_totalprice").as("price0"))
+    val post = s.read.parquet(v1)
+      .select(col("o_orderkey").as("k1"),
+        col("o_totalprice").as("price1"))
+    val diff = pre.join(post, col("k0") === col("k1"), "full_outer")
+      .withColumn("change", when(col("k0").isNull, "insert")
+        .when(col("k1").isNull, "delete")
+        .when(col("price0") =!= col("price1"), "update")
+        .otherwise("unchanged"))
+    diff.groupBy(col("change"))
+      .agg(count(lit(1)).as("cnt"),
+        dsumExact(col("price0")).as("sum_pre"),
+        dsumExact(col("price1")).as("sum_post"))
+      .orderBy(col("change"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dml_snapshot_diff" -> qDmlSnapshotDiff,
     "q_dim_scd2" -> qDimScd2,
     "q_dml_delete" -> qDmlDelete,
     "q_dml_update" -> qDmlUpdate,
@@ -212,6 +262,28 @@ object AcidDml {
     "q_dml_timetravel" -> qDmlTimeTravel)
 
   val oracle: Map[String, String] = Map(
+    "q_dml_snapshot_diff" -> """
+      WITH p AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,4)) AS price
+        FROM orders WHERE o_orderstatus = 'P'),
+      pre AS (SELECT o_orderkey AS k0, price AS price0 FROM p),
+      post AS (
+        SELECT o_orderkey AS k1, price + 1000 AS price1
+        FROM p WHERE o_custkey % 3 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, price FROM p WHERE o_custkey % 7 = 0),
+      d AS (
+        SELECT price0, price1,
+          CASE WHEN k0 IS NULL THEN 'insert'
+               WHEN k1 IS NULL THEN 'delete'
+               WHEN price0 <> price1 THEN 'update'
+               ELSE 'unchanged' END AS change
+        FROM pre FULL OUTER JOIN post ON k0 = k1)
+      SELECT change, count(*) AS cnt,
+        CAST(round(sum(price0), 4) AS DOUBLE) AS sum_pre,
+        CAST(round(sum(price1), 4) AS DOUBLE) AS sum_post
+      FROM d GROUP BY 1 ORDER BY change""",
     "q_dim_scd2" -> """
       WITH ordered AS (
         SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
