@@ -460,14 +460,68 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical-representative selection — the step after clustering in
+    * every near-dup pipeline: per duplicate cluster, keep the "best"
+    * document (longest, doc_id tie-break) and report what the cluster
+    * drops. Composes the components operator with a per-cluster
+    * window rank — deterministic, so fully oracled.
+    *
+    * Scale: inherits the components loop's shape; the added work is a
+    * |clustered-docs|-sized join with the doc stats and one window rank
+    * partitioned by component — both tiny next to the pair graph. */
+  val qDedupCanonical: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val comp = qDedupComponents(s, dir)
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val j = comp.join(docs, "doc_id")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    j.withColumn("rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(when(col("rn") === 1, col("doc_id"))).as("canonical_id"),
+        min(when(col("rn") === 1, col("n_chars"))).as("kept_chars"),
+        sum(col("n_chars")).as("cluster_chars"))
+      .orderBy(col("component"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_components" -> qDedupComponents,
+    "q_dedup_canonical" -> qDedupCanonical,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash_pairs" -> qDedupSimhashPairs,
     "q_dedup_incremental" -> qDedupIncremental)
+
+  /** Shared oracle prefix: the near-dup pair graph + recursive
+    * reachability closure (consumed by the components and canonical
+    * oracles — `reach` holds (v, every label reachable from v)). */
+  private val componentsCte = """
+      WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+             FROM (SELECT *, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+      keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 100),
+      sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT da, db FROM inter
+                JOIN sizes sa ON da = sa.doc_id
+                JOIN sizes sb ON db = sb.doc_id
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
+                      >= 0.2),
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION SELECT db, da FROM pairs),
+      verts AS (SELECT DISTINCT src AS v FROM edges),
+      reach AS (SELECT v, v AS l FROM verts
+                UNION
+                SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)"""
 
   private val simhashSql = """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -508,31 +562,22 @@ object Dedup {
       SELECT da, db, est_jacc FROM c
       WHERE bands > 0 AND est_jacc >= 0.2
       ORDER BY da, db""",
-    "q_dedup_components" -> """
-      WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                    FROM documents),
-      sh0 AS (SELECT DISTINCT doc_id,
-               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-             FROM (SELECT *, unnest(range(1, len(t) - 1)) AS i FROM toks)),
-      keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 100),
-      sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-                GROUP BY 1, 2),
-      pairs AS (SELECT da, db FROM inter
-                JOIN sizes sa ON da = sa.doc_id
-                JOIN sizes sb ON db = sb.doc_id
-                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
-                      >= 0.2),
-      edges AS (SELECT da AS src, db AS dst FROM pairs
-                UNION SELECT db, da FROM pairs),
-      verts AS (SELECT DISTINCT src AS v FROM edges),
-      reach AS (SELECT v, v AS l FROM verts
-                UNION
-                SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)
+    "q_dedup_components" -> (componentsCte + """
       SELECT v AS doc_id, min(l) AS component
-      FROM reach GROUP BY v ORDER BY doc_id""",
+      FROM reach GROUP BY v ORDER BY doc_id"""),
+    "q_dedup_canonical" -> (componentsCte + """,
+      comp AS (SELECT v AS doc_id, min(l) AS component
+               FROM reach GROUP BY v),
+      jn AS (SELECT comp.doc_id, comp.component, d.n_chars,
+               row_number() OVER (PARTITION BY comp.component
+                 ORDER BY d.n_chars DESC, comp.doc_id) AS rn
+             FROM comp JOIN documents d ON comp.doc_id = d.doc_id)
+      SELECT component, count(*) AS n_docs,
+        min(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+        CAST(min(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+          AS kept_chars,
+        CAST(sum(n_chars) AS BIGINT) AS cluster_chars
+      FROM jn GROUP BY component ORDER BY component"""),
     "q_dedup_exact" -> """
       SELECT min(doc_id) AS canonical_id, md5(text) AS fp,
              count(*) AS copies

@@ -60,8 +60,9 @@ class SparkEntrySpec extends AnyFunSuite {
         // integer fixed-point trajectories must not drift across runs
         "q_graph_pagerank", "q_dq_anomaly", "q_src_schema_merge",
         // r8 wave 4: triangle census — degree-orientation ties must
-        // break on node id, not partition order
-        "q_graph_triangles")) {
+        // break on node id, not partition order; k-core survivor sets
+        // and basket lift ranks likewise
+        "q_graph_triangles", "q_graph_kcore", "q_basket_pairs")) {
       val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
       val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
       assert(a == b, s"$name not deterministic across runs")
