@@ -219,11 +219,7 @@ object AcidDml {
     val base = tmp("graft_acid_cdf")
     val v0 = s"$base/v0"
     val v1 = s"$base/v1"
-    Tables(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"),
-        dec(col("o_totalprice")).as("o_totalprice"),
-        col("o_orderstatus"))
-      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(v0)
+    seedOrders(s, dir, v0)
     // the commit, all three change classes in partition 'P':
     // custkey % 3 == 0 deleted, the rest price-bumped (update), plus
     // re-keyed copies of custkey % 7 == 0 rows appended (insert)

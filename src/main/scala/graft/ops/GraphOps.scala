@@ -162,7 +162,10 @@ object GraphOps {
     * co-partitioned on the endpoint. */
   val qGraphKcore: Q = (s, dir) => {
     val k = 3
-    val e0 = copurchaseEdges(s, dir)
+    // persist: the union below evaluates e0 twice (no exchange reuse
+    // across union branches), and e0 is the lineitem self-join
+    val e0 = graft.CacheScope.track(
+      copurchaseEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK))
     var und = graft.CacheScope.track(
       e0.union(e0.select(col("v").as("u"), col("u").as("v")))
         .persist(StorageLevel.MEMORY_AND_DISK))
@@ -193,6 +196,16 @@ object GraphOps {
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_kcore" -> qGraphKcore)
 
+  /** Shared oracle prefix: the deduped, support-pruned co-purchase
+    * edge set (the SQL twin of [[copurchaseEdges]]). */
+  private val copurchaseCte = """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> """
       WITH pairs AS (
@@ -218,13 +231,7 @@ object GraphOps {
                  AS r
              FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst)
       SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 20""",
-    "q_graph_triangles" -> """
-      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      e0 AS (
-        SELECT a.l_partkey AS u, b.l_partkey AS v
-        FROM li a JOIN li b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY 1, 2 HAVING count(*) >= 2),
+    "q_graph_triangles" -> (copurchaseCte + """,
       und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
       deg AS (SELECT u AS n, count(*) AS d FROM und GROUP BY 1),
       o AS (SELECT und.u, und.v, dv.d AS dvd FROM und
@@ -249,14 +256,8 @@ object GraphOps {
         SELECT 'triangles', -1, count(*) FROM tri)
       SELECT kind, node, cnt FROM summary
       UNION ALL SELECT kind, node, cnt FROM per_node
-      ORDER BY kind, cnt DESC, node""",
-    "q_graph_kcore" -> """
-      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      e0 AS (
-        SELECT a.l_partkey AS u, b.l_partkey AS v
-        FROM li a JOIN li b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY 1, 2 HAVING count(*) >= 2),
+      ORDER BY kind, cnt DESC, node"""),
+    "q_graph_kcore" -> (copurchaseCte + """,
       u0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
       n1 AS (SELECT u AS n FROM u0 GROUP BY 1 HAVING count(*) >= 3),
       u1 AS (SELECT u0.u, u0.v FROM u0
@@ -279,5 +280,5 @@ object GraphOps {
         FROM u3 GROUP BY 2 ORDER BY b DESC, a LIMIT 10)
       SELECT kind, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
       FROM (SELECT * FROM summary UNION ALL SELECT * FROM top)
-      ORDER BY kind, b DESC, a""")
+      ORDER BY kind, b DESC, a"""))
 }

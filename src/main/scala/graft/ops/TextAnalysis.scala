@@ -174,21 +174,31 @@ object TextAnalysis {
     * standard BPE trick. A 100 TB corpus still reduces to a few
     * million dictionary rows, so every merge iteration after the
     * first scan is dictionary-sized, not corpus-sized. */
-  val qBpePairCount: Q = (s, dir) => {
-    val dict = Tables(s, dir, "documents")
+  /** Word-frequency dictionary with each word's BPE symbolization:
+    * space-separated characters plus the `</w>` end-of-word marker. */
+  private def symbolizedDict(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    dict
-      .select(col("freq"), explode(expr(
-        """transform(sequence(1, length(word)),
-           i -> concat(substring(word, i, 1), ' ',
-             if(i = length(word), '</w>', substring(word, i + 1, 1))))"""))
-        .as("pair"))
-      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .withColumn("sym",
+        concat(regexp_replace(col("word"), "(.)", "$1 "), lit("</w>")))
+
+  /** Frequency-weighted adjacent-symbol pair counts over a `(freq,
+    * sym)` frame — the statistics both BPE queries share. */
+  private def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("freq"), explode(expr(
+      """transform(sequence(1, size(split(sym, ' ')) - 1),
+         i -> concat(element_at(split(sym, ' '), i), ' ',
+                     element_at(split(sym, ' '), i + 1)))"""))
+      .as("pair"))
+    .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+
+  val qBpePairCount: Q = (s, dir) =>
+    pairCounts(symbolizedDict(s, dir))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(20)
       .orderBy(col("pair"))
-  }
 
   /** One full BPE merge iteration (the loop body of tokenizer
     * training): symbolize the dictionary (chars + `</w>`), pick the
@@ -203,18 +213,7 @@ object TextAnalysis {
     * string rewrite over |V| rows, and the recount fans out |V|·len.
     * 100 TB of text never re-enters the loop. */
   val qBpeMergeStep: Q = (s, dir) => {
-    val dict = Tables(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .withColumn("sym",
-        concat(regexp_replace(col("word"), "(.)", "$1 "), lit("</w>")))
-    def pairCounts(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("freq"), explode(expr(
-        """transform(sequence(1, size(split(sym, ' ')) - 1),
-           i -> concat(element_at(split(sym, ' '), i), ' ',
-                       element_at(split(sym, ' '), i + 1)))"""))
-        .as("pair"))
-      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+    val dict = symbolizedDict(s, dir)
     val best = pairCounts(dict)
       .orderBy(col("cnt").desc, col("pair")).limit(1)
       .select(col("pair").as("merge"))
