@@ -72,6 +72,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    FixtureCheck.warn(spark, sfDir) // readable drift lines before -1 noise
 
     // oracle-replay dumps (q_dedup_minhash) are verification plumbing;
     // timing them would charge a parquet write + an extra corpus scan

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table access + hash-stability helpers shared by every query.
   *
@@ -23,20 +23,51 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read
-    // natively; read the raw int64 and truncate to microseconds — exactly
-    // what DuckDB's nanos->micros conversion does, so both engines see
-    // identical values.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") events(spark, dir) else
+      spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** The events fixture has shipped with two physical types for `ts` across
+    * driver fixture generations: parquet TIMESTAMP(NANOS) (rounds 1-7) and
+    * TIMESTAMP(MICROS) (round 8+). Normalize both to a session-TZ
+    * TimestampType (LTZ) column so every downstream query and the driver's
+    * parquet-schema compare see one stable type:
+    *   - NANOS surfaces as int64 under `nanosAsLong` → truncate to micros
+    *     (exactly DuckDB's nanos→micros conversion, so both engines agree);
+    *   - MICROS without isAdjustedToUTC surfaces as TIMESTAMP_NTZ → cast to
+    *     LTZ (value-identical under the UTC-pinned session TZ, and keeps the
+    *     output parquet schema identical to what the oracle compare expects);
+    *   - MICROS adjusted-to-UTC surfaces as TimestampType → pass through.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // Conf must be set before the read so a NANOS-generation file loads as
+    // int64 instead of failing; harmless for MICROS files. Guarded so the
+    // common path does not mutate session conf on every call.
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Apply the generation-conditional `ts` normalization described on
+    * [[events]]. Public so streaming reads (which build the stream from the
+    * same file) normalize identically. */
+  def normalizeEventsTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType            => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                   => raw
+    }
 
   /** Register every fixture table as a temp view (for spark.sql queries). */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    registerViews(spark, dir, all: _*)
+
+  /** Register only the named tables — queries should register exactly what
+    * they read, so a malformed UNRELATED fixture cannot break them (the r8
+    * events regeneration took down the subquery family solely through this
+    * eager all-tables registration). */
+  def registerViews(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 
   // ---- hash-stability helpers (SURVEY.md §5.4) -----------------------------
   // Money columns in the fixtures are doubles; raw sum(double) is

@@ -11,6 +11,16 @@ object Verify {
       case Array(a, b)    => (a, b, Option.empty[Set[String]])
       case Array(a, b, c) => (a, b, Some(c.split(",").toSet))
     }
+    // Scope test-artifact dumps (minhash oracle signatures) NEXT TO this
+    // run's outDir BEFORE any query or oracle SQL is built, so concurrent
+    // verifies on one box write disjoint trees (VERDICT r8 item 8). A
+    // SIBLING of outDir, not inside it: the driver's compare iterates
+    // outDir subdirectories as query results, so a dump dir there would
+    // read as a bogus query.
+    if (!sys.props.contains("graft.dumpDir"))
+      sys.props("graft.dumpDir") =
+        new java.io.File(outDir.stripSuffix("/") + "_dumps",
+          "minhash_sigs").getAbsolutePath
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,6 +29,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    FixtureCheck.warn(spark, sfDir) // one readable line per drifted column
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -159,6 +159,28 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** The DETERMINISTIC slice of histogram_numeric, split out of
+    * [[qAggApprox]] so it gains a hash-matched oracle (VERDICT r8 item 6):
+    * when the column's distinct-value count (l_linenumber: exactly 7) is
+    * <= the bin count, NumericHistogram never merges DISTINCT x's — each
+    * partial holds one exact (x, count) bin per value, and the final merge
+    * combines equal-x bins first (distance 0), weight-summing them with x
+    * unchanged — so the result is the exact per-value frequency table,
+    * reconstructable by any engine with GROUP BY. Only the genuinely
+    * engine-specific sketch values (HLL, GK, merged centroids) remain
+    * spec-bounded in q_agg_approx. Still exercises the full
+    * TypedImperativeAggregate partial/merge path that survives 100 TB. */
+  val qAggHistNumeric: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("""array_join(transform(histogram_numeric(l_linenumber, 7),
+                 h -> concat(h.x, ':', cast(h.y as bigint))), '|')""")
+          .as("hist7"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Heavy hitters via the Spark 4.1 approx_top_k sketch (frequent-items
     * / Misra-Gries family — the modern form of Hive's ngrams-style
     * estimation). Sized EXACT here: maxItemsTracked (10000) exceeds the
@@ -368,6 +390,7 @@ object Aggregates {
     "q_agg_percentile" -> qAggPercentile,
     "q_agg_bool" -> qAggBool,
     "q_agg_approx" -> qAggApprox,
+    "q_agg_hist_numeric" -> qAggHistNumeric,
     "q_agg_minmax_by" -> qAggMinMaxBy,
     "q_agg_collect" -> qAggCollect,
     "q_agg_salted" -> qAggSalted,
@@ -419,6 +442,16 @@ object Aggregates {
         bit_xor(l_linenumber) AS xor_lines,
         count(*) AS cnt
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // exact reconstruction of the <=bins histogram_numeric slice: per-value
+    // frequency table rendered to the same 'x:y|x:y' string
+    "q_agg_hist_numeric" -> """
+      WITH g AS (SELECT l_returnflag, l_linenumber AS x, count(*) AS y
+                 FROM lineitem GROUP BY 1, 2)
+      SELECT l_returnflag,
+        string_agg(CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR),
+                   '|' ORDER BY x) AS hist7,
+        CAST(sum(y) AS BIGINT) AS cnt
+      FROM g GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_histogram" -> """
       WITH s AS (
         SELECT l_extendedprice, l_orderkey, l_linenumber

@@ -135,8 +135,15 @@ object Dedup {
     * same signatures — which also closes the overwrite-vs-reader race
     * for repeat runs over the same corpus; only two processes racing
     * the FIRST materialization of a fingerprint can still collide.
-    * Bench skips the dump entirely (graft.noDumps). */
-  val MinhashSigDump = "/tmp/graft_minhash_sigs"
+    * Bench skips the dump entirely (graft.noDumps).
+    *
+    * Root is overridable via -Dgraft.dumpDir (VERDICT r8 item 8): Verify
+    * scopes it under its own outDir, so concurrent verifies on one box
+    * write disjoint trees and even the first-materialization race is
+    * gone. A `def` (not val) so the oracle SQL — also built after the
+    * prop is set — always interpolates the same path the query wrote. */
+  def MinhashSigDump: String =
+    sys.props.getOrElse("graft.dumpDir", "/tmp/graft_minhash_sigs")
 
   /** Cross-engine corpus fingerprint: XOR is order-independent and the
     * 60-bit md5-prefix values are exact in both engines. */
@@ -537,15 +544,15 @@ object Dedup {
                       ELSE 0 END) AS BIGINT) AS simhash
       FROM b GROUP BY doc_id"""
 
-  val oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = Map(
     // replay oracle: reads the signature arrays the query itself dumped
     // (see MinhashSigDump) and re-derives band candidacy + agreement —
     // a value check over everything downstream of the engine-specific
     // permutations. bi in 0..15 selects band rows (2i+1, 2i+2) of the
     // 1-indexed 32-slot signature, mirroring the Spark banding exactly.
-    "q_dedup_minhash" -> """
+    "q_dedup_minhash" -> s"""
       WITH s AS (SELECT doc_id, sig
-                 FROM read_parquet('/tmp/graft_minhash_sigs/*/*.parquet',
+                 FROM read_parquet('$MinhashSigDump/*/*.parquet',
                                    hive_partitioning = true)
                  WHERE k = (SELECT bit_xor(CAST('0x' ||
                      substr(md5(text), 1, 15) AS BIGINT))

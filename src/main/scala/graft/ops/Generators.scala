@@ -39,7 +39,7 @@ object Generators {
   /** LATERAL VIEW OUTER explode via the SQL front-end: docs whose token
     * array is emptied by the filter still emit one NULL row. */
   val qExplodeOuter: Q = (s, dir) => {
-    Tables.registerViews(s, dir)
+    Tables.registerViews(s, dir, "documents")
     s.sql("""
       SELECT doc_id, tok
       FROM (SELECT doc_id,
@@ -51,7 +51,7 @@ object Generators {
 
   /** stack(n, ...): literal rows → a join-able inline table. */
   val qStack: Q = (s, dir) => {
-    Tables.registerViews(s, dir)
+    Tables.registerViews(s, dir, "events")
     s.sql("""
       SELECT t.sev, t.code, count(e.event_id) AS cnt
       FROM (SELECT stack(3, 'low', 'view', 'mid', 'click', 'high', 'error')
@@ -62,7 +62,7 @@ object Generators {
 
   /** inline(array<struct>): struct rows → columns. */
   val qInline: Q = (s, dir) => {
-    Tables.registerViews(s, dir)
+    Tables.registerViews(s, dir, "part")
     s.sql("""
       SELECT b.band, b.lo, count(1) AS cnt
       FROM part

@@ -29,9 +29,27 @@ object GraphOps {
     * stream joins them MAP-SIDE, and the only shuffle per iteration
     * is the contribution aggregate on dst (partial-aggregated).
     * Edges are computed once and persisted (CacheScope-released).
-    * At a billion-node graph the rank join flips to a shuffle join
-    * co-partitioned on src — the plan shape otherwise stands. */
+    * At a billion-node graph |V| outgrows the broadcast and the rank
+    * join flips to the co-partitioned SHUFFLE path below
+    * (`spark.graft.pagerank.shuffleJoin=true`): edges are hash-
+    * partitioned on src ONCE and persisted, the degree join and every
+    * per-iteration rank join are shuffled-hash joins that reuse that
+    * partitioning (zero |E| re-shuffles; only the |V|-sized rank side
+    * moves per iteration). Ranks are integer micro-units, so the two
+    * paths are bit-identical (pinned in GraphSpec). */
   val qGraphPagerank: Q = (s, dir) => {
+    val shuffle = s.conf.getOption("spark.graft.pagerank.shuffleJoin")
+      .contains("true")
+    pagerankRanks(s, dir, shuffle)
+      .orderBy(col("r").desc, col("node")).limit(20)
+  }
+
+  /** Full post-iteration rank frame; `shuffleJoin` selects the scale
+    * path (see [[qGraphPagerank]]). Package-visible so the spec can pin
+    * broadcast/shuffle trajectory equality over ALL nodes, not just the
+    * presented top-20. */
+  private[graft] def pagerankRanks(s: org.apache.spark.sql.SparkSession,
+      dir: String, shuffleJoin: Boolean): org.apache.spark.sql.DataFrame = {
     val li = Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables(s, dir, "orders")
@@ -40,27 +58,37 @@ object GraphOps {
       .select(concat(lit("S"), col("l_suppkey")).as("a"),
         concat(lit("C"), col("o_custkey")).as("b"))
       .distinct()
+    val edges0 = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // Broadcast path: edges persist as-is, deg/rank broadcast map-side.
+    // Shuffle path: pay ONE |E| shuffle up front (hash-partition on src,
+    // persisted) — the persisted partitioning satisfies the join
+    // requirement on every later src-keyed join, so no further |E|
+    // exchange ever runs.
     val edges = graft.CacheScope.track(
-      pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      (if (shuffleJoin) edges0.repartition(col("src")) else edges0)
         .persist(StorageLevel.MEMORY_AND_DISK))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgesD = edges.join(broadcast(deg), Seq("src"))
+    val edgesD = if (shuffleJoin)
+      edges.join(deg.hint("shuffle_hash"), Seq("src"))
+    else edges.join(broadcast(deg), Seq("src"))
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
-      // persist each iterate: broadcast(rank) executes rank's full
+      // persist each iterate: the rank join executes rank's full
       // lineage, so an unpersisted chain recomputes iteration k-1 (and
       // everything before it) inside iteration k — 1+2+3 passes
       // instead of 3 (measured ~40% of the query's runtime)
-      rank = graft.CacheScope.track(edgesD
-        .join(broadcast(rank), col("src") === col("node"))
+      val joined = if (shuffleJoin)
+        edgesD.join(rank.hint("shuffle_hash"), col("src") === col("node"))
+      else edgesD.join(broadcast(rank), col("src") === col("node"))
+      rank = graft.CacheScope.track(joined
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst"))
         .agg(expr("cast(150000 + (sum(c) * 85) div 100 as bigint)").as("r"))
         .select(col("dst").as("node"), col("r"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     }
-    rank.orderBy(col("r").desc, col("node")).limit(20)
+    rank
   }
 
   /** Support-pruned part co-purchase edges (u < v, co-ordered >= 2

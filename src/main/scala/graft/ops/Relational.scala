@@ -58,7 +58,7 @@ object Relational {
 
   /** Uncorrelated IN subquery (SQL front-end → RewritePredicateSubquery). */
   val qSubqueryIn: Q = (s, dir) => {
-    Tables.registerViews(s, dir)
+    Tables.registerViews(s, dir, "orders", "customer")
     s.sql("""
       SELECT o_orderstatus, count(1) AS cnt,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
@@ -70,7 +70,7 @@ object Relational {
 
   /** Correlated EXISTS subquery with an inner predicate. */
   val qSubqueryExists: Q = (s, dir) => {
-    Tables.registerViews(s, dir)
+    Tables.registerViews(s, dir, "customer", "orders")
     s.sql("""
       SELECT c_mktsegment, count(1) AS cnt
       FROM customer
@@ -82,7 +82,7 @@ object Relational {
   /** Scalar subquery: customers above the global mean balance (mean
     * computed order-independently via exact decimal sum / count). */
   val qSubqueryScalar: Q = (s, dir) => {
-    Tables.registerViews(s, dir)
+    Tables.registerViews(s, dir, "customer")
     s.sql("""
       SELECT c_nationkey, count(1) AS cnt
       FROM customer

@@ -33,6 +33,33 @@ class GraphSpec extends AnyFunSuite {
     assert(reported > 0)
   }
 
+  test("pagerank broadcast and shuffle-join paths are bit-identical") {
+    // Ranks are integer micro-units (floor-div + integer sums only), so
+    // the co-partitioned shuffle path must reproduce the broadcast
+    // trajectory EXACTLY over all nodes — at sf0.01, where the graph is
+    // big enough for a real multi-partition shuffle.
+    val dir = "/root/testdata/sf0.01"
+    def ranks(shuffle: Boolean) = try
+      ops.GraphOps.pagerankRanks(spark, dir, shuffle)
+        .orderBy(col("node")).collect().toSeq
+    finally CacheScope.release()
+    val b = ranks(shuffle = false)
+    val sh = ranks(shuffle = true)
+    assert(b.nonEmpty && b == sh,
+      s"broadcast/shuffle diverge: ${b.take(3)} vs ${sh.take(3)}")
+    // and the conf gate actually routes the public query
+    spark.conf.set("spark.graft.pagerank.shuffleJoin", "true")
+    try {
+      val viaConf = SparkEntry.queries("q_graph_pagerank")(spark, dir)
+        .collect().toSeq
+      val top = b.sortBy(r => (-r.getLong(1), r.getString(0))).take(20)
+      assert(viaConf == top)
+    } finally {
+      spark.conf.unset("spark.graft.pagerank.shuffleJoin")
+      CacheScope.release()
+    }
+  }
+
   test("k-core peeling is monotone: survivors shrink, round3 degrees >= k") {
     val rows = SparkEntry.queries("q_graph_kcore")(spark, sf).collect()
     def round(r: Int) = rows.find(_.getString(0) == s"round$r").get

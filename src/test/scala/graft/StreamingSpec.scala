@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -99,11 +100,11 @@ class StreamingSpec extends AnyFunSuite {
 
   private def streamedEvents = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // raw schema has ts as int64 nanos (nanosAsLong); convert exactly as
-    // Tables() does for batch reads
+    // normalize ts exactly as Tables() does for batch reads (the physical
+    // type differs across driver fixture generations: int64-nanos vs micros)
     val rawSchema = spark.read.parquet(s"$replayDir/events.parquet").schema
-    spark.readStream.schema(rawSchema).parquet(replayDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema).parquet(replayDir))
   }
 
   /** transformWithState requires the RocksDB state store; save/restore
@@ -231,8 +232,8 @@ class StreamingSpec extends AnyFunSuite {
       new java.io.File(d, "events.parquet").toPath)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$d/events.parquet").schema
-    val src = spark.readStream.schema(rawSchema).parquet(d.getAbsolutePath)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema).parquet(d.getAbsolutePath))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -251,13 +252,21 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").start()
     q.processAllAvailable()
     // batch 2: one far-future click + purchase (user -1, +30 days)
+    // The late file must carry the SAME physical ts type as the fixture (the
+    // stream was declared with rawSchema), so build the +30d dummy row from
+    // the normalized max-ts and convert back to the fixture's physical type.
     val raw = spark.read.parquet(s"$d/events.parquet")
-    val mx = raw.orderBy(col("ts").desc).limit(1)
-    def dummy(id: Long, et: String) = mx.selectExpr(
-      s"CAST($id AS BIGINT) AS event_id",
-      "CAST(ts + 2592000000000000 AS BIGINT) AS ts",
-      "CAST(-1 AS BIGINT) AS user_id", s"'$et' AS event_type",
-      "CAST(0.0 AS DOUBLE) AS value", "'' AS props")
+    val mx = Tables.normalizeEventsTs(raw).orderBy(col("ts").desc).limit(1)
+    val lateTs = col("ts") + expr("INTERVAL 30 DAYS")
+    val tsBack: Column = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => unix_micros(lateTs) * 1000L
+      case t: org.apache.spark.sql.types.TimestampNTZType => lateTs.cast(t)
+      case _ => lateTs
+    }
+    def dummy(id: Long, et: String) = mx.select(
+      lit(id).cast("bigint").as("event_id"), tsBack.as("ts"),
+      lit(-1L).as("user_id"), lit(et).as("event_type"),
+      lit(0.0).as("value"), lit("").as("props"))
     val tmpOut = Files.createTempDirectory("late_dummy").toFile
     tmpOut.deleteOnExit()
     dummy(-1L, "click").union(dummy(-2L, "purchase"))
