@@ -317,6 +317,45 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("pagerank shuffle path: rank joins are co-partitioned, never broadcast") {
+    // The conf-gated scale path (|V| outgrows broadcast): edges are
+    // hash-partitioned on src once and persisted; deg and every
+    // per-iteration rank join must be shuffled-hash joins riding that
+    // partitioning, with NO broadcast of |V|-sized state anywhere.
+    val p = ops.GraphOps.pagerankRanks(spark, sf, shuffleJoin = true)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    try {
+      assert("ShuffledHashJoin".r.findAllIn(p).size >= 4,
+        s"deg/rank joins not shuffled-hash:\n$p")
+      // The only broadcast joins allowed are the ones INSIDE the edge-build
+      // cache (lineitem-orders pair derivation, keyed on order keys). The
+      // |V|-sized deg/rank joins key on src/node — none of those may ride a
+      // broadcast on the scale path.
+      val bhjKeyLines = p.split("\\n\\(\\d+\\) ").toSeq
+        .filter(_.startsWith("BroadcastHashJoin"))
+        .flatMap(_.linesIterator.filter(_.contains("keys")))
+      assert(bhjKeyLines.nonEmpty &&
+        !bhjKeyLines.exists(l => l.contains("node#") || l.contains("src#")),
+        s"deg/rank state still broadcasts on the scale path:\n$bhjKeyLines")
+      assert(p.contains("InMemoryTableScan"),
+        s"pre-partitioned edges not cached:\n$p")
+    } finally CacheScope.release()
+  }
+
+  test("events ts predicate pushes through the generation normalization") {
+    // Tables() casts events.ts NTZ->LTZ (micros fixtures); Catalyst's
+    // cast-unwrapping must still deliver the time predicate to the
+    // parquet scan — losing it means full events scans at 100 TB.
+    val p = Tables(spark, sf, "events")
+      .filter(col("ts") >= Tables.ts("2024-03-01 00:00:00"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(ts"),
+      s"ts predicate not pushed to parquet:\n$p")
+  }
+
   test("triangles: support-pruned edges cached + broadcast, no cartesian") {
     val p = plan("q_graph_triangles")
     // the lineitem self-join partial-aggregates into the support>=2
