@@ -171,11 +171,64 @@ object CorpusOps4 {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-based domain mixture weighting (the standard
+    * multilingual/data-mix recipe: sampling probability proportional to
+    * n^alpha with alpha = 1/2, as in multilingual BERT/XLM-R corpus
+    * sampling and GPT-3's quality-weighted mixture): compute each
+    * source's sampling weight n_docs^0.5 / sum_j n_j^0.5, allocate a
+    * fixed sampled-doc budget across sources by that weight, and report
+    * the effective epoch count (allocation / pool size) — the number
+    * every mixture design review asks for, since epochs >> 1 on a small
+    * domain means memorization risk.
+    *
+    * Determinism: sqrt is a single IEEE op per source and its result is
+    * scaled to integer micro-units BEFORE the cross-source sum, so the
+    * normalizing constant is an integer sum (order-invariant) — the only
+    * IEEE ops per output row are one division (weight) and one
+    * division+round (epochs), bit-identical cross-engine.
+    *
+    * Scale: one corpus scan partial-aggregates to a |sources|-row table;
+    * everything downstream is dictionary-sized. The complementary
+    * flatten-to-quota resampler is q_mix_domains. */
+  val qMixTemperature: Q = (s, dir) => {
+    val budget = 2000L
+    val stats = Tables(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_toks"))
+      .withColumn("s_micro",
+        expr("cast(round(sqrt(n_docs) * 1e6) as bigint)"))
+    val tot = stats.agg(sum(col("s_micro")).as("tot_micro"))
+    stats.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_toks"), col("s_micro"),
+        (col("s_micro").cast("double") / col("tot_micro").cast("double"))
+          .as("weight"),
+        expr(s"($budget * s_micro) div tot_micro").as("alloc_docs"))
+      .withColumn("eff_epochs",
+        round(col("alloc_docs").cast("double") /
+          col("n_docs").cast("double"), 4))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_perplexity" -> qTextPerplexity,
+    "q_mix_temperature" -> qMixTemperature,
     "q_dedup_bloom" -> qDedupBloom)
 
   val oracle: Map[String, String] = Map(
+    "q_mix_temperature" -> """
+      WITH st AS (SELECT source, count(*) AS n_docs,
+                    sum(len(string_split(text, ' '))) AS n_toks
+                  FROM documents GROUP BY source),
+      s2 AS (SELECT *, CAST(round(sqrt(n_docs) * 1e6) AS BIGINT) AS s_micro
+             FROM st),
+      t AS (SELECT CAST(sum(s_micro) AS BIGINT) AS tot FROM s2)
+      SELECT source, n_docs, CAST(n_toks AS BIGINT) AS n_toks, s_micro,
+        CAST(s_micro AS DOUBLE) / CAST(tot AS DOUBLE) AS weight,
+        CAST((2000 * s_micro) // tot AS BIGINT) AS alloc_docs,
+        round(CAST((2000 * s_micro) // tot AS DOUBLE)
+          / CAST(n_docs AS DOUBLE), 4) AS eff_epochs
+      FROM s2, t ORDER BY source""",
     "q_text_perplexity" -> """
       WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
                     FROM documents),

@@ -186,9 +186,19 @@ object GraphOps {
     * both endpoint filters; each round's induced edge list is
     * persisted (the iterative-broadcast lesson — an unpersisted chain
     * re-peels every earlier round inside round r). At a graph where
-    * |V| outgrows broadcast, both filters become shuffle semi-joins
-    * co-partitioned on the endpoint. */
+    * |V| outgrows broadcast, set `spark.graft.kcore.shuffleJoin=true`:
+    * both endpoint filters become shuffled-hash LEFT SEMI joins
+    * co-partitioned on the endpoint (the survivor side is the small
+    * side of each shuffle), bit-identical to the broadcast path
+    * (pinned in GraphSpec). */
   val qGraphKcore: Q = (s, dir) => {
+    val shuffle = s.conf.getOption("spark.graft.kcore.shuffleJoin")
+      .contains("true")
+    kcoreResult(s, dir, shuffle)
+  }
+
+  private[graft] def kcoreResult(s: org.apache.spark.sql.SparkSession,
+      dir: String, shuffleJoin: Boolean): org.apache.spark.sql.DataFrame = {
     val k = 3
     // persist: the union below evaluates e0 twice (no exchange reuse
     // across union branches), and e0 is the lineitem self-join
@@ -201,11 +211,21 @@ object GraphOps {
     for (r <- 1 to 3) {
       val keep = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("u").as("n"))
-      und = graft.CacheScope.track(und
-        .join(broadcast(keep.as("ka")), col("u") === col("ka.n"))
-        .select(col("u"), col("v"))
-        .join(broadcast(keep.as("kb")), col("v") === col("kb.n"))
-        .select(col("u"), col("v"))
+      // Broadcast path: inner joins against the broadcast survivor set
+      // (distinct by construction, so inner == semi). Shuffle path: LEFT
+      // SEMI shuffled-hash joins — edges shuffle once per endpoint, the
+      // survivor set is the build side, and no |V| broadcast ever happens.
+      und = graft.CacheScope.track((
+        if (shuffleJoin) und
+          .join(keep.as("ka").hint("shuffle_hash"),
+            col("u") === col("ka.n"), "left_semi")
+          .join(keep.as("kb").hint("shuffle_hash"),
+            col("v") === col("kb.n"), "left_semi")
+        else und
+          .join(broadcast(keep.as("ka")), col("u") === col("ka.n"))
+          .select(col("u"), col("v"))
+          .join(broadcast(keep.as("kb")), col("v") === col("kb.n"))
+          .select(col("u"), col("v")))
         .persist(StorageLevel.MEMORY_AND_DISK))
       summaries = summaries :+ und
         .agg(countDistinct(col("u")).as("a"),

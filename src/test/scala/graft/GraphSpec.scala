@@ -60,6 +60,19 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("k-core broadcast and shuffle-semi paths are bit-identical") {
+    // Pure integer set filtering — the co-partitioned shuffle path must
+    // reproduce the broadcast path exactly, rounds and top list included.
+    val dir = "/root/testdata/sf0.01"
+    def result(shuffle: Boolean) = try
+      ops.GraphOps.kcoreResult(spark, dir, shuffle).collect().toSeq
+    finally CacheScope.release()
+    val b = result(shuffle = false)
+    val sh = result(shuffle = true)
+    assert(b.nonEmpty && b == sh,
+      s"broadcast/shuffle k-core diverge: ${b.take(3)} vs ${sh.take(3)}")
+  }
+
   test("k-core peeling is monotone: survivors shrink, round3 degrees >= k") {
     val rows = SparkEntry.queries("q_graph_kcore")(spark, sf).collect()
     def round(r: Int) = rows.find(_.getString(0) == s"round$r").get

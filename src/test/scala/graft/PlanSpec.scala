@@ -368,6 +368,24 @@ class PlanSpec extends AnyFunSuite {
       s"deg/wedge/closing joins not broadcast:\n$p")
   }
 
+  test("k-core shuffle path: endpoint filters are shuffled semi-joins") {
+    // Scale path (|V| outgrows broadcast): each round's two endpoint
+    // filters must run as shuffled-hash LEFT SEMI joins; the survivor
+    // sets must never broadcast (only the edge-build pair joins may).
+    val p = ops.GraphOps.kcoreResult(spark, sf, shuffleJoin = true)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    try {
+      assert("ShuffledHashJoin LeftSemi".r.findAllIn(p).size >= 2,
+        s"endpoint filters not shuffled semi-joins:\n$p")
+      val bhjKeyLines = p.split("\\n\\(\\d+\\) ").toSeq
+        .filter(_.startsWith("BroadcastHashJoin"))
+        .flatMap(_.linesIterator.filter(_.contains("keys")))
+      assert(!bhjKeyLines.exists(l => l.contains("n#") && l.contains("u#")),
+        s"survivor set still broadcasts on the scale path:\n$bhjKeyLines")
+    } finally CacheScope.release()
+  }
+
   test("k-core rounds: survivor sets broadcast, induced edges cached") {
     val p = plan("q_graph_kcore")
     // each peeling round's two endpoint filters ride broadcasts of the
