@@ -210,12 +210,124 @@ object CorpusOps4 {
       .orderBy(col("source"))
   }
 
+  /** Pretraining-pipeline funnel report: the per-stage survivor counts a
+    * data team reads before every corpus release (RefinedWeb/FineWeb-style
+    * "processing funnel" tables). Stages apply CUMULATIVELY in pipeline
+    * order — (1) all docs, (2) language filter (lang = 'en'), (3) length
+    * floor (>= 40 tokens), (4) repetition screen (no bigram carries >= 10%
+    * of the doc's bigram mass — the q_text_repetition gate), (5) span
+    * dedup (doc borrows no word-8-gram span owned by an earlier doc — the
+    * q_dedup_spans ownership rule) — each row reporting survivors and
+    * share of the pool.
+    *
+    * Determinism: every predicate is integer-derived; share is one IEEE
+    * division + round.
+    *
+    * Scale: one corpus scan computes the per-row predicates; the
+    * repetition and span stages each add one partial-aggregated shuffle
+    * (O(bigrams) / O(tokens/8)) plus a doc_id join back; the final stack
+    * is one row of counters — driver-sized regardless of corpus size. */
+  val qPipelineFunnel: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("a"))
+      .withColumn("ntok", size(col("a")))
+    // repetition: max bigram count vs total bigrams per doc (< 1-bigram
+    // docs have no mass and pass by construction)
+    val rep = docs.filter(col("ntok") >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(a) - 1),
+           i -> concat_ws(' ', element_at(a, i), element_at(a, i + 1)))"""))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+      .select(col("doc_id"), (col("mx") * 10 < col("tot")).as("p_rep"))
+    // span ownership: distinct non-overlapping 8-gram spans, owned by the
+    // minimum doc_id; a doc with any borrowed span fails the stage
+    val spans = docs.filter(col("ntok") >= 8)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(a) div 8 - 1),
+           i -> concat_ws(' ', slice(a, i * 8 + 1, 8)))""")).as("g"))
+      .distinct()
+    val borrowed = spans
+      .join(spans.groupBy(col("g")).agg(min(col("doc_id")).as("o")), Seq("g"))
+      .filter(col("doc_id") > col("o"))
+      .select(col("doc_id")).distinct()
+      .withColumn("p_borrow", lit(true))
+    val staged = docs
+      .join(rep, Seq("doc_id"), "left")
+      .join(borrowed, Seq("doc_id"), "left")
+      .select(
+        (col("lang") === "en").as("p_lang"),
+        (col("ntok") >= 40).as("p_len"),
+        coalesce(col("p_rep"), lit(true)).as("p_rep"),
+        (!coalesce(col("p_borrow"), lit(false))).as("p_span"))
+    val counters = staged.agg(
+      count(lit(1)).as("c0"),
+      sum(when(col("p_lang"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("p_lang") && col("p_len"), 1L).otherwise(0L)).as("c2"),
+      sum(when(col("p_lang") && col("p_len") && col("p_rep"), 1L)
+        .otherwise(0L)).as("c3"),
+      sum(when(col("p_lang") && col("p_len") && col("p_rep") &&
+        col("p_span"), 1L).otherwise(0L)).as("c4"))
+    counters.selectExpr(
+      """stack(5, '1_total', c0, '2_language', c1, '3_length', c2,
+               '4_repetition', c3, '5_span_dedup', c4)
+         AS (stage, n_docs)""", "c0")
+      .select(col("stage"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("c0").cast("double"), 4)
+          .as("share"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_perplexity" -> qTextPerplexity,
     "q_mix_temperature" -> qMixTemperature,
+    "q_pipeline_funnel" -> qPipelineFunnel,
     "q_dedup_bloom" -> qDedupBloom)
 
   val oracle: Map[String, String] = Map(
+    "q_pipeline_funnel" -> """
+      WITH d AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS a,
+          len(string_split(text, ' ')) AS ntok
+        FROM documents),
+      bg AS (SELECT doc_id, a[i] || ' ' || a[i + 1] AS bg
+             FROM (SELECT *, unnest(range(1, len(a))) AS i FROM d)),
+      rep AS (SELECT doc_id, (max(c) * 10 < sum(c)) AS p_rep
+              FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+              GROUP BY doc_id),
+      sp AS (SELECT DISTINCT doc_id,
+               array_to_string(a[i * 8 + 1 : i * 8 + 8], ' ') AS g
+             FROM (SELECT *, unnest(range(0, len(a) // 8)) AS i
+                   FROM d WHERE ntok >= 8)),
+      own AS (SELECT g, min(doc_id) AS o FROM sp GROUP BY g),
+      borrowed AS (SELECT DISTINCT sp.doc_id FROM sp
+                   JOIN own USING (g) WHERE sp.doc_id > own.o),
+      staged AS (
+        SELECT (d.lang = 'en') AS p_lang, (d.ntok >= 40) AS p_len,
+          coalesce(rep.p_rep, TRUE) AS p_rep,
+          (b.doc_id IS NULL) AS p_span
+        FROM d LEFT JOIN rep USING (doc_id)
+        LEFT JOIN borrowed b ON d.doc_id = b.doc_id),
+      c AS (SELECT count(*) AS c0,
+              CAST(sum(CASE WHEN p_lang THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+              CAST(sum(CASE WHEN p_lang AND p_len THEN 1 ELSE 0 END)
+                AS BIGINT) AS c2,
+              CAST(sum(CASE WHEN p_lang AND p_len AND p_rep THEN 1
+                ELSE 0 END) AS BIGINT) AS c3,
+              CAST(sum(CASE WHEN p_lang AND p_len AND p_rep AND p_span
+                THEN 1 ELSE 0 END) AS BIGINT) AS c4
+            FROM staged),
+      rows_ AS (
+        SELECT '1_total' AS stage, c0 AS n_docs, c0 FROM c
+        UNION ALL SELECT '2_language', c1, c0 FROM c
+        UNION ALL SELECT '3_length', c2, c0 FROM c
+        UNION ALL SELECT '4_repetition', c3, c0 FROM c
+        UNION ALL SELECT '5_span_dedup', c4, c0 FROM c)
+      SELECT stage, n_docs,
+        round(CAST(n_docs AS DOUBLE) / CAST(c0 AS DOUBLE), 4) AS share
+      FROM rows_ ORDER BY stage""",
     "q_mix_temperature" -> """
       WITH st AS (SELECT source, count(*) AS n_docs,
                     sum(len(string_split(text, ' '))) AS n_toks
