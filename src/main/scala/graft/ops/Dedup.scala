@@ -493,9 +493,45 @@ object Dedup {
       .orderBy(col("component"))
   }
 
+  /** Leakage-safe train/val/test split — the assignment step every LLM
+    * data pipeline runs after near-dup clustering: hash-split by CLUSTER
+    * (the component label), not by document, so two near-duplicates can
+    * never land on opposite sides of a train/eval boundary (the classic
+    * contamination-by-split bug). Singleton docs form their own cluster.
+    * Reports per split: docs, clusters, and docs that belong to multi-doc
+    * clusters (the rows a naive per-doc hash could have leaked).
+    *
+    * Split hash reuses the overflow-safe multiplicative contract of
+    * q_sample_stratified (label reduced mod 1e9+7 before the multiply);
+    * 8/1/1 train/val/test.
+    *
+    * Scale: inherits the components loop; the added work is one
+    * |docs|-sized left join against the (much smaller) clustered-doc map
+    * and a 3-group aggregate — both partial-aggregable. */
+  val qSplitLeakageSafe: Q = (s, dir) => {
+    val comp = qDedupComponents(s, dir)
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    val grouped = docs.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("grp"))
+    val sizes = grouped.groupBy(col("grp")).agg(count(lit(1)).as("sz"))
+    grouped
+      .withColumn("h", expr("(grp % 1000000007) * 2654435761 % 10"))
+      .withColumn("split",
+        when(col("h") < 8, "train").when(col("h") === 8, "val")
+          .otherwise("test"))
+      .join(sizes, Seq("grp"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_clusters"),
+        sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_canonical" -> qDedupCanonical,
+    "q_split_leakage_safe" -> qSplitLeakageSafe,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -572,6 +608,25 @@ object Dedup {
     "q_dedup_components" -> (componentsCte + """
       SELECT v AS doc_id, min(l) AS component
       FROM reach GROUP BY v ORDER BY doc_id"""),
+    "q_split_leakage_safe" -> (componentsCte + """,
+      comp AS (SELECT v AS doc_id, min(l) AS component
+               FROM reach GROUP BY v),
+      grouped AS (SELECT d.doc_id,
+                    coalesce(comp.component, d.doc_id) AS grp
+                  FROM documents d LEFT JOIN comp USING (doc_id)),
+      gsizes AS (SELECT grp, count(*) AS sz FROM grouped GROUP BY grp),
+      assigned AS (SELECT g.doc_id, g.grp, s.sz,
+                     CASE WHEN (g.grp % 1000000007) * 2654435761 % 10 < 8
+                            THEN 'train'
+                          WHEN (g.grp % 1000000007) * 2654435761 % 10 = 8
+                            THEN 'val'
+                          ELSE 'test' END AS split
+                   FROM grouped g JOIN gsizes s USING (grp))
+      SELECT split, count(*) AS n_docs,
+        CAST(count(DISTINCT grp) AS BIGINT) AS n_clusters,
+        CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_docs
+      FROM assigned GROUP BY split ORDER BY split"""),
     "q_dedup_canonical" -> (componentsCte + """,
       comp AS (SELECT v AS doc_id, min(l) AS component
                FROM reach GROUP BY v),
