@@ -493,6 +493,45 @@ object Dedup {
       .orderBy(col("component"))
   }
 
+  /** LSH recall confusion table — the sketch-quality report a dedup
+    * pipeline review asks for before trusting MinHash at corpus scale:
+    * full-outer-join the LSH candidate pairs (est_jacc >= 0.2) against
+    * the exact word-3-gram Jaccard truth (j >= 0.2) and report
+    * confirmed / missed-by-LSH / sketch-false-positive counts with their
+    * rates (recall, miss rate, and the sketch's false-discovery rate).
+    * Turns the spec-level recall bound into oracled DATA.
+    *
+    * Determinism: both pair sets are deterministic; rates are one IEEE
+    * division + round over integer counts.
+    *
+    * Scale: both sides are the already-blocked pair pipelines (band
+    * equi-join / df-capped inverted index — never all-pairs); the
+    * full-outer join runs on the pair keys (output-sized, tiny relative
+    * to the corpus) and collapses to one counter row. */
+  val qDedupMinhashRecall: Q = (s, dir) => {
+    val mh = qDedupMinhash(s, dir)
+      .select(col("da"), col("db"), lit(1).as("m"))
+    val ex = jaccardPairs(s, dir)
+      .select(col("da"), col("db"), lit(1).as("e"))
+    val cnt = mh.join(ex, Seq("da", "db"), "full_outer").agg(
+      sum(when(col("m") === 1 && col("e") === 1, 1L).otherwise(0L))
+        .as("n_both"),
+      sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_miss"),
+      sum(when(col("e").isNull, 1L).otherwise(0L)).as("n_fp"))
+    cnt.selectExpr(
+      """stack(3, 'confirmed', n_both, 'missed_by_lsh', n_miss,
+               'sketch_false_positive', n_fp) AS (category, n_pairs)""",
+        "n_both", "n_miss", "n_fp")
+      .withColumn("denom",
+        when(col("category") === "sketch_false_positive",
+          col("n_both") + col("n_fp"))
+          .otherwise(col("n_both") + col("n_miss")))
+      .select(col("category"), col("n_pairs"),
+        round(col("n_pairs").cast("double") /
+          greatest(col("denom"), lit(1L)).cast("double"), 4).as("rate"))
+      .orderBy(col("category"))
+  }
+
   /** Leakage-safe train/val/test split — the assignment step every LLM
     * data pipeline runs after near-dup clustering: hash-split by CLUSTER
     * (the component label), not by document, so two near-duplicates can
@@ -532,6 +571,7 @@ object Dedup {
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_canonical" -> qDedupCanonical,
     "q_split_leakage_safe" -> qSplitLeakageSafe,
+    "q_dedup_minhash_recall" -> qDedupMinhashRecall,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -566,6 +606,29 @@ object Dedup {
                 UNION
                 SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)"""
 
+  /** Exact word-3-gram Jaccard pair SQL (the [[qDedupJaccard]] oracle),
+    * also embedded by the recall-table oracle as a CTE body. */
+  private val jaccardOracleSql = """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+             FROM (SELECT *, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+      keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 100),
+      sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT da, db,
+        CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jacc
+      FROM inter
+      JOIN sizes sa ON da = sa.doc_id
+      JOIN sizes sb ON db = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2
+      ORDER BY da, db"""
+
   private val simhashSql = """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                    FROM documents),
@@ -580,13 +643,14 @@ object Dedup {
                       ELSE 0 END) AS BIGINT) AS simhash
       FROM b GROUP BY doc_id"""
 
-  def oracle: Map[String, String] = Map(
-    // replay oracle: reads the signature arrays the query itself dumped
-    // (see MinhashSigDump) and re-derives band candidacy + agreement —
-    // a value check over everything downstream of the engine-specific
-    // permutations. bi in 0..15 selects band rows (2i+1, 2i+2) of the
-    // 1-indexed 32-slot signature, mirroring the Spark banding exactly.
-    "q_dedup_minhash" -> s"""
+  // replay oracle: reads the signature arrays the query itself dumped
+  // (see MinhashSigDump) and re-derives band candidacy + agreement —
+  // a value check over everything downstream of the engine-specific
+  // permutations. bi in 0..15 selects band rows (2i+1, 2i+2) of the
+  // 1-indexed 32-slot signature, mirroring the Spark banding exactly.
+  // A def (reads MinhashSigDump); also embedded as a CTE body by the
+  // recall-table oracle.
+  private def minhashOracleSql: String = s"""
       WITH s AS (SELECT doc_id, sig
                  FROM read_parquet('$MinhashSigDump/*/*.parquet',
                                    hive_partitioning = true)
@@ -604,7 +668,35 @@ object Dedup {
         FROM s a JOIN s b ON a.doc_id < b.doc_id)
       SELECT da, db, est_jacc FROM c
       WHERE bands > 0 AND est_jacc >= 0.2
-      ORDER BY da, db""",
+      ORDER BY da, db"""
+
+  def oracle: Map[String, String] = Map(
+    "q_dedup_minhash" -> minhashOracleSql,
+    // sketch-quality confusion table: both sides reuse the exact oracle
+    // texts above/below as nested-WITH CTE bodies, so the recall numbers
+    // are derived from the SAME pair definitions the pair queries verify
+    "q_dedup_minhash_recall" -> s"""
+      WITH mh AS ($minhashOracleSql),
+      ex AS ($jaccardOracleSql),
+      j AS (SELECT (mh.da IS NOT NULL) AS m, (ex.da IS NOT NULL) AS e
+            FROM mh FULL JOIN ex ON mh.da = ex.da AND mh.db = ex.db),
+      cnt AS (SELECT
+          CAST(sum(CASE WHEN m AND e THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_both,
+          CAST(sum(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_miss,
+          CAST(sum(CASE WHEN NOT e THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+        FROM j),
+      r AS (
+        SELECT 'confirmed' AS category, n_both AS n_pairs,
+               n_both + n_miss AS denom FROM cnt
+        UNION ALL SELECT 'missed_by_lsh', n_miss, n_both + n_miss FROM cnt
+        UNION ALL SELECT 'sketch_false_positive', n_fp, n_both + n_fp
+        FROM cnt)
+      SELECT category, n_pairs,
+        round(CAST(n_pairs AS DOUBLE)
+          / CAST(greatest(denom, 1) AS DOUBLE), 4) AS rate
+      FROM r ORDER BY category""",
     "q_dedup_components" -> (componentsCte + """
       SELECT v AS doc_id, min(l) AS component
       FROM reach GROUP BY v ORDER BY doc_id"""),
@@ -644,26 +736,7 @@ object Dedup {
       SELECT min(doc_id) AS canonical_id, md5(text) AS fp,
              count(*) AS copies
       FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
-    "q_dedup_jaccard" -> """
-      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                    FROM documents),
-      sh0 AS (SELECT DISTINCT doc_id,
-               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-             FROM (SELECT *, unnest(range(1, len(t) - 1)) AS i FROM toks)),
-      keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 100),
-      sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-                FROM sh a JOIN sh b
-                  ON a.g = b.g AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-      SELECT da, db,
-        CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jacc
-      FROM inter
-      JOIN sizes sa ON da = sa.doc_id
-      JOIN sizes sb ON db = sb.doc_id
-      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2
-      ORDER BY da, db""",
+    "q_dedup_jaccard" -> jaccardOracleSql,
     "q_dedup_simhash" -> (simhashSql + " ORDER BY doc_id"),
     "q_dedup_simhash_pairs" -> s"""
       WITH sh AS ($simhashSql)
