@@ -35,6 +35,43 @@ object CorpusOps {
       .orderBy(col("shard"), col("pack_id"))
   }
 
+  /** Context-length packing-efficiency sweep — the capacity-planning
+    * table behind "which context window wastes least": for each candidate
+    * context size, report total tokens, block count, tail fill rate, and
+    * how many documents straddle a block boundary under concat-and-chunk
+    * packing (straddles are the re-attention cost of concat packing;
+    * tail waste is the padding cost). One sharded cumsum (the
+    * [[qPackSequences]] discipline — never a global single partition)
+    * serves every context size; the sweep is a 3-value explode over the
+    * cumsum stream with per-(ctx, shard) partial aggregation, so the
+    * corpus is scanned once regardless of how many sizes are swept.
+    *
+    * Determinism: pure integer arithmetic; fill_rate is one IEEE
+    * division + round. */
+  val qPackEfficiency: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Tables(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+    val swept = cum.select(col("shard"), col("n_tok"), col("cum"),
+      explode(array(lit(256), lit(512), lit(1024))).as("ctx"))
+    val perShard = swept.groupBy(col("ctx"), col("shard"))
+      .agg(max(col("cum")).as("tot"),
+        sum(when(expr("(cum - n_tok) div ctx") =!= expr("(cum - 1) div ctx"),
+          1L).otherwise(0L)).as("straddled"))
+    perShard.groupBy(col("ctx"))
+      .agg(sum(col("tot")).as("total_tok"),
+        sum(expr("(tot + ctx - 1) div ctx")).as("n_blocks"),
+        sum(col("straddled")).as("straddled_docs"))
+      .withColumn("fill_rate",
+        round(col("total_tok").cast("double") /
+          (col("n_blocks") * col("ctx")).cast("double"), 4))
+      .orderBy(col("ctx"))
+  }
+
   /** Reproducible stratified (quota) sampling: Bernoulli-by-hash with a
     * per-stratum rate — downsample dominant languages, keep the tail.
     * The multiplicative hash on doc_id replaces seeded RNG (which is
@@ -136,6 +173,7 @@ object CorpusOps {
 
   val queries: Map[String, Q] = Map(
     "q_pack_sequences" -> qPackSequences,
+    "q_pack_efficiency" -> qPackEfficiency,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_weighted" -> qSampleWeighted,
     "q_contamination" -> qContamination,
@@ -155,6 +193,28 @@ object CorpusOps {
         count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""",
+    "q_pack_efficiency" -> """
+      WITH t AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT *, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t),
+      x AS (SELECT shard, n_tok, cum, unnest([256, 512, 1024]) AS ctx
+            FROM c),
+      ps AS (SELECT ctx, shard, max(cum) AS tot,
+               sum(CASE WHEN (cum - n_tok) // ctx <> (cum - 1) // ctx
+                   THEN 1 ELSE 0 END) AS straddled
+             FROM x GROUP BY 1, 2)
+      SELECT ctx, CAST(sum(tot) AS BIGINT) AS total_tok,
+        CAST(sum((tot + ctx - 1) // ctx) AS BIGINT) AS n_blocks,
+        CAST(sum(straddled) AS BIGINT) AS straddled_docs,
+        round(CAST(sum(tot) AS DOUBLE)
+          / CAST(sum((tot + ctx - 1) // ctx) * ctx AS DOUBLE), 4)
+          AS fill_rate
+      FROM ps GROUP BY ctx ORDER BY ctx""",
     "q_sample_stratified" -> """
       SELECT lang, count(*) AS cnt,
         CAST(sum(n_chars) AS BIGINT) AS sum_chars
