@@ -60,7 +60,8 @@ object Bench {
     "q_emb_gram",              // map-side pair fan-out covariance pass (r8)
     "q_graph_pagerank",        // 3-iteration broadcast-rank walk (r8)
     "q_graph_triangles",       // support-pruned oriented wedge join (r8)
-    "q_basket_pairs")          // co-purchase support/lift mining (r8)
+    "q_basket_pairs",          // co-purchase support/lift mining (r8)
+    "q_pipeline_funnel")       // cumulative multi-stage survivor table (r9)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

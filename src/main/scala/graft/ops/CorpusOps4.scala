@@ -243,12 +243,17 @@ object CorpusOps4 {
       .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
       .select(col("doc_id"), (col("mx") * 10 < col("tot")).as("p_rep"))
     // span ownership: distinct non-overlapping 8-gram spans, owned by the
-    // minimum doc_id; a doc with any borrowed span fails the stage
-    val spans = docs.filter(col("ntok") >= 8)
+    // minimum doc_id; a doc with any borrowed span fails the stage.
+    // Persisted: the frame feeds BOTH the ownership aggregate and the
+    // probe side of the borrow join, and the min-agg blocks exchange
+    // reuse — unpersisted, the tokenize+explode subtree scans the corpus
+    // twice (caught in the r9 plan audit).
+    val spans = graft.CacheScope.track(docs.filter(col("ntok") >= 8)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(a) div 8 - 1),
            i -> concat_ws(' ', slice(a, i * 8 + 1, 8)))""")).as("g"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val borrowed = spans
       .join(spans.groupBy(col("g")).agg(min(col("doc_id")).as("o")), Seq("g"))
       .filter(col("doc_id") > col("o"))
