@@ -227,7 +227,51 @@ object TextAnalysis {
       .orderBy(col("pair"))
   }
 
+  /** PMI collocation mining (Church & Hanks 1990, "Word association
+    * norms, mutual information, and lexicography"): rank adjacent word
+    * pairs by pointwise mutual information, log2(c_xy * N / (c_x * c_y)),
+    * with a min-support floor so rare-pair noise never tops the list —
+    * the classic phrase/terminology extraction pass over a corpus.
+    *
+    * Determinism: PMI is assembled from PER-TERM fixed-point logs
+    * (round(log2(count) * 1e6) for each of c_xy, N, c_x, c_y — the same
+    * micro-bits trick as q_text_perplexity), so the score is integer
+    * arithmetic and the (pmi desc, pair) ranking is bit-stable in both
+    * engines; no product c_xy * N is ever formed, so nothing overflows
+    * at corpus scale.
+    *
+    * Scale: bigram and unigram counts partial-aggregate map-side; the
+    * unigram table is vocab-bounded and broadcasts into the bigram
+    * stream twice; the top-30 lowers to TakeOrderedAndProject. */
+  val qTextCollocations: Q = (s, dir) => {
+    def lg(c: Column): Column = round(log2(c) * lit(1e6)).cast("long")
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+    val uni = toks.select(explode(col("a")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n"))
+    val bi = toks.filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(a) - 1),
+           i -> struct(element_at(a, i) as w1,
+                       element_at(a, i + 1) as w2))""")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+    bi.join(broadcast(uni.select(col("w").as("w1"), col("c").as("cx"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cy"))),
+        Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("cxy"),
+        (lg(col("cxy")) + lg(col("n")) - lg(col("cx")) - lg(col("cy")))
+          .as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_collocations" -> qTextCollocations,
     "q_bpe_pair_count" -> qBpePairCount,
     "q_bpe_merge_step" -> qBpeMergeStep,
     "q_text_tfidf" -> qTextTfidf,
@@ -245,6 +289,25 @@ object TextAnalysis {
     s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(words)}))) AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "q_text_collocations" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
+                    FROM documents),
+      uni AS (SELECT w, count(*) AS c
+              FROM (SELECT unnest(a) AS w FROM toks) GROUP BY w),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+      bi AS (SELECT a[i] AS w1, a[i + 1] AS w2, count(*) AS cxy
+             FROM (SELECT *, unnest(range(1, len(a))) AS i FROM toks)
+             GROUP BY 1, 2 HAVING count(*) >= 5),
+      sc AS (SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy,
+               CAST(round(log2(cxy) * 1e6) AS BIGINT)
+                 + CAST(round(log2(n.n) * 1e6) AS BIGINT)
+                 - CAST(round(log2(ux.c) * 1e6) AS BIGINT)
+                 - CAST(round(log2(uy.c) * 1e6) AS BIGINT) AS pmi_micro
+             FROM bi
+             JOIN uni ux ON bi.w1 = ux.w
+             JOIN uni uy ON bi.w2 = uy.w
+             CROSS JOIN n)
+      SELECT * FROM sc ORDER BY pmi_micro DESC, w1, w2 LIMIT 30""",
     "q_bpe_pair_count" -> """
       WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
                  FROM documents),
