@@ -35,6 +35,7 @@ object SparkEntry {
     (CorpusOps2.queries, CorpusOps2.oracle),
     (CorpusOps3.queries, CorpusOps3.oracle),
     (CorpusOps4.queries, CorpusOps4.oracle),
+    (CorpusOps5.queries, CorpusOps5.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

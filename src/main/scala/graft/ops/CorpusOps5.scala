@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-pipeline operators, wave 5 (SURVEY.md §2.M): BM25 retrieval
+  * scoring, the Gopher quality-rule battery, and character-level
+  * Shannon-entropy filtering — three passes every pretraining corpus
+  * pipeline runs between raw crawl and tokenizer.
+  *
+  * Determinism contract (shared with the rest of §2.M): every score is
+  * assembled from PER-VALUE fixed-point logs (round(log2(x) * 1e6) as
+  * int64 — the micro-bits trick of q_text_perplexity/q_text_collocations)
+  * or exact integer cross-multiplication, so both engines run identical
+  * integer arithmetic and every query hash-matches. All operands here are
+  * non-negative, so Spark's truncating `div` and DuckDB's flooring `//`
+  * agree on every division.
+  */
+object CorpusOps5 {
+
+  /** round(log2(c) * 1e6) as int64 — per-value fixed-point log. */
+  private def lg(c: Column): Column = round(log2(c) * lit(1e6)).cast("long")
+
+  private val bm25Terms = Seq("data", "stream", "query")
+  private def bm25TermsSql = bm25Terms.map(t => s"'$t'").mkString(", ")
+
+  /** BM25 top-20 retrieval (Robertson et al., TREC-3 "Okapi at TREC-3",
+    * 1994) for a fixed 3-term query, with the Lucene idf variant
+    * log((N + 1) / (df + 0.5)) — always positive, so no negative
+    * operand ever reaches a division. k1 = 1.2, b = 0.75.
+    *
+    * Fixed-point assembly: idf_micro = lg(2N + 2) - lg(2df + 1)
+    * (the 2x clears the 0.5s into exact integers); the tf-saturation
+    * term (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl / avgdl)) is
+    * cleared of fractions by multiplying through by 100 * avgdl_micro:
+    * sat_milli = (tf * 220 * A * 1000) div (tf * 100 * A + 30 * A
+    * + 90 * dl * 1e6), A = avgdl in micro-tokens. Integer end-to-end.
+    *
+    * Scale shape: the posting list is filtered to the query terms
+    * BEFORE the tf aggregation, so only matching (doc, term) pairs
+    * shuffle — query-sized, not corpus-sized; df and the (N, avgdl)
+    * scalar are broadcast; top-20 lowers to TakeOrderedAndProject. */
+  val qTextBm25: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), col("a"), size(col("a")).cast("long").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      expr("sum(dl) * 1000000 div count(*)").as("avgdl_micro"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("a")).as("term"))
+      .filter(col("term").isInCollection(bm25Terms))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro",
+        lg(col("n_docs") * 2 + 2) - lg(col("df") * 2 + 1))
+      .withColumn("sat_milli", expr(
+        """(tf * 220 * avgdl_micro * 1000) div
+           (tf * 100 * avgdl_micro + 30 * avgdl_micro + 90 * dl * 1000000)"""))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("matched_terms"),
+        sum(col("tf")).as("total_tf"),
+        sum(expr("idf_micro * sat_milli div 1000")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val gopherStops = Seq("the", "a", "and", "of", "to", "in", "is")
+  private def gopherStopsSql = gopherStops.map(t => s"'$t'").mkString(", ")
+
+  /** Gopher quality-rule battery (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * table A1), reported as a per-source scorecard: how many docs pass
+    * each rule, and how many survive all of them. Rules, adapted to
+    * this corpus and kept EXACT by integer cross-multiplication
+    * (never a float ratio):
+    *   r_wordcount  word count in [30, 120]
+    *   r_meanlen    mean word length in [3, 10] chars:
+    *                3*nw <= (n_chars - nw + 1) <= 10*nw
+    *   r_symbol     symbol-to-word ratio < 10%: 10 * #('#' or '...') < nw
+    *   r_stopword   >= 2 distinct English stopwords present
+    *   r_uniq       unique-token ratio >= 20%: 5 * distinct >= nw
+    *
+    * Scale: one scan, per-doc map-side flags, one partial-aggregated
+    * shuffle to the handful of sources. */
+  val qQualityGopher: Q = (s, dir) => {
+    val toks = split(col("text"), " ")
+    val nw = size(toks).cast("long")
+    val nc = length(col("text")).cast("long")
+    val sym = (length(col("text")) -
+      length(regexp_replace(col("text"), "#|\\.\\.\\.", ""))).cast("long")
+    val stops = size(filter(array_distinct(toks),
+      x => x.isInCollection(gopherStops)))
+    val uniq = size(array_distinct(toks)).cast("long")
+    def b(c: Column): Column = c.cast("long")
+    Tables(s, dir, "documents")
+      .select(col("source"),
+        b(nw.between(30, 120)).as("r_wordcount"),
+        b(nc - nw + 1 >= nw * 3 && nc - nw + 1 <= nw * 10).as("r_meanlen"),
+        b(sym * 10 < nw).as("r_symbol"),
+        b(stops >= 2).as("r_stopword"),
+        b(uniq * 5 >= nw).as("r_uniq"))
+      .withColumn("kept",
+        col("r_wordcount") * col("r_meanlen") * col("r_symbol") *
+          col("r_stopword") * col("r_uniq"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r_wordcount")).as("pass_wordcount"),
+        sum(col("r_meanlen")).as("pass_meanlen"),
+        sum(col("r_symbol")).as("pass_symbol"),
+        sum(col("r_stopword")).as("pass_stopword"),
+        sum(col("r_uniq")).as("pass_uniq"),
+        sum(col("kept")).as("kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Character-level Shannon entropy per document, in micro-bits —
+    * the low-entropy filter (boilerplate / repeated-char junk) of
+    * CCNet-style pipelines. H = log2(n) - (1/n) * sum_c cnt_c*log2(cnt_c),
+    * assembled from per-value fixed-point logs so the score is exact
+    * integer arithmetic: ent_micro = lg(n) - (sum cnt*lg(cnt)) div n.
+    *
+    * Scale: the char explode partial-aggregates map-side to at most
+    * |alphabet| rows per doc before the (doc, char) shuffle, and the
+    * per-doc reduce is alphabet-bounded — linear in input bytes with
+    * a tiny shuffle, no window, no sort until the final presentation
+    * ORDER BY. */
+  val qTextEntropy: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt") * lg(col("cnt"))).as("s"))
+      .select(col("doc_id"), col("n"),
+        (lg(col("n")) - expr("s div n")).as("ent_micro"))
+      .withColumn("low_entropy", col("ent_micro") < 3000000L)
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_text_bm25" -> qTextBm25,
+    "q_quality_gopher" -> qQualityGopher,
+    "q_text_entropy" -> qTextEntropy)
+
+  val oracle: Map[String, String] = Map(
+    "q_text_bm25" -> s"""
+      WITH docs AS (SELECT doc_id, string_split(text, ' ') AS a
+                    FROM documents),
+      d AS (SELECT doc_id, a, CAST(len(a) AS BIGINT) AS dl FROM docs),
+      stats AS (SELECT count(*) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) * 1000000 // count(*)
+                         AS avgdl_micro
+                FROM d),
+      tf AS (SELECT doc_id, dl, term, count(*) AS tf
+             FROM (SELECT doc_id, dl, unnest(a) AS term FROM d)
+             WHERE term IN ($bm25TermsSql)
+             GROUP BY 1, 2, 3),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT tf.doc_id, tf.tf,
+               CAST(round(log2(n_docs * 2 + 2) * 1e6) AS BIGINT)
+                 - CAST(round(log2(df.df * 2 + 1) * 1e6) AS BIGINT)
+                 AS idf_micro,
+               (tf.tf * 220 * avgdl_micro * 1000) //
+                 (tf.tf * 100 * avgdl_micro + 30 * avgdl_micro
+                  + 90 * tf.dl * 1000000) AS sat_milli
+             FROM tf JOIN df USING (term) CROSS JOIN stats)
+      SELECT doc_id, count(*) AS matched_terms,
+             CAST(sum(tf) AS BIGINT) AS total_tf,
+             CAST(sum(idf_micro * sat_milli // 1000) AS BIGINT)
+               AS score_micro
+      FROM sc GROUP BY doc_id
+      ORDER BY score_micro DESC, doc_id LIMIT 20""",
+    "q_quality_gopher" -> s"""
+      WITH f AS (SELECT source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        CAST(length(text) AS BIGINT) AS nc,
+        CAST(length(text)
+          - length(regexp_replace(text, '#|\\.\\.\\.', '', 'g'))
+          AS BIGINT) AS sym,
+        len(list_filter(list_distinct(string_split(text, ' ')),
+            x -> x IN ($gopherStopsSql))) AS stops,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq
+        FROM documents),
+      r AS (SELECT source,
+        CAST(nw BETWEEN 30 AND 120 AS BIGINT) AS r_wordcount,
+        CAST(nc - nw + 1 >= nw * 3 AND nc - nw + 1 <= nw * 10 AS BIGINT)
+          AS r_meanlen,
+        CAST(sym * 10 < nw AS BIGINT) AS r_symbol,
+        CAST(stops >= 2 AS BIGINT) AS r_stopword,
+        CAST(uniq * 5 >= nw AS BIGINT) AS r_uniq
+        FROM f)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(r_wordcount) AS BIGINT) AS pass_wordcount,
+        CAST(sum(r_meanlen) AS BIGINT) AS pass_meanlen,
+        CAST(sum(r_symbol) AS BIGINT) AS pass_symbol,
+        CAST(sum(r_stopword) AS BIGINT) AS pass_stopword,
+        CAST(sum(r_uniq) AS BIGINT) AS pass_uniq,
+        CAST(sum(r_wordcount * r_meanlen * r_symbol * r_stopword * r_uniq)
+          AS BIGINT) AS kept
+      FROM r GROUP BY source ORDER BY source""",
+    "q_text_entropy" -> """
+      WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                  FROM documents),
+      cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+      e AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+              CAST(sum(cnt * CAST(round(log2(cnt) * 1e6) AS BIGINT))
+                AS BIGINT) AS s
+            FROM cc GROUP BY 1)
+      SELECT doc_id, n,
+        CAST(round(log2(n) * 1e6) AS BIGINT) - s // n AS ent_micro,
+        (CAST(round(log2(n) * 1e6) AS BIGINT) - s // n) < 3000000
+          AS low_entropy
+      FROM e ORDER BY doc_id""")
+}

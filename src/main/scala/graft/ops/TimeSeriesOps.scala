@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -157,7 +158,43 @@ object TimeSeriesOps {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** EWMA smoothing (alpha = 1/2) over each user's value stream — the
+    * standard metric smoother, truncated to the 4 most recent lags so
+    * the weights are exact powers of two: ewma = (16*v0 + 8*v1 + 4*v2
+    * + 2*v3 + 1*v4) / (present-weight sum). Values are quantized to
+    * integer micro-units first (round(value * 1e6), the EmbQuant
+    * convention), so numerator, denominator and quotient are exact
+    * int64 arithmetic — bit-identical in both engines (all values are
+    * non-negative, so truncating div == flooring //). The 4-lag
+    * truncation changes the estimate by < 1/31 of the oldest weight —
+    * the price of exactness over a float recurrence that could never
+    * hash-match cross-engine.
+    *
+    * Scale: one shuffle on user_id; all five lags ride a single
+    * per-user sort (one Window physical operator), no self-join. */
+  val qEwma: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    def lagv(k: Int): Column = lag(col("vm"), k).over(w)
+    val weights = Seq(16L, 8L, 4L, 2L, 1L)
+    val lags = col("vm") +: (1 to 4).map(lagv)
+    val num = weights.zip(lags)
+      .map { case (wt, c) => coalesce(c, lit(0L)) * wt }
+      .reduce(_ + _)
+    val den = weights.zip(lags)
+      .map { case (wt, c) => when(c.isNull, 0L).otherwise(wt) }
+      .reduce(_ + _)
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 1e6).cast("long").as("vm"))
+      .withColumn("num", num).withColumn("den", den)
+      .select(col("user_id"), col("event_id"), col("vm"),
+        expr("num div den").as("ewma_micro"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_ewma" -> qEwma,
     "q_ts_sessionize" -> qSessionize,
     "q_ts_gapfill" -> qGapfill,
     "q_ts_downsample" -> qDownsample,
@@ -165,6 +202,23 @@ object TimeSeriesOps {
     "q_attr_touch" -> qAttrTouch)
 
   val oracle: Map[String, String] = Map(
+    "q_ts_ewma" -> """
+      WITH v AS (SELECT user_id, event_id, ts,
+                   CAST(round(value * 1e6) AS BIGINT) AS vm
+                 FROM events),
+      l AS (SELECT user_id, event_id, vm,
+              lag(vm, 1) OVER w AS v1, lag(vm, 2) OVER w AS v2,
+              lag(vm, 3) OVER w AS v3, lag(vm, 4) OVER w AS v4
+            FROM v
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id, vm,
+        (vm * 16 + coalesce(v1, 0) * 8 + coalesce(v2, 0) * 4
+         + coalesce(v3, 0) * 2 + coalesce(v4, 0)) //
+        (16 + CASE WHEN v1 IS NULL THEN 0 ELSE 8 END
+            + CASE WHEN v2 IS NULL THEN 0 ELSE 4 END
+            + CASE WHEN v3 IS NULL THEN 0 ELSE 2 END
+            + CASE WHEN v4 IS NULL THEN 0 ELSE 1 END) AS ewma_micro
+      FROM l ORDER BY user_id, event_id""",
     "q_attr_touch" -> """
       WITH t AS (
         SELECT user_id, event_id, ts, event_type, value,
