@@ -142,10 +142,110 @@ object CorpusOps5 {
       .orderBy(col("doc_id"))
   }
 
+  /** Inverted-index build (the retrieval-side sink of a corpus
+    * pipeline): per 3-gram phrase key, document frequency, total
+    * occurrences and the sorted posting list. Keys are 3-grams, not
+    * unigrams — this corpus's unigram vocabulary is stop-like (df ≈ N
+    * for every term), and a df-capped unigram index would be empty;
+    * phrase keys are how a phrase/proximity index shards anyway. The
+    * df ∈ [2, 50] band drops both singletons (no retrieval value) and
+    * stop-like keys (corpus-sized postings — the q_dedup_jaccard
+    * df-cap discipline), and an md5-prefix 1/16 shard sample keeps the
+    * dumped slice verify-sized at every SF (the md5-parity trick of
+    * q_sim_ann_lsh — both engines derive the same shard). Postings
+    * emit comma-joined (the string_agg precedent of q_agg_collect).
+    *
+    * Scale: occurrence counts partial-aggregate map-side to (gram,
+    * doc) rows; df and the posting list build ride ONE gram-keyed
+    * shuffle; the df-cap bounds every reducer's list state. */
+  val qIndexPostings: Q = (s, dir) => {
+    val tf = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(a) - 2),
+           i -> concat_ws(' ', element_at(a, i), element_at(a, i + 1),
+                          element_at(a, i + 2)))""")).as("g"))
+      .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .filter(substring(md5(col("g")), 1, 1) === "0")
+    tf.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings"))
+      .filter(col("df").between(2, 50))
+      .orderBy(col("g"))
+  }
+
+  /** Per-document n-gram novelty (the memorization-risk / uniqueness
+    * scorer): the share of a doc's distinct 3-grams that occur in NO
+    * other document, as an exact integer permille = novel * 1000 div
+    * n_grams. High-novelty docs are the memorization-risk tail; zero-
+    * novelty docs are pure boilerplate.
+    *
+    * Scale: distinct (gram, doc) pairs partial-aggregate before the
+    * gram-keyed df shuffle; df == 1 grams join back doc-keyed. Both
+    * shuffles carry gram-level rows, never raw text. */
+  val qTextNovelty: Q = (s, dir) => {
+    val grams = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(a) - 2),
+           i -> concat_ws(' ', element_at(a, i), element_at(a, i + 1),
+                          element_at(a, i + 2)))""")).as("g"))
+      .distinct()
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel_grams"))
+      .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+        expr("novel_grams * 1000 div n_grams").as("novelty_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Zipf rank-frequency fit over the top-1000 vocabulary: the OLS
+    * slope of log2(freq) on log2(rank) — the corpus-health diagnostic
+    * (natural text ≈ −1; synthetic/boilerplate drifts toward 0).
+    * Logs are per-value fixed-point MILLI-bits (1e3 — micro would
+    * overflow int64 in the n·Σxy cross term at n = 1000); the OLS
+    * numerator n·Σxy − Σx·Σy and denominator n·Σxx − Σx·Σx are exact
+    * int64, and the slope itself is ONE IEEE division of those two
+    * integers (the numerator is negative — Zipf slopes are — and
+    * Spark's truncating div and DuckDB's flooring // disagree on
+    * negatives, so integer division is out; a single double division
+    * of identical integers is bit-deterministic in both engines).
+    *
+    * Scale: vocab count is one partial-aggregated shuffle; the top-1000
+    * lowers to TakeOrderedAndProject; the regression reduces 1000 rows
+    * to one — driver-sized by construction. */
+  val qTextZipf: Q = (s, dir) => {
+    def lgm(c: Column): Column = round(log2(c) * lit(1e3)).cast("long")
+    val top = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(1000)
+      .select(col("freq"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("w"))).as("rank"))
+    top.select(lgm(col("rank")).as("x"), lgm(col("freq")).as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"), col("sx"), col("sy"),
+        expr("n * sxy - sx * sy").as("slope_num"),
+        expr("n * sxx - sx * sx").as("slope_den"))
+      .withColumn("slope",
+        col("slope_num").cast("double") / col("slope_den").cast("double"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_bm25" -> qTextBm25,
     "q_quality_gopher" -> qQualityGopher,
-    "q_text_entropy" -> qTextEntropy)
+    "q_text_entropy" -> qTextEntropy,
+    "q_index_postings" -> qIndexPostings,
+    "q_text_novelty" -> qTextNovelty,
+    "q_text_zipf" -> qTextZipf)
 
   val oracle: Map[String, String] = Map(
     "q_text_bm25" -> s"""
@@ -203,6 +303,56 @@ object CorpusOps5 {
         CAST(sum(r_wordcount * r_meanlen * r_symbol * r_stopword * r_uniq)
           AS BIGINT) AS kept
       FROM r GROUP BY source ORDER BY source""",
+    "q_index_postings" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
+                    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      g AS (SELECT doc_id,
+              a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS g
+            FROM (SELECT *, unnest(range(1, len(a) - 1)) AS i FROM toks)),
+      tf AS (SELECT g, doc_id, count(*) AS tf FROM g
+             GROUP BY 1, 2 HAVING substr(md5(g), 1, 1) = '0'),
+      idx AS (SELECT g, count(*) AS df,
+                CAST(sum(tf) AS BIGINT) AS total_tf,
+                array_to_string(list_sort(list(doc_id)), ',') AS postings
+              FROM tf GROUP BY g)
+      SELECT g, df, total_tf, postings FROM idx
+      WHERE df BETWEEN 2 AND 50 ORDER BY g""",
+    "q_text_novelty" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
+                    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      grams AS (SELECT DISTINCT doc_id,
+                  a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS g
+                FROM (SELECT *, unnest(range(1, len(a) - 1)) AS i
+                      FROM toks)),
+      df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+      j AS (SELECT doc_id, count(*) AS n_grams,
+              CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS novel_grams
+            FROM grams JOIN df USING (g) GROUP BY doc_id)
+      SELECT doc_id, n_grams, novel_grams,
+             novel_grams * 1000 // n_grams AS novelty_permille
+      FROM j ORDER BY doc_id""",
+    "q_text_zipf" -> """
+      WITH freq AS (SELECT w, count(*) AS freq
+                    FROM (SELECT unnest(string_split(text, ' ')) AS w
+                          FROM documents) GROUP BY w),
+      top AS (SELECT freq, CAST(row_number() OVER
+                  (ORDER BY freq DESC, w) AS BIGINT) AS rank
+              FROM freq ORDER BY freq DESC, w LIMIT 1000),
+      xy AS (SELECT CAST(round(log2(rank) * 1e3) AS BIGINT) AS x,
+                    CAST(round(log2(freq) * 1e3) AS BIGINT) AS y
+             FROM top),
+      agg AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM xy)
+      SELECT n, sx, sy,
+        n * sxy - sx * sy AS slope_num,
+        n * sxx - sx * sx AS slope_den,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+      FROM agg""",
     "q_text_entropy" -> """
       WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
                   FROM documents),

@@ -113,9 +113,40 @@ object EmbeddingOps {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Embedding outlier gate: each vector's cosine to its OWN label's
+    * centroid, bottom-20 — the mislabeled/garbage-embedding filter that
+    * runs before centroid-classifier training (and the SemDeDup
+    * "prune far-from-centroid" variant of cluster hygiene).
+    *
+    * Same exact-integer discipline as [[qEmbClassify]]: unnormalized
+    * int64 sum centroids (cosine is scale-invariant), integer dots,
+    * one IEEE division per row; tie-break on vec_id.
+    *
+    * Scale: centroids are an L x d broadcast; scoring is map-side over
+    * the vector stream (equi-join on label against the broadcast);
+    * bottom-20 lowers to TakeOrderedAndProject. */
+  val qEmbOutliers: Q = (s, dir) => {
+    val emb = quantized(s, dir).withColumn("n2", dotq(col("q"), col("q")))
+    val cents = emb
+      .select(col("label"), posexplode(col("q")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("col")).as("sv"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), x -> x.sv)")
+        .as("cq"))
+      .withColumn("cn2", dotq(col("cq"), col("cq")))
+    emb.join(broadcast(cents), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        (dotq(col("q"), col("cq")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("own_cos"))
+      .orderBy(col("own_cos").asc, col("vec_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_emb_classify" -> qEmbClassify,
-    "q_emb_gram" -> qEmbGram)
+    "q_emb_gram" -> qEmbGram,
+    "q_emb_outliers" -> qEmbOutliers)
 
   private val eSql =
     """SELECT vec_id, label, r.i AS i,
@@ -146,6 +177,24 @@ object EmbeddingOps {
       QUALIFY row_number() OVER (PARTITION BY vec_id
         ORDER BY ccos DESC, clabel) = 1
       ORDER BY vec_id""",
+    "q_emb_outliers" -> s"""
+      WITH e AS ($eSql),
+      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      cents AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS cv
+                FROM e GROUP BY 1, 2),
+      cn AS (SELECT label, CAST(sum(cv * cv) AS BIGINT) AS cn2
+             FROM cents GROUP BY 1),
+      d AS (SELECT a.vec_id, a.label, CAST(sum(a.v * c.cv) AS BIGINT)
+              AS dot
+            FROM e a JOIN cents c ON a.label = c.label AND a.i = c.i
+            GROUP BY 1, 2)
+      SELECT d.vec_id, d.label,
+        CAST(dot AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) *
+          sqrt(CAST(cn.cn2 AS DOUBLE))) AS own_cos
+      FROM d JOIN n ON d.vec_id = n.vec_id
+             JOIN cn ON d.label = cn.label
+      ORDER BY own_cos ASC, d.vec_id LIMIT 20""",
     "q_emb_gram" -> s"""
       WITH e AS ($eSql),
       gram AS (SELECT a.i AS i, b.i AS j,
