@@ -61,7 +61,9 @@ object Bench {
     "q_graph_pagerank",        // 3-iteration broadcast-rank walk (r8)
     "q_graph_triangles",       // support-pruned oriented wedge join (r8)
     "q_basket_pairs",          // co-purchase support/lift mining (r8)
-    "q_pipeline_funnel")       // cumulative multi-stage survivor table (r9)
+    "q_pipeline_funnel",       // cumulative multi-stage survivor table (r9)
+    "q_text_novelty",          // corpus-wide 3-gram df + doc-novelty join (r9)
+    "q_index_delta")           // posting build x2 + gram-keyed outer merge (r9)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -239,7 +239,74 @@ object CorpusOps5 {
         col("slope_num").cast("double") / col("slope_den").cast("double"))
   }
 
+  /** Shared posting-build front end: sharded (gram, doc_id, tf) rows
+    * over an input docs frame — the same 3-gram + md5 1/16 shard
+    * discipline as [[qIndexPostings]]. */
+  private def gramTf(docs: org.apache.spark.sql.DataFrame) = docs
+    .select(col("doc_id"), split(col("text"), " ").as("a"))
+    .filter(size(col("a")) >= 3)
+    .select(col("doc_id"), explode(expr(
+      """transform(sequence(1, size(a) - 2),
+         i -> concat_ws(' ', element_at(a, i), element_at(a, i + 1),
+                        element_at(a, i + 2)))""")).as("g"))
+    .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    .filter(substring(md5(col("g")), 1, 1) === "0")
+
+  private def postingAgg(tf: org.apache.spark.sql.DataFrame) = tf
+    .groupBy(col("g"))
+    .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+      array_join(sort_array(collect_list(col("doc_id"))), ",")
+        .as("postings"))
+
+  /** Incremental index maintenance: merge a small delta batch's
+    * postings into the stored base index WITHOUT rebuilding it — the
+    * index twin of q_dedup_incremental. Base = doc_id % 10 != 0
+    * (the "stored" index), delta = doc_id % 10 == 0 (the new batch);
+    * the merge is a gram-keyed full-outer join that adds dfs and
+    * concatenates posting lists (doc sets are disjoint, so
+    * sorted-concat == sorted-union). The df ∈ [2, 50] publish band
+    * applies to the MERGED index, so a delta doc can promote a
+    * base singleton into the published slice — the case a naive
+    * "append only new grams" merge gets wrong.
+    *
+    * Scale: the base aggregation is the one-time stored artifact (at
+    * 100 TB it is read, not recomputed); the delta aggregation is
+    * batch-sized; the merge shuffles gram-keyed rows with df-capped
+    * list state. */
+  val qIndexDelta: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val base = postingAgg(gramTf(docs.filter(col("doc_id") % 10 =!= 0)))
+      .select(col("g"), col("df").as("df_base"),
+        col("total_tf").as("tf_base"), col("postings").as("p_base"))
+    val delta = postingAgg(gramTf(docs.filter(col("doc_id") % 10 === 0)))
+      .select(col("g"), col("df").as("df_delta"),
+        col("total_tf").as("tf_delta"), col("postings").as("p_delta"))
+    base.join(delta, Seq("g"), "full_outer")
+      .select(col("g"),
+        coalesce(col("df_base"), lit(0L)).as("df_base"),
+        coalesce(col("df_delta"), lit(0L)).as("df_delta"),
+        (coalesce(col("df_base"), lit(0L))
+          + coalesce(col("df_delta"), lit(0L))).as("df_merged"),
+        (coalesce(col("tf_base"), lit(0L))
+          + coalesce(col("tf_delta"), lit(0L))).as("tf_merged"),
+        mergedPostings(col("p_base"), col("p_delta")).as("postings_merged"))
+      .filter(col("df_merged").between(2, 50))
+      .orderBy(col("g"))
+  }
+
+  /** Merge two optional comma-joined posting strings: re-split to
+    * LONGs (doc ids sort numerically, not lexically), concat, sort,
+    * re-join. */
+  private def mergedPostings(a: Column, b: Column): Column = {
+    def ids(c: Column): Column =
+      when(c.isNull, array().cast("array<bigint>"))
+        .otherwise(transform(split(c, ","), x => x.cast("long")))
+    array_join(transform(sort_array(concat(ids(a), ids(b))),
+      x => x.cast("string")), ",")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_index_delta" -> qIndexDelta,
     "q_text_bm25" -> qTextBm25,
     "q_quality_gopher" -> qQualityGopher,
     "q_text_entropy" -> qTextEntropy,
@@ -303,6 +370,33 @@ object CorpusOps5 {
         CAST(sum(r_wordcount * r_meanlen * r_symbol * r_stopword * r_uniq)
           AS BIGINT) AS kept
       FROM r GROUP BY source ORDER BY source""",
+    "q_index_delta" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
+                    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      gr AS (SELECT doc_id,
+               a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS g
+             FROM (SELECT *, unnest(range(1, len(a) - 1)) AS i FROM toks)),
+      tf AS (SELECT g, doc_id, count(*) AS tf FROM gr
+             GROUP BY 1, 2 HAVING substr(md5(g), 1, 1) = '0'),
+      base AS (SELECT g, count(*) AS df_base,
+                 CAST(sum(tf) AS BIGINT) AS tf_base,
+                 list_sort(list(doc_id)) AS p_base
+               FROM tf WHERE doc_id % 10 <> 0 GROUP BY g),
+      delta AS (SELECT g, count(*) AS df_delta,
+                  CAST(sum(tf) AS BIGINT) AS tf_delta,
+                  list_sort(list(doc_id)) AS p_delta
+                FROM tf WHERE doc_id % 10 = 0 GROUP BY g),
+      m AS (SELECT coalesce(base.g, delta.g) AS g,
+              coalesce(df_base, 0) AS df_base,
+              coalesce(df_delta, 0) AS df_delta,
+              coalesce(df_base, 0) + coalesce(df_delta, 0) AS df_merged,
+              coalesce(tf_base, 0) + coalesce(tf_delta, 0) AS tf_merged,
+              array_to_string(list_sort(
+                coalesce(p_base, []) || coalesce(p_delta, [])), ',')
+                AS postings_merged
+            FROM base FULL OUTER JOIN delta ON base.g = delta.g)
+      SELECT g, df_base, df_delta, df_merged, tf_merged, postings_merged
+      FROM m WHERE df_merged BETWEEN 2 AND 50 ORDER BY g""",
     "q_index_postings" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
                     FROM documents WHERE len(string_split(text, ' ')) >= 3),

@@ -193,7 +193,37 @@ object TimeSeriesOps {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Event-transition (Markov) matrix: counts and exact-permille
+    * probabilities of each event_type → next event_type step within a
+    * user's stream — the path-analysis primitive behind "what do users
+    * do after X" product questions (and the matchpath/funnel family's
+    * aggregate view).
+    *
+    * Scale: one shuffle on user_id for the lead() window, then a
+    * partial-aggregated shuffle to the (from, to) matrix — type² rows,
+    * calendar-bounded, never row-count-bounded. Probabilities are
+    * integers: cnt * 1000 div row_total (both positive, so div and //
+    * agree). */
+  val qPathTransitions: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("cnt")).as("row_total"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        expr("cnt * 1000 div row_total").as("p_permille"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_path_transitions" -> qPathTransitions,
     "q_ts_ewma" -> qEwma,
     "q_ts_sessionize" -> qSessionize,
     "q_ts_gapfill" -> qGapfill,
@@ -202,6 +232,20 @@ object TimeSeriesOps {
     "q_attr_touch" -> qAttrTouch)
 
   val oracle: Map[String, String] = Map(
+    "q_path_transitions" -> """
+      WITH p AS (
+        SELECT event_type AS from_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS to_type
+        FROM events),
+      c AS (SELECT from_type, to_type, count(*) AS cnt
+            FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS row_total
+            FROM c GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.cnt,
+             c.cnt * 1000 // t.row_total AS p_permille
+      FROM c JOIN t USING (from_type)
+      ORDER BY from_type, to_type""",
     "q_ts_ewma" -> """
       WITH v AS (SELECT user_id, event_id, ts,
                    CAST(round(value * 1e6) AS BIGINT) AS vm

@@ -62,7 +62,12 @@ class SparkEntrySpec extends AnyFunSuite {
         // r8 wave 4: triangle census — degree-orientation ties must
         // break on node id, not partition order; k-core survivor sets
         // and basket lift ranks likewise
-        "q_graph_triangles", "q_graph_kcore", "q_basket_pairs")) {
+        "q_graph_triangles", "q_graph_kcore", "q_basket_pairs",
+        // r9 wave: fixed-point log scores, collect_list posting order
+        // (sorted), bottom-k cosine tie-breaks and lag-chain EWMA must
+        // all be partition-order invariant
+        "q_text_bm25", "q_text_entropy", "q_index_postings",
+        "q_index_delta", "q_emb_outliers", "q_text_zipf", "q_ts_ewma")) {
       val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
       val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
       assert(a == b, s"$name not deterministic across runs")
