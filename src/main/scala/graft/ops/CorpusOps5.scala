@@ -305,7 +305,76 @@ object CorpusOps5 {
       x => x.cast("string")), ",")
   }
 
+  /** Token-budget corpus selection: take the highest-quality docs
+    * whose cumulative token count fits a 10k-token budget — the "fill
+    * the training budget by quality order" selection step (quality
+    * here = unique-token permille, an exact integer).
+    *
+    * The global quality-ordered cumulative sum is decomposed so no
+    * corpus-sized partition ever sorts in one place (the
+    * q_pack_sequences sharded-cumsum discipline, keyed by QUALITY
+    * BUCKET instead of hash shard): per-bucket token totals (bounded
+    * rows) get a tiny cross-bucket prefix window; within-bucket
+    * cumsums ride a per-bucket sort; cum = bucket offset + in-bucket
+    * running sum. Exactly equals the naive global window (the DuckDB
+    * oracle runs the naive form — the equality IS the test).
+    *
+    * Scale: one shuffle on bucket for the within-bucket window; the
+    * cross-bucket window runs over ~20 rows however large the corpus. */
+  val qBudgetSelect: Q = (s, dir) => {
+    val budget = 10000L
+    val scored = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), size(col("a")).cast("long").as("ntok"),
+        expr("size(array_distinct(a)) * 1000 div size(a)").as("qpm"))
+      .withColumn("bucket", expr("qpm div 50"))
+    val offsets = scored.groupBy(col("bucket"))
+      .agg(sum(col("ntok")).as("btok"))
+      .withColumn("offset",
+        coalesce(sum(col("btok")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("bucket").desc)
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("qpm").desc, col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    scored.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_tokens", col("offset") + sum(col("ntok")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("qpm"), col("ntok"), col("cum_tokens"))
+      .orderBy(col("cum_tokens"))
+  }
+
+  /** Shard manifest: balance report for an md5-sharded corpus write —
+    * per shard (first hex nibble of md5(doc_id): 16 shards), doc /
+    * token / byte counts and the exact-permille skew vs the uniform
+    * share. The publish-side sanity check before a 100 TB write:
+    * a shard at 2× the mean means a straggler executor and a hot
+    * reader partition later.
+    *
+    * Scale: map-side shard assignment, one partial-aggregated shuffle
+    * to 16 rows, totals broadcast back. */
+  val qShardManifest: Q = (s, dir) => {
+    val sharded = Tables(s, dir, "documents")
+      .select(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .as("shard"),
+        size(split(col("text"), " ")).cast("long").as("ntok"),
+        col("n_chars"))
+    val perShard = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"),
+        sum(col("n_chars")).as("bytes"))
+    val totals = perShard.agg(sum(col("n_docs")).as("total_docs"))
+    perShard.crossJoin(broadcast(totals))
+      .select(col("shard"), col("n_docs"), col("tokens"), col("bytes"),
+        expr("n_docs * 16 * 1000 div total_docs").as("skew_permille"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_budget_select" -> qBudgetSelect,
+    "q_shard_manifest" -> qShardManifest,
     "q_index_delta" -> qIndexDelta,
     "q_text_bm25" -> qTextBm25,
     "q_quality_gopher" -> qQualityGopher,
@@ -370,6 +439,32 @@ object CorpusOps5 {
         CAST(sum(r_wordcount * r_meanlen * r_symbol * r_stopword * r_uniq)
           AS BIGINT) AS kept
       FROM r GROUP BY source ORDER BY source""",
+    "q_budget_select" -> """
+      WITH s AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            * 1000 // len(string_split(text, ' ')) AS qpm
+        FROM documents),
+      c AS (SELECT doc_id, qpm, ntok,
+              CAST(sum(ntok) OVER (ORDER BY qpm DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM s)
+      SELECT doc_id, qpm, ntok, cum_tokens
+      FROM c WHERE cum_tokens <= 10000 ORDER BY cum_tokens""",
+    "q_shard_manifest" -> """
+      WITH s AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   AS shard,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                 n_chars
+                 FROM documents),
+      p AS (SELECT shard, count(*) AS n_docs,
+              CAST(sum(ntok) AS BIGINT) AS tokens,
+              CAST(sum(n_chars) AS BIGINT) AS bytes
+            FROM s GROUP BY shard),
+      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM p)
+      SELECT shard, n_docs, tokens, bytes,
+             n_docs * 16 * 1000 // total_docs AS skew_permille
+      FROM p CROSS JOIN t ORDER BY shard""",
     "q_index_delta" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
                     FROM documents WHERE len(string_split(text, ' ')) >= 3),
