@@ -372,7 +372,77 @@ object CorpusOps5 {
       .orderBy(col("shard"))
   }
 
+  /** Negative-pair sampling for contrastive training: each document
+    * draws 3 pseudo-random partners via a Weyl/Knuth multiplicative
+    * stride (doc_id * 2654435761 + j * 40503) mod N — deterministic,
+    * join-free partner ASSIGNMENT (no cross join, no rand()), then one
+    * equi-join fetches partner metadata. Self-pairs are dropped; the
+    * same-source collision rate each anchor would train against is the
+    * audit column (a high rate means the "negatives" aren't).
+    *
+    * Scale: partner ids are computed map-side; the only shuffle is the
+    * partner equi-join (doc-keyed); N rides a 1-row broadcast. The
+    * contiguous-id assumption (ids 0..N-1) holds for this fixture and
+    * is the standard post-"assign dense ids" state of an embedding
+    * pipeline; with sparse ids, a zipWithIndex pass densifies first. */
+  val qNegSample: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val pairs = docs.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(1, 3), j ->
+             (doc_id * 2654435761 + j * 40503) % n_docs)"""))
+        .as("partner_id"))
+      .filter(col("partner_id") =!= col("doc_id"))
+    pairs.join(docs.select(col("doc_id").as("partner_id"),
+        col("source").as("partner_source")), Seq("partner_id"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_negatives"),
+        sum(when(col("source") === col("partner_source"), 1L)
+          .otherwise(0L)).as("same_source"),
+        array_join(transform(sort_array(collect_list(col("partner_id"))),
+          x => x.cast("string")), ",").as("partners"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus data card: the one-row summary every published dataset
+    * ships (docs, tokens, chars, vocab, languages, sources, exact-dup
+    * rate via content fingerprints, mean doc length in exact permille).
+    * One scan for the per-doc stats + one fingerprint aggregation;
+    * every figure is an exact integer, so the card is reproducible
+    * bit-for-bit from any engine.
+    *
+    * Scale: two scans (stats, fingerprints), both partial-aggregated;
+    * distinct counts are gram/fingerprint-keyed shuffles. The card is
+    * 1 row regardless of corpus size. */
+  val qCorpusDatacard: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("n_chars"),
+      split(col("text"), " ").as("a"), col("lang"), col("source"))
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("a"))).cast("long").as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val vocab = toks.select(explode(col("a")).as("w"))
+      .agg(countDistinct(col("w")).as("vocab_size"))
+    val dups = docs.select(md5(array_join(sort_array(array_distinct(
+        split(lower(col("text")), " "))), " ")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1).as("exact_dup_docs"))
+    stats.crossJoin(broadcast(vocab)).crossJoin(broadcast(dups))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_sources"), col("vocab_size"),
+        col("exact_dup_docs"),
+        expr("n_tokens * 1000 div n_docs").as("mean_tokens_permille"),
+        expr("exact_dup_docs * 1000 div n_docs").as("dup_permille"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_neg_sample" -> qNegSample,
+    "q_corpus_datacard" -> qCorpusDatacard,
     "q_budget_select" -> qBudgetSelect,
     "q_shard_manifest" -> qShardManifest,
     "q_index_delta" -> qIndexDelta,
@@ -439,6 +509,45 @@ object CorpusOps5 {
         CAST(sum(r_wordcount * r_meanlen * r_symbol * r_stopword * r_uniq)
           AS BIGINT) AS kept
       FROM r GROUP BY source ORDER BY source""",
+    "q_neg_sample" -> """
+      WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      p AS (SELECT d.doc_id, d.source,
+              (d.doc_id * 2654435761 + j.j * 40503) % n.n_docs
+                AS partner_id
+            FROM documents d CROSS JOIN n
+                 CROSS JOIN (SELECT unnest(range(1, 4)) AS j) j
+            WHERE (d.doc_id * 2654435761 + j.j * 40503) % n.n_docs
+                  <> d.doc_id),
+      jn AS (SELECT p.doc_id, p.source, p.partner_id,
+               d2.source AS partner_source
+             FROM p JOIN documents d2 ON p.partner_id = d2.doc_id)
+      SELECT doc_id, source, count(*) AS n_negatives,
+        CAST(sum(CASE WHEN source = partner_source THEN 1 ELSE 0 END)
+          AS BIGINT) AS same_source,
+        array_to_string(list_transform(list_sort(list(partner_id)),
+          x -> CAST(x AS VARCHAR)), ',') AS partners
+      FROM jn GROUP BY doc_id, source ORDER BY doc_id""",
+    "q_corpus_datacard" -> """
+      WITH t AS (SELECT doc_id, n_chars, lang, source,
+                   string_split(text, ' ') AS a, lower(text) AS lt
+                 FROM documents),
+      stats AS (SELECT count(*) AS n_docs,
+                  CAST(sum(len(a)) AS BIGINT) AS n_tokens,
+                  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                  count(DISTINCT lang) AS n_langs,
+                  count(DISTINCT source) AS n_sources
+                FROM t),
+      vocab AS (SELECT count(DISTINCT w) AS vocab_size
+                FROM (SELECT unnest(a) AS w FROM t)),
+      f AS (SELECT md5(array_to_string(list_sort(list_distinct(
+              string_split(lt, ' '))), ' ')) AS fp FROM t),
+      dups AS (SELECT CAST(sum(c - 1) AS BIGINT) AS exact_dup_docs
+               FROM (SELECT fp, count(*) AS c FROM f GROUP BY fp))
+      SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, vocab_size,
+        exact_dup_docs,
+        n_tokens * 1000 // n_docs AS mean_tokens_permille,
+        exact_dup_docs * 1000 // n_docs AS dup_permille
+      FROM stats CROSS JOIN vocab CROSS JOIN dups""",
     "q_budget_select" -> """
       WITH s AS (SELECT doc_id,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
