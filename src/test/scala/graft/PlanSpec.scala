@@ -456,6 +456,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), p)
   }
 
+  test("BM25 filters postings before the tf aggregation and top-ks via TakeOrdered") {
+    val p = plan("q_text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the query-term IN filter must run BEFORE the first aggregation —
+    // at 100 TB this is "shuffle 3 terms' postings" vs "shuffle the corpus"
+    assert(p.linesIterator.exists(l =>
+      l.contains("Condition :") && l.contains("term")), p)
+  }
+
+  test("novelty/postings builds never go all-pairs and partial-aggregate map-side") {
+    for (q <- Seq("q_text_novelty", "q_index_postings", "q_index_delta")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q:\n$p")
+    }
+  }
+
+  test("budget select decomposes the global cumsum into two bounded windows") {
+    val p = plan("q_budget_select")
+    // one tiny cross-bucket offset window + one per-bucket window —
+    // never a corpus-sized single-partition running sum
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("bucket"), p)
+  }
+
+  test("embedding outliers broadcast the centroid table and TakeOrdered the bottom-k") {
+    val p = plan("q_emb_outliers")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("negative sampling assigns partners join-free (only the metadata equi-join)") {
+    val p = plan("q_neg_sample")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("materialized-view rewrite answers the aggregate from the MV scan") {
     // The query is written against the FACT (lineitem); the optimizer
     // rule must swap the scan for the registered MV — at 100 TB this is
