@@ -396,6 +396,58 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.size} closed sessions != batch ${batch.size}")
   }
 
+  test("streaming EWMA (flatMapGroupsWithState lag state) == batch q_ts_ewma") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // replay in 3 time-sliced micro-batches so the 4-lag state genuinely
+    // carries across batch boundaries (same discipline as the session test)
+    val dir = Files.createTempDirectory("ewma_replay").toFile
+    dir.deleteOnExit()
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 1e6).cast("long").as("vm"))
+    for ((lo, hi, i) <- Seq(("2024-01-01", "2024-01-11", 1),
+        ("2024-01-11", "2024-01-21", 2), ("2024-01-21", "2024-02-01", 3))) {
+      ev.filter(col("ts_us") >= unix_micros(lit(lo).cast("timestamp")) &&
+          col("ts_us") < unix_micros(lit(hi).cast("timestamp")))
+        .coalesce(1).write.parquet(s"$dir/b$i")
+      Thread.sleep(1100)
+    }
+    val weights = List(16L, 8L, 4L, 2L, 1L)
+    val smoothed = spark.readStream
+      .schema(ev.schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/b*")
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        // state: up to 4 previous vm values, most recent first — the
+        // integer lag-chain EWMA of q_ts_ewma, O(1) state per key
+        (uid: Long, rows: Iterator[(Long, Long, Long, Long)],
+         st: GroupState[List[Long]]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var hist = st.getOption.getOrElse(Nil)
+          val out = sorted.map { case (_, eid, _, vm) =>
+            val lags = vm :: hist
+            val num = weights.zip(lags).map { case (w, v) => w * v }.sum
+            val den = weights.zip(lags).map(_._1).sum
+            hist = (vm :: hist).take(4)
+            (uid, eid, vm, num / den) // non-negative: / == div
+          }
+          st.update(hist)
+          out.iterator
+      }.toDF("user_id", "event_id", "vm", "ewma_micro")
+    val q = smoothed.writeStream.format("memory").queryName("t_ewma")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_ewma")
+      .orderBy(col("user_id"), col("event_id")).collect().toSeq
+    val batch = ops.TimeSeriesOps.qEwma(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} rows != batch ${batch.size}")
+  }
+
   test("transformWithState (Spark 4 stateful API) keeps a running count per key") {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     withRocksDBStateStore {
