@@ -4,10 +4,13 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Corpus-pipeline operators, wave 5 (SURVEY.md §2.M): BM25 retrieval
-  * scoring, the Gopher quality-rule battery, and character-level
-  * Shannon-entropy filtering — three passes every pretraining corpus
-  * pipeline runs between raw crawl and tokenizer.
+/** Corpus-pipeline operators, r9 waves (SURVEY.md §2.M): BM25 retrieval
+  * scoring, the Gopher quality-rule battery, character-level
+  * Shannon-entropy filtering, the inverted-index posting build + its
+  * incremental delta merge, n-gram novelty scoring, a Zipf
+  * rank-frequency fit, token-budget selection, the shard balance
+  * manifest, negative-pair sampling and the corpus data card — the
+  * passes a pretraining pipeline runs between raw crawl and tokenizer.
   *
   * Determinism contract (shared with the rest of §2.M): every score is
   * assembled from PER-VALUE fixed-point logs (round(log2(x) * 1e6) as
@@ -158,23 +161,10 @@ object CorpusOps5 {
     * Scale: occurrence counts partial-aggregate map-side to (gram,
     * doc) rows; df and the posting list build ride ONE gram-keyed
     * shuffle; the df-cap bounds every reducer's list state. */
-  val qIndexPostings: Q = (s, dir) => {
-    val tf = Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("a"))
-      .filter(size(col("a")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(a) - 2),
-           i -> concat_ws(' ', element_at(a, i), element_at(a, i + 1),
-                          element_at(a, i + 2)))""")).as("g"))
-      .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .filter(substring(md5(col("g")), 1, 1) === "0")
-    tf.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
-        array_join(sort_array(collect_list(col("doc_id"))), ",")
-          .as("postings"))
+  val qIndexPostings: Q = (s, dir) =>
+    postingAgg(gramTf(Tables(s, dir, "documents")))
       .filter(col("df").between(2, 50))
       .orderBy(col("g"))
-  }
 
   /** Per-document n-gram novelty (the memorization-risk / uniqueness
     * scorer): the share of a doc's distinct 3-grams that occur in NO
@@ -387,7 +377,7 @@ object CorpusOps5 {
     * pipeline; with sparse ids, a zipWithIndex pass densifies first. */
   val qNegSample: Q = (s, dir) => {
     val docs = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("lang"))
+      .select(col("doc_id"), col("source"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val pairs = docs.crossJoin(broadcast(n))
       .select(col("doc_id"), col("source"), explode(expr(
