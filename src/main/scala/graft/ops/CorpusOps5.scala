@@ -430,7 +430,49 @@ object CorpusOps5 {
         expr("exact_dup_docs * 1000 div n_docs").as("dup_permille"))
   }
 
+  /** Inter-source duplication matrix: for every source pair, how many
+    * distinct 3-grams they share, as a permille of the smaller side's
+    * gram set — the "which sources copy from each other" diagnostic
+    * that decides what to dedup BEFORE mixing (the cross-dataset
+    * overlap analysis of the Pile/Dolma dataset reports). Grams ride
+    * the same md5 1/16 shard sample as the posting build, so the
+    * matrix is a uniform-sample estimate with identical sampling in
+    * both engines.
+    *
+    * Scale: distinct (gram, source) pairs partial-aggregate map-side;
+    * the self-join fans out at most C(|sources|, 2) rows PER GRAM —
+    * bounded by the source count squared, never by corpus size — and
+    * the result is a sources² matrix. */
+  val qDupMatrix: Q = (s, dir) => {
+    val gs = Tables(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 3)
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(a) - 2),
+           i -> concat_ws(' ', element_at(a, i), element_at(a, i + 1),
+                          element_at(a, i + 2)))""")).as("g"))
+      .distinct()
+      .filter(substring(md5(col("g")), 1, 1) === "0")
+    val counts = gs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = gs.as("x")
+      .join(gs.as("y"),
+        col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(broadcast(counts.select(col("source").as("src_a"),
+        col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(counts.select(col("source").as("src_b"),
+        col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        col("n_a"), col("n_b"),
+        expr("shared_grams * 1000 div least(n_a, n_b)")
+          .as("overlap_permille"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dup_matrix" -> qDupMatrix,
     "q_neg_sample" -> qNegSample,
     "q_corpus_datacard" -> qCorpusDatacard,
     "q_budget_select" -> qBudgetSelect,
@@ -499,6 +541,25 @@ object CorpusOps5 {
         CAST(sum(r_wordcount * r_meanlen * r_symbol * r_stopword * r_uniq)
           AS BIGINT) AS kept
       FROM r GROUP BY source ORDER BY source""",
+    "q_dup_matrix" -> """
+      WITH toks AS (SELECT source, string_split(text, ' ') AS a
+                    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      gs AS (SELECT DISTINCT source,
+               a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS g
+             FROM (SELECT *, unnest(range(1, len(a) - 1)) AS i FROM toks)
+             ),
+      sh AS (SELECT source, g FROM gs WHERE substr(md5(g), 1, 1) = '0'),
+      counts AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      pairs AS (SELECT x.source AS src_a, y.source AS src_b,
+                  count(*) AS shared_grams
+                FROM sh x JOIN sh y
+                  ON x.g = y.g AND x.source < y.source
+                GROUP BY 1, 2)
+      SELECT src_a, src_b, shared_grams, ca.n AS n_a, cb.n AS n_b,
+             shared_grams * 1000 // least(ca.n, cb.n) AS overlap_permille
+      FROM pairs JOIN counts ca ON pairs.src_a = ca.source
+                 JOIN counts cb ON pairs.src_b = cb.source
+      ORDER BY src_a, src_b""",
     "q_neg_sample" -> """
       WITH n AS (SELECT count(*) AS n_docs FROM documents),
       p AS (SELECT d.doc_id, d.source,
