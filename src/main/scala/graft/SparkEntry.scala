@@ -36,6 +36,7 @@ object SparkEntry {
     (CorpusOps3.queries, CorpusOps3.oracle),
     (CorpusOps4.queries, CorpusOps4.oracle),
     (CorpusOps5.queries, CorpusOps5.oracle),
+    (CorpusOps6.queries, CorpusOps6.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

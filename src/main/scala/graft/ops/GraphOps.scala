@@ -239,9 +239,45 @@ object GraphOps {
       .orderBy(col("kind"), col("b").desc, col("a"))
   }
 
+  /** Link prediction over the co-purchase graph (Liben-Nowell &
+    * Kleinberg 2003): for every NON-edge node pair sharing at least
+    * one neighbor, the common-neighbor count and the Adamic-Adar score
+    * sum_z 1/log2(deg_z) — the "which products will be co-bought
+    * next" / "which docs will link" ranker. The score is exact int64:
+    * each term is `1e12 div round(log2(deg_z) * 1e6)`, and deg_z >= 2
+    * by construction (z neighbors both endpoints), so the denominator
+    * is always >= 1e6 — no zero, no negatives.
+    *
+    * Scale: identical wedge-join discipline to the triangle census —
+    * the support-pruned edge set bounds density, the wedge fan-out is
+    * per-node-degree-bounded, the existing-edge exclusion is a
+    * broadcast LEFT ANTI probe, and the degree table broadcasts. The
+    * top-20 lowers to TakeOrderedAndProject. */
+  val qGraphLinkpred: Q = (s, dir) => {
+    val e0 = graft.CacheScope.track(
+      copurchaseEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK))
+    val und = e0.union(e0.select(col("v"), col("u")))
+    val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    val wedge = und.as("x").join(und.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("b"), col("x.u").as("z"))
+    wedge
+      .join(broadcast(e0),
+        wedge("a") === e0("u") && wedge("b") === e0("v"), "left_anti")
+      .join(broadcast(deg), col("z") === col("n"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr(
+          "1000000000000 div cast(round(log2(d) * 1e6) as bigint)"))
+          .as("aa_micro"))
+      .orderBy(col("aa_micro").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_triangles" -> qGraphTriangles,
+    "q_graph_linkpred" -> qGraphLinkpred,
     "q_graph_kcore" -> qGraphKcore)
 
   /** Shared oracle prefix: the deduped, support-pruned co-purchase
@@ -305,6 +341,20 @@ object GraphOps {
       SELECT kind, node, cnt FROM summary
       UNION ALL SELECT kind, node, cnt FROM per_node
       ORDER BY kind, cnt DESC, node"""),
+    "q_graph_linkpred" -> (copurchaseCte + """,
+      und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      deg AS (SELECT u AS n, count(*) AS d FROM und GROUP BY 1),
+      w AS (SELECT x.v AS a, y.v AS b, x.u AS z
+            FROM und x JOIN und y ON x.u = y.u AND x.v < y.v),
+      ne AS (SELECT a, b, z FROM w WHERE NOT EXISTS
+               (SELECT 1 FROM e0 WHERE e0.u = w.a AND e0.v = w.b)),
+      sc AS (SELECT a, b, count(*) AS common,
+               CAST(sum(1000000000000
+                 // CAST(round(log2(d.d) * 1e6) AS BIGINT)) AS BIGINT)
+                 AS aa_micro
+             FROM ne JOIN deg d ON ne.z = d.n GROUP BY 1, 2)
+      SELECT a, b, common, aa_micro FROM sc
+      ORDER BY aa_micro DESC, a, b LIMIT 20"""),
     "q_graph_kcore" -> (copurchaseCte + """,
       u0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
       n1 AS (SELECT u AS n FROM u0 GROUP BY 1 HAVING count(*) >= 3),
