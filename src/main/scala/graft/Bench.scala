@@ -63,7 +63,10 @@ object Bench {
     "q_basket_pairs",          // co-purchase support/lift mining (r8)
     "q_pipeline_funnel",       // cumulative multi-stage survivor table (r9)
     "q_text_novelty",          // corpus-wide 3-gram df + doc-novelty join (r9)
-    "q_index_delta")           // posting build x2 + gram-keyed outer merge (r9)
+    "q_index_delta",           // posting build x2 + gram-keyed outer merge (r9)
+    "q_graph_linkpred",        // wedge join + anti-probe link scoring (r9)
+    "q_quality_classifier",    // hashed-bucket broadcast-weights scoring (r9)
+    "q_customer_rfm")          // triple global ntile + segment rollup (r9)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -494,6 +494,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("link prediction: wedge join + anti probe never go cartesian, degrees broadcast") {
+    val p = plan("q_graph_linkpred")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // existing-edge exclusion is an ANTI probe, not a filter-after-join
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("quality classifier: weights broadcast, tokens pre-aggregated to buckets") {
+    val p = plan("q_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the (doc, bucket) partial aggregation must sit BELOW the weight
+    // join — at 100 TB the join input is bucket-level, not token-level
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    val partialAt = p.indexOf("HashAggregate")
+    assert(partialAt >= 0 && partialAt < joinAt, p)
+  }
+
+  test("count-min sketch partially aggregates cells map-side, probes broadcast") {
+    val p = plan("q_agg_countmin")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
   test("materialized-view rewrite answers the aggregate from the MV scan") {
     // The query is written against the FACT (lineitem); the optimizer
     // rule must swap the scan for the registered MV — at 100 TB this is
