@@ -37,6 +37,7 @@ object SparkEntry {
     (CorpusOps4.queries, CorpusOps4.oracle),
     (CorpusOps5.queries, CorpusOps5.oracle),
     (CorpusOps6.queries, CorpusOps6.oracle),
+    (CorpusOps7.queries, CorpusOps7.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),
