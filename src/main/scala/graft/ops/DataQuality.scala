@@ -113,9 +113,57 @@ object DataQuality {
       .orderBy(col("col_name"))
   }
 
+  /** Shuffle-skew diagnostic over a join/grouping key (here
+    * l_partkey): key count, mean / p99 / max per-key cardinality, the
+    * max-over-mean skew ratio in exact permille, and the top-5 hot
+    * keys — the report that decides WHETHER a join needs salting or
+    * an AQE skew split before anyone pays for a failed 100 TB shuffle
+    * (the diagnostic twin of q_join_salted / q_agg_salted, which are
+    * the cures).
+    *
+    * Exactness: p99 is the rank-based value at ceil(0.99 K) (an
+    * actual count, the q_robust_stats discipline); mean and the skew
+    * ratio are non-negative integer divisions.
+    *
+    * Scale: the per-key count partial-aggregates to |keys| rows; the
+    * ranking window sorts keys, not fact rows; the hot-key top-5
+    * lowers to a take-ordered. */
+  val qSkewDiagnose: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(s, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("c"), col("l_partkey"))))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val stats = ranked.agg(
+      max(col("k")).cast("long").as("keys"),
+      sum(col("c")).as("total"),
+      max(col("c")).as("mx"),
+      max(when(expr("rn = (99 * k + 99) div 100"), col("c"))).as("p99"))
+    val summary = stats.select(explode(array(
+      struct(lit("n_keys").as("metric"), lit(-1L).as("key"),
+        col("keys").as("val")),
+      struct(lit("mean").as("metric"), lit(-1L).as("key"),
+        expr("total div keys").as("val")),
+      struct(lit("p99").as("metric"), lit(-1L).as("key"),
+        col("p99").as("val")),
+      struct(lit("max").as("metric"), lit(-1L).as("key"),
+        col("mx").as("val")),
+      struct(lit("skew_permille").as("metric"), lit(-1L).as("key"),
+        expr("mx * 1000 div (total div keys)").as("val")))).as("r"))
+      .select(col("r.metric"), col("r.key"), col("r.val"))
+    val hot = counts.orderBy(col("c").desc, col("l_partkey")).limit(5)
+      .select(lit("hot").as("metric"), col("l_partkey").as("key"),
+        col("c").as("val"))
+    summary.union(hot)
+      .orderBy(col("metric"), col("val").desc, col("key"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dq_checks" -> qDqChecks,
     "q_dq_anomaly" -> qDqAnomaly,
+    "q_skew_diagnose" -> qSkewDiagnose,
     "q_profile_columns" -> qProfileColumns)
 
   val oracle: Map[String, String] = Map(
@@ -143,6 +191,31 @@ object DataQuality {
       FROM events e JOIN m ON e.event_type = m.event_type
       WHERE sd > 0 AND abs((value - mean) / sd) > 3
       ORDER BY event_id""",
+    "q_skew_diagnose" -> """
+      WITH counts AS (SELECT l_partkey, count(*) AS c FROM lineitem
+                      GROUP BY 1),
+      rk AS (SELECT *,
+               CAST(row_number() OVER (ORDER BY c, l_partkey) AS BIGINT)
+                 AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS k
+             FROM counts),
+      st AS (SELECT max(k) AS keys, CAST(sum(c) AS BIGINT) AS total,
+               max(c) AS mx,
+               max(CASE WHEN rn = (99 * k + 99) // 100 THEN c END) AS p99
+             FROM rk),
+      summary AS (
+        SELECT 'n_keys' AS metric, CAST(-1 AS BIGINT) AS key,
+               keys AS val FROM st
+        UNION ALL SELECT 'mean', -1, total // keys FROM st
+        UNION ALL SELECT 'p99', -1, p99 FROM st
+        UNION ALL SELECT 'max', -1, mx FROM st
+        UNION ALL SELECT 'skew_permille', -1,
+          mx * 1000 // (total // keys) FROM st),
+      hot AS (SELECT 'hot' AS metric, l_partkey AS key, c AS val
+              FROM counts ORDER BY c DESC, l_partkey LIMIT 5)
+      SELECT metric, key, val FROM summary
+      UNION ALL SELECT metric, key, val FROM hot
+      ORDER BY metric, val DESC, key""",
     "q_dq_checks" -> """
       WITH pk AS (
         SELECT count(*) AS v FROM (

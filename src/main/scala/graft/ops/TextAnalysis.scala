@@ -83,6 +83,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer-fertility rollup per language: BPE-ish regex tokens per
+    * whitespace word and chars per token, in exact permille — the
+    * "how many tokens does this language cost" audit that sizes a
+    * multilingual training mix (fertility in the SentencePiece /
+    * tokenizer-efficiency sense). Per-doc token counts already exist
+    * ([[qTextTokens]]); this is the corpus-planning aggregate.
+    *
+    * Scale: map-side per-doc counts, one partial-aggregated shuffle
+    * to |languages| rows. */
+  val qTokFertility: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+          .cast("long").as("re"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("re")).as("re_tokens"), sum(col("n_chars")).as("chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("re_tokens"), col("chars"),
+        expr("re_tokens * 1000 div ws_tokens").as("fertility_permille"),
+        expr("chars * 1000 div re_tokens").as("chars_per_token_permille"))
+      .orderBy(col("lang"))
+  }
+
   /** Content fingerprint: md5 of the sorted distinct lowercase token set
     * (the classic "fingerprint clustering" normalizer). */
   val qTextFingerprint: Q = (s, dir) => {
@@ -278,6 +304,7 @@ object TextAnalysis {
     "q_text_langid" -> qTextLangId,
     "q_text_quality" -> qTextQuality,
     "q_text_tokens" -> qTextTokens,
+    "q_tok_fertility" -> qTokFertility,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_fn_ngrams" -> qFnNgrams,
     "q_fn_context_ngrams" -> qFnContextNgrams)
@@ -289,6 +316,22 @@ object TextAnalysis {
     s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(words)}))) AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "q_tok_fertility" -> """
+      WITH f AS (SELECT lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+          AS re,
+        n_chars
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        CAST(sum(re) AS BIGINT) AS re_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS chars,
+        CAST(sum(re) AS BIGINT) * 1000 // CAST(sum(ws) AS BIGINT)
+          AS fertility_permille,
+        CAST(sum(n_chars) AS BIGINT) * 1000 // CAST(sum(re) AS BIGINT)
+          AS chars_per_token_permille
+      FROM f GROUP BY lang ORDER BY lang""",
     "q_text_collocations" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
                     FROM documents),

@@ -75,6 +75,51 @@ object TimeSeriesOps {
       .orderBy(col("user_id"), col("hour"))
   }
 
+  /** Linear-interpolation gap fill (the numeric companion to
+    * [[qGapfill]]'s LOCF): hourly per-user mean values in exact micro
+    * units on an unbroken hour spine; a missing hour gets the linear
+    * interpolation between its nearest observed neighbors,
+    * `(pv*(nh-t) + nv*(t-ph)) div (nh-ph)` — every operand
+    * non-negative (values are positive, neighbor hours bracket t), so
+    * both engines floor identically and the filled series is exact
+    * int64. The resample a feature-engineering pipeline runs before
+    * training on regularly-spaced series.
+    *
+    * Scale: spine generation is shuffle-free explode over per-user
+    * span aggregates; the neighbor picks are two IGNORE NULLS window
+    * passes per user partition — no self-join, no point-lookup
+    * storm. The spine's ends are observed by construction, so
+    * interpolation never extrapolates. */
+  val qTsInterp: Q = (s, dir) => {
+    val hourly = Tables(s, dir, "events")
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(expr("sum(cast(round(value * 1000000) as bigint)) div count(*)")
+        .as("v"))
+    val spine = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("hrs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("hrs"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("hrs", expr("unix_micros(h) div 3600000000"))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(when(col("v").isNotNull, col("hrs")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(when(col("v").isNotNull, col("hrs")),
+        ignoreNulls = true).over(wNext))
+      .select(col("user_id"), fmtTs(col("h")).as("hour"),
+        col("v").isNull.as("interpolated"),
+        when(col("v").isNotNull, col("v")).otherwise(
+          expr("(pv * (nh - hrs) + nv * (hrs - ph)) div (nh - ph)"))
+          .as("v_micro"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   /** Rolling 7-day distinct users per day (WAU-over-DAU): the classic
     * engagement metric. Distinct (day, user) pairs first (one map-side-
     * combinable distinct — at 100 TB this collapses the event stream to
@@ -227,6 +272,7 @@ object TimeSeriesOps {
     "q_ts_ewma" -> qEwma,
     "q_ts_sessionize" -> qSessionize,
     "q_ts_gapfill" -> qGapfill,
+    "q_ts_interp" -> qTsInterp,
     "q_ts_downsample" -> qDownsample,
     "q_ts_rolling_ndv" -> qRollingNdv,
     "q_attr_touch" -> qAttrTouch)
@@ -328,6 +374,42 @@ object TimeSeriesOps {
         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value)
           AS mean_value
       FROM oc GROUP BY event_type, h ORDER BY event_type, hour""",
+    "q_ts_interp" -> """
+      WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+          CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+            // count(*) AS v
+        FROM events WHERE user_id < 10 GROUP BY 1, 2),
+      spine AS (
+        SELECT user_id,
+          unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        FROM hourly GROUP BY user_id),
+      j AS (SELECT s.user_id, s.h, hourly.v,
+              epoch_us(s.h) // 3600000000 AS hrs
+            FROM spine s LEFT JOIN hourly
+              ON s.user_id = hourly.user_id AND s.h = hourly.h),
+      w AS (SELECT *,
+              last_value(v IGNORE NULLS) OVER
+                (PARTITION BY user_id ORDER BY hrs
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+              last_value(CASE WHEN v IS NOT NULL THEN hrs END
+                IGNORE NULLS) OVER
+                (PARTITION BY user_id ORDER BY hrs
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+              first_value(v IGNORE NULLS) OVER
+                (PARTITION BY user_id ORDER BY hrs
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+              first_value(CASE WHEN v IS NOT NULL THEN hrs END
+                IGNORE NULLS) OVER
+                (PARTITION BY user_id ORDER BY hrs
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+            FROM j)
+      SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        v IS NULL AS interpolated,
+        CASE WHEN v IS NOT NULL THEN v
+             ELSE (pv * (nh - hrs) + nv * (hrs - ph)) // (nh - ph)
+        END AS v_micro
+      FROM w ORDER BY user_id, hour""",
     "q_ts_gapfill" -> """
       WITH e AS (
         SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n,
