@@ -38,6 +38,7 @@ object SparkEntry {
     (CorpusOps5.queries, CorpusOps5.oracle),
     (CorpusOps6.queries, CorpusOps6.oracle),
     (CorpusOps7.queries, CorpusOps7.oracle),
+    (CorpusOps8.queries, CorpusOps8.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus + analytics operators, r9 wave 11 (SURVEY.md §2.M): the
+  * per-source language-mix KL divergence (data-mixing drift
+  * diagnostic) and cohort lifetime-value curves. Same exact-int64
+  * determinism contract as CorpusOps5-7; the KL score follows the
+  * q_text_zipf precedent — exact integer numerator, ONE final IEEE
+  * division (bit-identical in both engines).
+  */
+object CorpusOps8 {
+
+  /** round(log2(x) * 1e6) as int64 — the shared micro-bits log. */
+  private def lg(c: Column): Column = round(log2(c) * lit(1e6)).cast("long")
+
+  /** Per-source language-mix drift: KL(source ‖ corpus) over the
+    * language distribution, in micro-bits — the mixing diagnostic that
+    * flags a source whose language profile diverges from the corpus
+    * mix (the domain/language reweighting input of DoReMi-style mixture
+    * tuning). KL = Σ_l (n_sl/n_s) · log2((n_sl·N)/(n_s·n_l)),
+    * assembled as the exact integer numerator
+    * Σ_l n_sl · (lg(n_sl·N) − lg(n_s·n_l)) and ONE IEEE division by
+    * n_s (the numerator can carry ±1 µbit rounding, so an integer div
+    * would diverge between engines on the sign; a single double
+    * division of identical integers is bit-deterministic).
+    *
+    * Scale: one partial-aggregated shuffle to (source, lang) cells;
+    * the marginals re-aggregate those cells (sources·langs rows) and
+    * broadcast back. */
+  val qMixKl: Q = (s, dir) => {
+    val sl = Tables(s, dir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_sl"))
+    val perSource = sl.groupBy(col("source")).agg(sum(col("n_sl")).as("n_s"))
+    val perLang = sl.groupBy(col("lang")).agg(sum(col("n_sl")).as("n_l"))
+    val total = sl.agg(sum(col("n_sl")).as("n_total"))
+    sl.join(broadcast(perLang), Seq("lang"))
+      .join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("term",
+        col("n_sl") * (lg(col("n_sl") * col("n_total")) -
+          lg(col("n_s") * col("n_l"))))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("term")).as("kl_num_micro"))
+      .withColumn("kl_microbits",
+        col("kl_num_micro").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  /** Cohort lifetime-value curves: customers cohorted by first-order
+    * month, then per (cohort, months-since-first-order) the period
+    * revenue, the cumulative revenue and the cumulative LTV per
+    * cohort member — all in exact integer cents (the revenue twin of
+    * q_cohort_retention's user counts). Month arithmetic is integer
+    * (year·12 + month), so offsets are exact in both engines.
+    *
+    * Scale: the first-order rollup and the (cohort, offset) revenue
+    * rollup are partial-aggregated shuffles; the cumulative window
+    * sorts offsets WITHIN a cohort (calendar-bounded rows); cohort
+    * sizes broadcast back. */
+  val qCohortLtv: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(s, dir, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("ym"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("ym")).as("cym"))
+    val sizes = first.groupBy(col("cym"))
+      .agg(count(lit(1)).as("n_customers"))
+    val rev = o.join(first, Seq("o_custkey"))
+      .groupBy(col("cym"), (col("ym") - col("cym")).as("month_offset"))
+      .agg(sum(col("cents")).as("period_cents"))
+    rev
+      .withColumn("cum_cents", sum(col("period_cents")).over(Window
+        .partitionBy(col("cym")).orderBy(col("month_offset"))
+        .rowsBetween(Long.MinValue, 0)))
+      .join(broadcast(sizes), Seq("cym"))
+      .select(
+        concat(expr("cym div 12"), lit("-"),
+          lpad((col("cym") % 12 + 1).cast("string"), 2, "0"))
+          .as("cohort_month"),
+        col("month_offset"), col("n_customers"), col("period_cents"),
+        col("cum_cents"),
+        expr("cum_cents div n_customers").as("ltv_per_user_cents"))
+      .orderBy(col("cohort_month"), col("month_offset"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_mix_kl" -> qMixKl,
+    "q_cohort_ltv" -> qCohortLtv)
+
+  val oracle: Map[String, String] = Map(
+    "q_mix_kl" -> """
+      WITH sl AS (SELECT source, lang, count(*) AS n_sl FROM documents
+                  GROUP BY 1, 2),
+      ps AS (SELECT source, CAST(sum(n_sl) AS BIGINT) AS n_s FROM sl
+             GROUP BY 1),
+      pl AS (SELECT lang, CAST(sum(n_sl) AS BIGINT) AS n_l FROM sl
+             GROUP BY 1),
+      t AS (SELECT CAST(sum(n_sl) AS BIGINT) AS n_total FROM sl),
+      terms AS (SELECT sl.source, ps.n_s,
+                  n_sl * (CAST(round(log2(n_sl * n_total) * 1e6) AS BIGINT)
+                    - CAST(round(log2(n_s * n_l) * 1e6) AS BIGINT)) AS term
+                FROM sl JOIN pl USING (lang) JOIN ps USING (source)
+                CROSS JOIN t)
+      SELECT source, max(n_s) AS n_docs, count(*) AS n_langs,
+        CAST(sum(term) AS BIGINT) AS kl_num_micro,
+        CAST(sum(term) AS DOUBLE) / CAST(max(n_s) AS DOUBLE)
+          AS kl_microbits
+      FROM terms GROUP BY source ORDER BY source""",
+    "q_cohort_ltv" -> """
+      WITH o AS (SELECT o_custkey,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                     AS BIGINT) AS ym,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+      f AS (SELECT o_custkey, min(ym) AS cym FROM o GROUP BY 1),
+      sz AS (SELECT cym, count(*) AS n_customers FROM f GROUP BY 1),
+      rev AS (SELECT f.cym, o.ym - f.cym AS month_offset,
+                CAST(sum(o.cents) AS BIGINT) AS period_cents
+              FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+      cum AS (SELECT *,
+                CAST(sum(period_cents) OVER (PARTITION BY cym
+                  ORDER BY month_offset
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+              FROM rev)
+      SELECT CAST(cym // 12 AS VARCHAR) || '-' ||
+               lpad(CAST(cym % 12 + 1 AS VARCHAR), 2, '0')
+               AS cohort_month,
+             month_offset, n_customers, period_cents, cum_cents,
+             cum_cents // n_customers AS ltv_per_user_cents
+      FROM cum JOIN sz USING (cym)
+      ORDER BY cohort_month, month_offset""")
+}

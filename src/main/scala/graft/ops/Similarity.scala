@@ -343,7 +343,55 @@ object Similarity {
       .orderBy(col("va"), col("vb"))
   }
 
+  /** Two-stage retrieval (the IVF-PQ serving shape: coarse shortlist,
+    * exact rerank — Jégou et al. 2011 §IV): stage 1 scores every
+    * candidate against the query with CHEAP int8 codes (per-vector
+    * max-abs scaling, 127-step symmetric quantization — 8x less
+    * memory traffic than the micro ints) and keeps the top-50 per
+    * query; stage 2 reranks only those 50 with the exact micro-int
+    * dot product and emits the top-10 with both ranks and a `moved`
+    * flag — the rank-disagreement audit that tells you whether the
+    * coarse codes are good enough to cut the shortlist.
+    *
+    * Exactness: both scores are integer dot products; the int8 code
+    * `round(v * 127.0 / maxabs)` is one IEEE divide + multiply and a
+    * half-away-from-zero round, identical in both engines.
+    *
+    * Scale: the 5-query side broadcasts into both stages; stage 1 is
+    * one linear pass over candidates with constant per-row work;
+    * stage 2 touches 50 rows per query whatever the corpus size. */
+  val qSimRerank: Q = (s, dir) => {
+    val emb = quantized(s, dir)
+      .withColumn("ma", greatest(
+        expr("array_max(transform(q, x -> abs(x)))"), lit(1L)))
+      .withColumn("c8",
+        expr("transform(q, x -> cast(round(x * 127.0 / ma) as bigint))"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        col("c8").as("qc8"))
+    val coarse = emb.join(broadcast(queries), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("neighbor"), col("q"),
+        dotq(col("qc8"), col("c8")).as("cdot"))
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("cdot").desc, col("neighbor"))
+    val shortlist = coarse.withColumn("coarse_rank",
+        row_number().over(wc).cast("int"))
+      .filter(col("coarse_rank") <= 50)
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("dot_micro").desc, col("neighbor"))
+    shortlist.join(broadcast(queries.select(col("qid"), col("qv"))),
+        Seq("qid"))
+      .withColumn("dot_micro", dotq(col("qv"), col("q")))
+      .withColumn("fine_rank", row_number().over(wf).cast("int"))
+      .filter(col("fine_rank") <= 10)
+      .select(col("qid"), col("neighbor"), col("fine_rank"),
+        col("coarse_rank"), col("dot_micro"),
+        (col("fine_rank") =!= col("coarse_rank")).as("moved"))
+      .orderBy(col("qid"), col("fine_rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sim_rerank" -> qSimRerank,
     "q_sim_diverse" -> qSampleDiverse,
     "q_sim_topk" -> qSimTopK,
     "q_sim_neardup" -> qSimNearDup,
@@ -356,6 +404,36 @@ object Similarity {
     "SELECT vec_id, r.i AS i, CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000000) AS BIGINT) AS v FROM embeddings, range(1, 65) r(i)"
 
   val oracle: Map[String, String] = Map(
+    "q_sim_rerank" -> s"""
+      WITH e AS ($quantSql),
+      m AS (SELECT vec_id, greatest(max(abs(v)), 1) AS ma
+            FROM e GROUP BY 1),
+      c AS (SELECT e.vec_id, e.i, e.v,
+              CAST(round(e.v * 127.0 / m.ma) AS BIGINT) AS c8
+            FROM e JOIN m USING (vec_id)),
+      coarse AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+                   CAST(sum(a.c8 * b.c8) AS BIGINT) AS cdot
+                 FROM c a JOIN c b ON a.i = b.i AND a.vec_id < 5
+                   AND b.vec_id <> a.vec_id
+                 GROUP BY 1, 2),
+      ck AS (SELECT qid, neighbor, cdot,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY cdot DESC, neighbor) AS INT) AS coarse_rank
+             FROM coarse),
+      cand AS (SELECT * FROM ck WHERE coarse_rank <= 50),
+      fine AS (SELECT cand.qid, cand.neighbor, cand.coarse_rank,
+                 CAST(sum(a.v * b.v) AS BIGINT) AS dot_micro
+               FROM cand
+                 JOIN e a ON a.vec_id = cand.qid
+                 JOIN e b ON b.vec_id = cand.neighbor AND a.i = b.i
+               GROUP BY 1, 2, 3),
+      fk AS (SELECT *,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY dot_micro DESC, neighbor) AS INT) AS fine_rank
+             FROM fine)
+      SELECT qid, neighbor, fine_rank, coarse_rank, dot_micro,
+             fine_rank <> coarse_rank AS moved
+      FROM fk WHERE fine_rank <= 10 ORDER BY qid, fine_rank""",
     "q_sim_diverse" -> s"""
       WITH e AS ($quantSql),
       n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
