@@ -90,11 +90,83 @@ object CorpusOps8 {
       .orderBy(col("cohort_month"), col("month_offset"))
   }
 
+  /** Open-order backlog aging: non-finalized orders bucketed by age in
+    * days against the corpus max order date (0-30 / 31-90 / 91-365 /
+    * 365+), with counts and exact-cent value per (status, bucket) —
+    * the operational aging report every fulfillment dashboard runs.
+    *
+    * Scale: map-side age computation against a broadcast 1-row max;
+    * one partial-aggregated shuffle to the status x bucket grid. */
+  val qOrderAging: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    val mx = o.agg(max(to_date(col("o_orderdate"))).as("mx"))
+    o.filter(col("o_orderstatus") =!= "F")
+      .crossJoin(broadcast(mx))
+      .withColumn("age_days",
+        datediff(col("mx"), to_date(col("o_orderdate"))).cast("long"))
+      .withColumn("age_bucket",
+        when(col("age_days") <= 30, "a_0_30")
+          .when(col("age_days") <= 90, "b_31_90")
+          .when(col("age_days") <= 365, "c_91_365")
+          .otherwise("d_over_365"))
+      .groupBy(col("o_orderstatus"), col("age_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy(col("o_orderstatus"), col("age_bucket"))
+  }
+
+  /** Day-of-week x hour-of-day activity heatmap over the event stream
+    * (0 = Sunday, matching DuckDB's dayofweek; Spark's 1-based
+    * dayofweek is shifted down), with each cell's exact-permille share
+    * of total traffic — the seasonality fingerprint behind load-aware
+    * batch scheduling.
+    *
+    * Scale: map-side bucket extraction, one partial-aggregated shuffle
+    * to at most 168 cells, total broadcast back. */
+  val qEventsHeatmap: Q = (s, dir) => {
+    val cells = Tables(s, dir, "events")
+      .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum(col("n")).as("total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hr"), col("n"),
+        expr("n * 1000 div total").as("share_permille"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_mix_kl" -> qMixKl,
+    "q_order_aging" -> qOrderAging,
+    "q_events_heatmap" -> qEventsHeatmap,
     "q_cohort_ltv" -> qCohortLtv)
 
   val oracle: Map[String, String] = Map(
+    "q_order_aging" -> """
+      WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+      a AS (SELECT o_orderstatus,
+              CAST(date_diff('day', CAST(o_orderdate AS DATE), mx)
+                AS BIGINT) AS age_days,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders CROSS JOIN mx
+            WHERE o_orderstatus <> 'F'),
+      b AS (SELECT o_orderstatus,
+              CASE WHEN age_days <= 30 THEN 'a_0_30'
+                   WHEN age_days <= 90 THEN 'b_31_90'
+                   WHEN age_days <= 365 THEN 'c_91_365'
+                   ELSE 'd_over_365' END AS age_bucket,
+              cents
+            FROM a)
+      SELECT o_orderstatus, age_bucket, count(*) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM b GROUP BY 1, 2 ORDER BY o_orderstatus, age_bucket""",
+    "q_events_heatmap" -> """
+      WITH cells AS (SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+                       CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+                     FROM events GROUP BY 1, 2),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+      SELECT dow, hr, n, n * 1000 // total AS share_permille
+      FROM cells CROSS JOIN t ORDER BY dow, hr""",
     "q_mix_kl" -> """
       WITH sl AS (SELECT source, lang, count(*) AS n_sl FROM documents
                   GROUP BY 1, 2),

@@ -317,7 +317,55 @@ object Joins {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** Point-in-time (PIT) join against an SCD2 dimension — the
+    * warehouse-standard "which dim version was valid when the fact
+    * happened" lookup (Kimball type-2 lookup; the batch twin of a
+    * temporal table join). The dimension is the per-customer status
+    * version history (same derivation as q_dim_scd2: a new version at
+    * every status change, valid [from, next_from)); each lineitem
+    * (fact at l_shipdate, via its order's customer) picks the version
+    * valid at ship time. Every fact matches EXACTLY one version
+    * (versions partition [first-order, infinity) and shipdate >=
+    * orderdate >= first valid_from), reported as per-status lineitem
+    * counts and exact-decimal revenue.
+    *
+    * Scale: the join carries the customer equi-key, so it executes as
+    * a co-partitioned hash join with the validity range as a post-
+    * filter — per-key state is that customer's version count (tiny,
+    * bounded by change frequency), never a cross product; the version
+    * build is one windowed pass over the dim source. */
+  val qJoinPitScd2: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val dim = Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderstatus"))
+      .withColumn("prev_st", lag(col("o_orderstatus"), 1).over(w))
+      .filter(col("prev_st").isNull ||
+        col("o_orderstatus") =!= col("prev_st"))
+      .withColumn("next_from", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey").as("d_custkey"),
+        col("o_orderstatus").as("status_at_ship"),
+        col("o_orderdate").as("valid_from"), col("next_from"))
+    val fact = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_shipdate"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    fact.join(dim,
+        col("o_custkey") === col("d_custkey") &&
+          col("l_shipdate") >= col("valid_from") &&
+          (col("next_from").isNull || col("l_shipdate") < col("next_from")))
+      .groupBy(col("status_at_ship"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(col("cents")).as("cents"))
+      .orderBy(col("status_at_ship"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_pit_scd2" -> qJoinPitScd2,
     "q_join_fuzzy" -> qJoinFuzzy,
     "q_join_unique" -> qJoinUnique,
     "q_join_asof" -> qJoinAsof,
@@ -338,6 +386,30 @@ object Joins {
     "round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(5,4))), 4)"
 
   val oracle: Map[String, String] = Map(
+    "q_join_pit_scd2" -> """
+      WITH ch AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                    o_orderstatus,
+                    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS prev_st
+                  FROM orders),
+      dim AS (SELECT o_custkey AS d_custkey,
+                o_orderstatus AS status_at_ship,
+                o_orderdate AS valid_from,
+                lead(o_orderdate) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS next_from
+              FROM ch
+              WHERE prev_st IS NULL OR o_orderstatus <> prev_st),
+      fact AS (SELECT o.o_custkey, l.l_shipdate,
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem l JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey)
+      SELECT status_at_ship, count(*) AS n_lineitems,
+        count(DISTINCT o_custkey) AS n_customers,
+        CAST(sum(cents) AS BIGINT) AS cents
+      FROM fact JOIN dim ON o_custkey = d_custkey
+        AND l_shipdate >= valid_from
+        AND (next_from IS NULL OR l_shipdate < next_from)
+      GROUP BY status_at_ship ORDER BY status_at_ship""",
     "q_join_fuzzy" -> """
       SELECT a.c_custkey AS ida, b.c_custkey AS idb,
         CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
