@@ -135,13 +135,87 @@ object CorpusOps8 {
       .orderBy(col("dow"), col("hr"))
   }
 
+  /** Embedding-drift monitor: per label, the cosine between the
+    * centroid of the even-id half and the centroid of the odd-id half
+    * of the corpus — the "did the embedding distribution move between
+    * two snapshots" check an ML-ops pipeline alerts on (halves stand
+    * in for two time windows; the math is identical). Centroid SUM
+    * vectors stay exact int64: |v| <= 1e6 micro, so the norm terms are
+    * bounded by 64 * (n_half * 1e6)^2 — safe to ~1e5 vectors per
+    * (label, half); beyond that, pre-divide each dim sum by n
+    * (deterministic integer div) before the dot. The cosine is
+    * assembled like q_sim_topk — exact integer
+    * dot and norms, then sqrt/divide in double (bit-identical both
+    * engines).
+    *
+    * Scale: one partial-aggregated shuffle to |labels| x 2 centroid
+    * rows (per-dim sums via map-side array aggregation); everything
+    * after is label-count-sized. */
+  val qEmbDrift: Q = (s, dir) => {
+    val q = EmbQuant.quantized(s, dir)
+      .withColumn("half", (col("vec_id") % 2).cast("int"))
+    // per-dimension sums, NOT collect_list-then-fold: (label, half, i)
+    // partials combine map-side, so centroid state is 64 longs per
+    // group however many vectors stream through
+    val comp = q.select(col("label"), col("half"),
+        posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("half"), col("i"))
+      .agg(sum(col("v")).as("cv"))
+    val counts = q.groupBy(col("label"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_even"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_odd"))
+    val a = comp.filter(col("half") === 0)
+      .select(col("label"), col("i"), col("cv").as("ca"))
+    val b = comp.filter(col("half") === 1)
+      .select(col("label"), col("i"), col("cv").as("cb"))
+    a.join(b, Seq("label", "i"))
+      .groupBy(col("label"))
+      .agg(sum(col("ca") * col("cb")).as("dot"),
+        sum(col("ca") * col("ca")).as("na2"),
+        sum(col("cb") * col("cb")).as("nb2"))
+      .join(broadcast(counts), Seq("label"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        (col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) *
+            sqrt(col("nb2").cast("double")))).as("drift_cos"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_emb_drift" -> qEmbDrift,
     "q_mix_kl" -> qMixKl,
     "q_order_aging" -> qOrderAging,
     "q_events_heatmap" -> qEventsHeatmap,
     "q_cohort_ltv" -> qCohortLtv)
 
   val oracle: Map[String, String] = Map(
+    "q_emb_drift" -> """
+      WITH e AS (SELECT vec_id, label, CAST(vec_id % 2 AS INT) AS half,
+                   r.i AS i,
+                   CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000000)
+                     AS BIGINT) AS v
+                 FROM embeddings, range(1, 65) r(i)),
+      comp AS (SELECT label, half, i, CAST(sum(v) AS BIGINT) AS cv
+               FROM e GROUP BY 1, 2, 3),
+      counts AS (SELECT label,
+                   CAST(count(DISTINCT CASE WHEN vec_id % 2 = 0
+                     THEN vec_id END) AS BIGINT) AS n_even,
+                   CAST(count(DISTINCT CASE WHEN vec_id % 2 = 1
+                     THEN vec_id END) AS BIGINT) AS n_odd
+                 FROM embeddings GROUP BY 1),
+      d AS (SELECT a.label,
+              CAST(sum(a.cv * b.cv) AS BIGINT) AS dot,
+              CAST(sum(a.cv * a.cv) AS BIGINT) AS na2,
+              CAST(sum(b.cv * b.cv) AS BIGINT) AS nb2
+            FROM comp a JOIN comp b
+              ON a.label = b.label AND a.i = b.i
+              AND a.half = 0 AND b.half = 1
+            GROUP BY 1)
+      SELECT label, n_even, n_odd,
+        CAST(dot AS DOUBLE) /
+          (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+          AS drift_cos
+      FROM d JOIN counts USING (label) ORDER BY label""",
     "q_order_aging" -> """
       WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
       a AS (SELECT o_orderstatus,

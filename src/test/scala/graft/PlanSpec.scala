@@ -520,6 +520,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("Partial"), p)
   }
 
+  test("PIT SCD2 join keeps the customer equi-key (no cartesian, no range-only join)") {
+    val p = plan("q_join_pit_scd2")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the validity-range predicate must ride the custkey hash join as a
+    // post-condition, not degrade the join to a nested loop
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p)
+  }
+
   test("materialized-view rewrite answers the aggregate from the MV scan") {
     // The query is written against the FACT (lineitem); the optimizer
     // rule must swap the scan for the registered MV — at 100 TB this is
