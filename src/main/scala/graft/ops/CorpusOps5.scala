@@ -471,7 +471,35 @@ object CorpusOps5 {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Phrase-index READ path (completing build [[qIndexPostings]] /
+    * maintain [[qIndexDelta]]): a two-key retrieval query over the
+    * published index. The query keys are the two highest-df published
+    * grams (deterministic: df DESC, gram — a worst-case "hot phrase"
+    * probe); docs are ranked AND-first (match count, then total tf) —
+    * the standard coordinate-level ranking of a boolean retrieval
+    * engine.
+    *
+    * Scale: the probe touches exactly two posting lists (df-capped at
+    * 50 by the publish band), broadcast against the tf rows of those
+    * keys only — query cost is bounded by the df cap, never corpus
+    * size. */
+  val qIndexPhraseQuery: Q = (s, dir) => {
+    val tf = gramTf(Tables(s, dir, "documents"))
+    val idx = postingAgg(tf).filter(col("df").between(2, 50))
+    val keys = idx.orderBy(col("df").desc, col("g")).limit(2)
+      .agg(min(col("g")).as("g1"), max(col("g")).as("g2"))
+    tf.join(broadcast(keys),
+        col("g") === col("g1") || col("g") === col("g2"))
+      .groupBy(col("g1"), col("g2"), col("doc_id"))
+      .agg(countDistinct(col("g")).as("grams_matched"),
+        sum(col("tf")).as("total_tf"))
+      .orderBy(col("grams_matched").desc, col("total_tf").desc,
+        col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_index_phrase_query" -> qIndexPhraseQuery,
     "q_dup_matrix" -> qDupMatrix,
     "q_neg_sample" -> qNegSample,
     "q_corpus_datacard" -> qCorpusDatacard,
@@ -486,6 +514,25 @@ object CorpusOps5 {
     "q_text_zipf" -> qTextZipf)
 
   val oracle: Map[String, String] = Map(
+    "q_index_phrase_query" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
+                    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      gr AS (SELECT doc_id,
+               a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS g
+             FROM (SELECT *, unnest(range(1, len(a) - 1)) AS i FROM toks)),
+      tf AS (SELECT g, doc_id, count(*) AS tf FROM gr
+             GROUP BY 1, 2 HAVING substr(md5(g), 1, 1) = '0'),
+      idx AS (SELECT g, count(*) AS df FROM tf GROUP BY g
+              HAVING count(*) BETWEEN 2 AND 50),
+      keys AS (SELECT min(g) AS g1, max(g) AS g2 FROM
+                 (SELECT g FROM idx ORDER BY df DESC, g LIMIT 2)),
+      hits AS (SELECT k.g1, k.g2, tf.doc_id, tf.g, tf.tf
+               FROM tf CROSS JOIN keys k
+               WHERE tf.g = k.g1 OR tf.g = k.g2)
+      SELECT g1, g2, doc_id, count(DISTINCT g) AS grams_matched,
+             CAST(sum(tf) AS BIGINT) AS total_tf
+      FROM hits GROUP BY 1, 2, 3
+      ORDER BY grams_matched DESC, total_tf DESC, doc_id LIMIT 20""",
     "q_text_bm25" -> s"""
       WITH docs AS (SELECT doc_id, string_split(text, ' ') AS a
                     FROM documents),
