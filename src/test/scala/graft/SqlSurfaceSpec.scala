@@ -142,6 +142,45 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(j.count() == expect && expect > 0)
   }
 
+  test("runtime bloom filter: selective dim side injects a bloom probe into the fact scan") {
+    // the non-partitioned sibling of DPP: when the fact is NOT
+    // partitioned on the join key, Spark's runtime-filter rule can
+    // still build a bloom filter from the selective creation side and
+    // push a might_contain probe below the fact's shuffle — at 100 TB
+    // this is the difference between shuffling the whole fact and
+    // shuffling the matching slice. Thresholds are lowered only inside
+    // this test (fixture sizes are far below the prod defaults).
+    def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+      val olds = pairs.map(p => (p._1, spark.conf.getOption(p._1)))
+      pairs.foreach(p => spark.conf.set(p._1, p._2))
+      try body finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val fact = Tables(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = Tables(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .filter(col("o_totalprice") > 400000)
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") ||
+        optimized.contains("might_contain"), optimized)
+      // and values are unchanged vs the filter-less plan
+      val expect = Tables(spark, sf, "lineitem")
+        .join(Tables(spark, sf, "orders")
+          .filter(col("o_totalprice") > 400000),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() == expect && expect > 0)
+    }
+  }
+
   test("partition recovery (MSCK REPAIR analogue) on an external table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ext").toFile
     dir.deleteOnExit()
