@@ -39,6 +39,7 @@ object SparkEntry {
     (CorpusOps6.queries, CorpusOps6.oracle),
     (CorpusOps7.queries, CorpusOps7.oracle),
     (CorpusOps8.queries, CorpusOps8.oracle),
+    (CorpusOps9.queries, CorpusOps9.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -17,6 +17,7 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.CorpusOps.queries, ops.CorpusOps2.queries, ops.CorpusOps3.queries,
       ops.CorpusOps4.queries, ops.CorpusOps5.queries,
       ops.CorpusOps6.queries, ops.CorpusOps7.queries, ops.CorpusOps8.queries,
+      ops.CorpusOps9.queries,
       ops.TimeSeriesOps.queries, ops.MatViews.queries,
       ops.DataQuality.queries, ops.SecurityPolicies.queries,
       ops.Multimodal.queries, ops.Extensions.queries, ops.PlansOps.queries,
