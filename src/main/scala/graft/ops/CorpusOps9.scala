@@ -139,12 +139,83 @@ object CorpusOps9 {
     arms.union(lift).orderBy(col("arm"))
   }
 
+  /** User-journey trigram mining (the Sankey/flow-diagram feed, one
+    * step beyond q_path_transitions' Markov pairs): within each user's
+    * event-time order, every consecutive 3-step path, with counts and
+    * distinct-user support, top-20. Lead-chain windows — no self-join,
+    * state is 2 lagged values per partition row.
+    *
+    * Scale: one per-user window sort, partial-aggregated path counts,
+    * TakeOrdered top-20. */
+  val qPathTrigrams: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+        col("e3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"),
+        col("step3"))
+      .limit(20)
+  }
+
+  /** Weekly seasonality index per event type: each day-of-week's
+    * traffic as an exact permille of that type's uniform share
+    * (1000 = flat; the ratio-to-average decomposition a capacity
+    * planner runs). 0 = Sunday (DuckDB dayofweek convention, Spark
+    * shifted down — the q_events_heatmap contract).
+    *
+    * Scale: map-side bucket extraction, one partial-aggregated shuffle
+    * to |types| x 7 cells, per-type totals broadcast back. */
+  val qSeasonalityIndex: Q = (s, dir) => {
+    val cells = Tables(s, dir, "events")
+      .groupBy(col("event_type"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n"),
+        expr("n * 7 * 1000 div total").as("index_permille"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_path_trigrams" -> qPathTrigrams,
+    "q_seasonality_index" -> qSeasonalityIndex,
     "q_vocab_growth" -> qVocabGrowth,
     "q_feature_label_split" -> qFeatureLabelSplit,
     "q_ab_assign" -> qAbAssign)
 
   val oracle: Map[String, String] = Map(
+    "q_path_trigrams" -> """
+      WITH s AS (SELECT user_id, event_type,
+                   lead(event_type, 1) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS e2,
+                   lead(event_type, 2) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS e3
+                 FROM events)
+      SELECT event_type AS step1, e2 AS step2, e3 AS step3,
+        count(*) AS n_paths, count(DISTINCT user_id) AS n_users
+      FROM s WHERE e3 IS NOT NULL
+      GROUP BY 1, 2, 3
+      ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20""",
+    "q_seasonality_index" -> """
+      WITH cells AS (SELECT event_type,
+                       CAST(dayofweek(ts) AS BIGINT) AS dow,
+                       count(*) AS n
+                     FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+            FROM cells GROUP BY 1)
+      SELECT event_type, dow, n, n * 7 * 1000 // total AS index_permille
+      FROM cells JOIN t USING (event_type)
+      ORDER BY event_type, dow""",
     "q_vocab_growth" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
                     FROM documents),
