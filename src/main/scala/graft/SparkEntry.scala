@@ -40,6 +40,8 @@ object SparkEntry {
     (CorpusOps7.queries, CorpusOps7.oracle),
     (CorpusOps8.queries, CorpusOps8.oracle),
     (CorpusOps9.queries, CorpusOps9.oracle),
+    (CorpusOps10.queries, CorpusOps10.oracle),
+    (CorpusOps11.queries, CorpusOps11.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),
