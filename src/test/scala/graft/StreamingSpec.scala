@@ -625,6 +625,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted == distinctIds)
   }
 
+  test("streaming latest-wins CDC state == batch q_cdc_compact") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // time-sliced micro-batches: the latest-wins state (version + payload
+    // + change count) must genuinely carry across batch boundaries — an
+    // early-batch upsert must survive, and a late-batch tombstone must
+    // kill a key that looked live after batch 1
+    val dir = Files.createTempDirectory("cdc_replay").toFile
+    dir.deleteOnExit()
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+    for ((lo, hi, i) <- Seq(("2024-01-01", "2024-01-11", 1),
+        ("2024-01-11", "2024-01-21", 2), ("2024-01-21", "2024-02-01", 3))) {
+      ev.filter(col("ts_us") >= unix_micros(lit(lo).cast("timestamp")) &&
+          col("ts_us") < unix_micros(lit(hi).cast("timestamp")))
+        .coalesce(1).write.parquet(s"$dir/b$i")
+      Thread.sleep(1100)
+    }
+    // state: (version ts_us, version event_id, n_changes, last type, value)
+    val compacted = spark.readStream
+      .schema(ev.schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/b*")
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+         st: GroupState[(Long, Long, Long, String, Double)]) =>
+          var s = st.getOption.getOrElse((Long.MinValue, Long.MinValue,
+            0L, "", 0.0))
+          rows.foreach { case (_, eid, ts, typ, v) =>
+            val newer = ts > s._1 || (ts == s._1 && eid > s._2)
+            s = (if (newer) ts else s._1, if (newer) eid else s._2,
+              s._3 + 1, if (newer) typ else s._4, if (newer) v else s._5)
+          }
+          st.update(s)
+          Iterator.single((uid, s._1, s._2, s._3, s._4, s._5))
+      }.toDF("user_id", "ts_us", "event_id", "n_changes",
+        "last_event_type", "last_value")
+    val q = compacted.writeStream.format("memory").queryName("t_cdc")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    // update mode emits one state row per key per touching batch; the
+    // FINAL state per key is the row with the highest change count
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_changes").desc)
+    val streamed = spark.table("t_cdc")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("last_event_type") =!= "error") // tombstone keys drop
+      .select(col("user_id"), col("n_changes"), col("last_event_type"),
+        col("last_value"))
+      .orderBy(col("user_id")).collect().toSeq
+    val batch = ops.CorpusOps11.qCdcCompact(spark, sf)
+      .select(col("user_id"), col("n_changes"), col("last_event_type"),
+        col("last_value"))
+      .orderBy(col("user_id")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} live keys != batch ${batch.size}")
+  }
+
   test("watermarked streaming dedup emits each event_id once") {
     val deduped = {
       val df = streamedEvents
