@@ -66,7 +66,9 @@ object Bench {
     "q_index_delta",           // posting build x2 + gram-keyed outer merge (r9)
     "q_graph_linkpred",        // wedge join + anti-probe link scoring (r9)
     "q_quality_classifier",    // hashed-bucket broadcast-weights scoring (r9)
-    "q_customer_rfm")          // triple global ntile + segment rollup (r9)
+    "q_customer_rfm",          // triple global ntile + segment rollup (r9)
+    "q_cdc_compact",           // latest-wins log compaction window (r9)
+    "q_rollup_dau")            // 28x user-day fan-out distinct bands (r9)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -554,4 +554,38 @@ class PlanSpec extends AnyFunSuite {
         "MV rewrite changed the result")
     } finally graft.plans.MaterializedViewRewrite.clear()
   }
+
+  test("AUC rank window runs over score-level aggregates, not doc rows") {
+    val p = plan("q_classifier_auc")
+    // the groupBy(score) aggregate must sit BELOW the window sort — at
+    // 100 TB the global orderBy window touches |distinct scores| rows
+    // (bounded by the weight-table range), never the corpus
+    val winAt = p.indexOf("Window")
+    assert(winAt > 0, p)
+    val aggBefore = p.substring(0, winAt).contains("HashAggregate")
+    assert(aggBefore, s"no aggregate below the rank window:\n$p")
+  }
+
+  test("DAU rollup has no multi-distinct Expand; bands fold in one aggregate") {
+    val p = plan("q_rollup_dau")
+    // the min-offset rewrite replaced 3 countDistincts: an Expand node
+    // would mean the 28x fan-out is being TRIPLED again
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("CDC compaction is one key-partitioned window sort, no self-join") {
+    val p = plan("q_cdc_compact")
+    assert(!p.contains("Join"), p)
+    // exactly one hash exchange (both windows share the user_id
+    // partitioning); the only other exchange is the final presentation
+    // orderBy's range partitioning
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("cardinality audit never materializes the join it estimates") {
+    val p = plan("q_join_card_audit")
+    assert(!p.contains("Join"), p)
+    // per-key counts partial-aggregate map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
