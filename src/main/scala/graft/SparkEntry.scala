@@ -12,7 +12,7 @@ import graft.ops._
   */
 object SparkEntry {
 
-  private def modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
+  private[graft] def modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (Relational.queries, Relational.oracle),
     (TpchMore.queries, TpchMore.oracle),
     (TpchFull.queries, TpchFull.oracle),

@@ -7,21 +7,10 @@ class SparkEntrySpec extends AnyFunSuite {
   import TestSpark._
 
   test("module query keys are globally unique") {
-    val keys = Seq(
-      ops.Relational.queries, ops.Joins.queries, ops.Aggregates.queries,
-      ops.Windows.queries, ops.SetOps.queries, ops.Generators.queries,
-      ops.Scalars.queries, ops.Scalars2.queries, ops.StreamingOps.queries,
-      ops.SourcesSinks.queries, ops.AcidDml.queries, ops.Dedup.queries,
-      ops.Similarity.queries, ops.EmbeddingOps.queries,
-      ops.GraphOps.queries, ops.TextAnalysis.queries,
-      ops.CorpusOps.queries, ops.CorpusOps2.queries, ops.CorpusOps3.queries,
-      ops.CorpusOps4.queries, ops.CorpusOps5.queries,
-      ops.CorpusOps6.queries, ops.CorpusOps7.queries, ops.CorpusOps8.queries,
-      ops.CorpusOps9.queries,
-      ops.TimeSeriesOps.queries, ops.MatViews.queries,
-      ops.DataQuality.queries, ops.SecurityPolicies.queries,
-      ops.Multimodal.queries, ops.Extensions.queries, ops.PlansOps.queries,
-      ops.TpchMore.queries, ops.TpchFull.queries).flatMap(_.keys)
+    // Derived from SparkEntry.modules itself so a newly registered module
+    // can never silently drift out of this check (the r9 lesson: a
+    // hand-maintained copy of the module list pinned a stale count).
+    val keys = SparkEntry.modules.flatMap(_._1.keys)
     val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query keys: $dups")
     assert(SparkEntry.queries.size == keys.size)
