@@ -42,6 +42,7 @@ object SparkEntry {
     (CorpusOps9.queries, CorpusOps9.oracle),
     (CorpusOps10.queries, CorpusOps10.oracle),
     (CorpusOps11.queries, CorpusOps11.oracle),
+    (CorpusOps12.queries, CorpusOps12.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -24,6 +24,9 @@ object GraftFunctions {
       "dotq", exprs => DotLongArrays(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "zorder64", exprs => ZOrder64(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "edit_dl", exprs => DamerauLevenshteinExpr(exprs(0), exprs(1)),
+      "built-in")
     spark.udf.register("wavg", udaf(WeightedAvg))
   }
 }

@@ -193,6 +193,88 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** IVF-PQ with ADC (asymmetric distance computation) — the two
+    * quantizers of qSimIvf (coarse cells) and q_emb_pq (product codes)
+    * COMPOSED into the index structure FAISS ships as IVFPQ (Jégou,
+    * Douze, Schmid, "Product quantization for nearest neighbor
+    * search", TPAMI 2011): vectors live in IVF posting lists as M=4
+    * one-byte PQ codes; a query probes its nprobe=4 nearest cells and
+    * scores candidates WITHOUT touching the raw vectors — per
+    * subspace, the query-to-codeword distance table (M×K' = 64 exact
+    * int64 entries) is precomputed once, and a candidate's ADC
+    * distance is the sum of M table lookups on its codes.
+    *
+    * Exactness: both quantizer assignments tie-break deterministically
+    * (coarse: max_by on (ccos, -cid); PQ: struct-min on (d2, code));
+    * distance tables and ADC sums are exact int64 on the micro-
+    * quantized components, so the ranking is bit-stable and fully
+    * DuckDB-oracled.
+    *
+    * Scale: this is THE billion-vector layout — stored bytes per
+    * vector drop from 64×8 to M + cell id; the codebook (M·16 subvecs)
+    * and the per-query distance tables broadcast; candidate scoring
+    * is an equi-join on (qid, m, code) with a partial-aggregated sum,
+    * never a scan of raw vectors. Recall is bounded by the probed
+    * cells exactly as qSimIvf (same coarse quantizer). */
+  val qSimIvfPq: Q = (s, dir) => {
+    val K = 16
+    val nprobe = 4
+    val emb = withNorm(quantized(s, dir))
+    val cents = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("cid"),
+        (dotq(col("q"), col("cq")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("ccos"))
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+        first(col("q")).as("q"))
+    // M=4 subspaces of 16 dims; codebook = subvectors of vec_id < 16
+    val subs = assigned.select(col("vec_id"), col("cid"), explode(expr(
+        """transform(sequence(0, 3),
+           m -> struct(m AS m, slice(q, m * 16 + 1, 16) AS sub))"""))
+        .as("e"))
+      .select(col("vec_id"), col("cid"), col("e.m").as("m"),
+        col("e.sub").as("sub"))
+    val codebook = subs.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sub").as("csub"))
+    val sqd = expr(
+      """aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)),
+         CAST(0 AS BIGINT), (acc, v) -> acc + v)""")
+    // encode: each db vector's per-subspace argmin codeword
+    val codes = subs.join(broadcast(codebook), Seq("m"))
+      .withColumn("d2", sqd)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"))
+    // ADC distance tables for the 10 query vectors (640 rows, broadcast)
+    val dt = subs.filter(col("vec_id") < 10)
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("d2q", sqd)
+      .select(col("vec_id").as("qid"), col("m"), col("code"), col("d2q"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probes = scored.filter(col("vec_id") < 10)
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val cand = probes.join(assigned.select(col("vec_id"), col("cid")), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_d2"), col("neighbor"))
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dt), Seq("qid", "m", "code"))
+      .groupBy(col("qid"), col("vec_id").as("neighbor"))
+      .agg(sum(col("d2q")).as("adc_d2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** One k-means (Lloyd) iteration for the IVF coarse quantizer, as pure
     * relational algebra with EXACT integer math: assign to seed
     * centroids, aggregate each cluster's element-wise SUM vector
@@ -397,6 +479,7 @@ object Similarity {
     "q_sim_neardup" -> qSimNearDup,
     "q_sim_ann_lsh" -> qSimAnnLsh,
     "q_sim_ivf" -> qSimIvf,
+    "q_sim_ivfpq" -> qSimIvfPq,
     "q_sim_kmeans_step" -> qSimKmeansStep,
     "q_dedup_semantic" -> qDedupSemantic)
 
@@ -563,6 +646,52 @@ object Similarity {
         CAST(row_number() OVER (PARTITION BY qid
           ORDER BY cos DESC, neighbor) AS INT) AS rnk
       FROM scored QUALIFY rnk <= 5 ORDER BY qid, rnk""",
+    "q_sim_ivfpq" -> s"""
+      WITH e AS ($quantSql),
+      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      cd AS (SELECT a.vec_id, b.vec_id AS cid,
+               CAST(sum(a.v * b.v) AS BIGINT) AS dot
+             FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+             GROUP BY 1, 2),
+      ccos AS (SELECT cd.vec_id, cid,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) *
+                   sqrt(CAST(nc.n2 AS DOUBLE))) AS ccos
+               FROM cd JOIN n nv ON cd.vec_id = nv.vec_id
+                       JOIN n nc ON cid = nc.vec_id),
+      assigned AS (SELECT vec_id, cid FROM ccos
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, cid) = 1),
+      probes AS (SELECT vec_id AS qid, cid FROM ccos WHERE vec_id < 10
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cid) <= 4),
+      sub AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS m, i, v
+              FROM e),
+      enc AS (SELECT s.vec_id, s.m, c.vec_id AS code,
+                CAST(sum((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS d2
+              FROM sub s JOIN sub c
+                ON c.vec_id < 16 AND c.m = s.m AND c.i = s.i
+              GROUP BY 1, 2, 3),
+      codes AS (SELECT vec_id, m, CAST(code AS INT) AS code FROM enc
+                QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY d2, code) = 1),
+      dt AS (SELECT vec_id AS qid, m, CAST(code AS INT) AS code,
+               d2 AS d2q
+             FROM enc WHERE vec_id < 10),
+      cand AS (SELECT p.qid, a.vec_id AS neighbor
+               FROM probes p JOIN assigned a USING (cid)
+               WHERE a.vec_id <> p.qid),
+      adc AS (SELECT c.qid, c.neighbor,
+                CAST(sum(dt.d2q) AS BIGINT) AS adc_d2
+              FROM cand c
+                JOIN codes k ON k.vec_id = c.neighbor
+                JOIN dt ON dt.qid = c.qid AND dt.m = k.m
+                  AND dt.code = k.code
+              GROUP BY 1, 2)
+      SELECT qid, neighbor, adc_d2,
+        CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY adc_d2, neighbor) AS INT) AS rnk
+      FROM adc QUALIFY rnk <= 5 ORDER BY qid, rnk""",
     "q_sim_kmeans_step" -> s"""
       WITH e AS ($quantSql),
       n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.DamerauLev
+
+/** Invariants of the r9 wave 19 operators that the value oracle cannot
+  * express: the algebraic laws of the CUSUM statistic and the interval
+  * sweep, range laws for KS/Gini, pattern-count consistency, ADC
+  * ranking sanity, and the textbook Damerau-Levenshtein cases that
+  * separate the unrestricted variant from OSA. */
+class AnalyticsOps3Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("damerau-levenshtein: textbook cases, identity, symmetry, lev bound") {
+    // CA→ABC is THE separating case: unrestricted DL = 2 (transpose to
+    // AC, insert B inside the transposed pair), OSA = 3.
+    assert(DamerauLev.dist("CA", "ABC") == 2)
+    assert(DamerauLev.dist("ab", "ba") == 1)
+    assert(DamerauLev.dist("kitten", "sitting") == 3)
+    assert(DamerauLev.dist("", "abc") == 3 && DamerauLev.dist("abc", "") == 3)
+    val words = Seq("ring", "red", "widget", "small", "grand", "rng", "ringg")
+    for (a <- words; b <- words) {
+      val d = DamerauLev.dist(a, b)
+      assert(d == DamerauLev.dist(b, a), s"symmetry $a $b")
+      if (a == b) assert(d == 0)
+      else assert(d > 0)
+      // DL adds an edit op to Levenshtein's set, so it never exceeds it
+      import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+      val lev = u8(a).levenshteinDistance(u8(b))
+      assert(d <= lev, s"dl($a,$b)=$d > lev=$lev")
+    }
+  }
+
+  test("cusum returns to exactly 0 at the last day; exactly one changepoint") {
+    val rows = q("q_ts_changepoint").collect()
+    assert(rows.last.getAs[Long]("cusum_scaled") == 0L)
+    assert(rows.count(_.getAs[Boolean]("is_changepoint")) == 1)
+    // the flagged day attains the max |cusum|
+    val peak = rows.map(r => math.abs(r.getAs[Long]("cusum_scaled"))).max
+    val cp = rows.filter(_.getAs[Boolean]("is_changepoint")).head
+    assert(math.abs(cp.getAs[Long]("cusum_scaled")) == peak)
+  }
+
+  test("interval sweep conserves orders and never goes negative") {
+    val rows = q("q_ts_concurrency").collect()
+    val orders = Tables(spark, sf, "orders").count()
+    assert(rows.map(_.getAs[Long]("opens")).sum == orders)
+    assert(rows.map(_.getAs[Long]("closes")).sum == orders)
+    rows.foreach(r => assert(r.getAs[Long]("concurrent") >= 0L))
+    // after the final boundary every interval has closed
+    assert(rows.last.getAs[Long]("concurrent") == 0L)
+  }
+
+  test("binned KS statistic is a probability distance in micro units") {
+    val r = q("q_dq_ks").collect().head
+    val ks = r.getAs[Long]("ks_micro")
+    assert(ks >= 0L && ks <= 1000000L, s"ks_micro $ks")
+    assert(r.getAs[Long]("d_num") <= r.getAs[Long]("n1") * r.getAs[Long]("n2"))
+    assert(r.getAs[Long]("n_bins") > 0L)
+  }
+
+  test("gini is in [0, 1) micro for every nation") {
+    val rows = q("q_ineq_gini").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gini_micro")
+      assert(g >= 0L && g < 1000000L,
+        s"${r.getAs[String]("n_name")} gini $g")
+    }
+  }
+
+  test("pattern matches never exceed the purchases that close them") {
+    val rows = q("q_event_pattern").collect()
+    rows.foreach { r =>
+      val conv = r.getAs[Int]("n_conversions").toLong
+      assert(conv <= r.getAs[Long]("n_purchases"))
+      assert(r.getAs[Boolean]("converted") == (conv > 0))
+      assert(r.getAs[Long]("n_events") > 0L)
+    }
+  }
+
+  test("ivf-pq ADC ranking: per-query top-5, non-decreasing, self-free") {
+    val rows = q("q_sim_ivfpq").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to rs.length))
+      val ds = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("adc_d2"))
+      assert(ds.sameElements(ds.sorted), s"qid $qid not sorted by ADC")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("neighbor") != qid)
+        assert(r.getAs[Long]("adc_d2") >= 0L)
+      }
+    }
+  }
+}

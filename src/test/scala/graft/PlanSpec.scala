@@ -588,4 +588,30 @@ class PlanSpec extends AnyFunSuite {
     // per-key counts partial-aggregate map-side
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("interval sweep is join-free: boundary union + day aggregate + cumsum") {
+    val p = plan("q_ts_concurrency")
+    // the per-order interval rollup joins orders↔lineitem once; there
+    // is NO interval×day join (the sweep replaces it) and no Union
+    // duplicating the rollup subtree — boundaries explode from one pass
+    // one join NODE = tree line + detail line in formatted mode
+    assert("[A-Za-z]+Join".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("Generate") && !p.contains("Union"), p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+  }
+
+  test("edit-distance vocab join stays dictionary-sized and broadcast") {
+    val p = plan("q_fn_edit_dl")
+    // distinct-token vocab on BOTH sides (never the raw fact), joined
+    // via broadcast nested loop under the length-block condition
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // the distincts
+  }
+
+  test("ivf-pq: codebook and distance tables broadcast, no cartesian scoring") {
+    val p = plan("q_sim_ivfpq")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    // centroids + codebook (×2: encode, dt) + dt join all broadcast
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3, p)
+  }
 }
