@@ -68,7 +68,10 @@ object Bench {
     "q_quality_classifier",    // hashed-bucket broadcast-weights scoring (r9)
     "q_customer_rfm",          // triple global ntile + segment rollup (r9)
     "q_cdc_compact",           // latest-wins log compaction window (r9)
-    "q_rollup_dau")            // 28x user-day fan-out distinct bands (r9)
+    "q_rollup_dau",            // 28x user-day fan-out distinct bands (r9)
+    "q_sim_ivfpq",             // IVF-PQ ADC table-lookup scoring (r9)
+    "q_ts_concurrency",        // +1/-1 interval sweep + prefix sum (r9)
+    "q_event_pattern")         // per-user sequence regex matching (r9)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
