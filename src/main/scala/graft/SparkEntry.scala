@@ -43,6 +43,7 @@ object SparkEntry {
     (CorpusOps10.queries, CorpusOps10.oracle),
     (CorpusOps11.queries, CorpusOps11.oracle),
     (CorpusOps12.queries, CorpusOps12.oracle),
+    (CorpusOps13.queries, CorpusOps13.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -74,8 +74,12 @@ object CorpusOps12 {
         col("o_orderkey") === col("l_orderkey"), "left")
       .groupBy(col("o_orderkey"))
       .agg(to_date(min(col("o_orderdate"))).as("start_d"),
-        to_date(coalesce(max(col("l_shipdate")),
-          min(col("o_orderdate")))).as("end_d"))
+        // clamp: the synthetic shipdates are independent of the order
+        // date (≈half precede it), so an unclamped end would invert
+        // the interval and break the sweep algebra
+        greatest(to_date(coalesce(max(col("l_shipdate")),
+          min(col("o_orderdate")))),
+          to_date(min(col("o_orderdate")))).as("end_d"))
     // both boundary rows come from ONE pass over iv (a union of two
     // selects would duplicate the whole orders⋈lineitem subtree in the
     // plan — a double fact scan at scale); explode is map-side
@@ -260,8 +264,9 @@ object CorpusOps12 {
     "q_ts_concurrency" -> """
       WITH iv AS (SELECT o_orderkey,
                     CAST(min(o_orderdate) AS DATE) AS start_d,
-                    CAST(coalesce(max(l_shipdate), min(o_orderdate))
-                      AS DATE) AS end_d
+                    greatest(CAST(coalesce(max(l_shipdate),
+                        min(o_orderdate)) AS DATE),
+                      CAST(min(o_orderdate) AS DATE)) AS end_d
                   FROM orders LEFT JOIN lineitem
                     ON o_orderkey = l_orderkey
                   GROUP BY 1),

@@ -82,6 +82,69 @@ class AnalyticsOps3Spec extends AnyFunSuite {
     }
   }
 
+  test("interval-overlap profile: pairs exist, totals dominate maxima") {
+    val rows = q("q_join_interval_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_overlapping_pairs") >= 1L)
+      assert(r.getAs[Long]("max_overlap_days") >= 1L)
+      assert(r.getAs[Long]("total_overlap_days") >=
+        r.getAs[Long]("max_overlap_days"))
+    }
+  }
+
+  test("chi-squared cells conserve the corpus; total is the cell sum") {
+    val rows = q("q_dq_chi2").collect()
+    val docs = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("o")).sum == docs)
+    val total = rows.head.getAs[Long]("chi2_total_micro")
+    assert(rows.map(_.getAs[Long]("cell_chi2_micro")).sum == total)
+    rows.foreach(r => assert(r.getAs[Long]("cell_chi2_micro") >= 0L))
+    // Σe == N exactly; each floor loses < 1 micro-unit
+    val eSum = rows.map(_.getAs[Long]("e_micro")).sum
+    assert(eSum <= docs * 1000000L && eSum > docs * 1000000L - rows.length)
+  }
+
+  test("PSI is non-negative (every drift term is)") {
+    val r = q("q_mix_psi").collect().head
+    assert(r.getAs[Double]("psi_microbits") >= 0.0)
+    assert(r.getAs[Long]("n_bins") > 0L)
+  }
+
+  test("zone-map audit: z-order prunes both dimensions, dominates 1-key sort") {
+    val m = q("q_layout_zonemap_audit").collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    val nat = m("1_natural"); val pk = m("2_partkey_sort"); val z = m("3_zorder")
+    Seq(nat, pk, z).foreach(r => assert(r.getAs[Long]("n_buckets") == 64L))
+    assert(z.getAs[Long]("pruned_a") > 0L && z.getAs[Long]("pruned_b") > 0L)
+    assert(pk.getAs[Long]("pruned_a") > 0L)
+    val conj = (r: org.apache.spark.sql.Row) => r.getAs[Long]("pruned_conjunctive")
+    assert(conj(z) >= conj(pk) && conj(pk) >= conj(nat))
+  }
+
+  test("item-item cosine: (0,1], ranked, support-pruned") {
+    val rows = q("q_rec_itemcos").collect()
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos")
+      assert(c > 0.0 && c <= 1.0, s"cos $c")
+      assert(r.getAs[Int]("rnk") >= 1 && r.getAs[Int]("rnk") <= 5)
+      assert(r.getAs[Long]("cij") >= 2L)
+      assert(r.getAs[Long]("item") != r.getAs[Long]("partner"))
+    }
+  }
+
+  test("conversion latency: converted never exceeds signups, p50 <= p90") {
+    val rows = q("q_ts_latency").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_signups"))
+      if (!r.isNullAt(r.fieldIndex("p50_latency_s"))) {
+        assert(r.getAs[Long]("p50_latency_s") >= 0L)
+        assert(r.getAs[Long]("p50_latency_s") <= r.getAs[Long]("p90_latency_s"))
+      }
+    }
+  }
+
   test("ivf-pq ADC ranking: per-query top-5, non-decreasing, self-free") {
     val rows = q("q_sim_ivfpq").collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))

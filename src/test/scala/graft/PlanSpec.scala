@@ -614,4 +614,16 @@ class PlanSpec extends AnyFunSuite {
     // centroids + codebook (×2: encode, dt) + dt join all broadcast
     assert("BroadcastExchange".r.findAllIn(p).size >= 3, p)
   }
+
+  test("interval-overlap self-join rides the customer equi-key, never NLJ") {
+    val p = plan("q_join_interval_overlap")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("item-item cosine lowers the per-item top-k to WindowGroupLimit") {
+    val p = plan("q_rec_itemcos")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
 }
