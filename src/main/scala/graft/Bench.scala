@@ -71,7 +71,9 @@ object Bench {
     "q_rollup_dau",            // 28x user-day fan-out distinct bands (r9)
     "q_sim_ivfpq",             // IVF-PQ ADC table-lookup scoring (r9)
     "q_ts_concurrency",        // +1/-1 interval sweep + prefix sum (r9)
-    "q_event_pattern")         // per-user sequence regex matching (r9)
+    "q_event_pattern",         // per-user sequence regex matching (r9)
+    "q_rec_itemcos",           // co-occurrence CF + per-item top-k (r9)
+    "q_join_interval_overlap") // customer-blocked interval self-join (r9)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
