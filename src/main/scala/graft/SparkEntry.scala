@@ -44,6 +44,7 @@ object SparkEntry {
     (CorpusOps11.queries, CorpusOps11.oracle),
     (CorpusOps12.queries, CorpusOps12.oracle),
     (CorpusOps13.queries, CorpusOps13.oracle),
+    (CorpusOps14.queries, CorpusOps14.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -145,6 +145,46 @@ class AnalyticsOps3Spec extends AnyFunSuite {
     }
   }
 
+  test("mann-kendall: S bounded by the pair count, z carries S's sign") {
+    val r = q("q_ts_mannkendall").collect().head
+    val n = r.getAs[Long]("n"); val s = r.getAs[Long]("s")
+    assert(math.abs(s) <= n * (n - 1) / 2)
+    assert(r.getAs[Long]("var18") > 0L)
+    assert(math.signum(r.getAs[Double]("z")) == math.signum(s.toDouble))
+  }
+
+  test("theil-sen: quantiles are ordered, pair count is n-choose-2") {
+    val r = q("q_ts_theilsen").collect().head
+    val n = q("q_ts_mannkendall").collect().head.getAs[Long]("n")
+    assert(r.getAs[Long]("n_pairs") == n * (n - 1) / 2)
+    assert(r.getAs[Double]("p10_slope") <=
+      r.getAs[Double]("median_slope_cents_per_day"))
+    assert(r.getAs[Double]("median_slope_cents_per_day") <=
+      r.getAs[Double]("p90_slope"))
+  }
+
+  test("skyline windowed rewrite equals the brute-force dominance scan") {
+    val parts = Tables(spark, sf, "part")
+      .selectExpr("p_partkey", "CAST(round(p_retailprice * 100) AS BIGINT) AS p",
+        "CAST(p_size AS BIGINT) AS z")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = parts.filter { case (k, p, z) =>
+      !parts.exists { case (k2, p2, z2) =>
+        k2 != k && p2 <= p && z2 <= z && (p2 < p || z2 < z) }
+    }.map(_._1).toSet
+    val got = q("q_skyline_frontier").collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    assert(got == brute, s"windowed $got vs brute $brute")
+  }
+
+  test("forecast backtest: APEs non-negative, MAPE is their floor-mean") {
+    val rows = q("q_forecast_backtest").collect()
+    assert(rows.nonEmpty && rows.length <= 28)
+    val apes = rows.map(_.getAs[Long]("ape_micro"))
+    apes.foreach(a => assert(a >= 0L))
+    assert(rows.head.getAs[Long]("mape_micro") == apes.sum / apes.length)
+  }
+
   test("ivf-pq ADC ranking: per-query top-5, non-decreasing, self-free") {
     val rows = q("q_sim_ivfpq").collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
