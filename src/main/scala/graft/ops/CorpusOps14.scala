@@ -144,11 +144,94 @@ object CorpusOps14 {
       .orderBy(col("day"))
   }
 
+  /** Autocorrelation function of the daily revenue series at lags
+    * 1..14 (the Box-Jenkins identification tool; lag 7 exposes the
+    * weekly cycle q_seasonality_index models). Kept exact by scaling
+    * out the mean as in q_ts_changepoint: with N observations and
+    * total S, the centered value is c_t = N·x_t − S (exact int64);
+    * num_k = Σ c_t·c_{t+k} and den = Σ c_t² ride DECIMAL(38,0)
+    * (c² ≈ 1e24), and acf_k = num_k/den is ONE double division.
+    * Lags index the OBSERVATION order (row number over day), the
+    * standard treatment for a series with calendar gaps.
+    *
+    * Scale: the fact collapses to the bounded day axis first; the
+    * 14× fan-out and the (t+k)-equi-join are day-table-sized. */
+  val qTsAcf: Q = (s, dir) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = dailyRevenue(s, dir)
+    val tot = d.agg(count(lit(1)).as("n"), sum(col("cents")).as("stot"))
+    val idx = d.crossJoin(broadcast(tot))
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))))
+      .select(col("t"),
+        (col("n") * col("cents") - col("stot")).cast(dec38).as("c"))
+    val den = idx.agg(sum(col("c") * col("c")).as("den"))
+    val fan = idx.select(col("t"), col("c").as("ca"),
+        explode(expr("sequence(1, 14)")).as("k"))
+      .select((col("t") + col("k")).as("t2"),
+        col("k").cast("long").as("k"), col("ca"))
+    fan.join(idx.select(col("t").as("t2"), col("c").as("cb")), Seq("t2"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ca") * col("cb")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("k"), col("n_pairs"),
+        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+      .orderBy(col("k"))
+  }
+
+  /** Nearest-event join (the kdb `aj`/`wj` sibling Spark lacks): for
+    * every error event, the temporally NEAREST purchase by the same
+    * user in EITHER direction — backward candidate = last purchase at
+    * or before in (ts, event_id) order, forward = first after; the
+    * winner minimizes the exact microsecond distance, ties to the
+    * backward side. Generalizes q_join_asof (backward-only) and is
+    * built the same scale-safe way: ONE user-keyed sort of the tagged
+    * union, two IGNORE-NULLS window walks, no join at all.
+    *
+    * Exactness: distances are exact int64 microseconds; every
+    * tie-break is pinned by (ts, event_id). */
+  val qJoinNearest: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("error", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        when(col("event_type") === "purchase",
+          struct(col("ts").as("bts"), col("event_id").as("bid")))
+          .as("buy"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val walked = ev
+      .withColumn("bw", last(col("buy"), ignoreNulls = true)
+        .over(ord.rowsBetween(Long.MinValue, 0)))
+      .withColumn("fw", first(col("buy"), ignoreNulls = true)
+        .over(ord.rowsBetween(0, Long.MaxValue)))
+      .filter(col("event_type") === "error")
+      .withColumn("bw_diff",
+        unix_micros(col("ts")) - unix_micros(col("bw.bts")))
+      .withColumn("fw_diff",
+        unix_micros(col("fw.bts")) - unix_micros(col("ts")))
+    walked
+      .withColumn("pick", when(col("bw").isNull, col("fw"))
+        .when(col("fw").isNull, col("bw"))
+        .when(col("bw_diff") <= col("fw_diff"), col("bw"))
+        .otherwise(col("fw")))
+      .filter(col("pick").isNotNull)
+      .select(col("user_id"), col("event_id").as("error_id"),
+        Tables.fmtTsUs(col("ts")).as("error_ts"),
+        col("pick.bid").as("nearest_purchase_id"),
+        Tables.fmtTsUs(col("pick.bts")).as("purchase_ts"),
+        abs(unix_micros(col("ts")) - unix_micros(col("pick.bts")))
+          .as("distance_us"))
+      .orderBy(col("user_id"), col("error_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ts_mannkendall" -> qTsMannKendall,
     "q_ts_theilsen" -> qTsTheilSen,
     "q_skyline_frontier" -> qSkylineFrontier,
-    "q_forecast_backtest" -> qForecastBacktest)
+    "q_forecast_backtest" -> qForecastBacktest,
+    "q_ts_acf" -> qTsAcf,
+    "q_join_nearest" -> qJoinNearest)
 
   private val dailySql = """
     SELECT CAST(o_orderdate AS DATE) AS day,
@@ -218,5 +301,62 @@ object CorpusOps14 {
         ape_micro,
         CAST(sum(ape_micro) OVER () // count(*) OVER () AS BIGINT)
           AS mape_micro
-      FROM bt ORDER BY day""")
+      FROM bt ORDER BY day""",
+    "q_ts_acf" -> s"""
+      WITH d AS ($dailySql),
+      tot AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS stot
+              FROM d),
+      idx AS (SELECT row_number() OVER (ORDER BY day) AS t,
+                CAST(n * cents - stot AS HUGEINT) AS c
+              FROM d CROSS JOIN tot),
+      den AS (SELECT sum(c * c) AS den FROM idx),
+      fan AS (SELECT t + k AS t2, CAST(k AS BIGINT) AS k, c AS ca
+              FROM idx, unnest(generate_series(1, 14)) AS g(k)),
+      agg AS (SELECT k, count(*) AS n_pairs,
+                sum(fan.ca * idx.c) AS num
+              FROM fan JOIN idx ON idx.t = fan.t2
+              GROUP BY k)
+      SELECT k, n_pairs,
+        CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+      FROM agg CROSS JOIN den ORDER BY k""",
+    "q_join_nearest" -> """
+      WITH ev AS (SELECT user_id, ts, event_id, event_type,
+          CASE WHEN event_type = 'purchase' THEN ts END AS bts,
+          CASE WHEN event_type = 'purchase' THEN event_id END AS bid
+        FROM events WHERE event_type IN ('error', 'purchase')),
+      w AS (SELECT user_id, ts, event_id, event_type,
+          last_value(bts IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bw_ts,
+          last_value(bid IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bw_id,
+          first_value(bts IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fw_ts,
+          first_value(bid IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fw_id
+        FROM ev),
+      e AS (SELECT * FROM w WHERE event_type = 'error'),
+      p AS (SELECT user_id, event_id AS error_id, ts,
+              CASE WHEN bw_ts IS NULL THEN fw_id
+                WHEN fw_ts IS NULL THEN bw_id
+                WHEN date_diff('microsecond', bw_ts, ts) <=
+                     date_diff('microsecond', ts, fw_ts) THEN bw_id
+                ELSE fw_id END AS nearest_purchase_id,
+              CASE WHEN bw_ts IS NULL THEN fw_ts
+                WHEN fw_ts IS NULL THEN bw_ts
+                WHEN date_diff('microsecond', bw_ts, ts) <=
+                     date_diff('microsecond', ts, fw_ts) THEN bw_ts
+                ELSE fw_ts END AS pts
+            FROM e)
+      SELECT user_id, error_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+        nearest_purchase_id,
+        strftime(pts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        CAST(abs(date_diff('microsecond', pts, ts)) AS BIGINT)
+          AS distance_us
+      FROM p WHERE nearest_purchase_id IS NOT NULL
+      ORDER BY user_id, error_id""")
 }

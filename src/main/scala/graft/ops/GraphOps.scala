@@ -278,10 +278,47 @@ object GraphOps {
       .limit(20)
   }
 
+  /** 3-hop frontier BFS over the (undirected) co-purchase graph from
+    * the seed set {parts with key < 3 present in the graph} — the
+    * bounded-depth reachability primitive (blast-radius / related-
+    * items expansion). Classic frontier relaxation: level k+1 =
+    * min-dist of neighbors of the level-k frontier not yet labeled;
+    * each hop is ONE dst-keyed shuffle of the FRONTIER×edges join
+    * (never all vertices), with map-side min partial aggregation —
+    * the Pregel iteration shape, 3 rounds unrolled.
+    *
+    * Scale: edges persist once (CacheScope-tracked) and each round
+    * joins only the current frontier against them; labels accumulate
+    * per vertex. Exact integer levels, first-reach = min-level by
+    * construction. */
+  val qGraphBfs: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir)
+    val edges = graft.CacheScope.track(
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .union(e.select(col("v").as("src"), col("u").as("dst")))
+        .persist())
+    val verts = edges.select(col("src").as("vx")).distinct()
+    var dist = verts.withColumn("d",
+      when(col("vx") < 3, 0L).otherwise(lit(null).cast("long")))
+    for (hop <- 1 to 3) {
+      val frontier = dist.filter(col("d") === (hop - 1))
+        .select(col("vx").as("src"))
+      val relaxed = edges.join(frontier, Seq("src"))
+        .groupBy(col("dst").as("vx"))
+        .agg(min(lit(hop.toLong)).as("nd"))
+      dist = dist.join(relaxed, Seq("vx"), "left")
+        .select(col("vx"), coalesce(col("d"), col("nd")).as("d"))
+    }
+    dist.filter(col("d").isNotNull)
+      .select(col("vx").as("part"), col("d").as("dist"))
+      .orderBy(col("dist"), col("part"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_linkpred" -> qGraphLinkpred,
+    "q_graph_bfs" -> qGraphBfs,
     "q_graph_kcore" -> qGraphKcore)
 
   /** Shared oracle prefix: the deduped, support-pruned co-purchase
@@ -359,6 +396,28 @@ object GraphOps {
              FROM ne JOIN deg d ON ne.z = d.n GROUP BY 1, 2)
       SELECT a, b, common, aa_micro FROM sc
       ORDER BY aa_micro DESC, a, b LIMIT 20"""),
+    "q_graph_bfs" -> (copurchaseCte + """,
+      edges AS (SELECT u AS src, v AS dst FROM e0
+                UNION ALL SELECT v, u FROM e0),
+      d0 AS (SELECT DISTINCT src AS vx FROM edges WHERE src < 3),
+      d1 AS (SELECT DISTINCT dst AS vx FROM edges
+             JOIN d0 ON edges.src = d0.vx
+             WHERE dst NOT IN (SELECT vx FROM d0)),
+      d2 AS (SELECT DISTINCT dst AS vx FROM edges
+             JOIN d1 ON edges.src = d1.vx
+             WHERE dst NOT IN (SELECT vx FROM d0)
+               AND dst NOT IN (SELECT vx FROM d1)),
+      d3 AS (SELECT DISTINCT dst AS vx FROM edges
+             JOIN d2 ON edges.src = d2.vx
+             WHERE dst NOT IN (SELECT vx FROM d0)
+               AND dst NOT IN (SELECT vx FROM d1)
+               AND dst NOT IN (SELECT vx FROM d2))
+      SELECT vx AS part, dist FROM (
+        SELECT vx, CAST(0 AS BIGINT) AS dist FROM d0
+        UNION ALL SELECT vx, CAST(1 AS BIGINT) FROM d1
+        UNION ALL SELECT vx, CAST(2 AS BIGINT) FROM d2
+        UNION ALL SELECT vx, CAST(3 AS BIGINT) FROM d3)
+      ORDER BY dist, part"""),
     "q_graph_kcore" -> (copurchaseCte + """,
       u0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
       n1 AS (SELECT u AS n FROM u0 GROUP BY 1 HAVING count(*) >= 3),

@@ -185,6 +185,77 @@ class AnalyticsOps3Spec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("mape_micro") == apes.sum / apes.length)
   }
 
+  test("acf: every lag within [-1,1], pair counts are n-k") {
+    val n = q("q_ts_mannkendall").collect().head.getAs[Long]("n")
+    val rows = q("q_ts_acf").collect()
+    assert(rows.map(_.getAs[Long]("k")).sorted.toSeq == (1L to 14L))
+    rows.foreach { r =>
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0 && a <= 1.0, s"k=${r.getAs[Long]("k")} acf $a")
+      assert(r.getAs[Long]("n_pairs") == n - r.getAs[Long]("k"))
+    }
+  }
+
+  test("nearest-event join equals the brute-force two-sided scan") {
+    import java.sql.Timestamp
+    val evs = Tables(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("error", "purchase"))
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = evs.groupBy(_._1)
+    val brute = byUser.toSeq.flatMap { case (_, rs) =>
+      val buys = rs.filter(_._4 == "purchase").map(r => (r._2, r._3)).toSeq
+      rs.toSeq.filter(_._4 == "error").flatMap { case (_, us, eid, _) =>
+        // backward = max (ts,id) before the error's (ts,id); forward =
+        // min (ts,id) strictly after — the pinned window order
+        def key(b: (Long, Long)) = (b._1, b._2)
+        val before = buys.filter(b => b._1 < us || (b._1 == us && b._2 < eid))
+        val after = buys.filter(b => b._1 > us || (b._1 == us && b._2 > eid))
+        val bw = if (before.isEmpty) None else Some(before.maxBy(key))
+        val fw = if (after.isEmpty) None else Some(after.minBy(key))
+        val pick: Option[(Long, Long)] = (bw, fw) match {
+          case (None, f) => f
+          case (b, None) => b
+          case (Some(b), Some(f)) =>
+            if (us - b._1 <= f._1 - us) Some(b) else Some(f)
+        }
+        pick.map(p => (eid, p._2, math.abs(us - p._1)))
+      }
+    }.toSet
+    val got = q("q_join_nearest").collect()
+      .map(r => (r.getAs[Long]("error_id"),
+        r.getAs[Long]("nearest_purchase_id"),
+        r.getAs[Long]("distance_us"))).toSet
+    assert(got == brute,
+      s"diff: ${(got -- brute).take(3)} / ${(brute -- got).take(3)}")
+  }
+
+  test("bfs levels: seeds at 0, every level-k vertex touches level k-1") {
+    val rows = q("q_graph_bfs").collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("dist"))
+    val dist = rows.toMap
+    assert(rows.length == dist.size, "one label per vertex")
+    assert(dist.filter(_._2 == 0L).keySet == dist.keySet.filter(_ < 3))
+    // reconstruct edges the same way to check the relaxation law
+    val li = Tables(spark, sf, "lineitem")
+      .selectExpr("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    dist.filter(_._2 > 0L).foreach { case (v, d) =>
+      assert(adj(v).exists(n => dist.get(n).contains(d - 1)),
+        s"vertex $v at $d has no neighbor at ${d - 1}")
+    }
+  }
+
   test("ivf-pq ADC ranking: per-query top-5, non-decreasing, self-free") {
     val rows = q("q_sim_ivfpq").collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
