@@ -45,6 +45,7 @@ object SparkEntry {
     (CorpusOps12.queries, CorpusOps12.oracle),
     (CorpusOps13.queries, CorpusOps13.oracle),
     (CorpusOps14.queries, CorpusOps14.oracle),
+    (CorpusOps15.queries, CorpusOps15.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

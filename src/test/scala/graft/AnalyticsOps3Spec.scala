@@ -256,6 +256,42 @@ class AnalyticsOps3Spec extends AnyFunSuite {
     }
   }
 
+  test("trimmed/winsorized means sit inside the trimmed support") {
+    val rows = q("q_agg_trimmed").collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("trim_n") == n - 2 * (n / 10))
+      val tm = r.getAs[Long]("trimmed_mean_microcents")
+      val wm = r.getAs[Long]("winsorized_mean_microcents")
+      // winsorizing pulls tails IN, so both robust means stay within
+      // a factor of the other (loose sanity: same sign, same order)
+      assert(tm > 0L && wm > 0L)
+      assert(math.abs(tm - wm) < math.max(tm, wm),
+        s"robust means diverged: $tm vs $wm")
+    }
+  }
+
+  test("streaks: length >= 2, the longest starts on a real order day") {
+    val rows = q("q_streak_longest").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("longest_streak_days") >= 2L)
+      assert(r.getAs[Long]("n_streaks") >= 1L)
+      assert(r.getAs[String]("first_longest_start") != null)
+    }
+  }
+
+  test("conditional entropy bounded by log2 of the successor fan-out") {
+    val rows = q("q_path_entropy").collect()
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_microbits")
+      val cap = math.log(r.getAs[Long]("n_successors").toDouble) /
+        math.log(2.0) * 1e6
+      assert(h >= -1.0, s"entropy $h negative")  // -1 micro: rounding slop
+      assert(h <= cap + 1.0, s"entropy $h above uniform cap $cap")
+    }
+  }
+
   test("ivf-pq ADC ranking: per-query top-5, non-decreasing, self-free") {
     val rows = q("q_sim_ivfpq").collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
