@@ -197,4 +197,23 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("damerau-levenshtein is a metric on generated strings") {
+    import graft.functions.DamerauLev.dist
+    val strGen = Gen.listOfN(3, Gen.choose(0, 8)
+      .flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c'))))
+    for (s <- seeds; i <- 1 to 8) {
+      val Seq(x, y, z) = sample(strGen, s * 100 + i)
+      assert(dist(x, x) == 0)
+      assert(dist(x, y) == dist(y, x), s"symmetry $x $y")
+      assert((dist(x, y) == 0) == (x == y), s"identity $x $y")
+      // triangle inequality — holds for UNRESTRICTED DL (it fails for
+      // the OSA variant, which is exactly why this pin matters)
+      assert(dist(x, z) <= dist(x, y) + dist(y, z),
+        s"triangle $x $y $z")
+      // edits can't beat the length gap, nor exceed the longer string
+      assert(dist(x, y) >= math.abs(x.length - y.length))
+      assert(dist(x, y) <= math.max(x.length, y.length))
+    }
+  }
 }
