@@ -87,6 +87,29 @@ object SourcesSinks {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** DSv2 atomic sink round trip (the WRITE half of the storage-handler
+    * tier — `sources/AtomicTextSink.scala`; `DataSourceV2Spec` pins the
+    * commit protocol itself: staging, manifest publish, abort): write
+    * per-status order rollups through the custom `BatchWrite`, read the
+    * COMMITTED files back via the `_SUCCESS` manifest contract, and
+    * re-aggregate — values pinned by the oracle on the base table. */
+  val qSinkDsv2Atomic: Q = (s, dir) => {
+    val path = tmp("graft_dsv2sink")
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .write.format("graft.sources.AtomicTextSink")
+      .option("path", path).mode("append").save()
+    val committed = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "_SUCCESS")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).map(l => s"$path/${l.split("\t")(0)}")
+    s.read.option("sep", "\t")
+      .schema("o_orderstatus STRING, cnt LONG, cents LONG")
+      .csv(committed: _*)
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Multi-insert (Hive: FROM t INSERT OVERWRITE t1 ... INSERT OVERWRITE
     * t2 ...): one cached scan feeds two sinks; the declared result reads
     * both sinks back and unions them — values still pinned by the oracle. */
@@ -296,6 +319,7 @@ object SourcesSinks {
     "q_src_json" -> qSrcJson,
     "q_src_orc" -> qSrcOrc,
     "q_sink_partitioned" -> qSinkPartitioned,
+    "q_sink_dsv2_atomic" -> qSinkDsv2Atomic,
     "q_multi_insert" -> qMultiInsert,
     "q_load_data" -> qLoadData,
     "q_decimal_e2e" -> qDecimalE2e)
@@ -354,6 +378,11 @@ object SourcesSinks {
       SELECT CAST(s_nationkey AS INT) AS nk, count(*) AS cnt,
         CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
       FROM supplier GROUP BY nk ORDER BY nk""",
+    "q_sink_dsv2_atomic" -> """
+      SELECT o_orderstatus, count(*) AS cnt,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS cents
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_sink_partitioned" -> """
       SELECT o_orderstatus, count(*) AS cnt,
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)

@@ -60,4 +60,55 @@ class DataSourceV2Spec extends AnyFunSuite {
       assert(row.getString(2) == graft.sources.SyntheticDocs.text(id))
     }
   }
+
+  // ---- the WRITE half: AtomicTextSink commit protocol -------------------
+
+  private def tmpDir(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("graft_sink").toFile
+    d.deleteOnExit(); d
+  }
+
+  test("sink commit publishes exactly the task files plus a manifest") {
+    import spark.implicits._
+    val dir = new java.io.File(tmpDir(), "out")
+    val df = (0L until 1000L).map(i => (i, s"doc$i", i * 0.5))
+      .toDF("id", "name", "score").repartition(4)
+    df.write.format("graft.sources.AtomicTextSink")
+      .option("path", dir.getAbsolutePath).mode("append").save()
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      dir.toPath.resolve("_SUCCESS")), "UTF-8")
+    val entries = manifest.split("\n").map(_.split("\t"))
+    assert(entries.map(_(1).toLong).sum == 1000L, manifest)
+    // every manifest file exists; no staging residue; nothing EXTRA
+    val files = dir.listFiles().map(_.getName).toSet
+    entries.foreach(e => assert(files.contains(e(0)), e(0)))
+    assert(!files.exists(_.contains("staging")), files)
+    assert(files == entries.map(_(0)).toSet + "_SUCCESS", files)
+    // the committed TSV round-trips through a plain reader
+    val back = spark.read.option("sep", "\t")
+      .schema("id LONG, name STRING, score DOUBLE")
+      .csv(dir.getAbsolutePath + "/part-*")
+    assert(back.count() == 1000L)
+    assert(back.agg(sum(col("id"))).head.getLong(0) == 499500L)
+  }
+
+  test("a failed job publishes NOTHING: no files, no manifest, staging gone") {
+    import spark.implicits._
+    val dir = new java.io.File(tmpDir(), "out")
+    val df = (0L until 100L).toDF("id").repartition(2)
+      .select(when(col("id") === 99L,
+        expr("raise_error('induced failure')").cast("long"))
+        .otherwise(col("id")).as("id"))
+    intercept[Exception] {
+      df.write.format("graft.sources.AtomicTextSink")
+        .option("path", dir.getAbsolutePath).mode("append").save()
+    }
+    // abort ran: the target holds no committed file and no manifest —
+    // even though the OTHER task may have staged its rows successfully
+    val files = Option(dir.listFiles()).map(_.map(_.getName).toSet)
+      .getOrElse(Set.empty[String])
+    assert(!files.contains("_SUCCESS"), files)
+    assert(!files.exists(_.startsWith("part-")), files)
+    assert(!files.contains("_staging"), files)
+  }
 }
