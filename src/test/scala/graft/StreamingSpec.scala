@@ -701,4 +701,59 @@ class StreamingSpec extends AnyFunSuite {
       .select(countDistinct(col("event_id"))).collect().head.getLong(0)
     assert(deduped == distinctIds)
   }
+
+  test("streaming CEP state machine == batch q_event_pattern regex count") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // The batch operator counts non-overlapping v[^p]*p matches with a
+    // regex over the materialized per-user string; the STREAMING twin
+    // is the equivalent 2-state machine (pending-view → purchase
+    // consumes) running incrementally in flatMapGroupsWithState — the
+    // state must survive micro-batch boundaries, so replay in three
+    // ts-sliced files like the sessionization twin.
+    val dir = Files.createTempDirectory("cep_replay").toFile
+    dir.deleteOnExit()
+    val ev = Tables(spark, sf, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    for ((lo, hi, i) <- Seq(("2024-01-01", "2024-01-11", 1),
+        ("2024-01-11", "2024-01-21", 2), ("2024-01-21", "2024-02-01", 3))) {
+      ev.filter(col("ts_us") >= unix_micros(lit(lo).cast("timestamp")) &&
+          col("ts_us") < unix_micros(lit(hi).cast("timestamp")))
+        .coalesce(1).write.parquet(s"$dir/b$i")
+      Thread.sleep(1100)
+    }
+    val matched = spark.readStream
+      .schema(ev.schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/b*")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        // state: (pendingView, conversionsSoFar)
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+         st: GroupState[(Boolean, Long)]) =>
+          var (pending, conv) = st.getOption.getOrElse((false, 0L))
+          for ((_, _, _, et) <- rows.toSeq.sortBy(r => (r._3, r._2))) {
+            if (et == "view") pending = true
+            else if (pending) { conv += 1; pending = false }
+          }
+          st.update((pending, conv))
+          Iterator.single((uid, conv))
+      }.toDF("user_id", "conv")
+    val q = matched.writeStream.format("memory").queryName("t_cep")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_cep")
+      .groupBy(col("user_id")).agg(max(col("conv")).as("n_conversions"))
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = ops.CorpusOps12.qEventPattern(spark, sf)
+      .select(col("user_id"), col("n_conversions").cast("long"))
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream ${streamed.take(3)} != batch ${batch.take(3)}")
+  }
 }
