@@ -46,6 +46,7 @@ object SparkEntry {
     (CorpusOps13.queries, CorpusOps13.oracle),
     (CorpusOps14.queries, CorpusOps14.oracle),
     (CorpusOps15.queries, CorpusOps15.oracle),
+    (CorpusOps16.queries, CorpusOps16.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

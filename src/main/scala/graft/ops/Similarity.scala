@@ -472,7 +472,36 @@ object Similarity {
       .orderBy(col("qid"), col("fine_rank"))
   }
 
+  /** ANN recall audit — the evaluation harness every index deployment
+    * runs before switching off brute force: recall@5 of the IVF and
+    * IVF-PQ paths against the exact cosine top-5 (qSimTopK), per
+    * method. Exact integer hit counts; recall in permille by integral
+    * division. Putting the AUDIT itself on the oracle board means the
+    * measured recall numbers are cross-engine-verified, not
+    * self-reported.
+    *
+    * Scale: the three result sets are ≤ 5 rows per query each; the
+    * overlap join and rollup are audit-table-sized. */
+  val qSimRecallAudit: Q = (s, dir) => {
+    val exact = qSimTopK(s, dir)
+      .select(col("qid"), col("neighbor"))
+    def hits(ann: org.apache.spark.sql.DataFrame, method: String) =
+      ann.select(col("qid"), col("neighbor"))
+        .join(exact, Seq("qid", "neighbor"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(method).as("method"), col("hits"))
+    val total = exact.groupBy(col("qid")).count()
+      .agg(count(lit(1)).as("nq"), sum(col("count")).as("n_exact"))
+    hits(qSimIvf(s, dir), "ivf")
+      .unionAll(hits(qSimIvfPq(s, dir), "ivfpq"))
+      .crossJoin(broadcast(total))
+      .select(col("method"), col("nq").as("n_queries"), col("n_exact"),
+        col("hits"), expr("hits * 1000 div n_exact").as("recall_permille"))
+      .orderBy(col("method"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sim_recall_audit" -> qSimRecallAudit,
     "q_sim_rerank" -> qSimRerank,
     "q_sim_diverse" -> qSampleDiverse,
     "q_sim_topk" -> qSimTopK,
@@ -486,7 +515,7 @@ object Similarity {
   private val quantSql =
     "SELECT vec_id, r.i AS i, CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000000) AS BIGINT) AS v FROM embeddings, range(1, 65) r(i)"
 
-  val oracle: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "q_sim_rerank" -> s"""
       WITH e AS ($quantSql),
       m AS (SELECT vec_id, greatest(max(abs(v)), 1) AS ma
@@ -760,4 +789,25 @@ object Similarity {
         FROM pd JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id)
       WHERE cos >= 0.3
       ORDER BY va, vb""")
+
+  /** The audit oracle replays all three retrieval pipelines verbatim
+    * (each base oracle nests as a subquery) and recomputes the
+    * overlap — so the recall number itself is cross-engine-checked. */
+  val oracle: Map[String, String] = baseOracle +
+    ("q_sim_recall_audit" -> s"""
+      WITH exact AS (SELECT qid, neighbor
+                     FROM (${baseOracle("q_sim_topk")})),
+      ivf AS (SELECT qid, neighbor FROM (${baseOracle("q_sim_ivf")})),
+      pq AS (SELECT qid, neighbor FROM (${baseOracle("q_sim_ivfpq")})),
+      tot AS (SELECT count(DISTINCT qid) AS nq,
+                count(*) AS n_exact FROM exact),
+      h AS (SELECT 'ivf' AS method, count(*) AS hits
+              FROM ivf JOIN exact USING (qid, neighbor)
+            UNION ALL
+            SELECT 'ivfpq', count(*)
+              FROM pq JOIN exact USING (qid, neighbor))
+      SELECT method, nq AS n_queries, CAST(n_exact AS BIGINT) AS n_exact,
+        CAST(hits AS BIGINT) AS hits,
+        CAST(hits AS BIGINT) * 1000 // n_exact AS recall_permille
+      FROM h CROSS JOIN tot ORDER BY method""")
 }

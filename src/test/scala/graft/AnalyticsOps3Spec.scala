@@ -292,6 +292,55 @@ class AnalyticsOps3Spec extends AnyFunSuite {
     }
   }
 
+  test("position attribution conserves exactly 1000 permille per journey") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf, "events")
+    val firstBuy = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+    val journeys = ev.filter(col("event_type").isin("view", "click"))
+      .join(firstBuy, Seq("user_id"))
+      .filter(col("ts") < col("fp.ts") ||
+        (col("ts") === col("fp.ts") && col("event_id") < col("fp.event_id")))
+      .select(col("user_id")).distinct().count()
+    val rows = q("q_attr_position").collect()
+    assert(rows.map(_.getAs[Long]("credit_permille_total")).sum ==
+      1000L * journeys)
+  }
+
+  test("cohort overlap: retained never exceeds the cohort") {
+    val rows = q("q_cohort_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("both") <= r.getAs[Long]("active_m1"))
+      assert(r.getAs[Long]("retention_permille") <= 1000L)
+      val k = r.getAs[Long]("k")
+      assert(k >= 1L && k <= 6L)
+    }
+  }
+
+  test("diversity indices are probabilities/ratios in range") {
+    val rows = q("q_text_simpson").collect()
+    rows.foreach { r =>
+      val sm = r.getAs[Long]("simpson_micro")
+      val ttr = r.getAs[Long]("ttr_micro")
+      assert(sm >= 0L && sm <= 1000000L)
+      assert(ttr > 0L && ttr <= 1000000L)
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("recall audit: hits bounded by the exact lists, permille in range") {
+    val rows = q("q_sim_recall_audit").collect()
+    assert(rows.map(_.getAs[String]("method")).sorted.toSeq ==
+      Seq("ivf", "ivfpq"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("n_exact"))
+      val rp = r.getAs[Long]("recall_permille")
+      assert(rp >= 0L && rp <= 1000L)
+    }
+  }
+
   test("ivf-pq ADC ranking: per-query top-5, non-decreasing, self-free") {
     val rows = q("q_sim_ivfpq").collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
