@@ -47,6 +47,7 @@ object SparkEntry {
     (CorpusOps14.queries, CorpusOps14.oracle),
     (CorpusOps15.queries, CorpusOps15.oracle),
     (CorpusOps16.queries, CorpusOps16.oracle),
+    (CorpusOps17.queries, CorpusOps17.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -341,6 +341,45 @@ class AnalyticsOps3Spec extends AnyFunSuite {
     }
   }
 
+  test("skyline layers: disjoint, layer 1 equals the frontier query, " +
+      "each layer dominated only by earlier layers") {
+    val l = q("q_skyline_layers").collect()
+      .map(r => (r.getAs[Long]("layer"), r.getAs[Long]("p_partkey"),
+        r.getAs[Long]("price_cents"), r.getAs[Long]("size")))
+    val frontier = q("q_skyline_frontier").collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    assert(l.filter(_._1 == 1L).map(_._2).toSet == frontier)
+    assert(l.map(_._2).distinct.length == l.length, "layers overlap")
+    // no point in layer k is dominated by a point in the SAME layer
+    for (k <- 1L to 3L) {
+      val pts = l.filter(_._1 == k).map(p => (p._3, p._4))
+      pts.foreach { case (p, z) =>
+        assert(!pts.exists { case (p2, z2) =>
+          p2 <= p && z2 <= z && (p2 < p || z2 < z) }, s"layer $k")
+      }
+    }
+  }
+
+  test("FD audit: the key FD holds with zero violations") {
+    val m = q("q_dq_fd_audit").collect()
+      .map(r => r.getAs[String]("fd") -> r).toMap
+    assert(m("o_orderkey->o_custkey").getAs[Long]("violations") == 0L)
+    m.values.foreach { r =>
+      assert(r.getAs[Long]("violations") <= r.getAs[Long]("n_groups"))
+      assert(r.getAs[Long]("violation_permille") <= 1000L)
+    }
+  }
+
+  test("exposure audit: coverage and gini are in range, slots conserve") {
+    val r = q("q_rec_exposure").collect().head
+    assert(r.getAs[Long]("n_recommended") <= r.getAs[Long]("n_items"))
+    assert(r.getAs[Long]("coverage_permille") <= 1000L)
+    val g = r.getAs[Long]("exposure_gini_micro")
+    assert(g >= 0L && g < 1000000L)
+    val slots = q("q_rec_itemcos").collect().length.toLong
+    assert(r.getAs[Long]("n_slots") == slots)
+  }
+
   test("ivf-pq ADC ranking: per-query top-5, non-decreasing, self-free") {
     val rows = q("q_sim_ivfpq").collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
