@@ -48,6 +48,7 @@ object SparkEntry {
     (CorpusOps15.queries, CorpusOps15.oracle),
     (CorpusOps16.queries, CorpusOps16.oracle),
     (CorpusOps17.queries, CorpusOps17.oracle),
+    (CorpusOps18.queries, CorpusOps18.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -380,6 +380,51 @@ class AnalyticsOps3Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n_slots") == slots)
   }
 
+  test("keyphrases: over-represented only, ranked, per-source top-5") {
+    val rows = q("q_text_keyphrase").collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to rs.length))
+      val scores = rs.sortBy(_.getAs[Int]("rnk"))
+        .map(_.getAs[Long]("chi2_micro"))
+      assert(scores.sameElements(scores.sorted.reverse), s"$src not desc")
+      rs.foreach(r => assert(r.getAs[Long]("chi2_micro") >= 0L))
+    }
+  }
+
+  test("order gaps: p50 <= p90 <= max, gaps are positive") {
+    val rows = q("q_order_gap_percentiles").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p50 = r.getAs[Long]("p50_gap_days")
+      val p90 = r.getAs[Long]("p90_gap_days")
+      assert(p50 >= 0L && p50 <= p90)
+      assert(p90 <= r.getAs[Long]("max_gap_days"))
+    }
+  }
+
+  test("embedding norm profile: ordered quantiles, conservation of vectors") {
+    val rows = q("q_emb_norm_profile").collect()
+    val total = Tables(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_n2") <= r.getAs[Long]("med_n2"))
+      assert(r.getAs[Long]("med_n2") <= r.getAs[Long]("max_n2"))
+      assert(r.getAs[Long]("n_degenerate") <= r.getAs[Long]("n_vecs"))
+    }
+  }
+
+  test("discount lift: variance denominator positive, ratio matches num/den") {
+    val rows = q("q_discount_lift").collect()
+    rows.foreach { r =>
+      val den = r.getAs[Long]("slope_den")
+      assert(den > 0L, "zero discount variance")
+      val ratio = r.getAs[Double]("qty_per_bp")
+      assert(ratio == r.getAs[Long]("slope_num").toDouble / den.toDouble)
+    }
+  }
+
   test("ivf-pq ADC ranking: per-query top-5, non-decreasing, self-free") {
     val rows = q("q_sim_ivfpq").collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
