@@ -103,6 +103,32 @@ class HiveQlDialectSpec extends AnyFunSuite {
     assert(r.values.exists(_.contains(",")))
   }
 
+  test("GROUP BY ALL / ORDER BY ALL modern spellings") {
+    views
+    val all = spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem GROUP BY ALL ORDER BY ALL""").collect().toSeq
+    val explicit = spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2, 3""").collect().toSeq
+    assert(all == explicit && all.nonEmpty)
+  }
+
+  test("window-rank filter via a named window clause (WINDOW w AS ...)") {
+    views
+    val top = spark.sql(
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER w AS rnk
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey))
+         WHERE rnk = 1""")
+    val custs = Tables(spark, sf, "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(top.count() == custs)
+  }
+
   test("INSERT OVERWRITE DIRECTORY-style write via CTAS table") {
     views
     spark.sql("DROP TABLE IF EXISTS hq_ctas")
