@@ -20,7 +20,7 @@ object CorpusOps14 {
   /** Daily revenue series shared by the trend tests: exact cents per
     * order day. The day axis is calendar-bounded, so every downstream
     * O(days²) pair set is a dimension-sized fan-out, never fact-sized. */
-  private def dailyRevenue(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[ops] def dailyRevenue(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))

@@ -4,10 +4,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Corpus + analytics operators, r9 wave 26 (SURVEY.md §2.M):
+/** Corpus + analytics operators, r9 waves 26-27 (SURVEY.md §2.M):
   * discriminative keyphrase extraction, repurchase-cycle gap
-  * percentiles, an embedding-norm QA profile, and the discount-lift
-  * regression.
+  * percentiles, an embedding-norm QA profile, the discount-lift
+  * regression, the relative-rank window battery and WAPE/bias
+  * forecast scoring.
   *
   * Determinism contract (CorpusOps5-17): exact int64/DECIMAL(38,0)
   * arithmetic up to at most one final IEEE division; integral
@@ -138,11 +139,66 @@ object CorpusOps18 {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Relative-rank window battery — percent_rank, cume_dist and
+    * ntile(4) over a pinned total order (the §2.E rows the ranking
+    * query didn't cover). Both relative ranks derive from integer
+    * ranks by ONE division each ((rank−1)/(n−1), cum_n/n), so the
+    * doubles are bit-identical cross-engine; emitted for the top-3
+    * orders per status to keep the board row small while still
+    * crossing partition boundaries. */
+  val qWindowRelRank: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderstatus"), col("rn"), col("o_orderkey"),
+        col("pr"), col("cd"), col("quartile"))
+      .orderBy(col("o_orderstatus"), col("rn"))
+  }
+
+  /** WAPE + bias for the seasonal-naive backtest — the two numbers
+    * MAPE hides (WAPE weights errors by volume; bias separates over-
+    * from under-forecasting). Same lag-7/28-day window as
+    * q_forecast_backtest. WAPE is an exact non-negative integral
+    * division; the bias numerator is SIGNED, so it ships as the exact
+    * integer plus one IEEE ratio (the module contract's signed-ratio
+    * rule). */
+  val qForecastWape: Q = (s, dir) => {
+    val wLag = Window.orderBy(col("day"))
+    val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    dailyRevenue2(s, dir)
+      .withColumn("f", lag(col("cents"), 7).over(wLag))
+      .withColumn("max_day", max(col("day")).over(wAll))
+      .filter(col("f").isNotNull &&
+        col("day") > date_sub(col("max_day"), 28))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cents") - col("f"))).as("abs_err"),
+        sum(col("cents") - col("f")).as("bias_num"),
+        sum(col("cents")).as("actual"))
+      .select(col("n_days"), col("abs_err"), col("bias_num"), col("actual"),
+        expr("abs_err * 1000000 div actual").as("wape_micro"),
+        (col("bias_num").cast("double") / col("actual").cast("double"))
+          .as("bias_ratio"))
+  }
+
+  // the shared daily-revenue rollup lives in CorpusOps14 (one home,
+  // one oracle CTE)
+  private def dailyRevenue2(s: org.apache.spark.sql.SparkSession,
+      dir: String) = CorpusOps14.dailyRevenue(s, dir)
+
   val queries: Map[String, Q] = Map(
     "q_text_keyphrase" -> qTextKeyphrase,
     "q_order_gap_percentiles" -> qOrderGapPercentiles,
     "q_emb_norm_profile" -> qEmbNormProfile,
-    "q_discount_lift" -> qDiscountLift)
+    "q_discount_lift" -> qDiscountLift,
+    "q_window_relrank" -> qWindowRelRank,
+    "q_forecast_wape" -> qForecastWape)
 
   val oracle: Map[String, String] = Map(
     "q_text_keyphrase" -> """
@@ -214,5 +270,40 @@ object CorpusOps18 {
         n * sxx - sx * sx AS slope_den,
         CAST(n * sxy - sx * sy AS DOUBLE) /
           CAST(n * sxx - sx * sx AS DOUBLE) AS qty_per_bp
-      FROM agg ORDER BY l_returnflag""")
+      FROM agg ORDER BY l_returnflag""",
+    "q_window_relrank" -> """
+      WITH w AS (SELECT o_orderstatus, o_orderkey,
+                   percent_rank() OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey) AS pr,
+                   cume_dist() OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey) AS cd,
+                   CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey) AS INT)
+                     AS quartile,
+                   CAST(row_number() OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+                     AS rn
+                 FROM orders)
+      SELECT o_orderstatus, rn, o_orderkey, pr, cd, quartile
+      FROM w WHERE rn <= 3 ORDER BY o_orderstatus, rn""",
+    "q_forecast_wape" -> """
+      WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents
+                 FROM orders GROUP BY 1),
+      lagd AS (SELECT day, cents,
+                 lag(cents, 7) OVER (ORDER BY day) AS f,
+                 max(day) OVER () AS max_day
+               FROM d),
+      bt AS (SELECT * FROM lagd
+             WHERE f IS NOT NULL AND day > max_day - INTERVAL 28 DAY)
+      SELECT count(*) AS n_days,
+        CAST(sum(abs(cents - f)) AS BIGINT) AS abs_err,
+        CAST(sum(cents - f) AS BIGINT) AS bias_num,
+        CAST(sum(cents) AS BIGINT) AS actual,
+        CAST(sum(abs(cents - f)) AS BIGINT) * 1000000
+          // CAST(sum(cents) AS BIGINT) AS wape_micro,
+        CAST(sum(cents - f) AS DOUBLE) / CAST(sum(cents) AS DOUBLE)
+          AS bias_ratio
+      FROM bt""")
 }

@@ -425,6 +425,26 @@ class AnalyticsOps3Spec extends AnyFunSuite {
     }
   }
 
+  test("relative ranks: pr/cd in [0,1], quartiles 1..4, top row pr == max") {
+    val rows = q("q_window_relrank").collect()
+    rows.foreach { r =>
+      val pr = r.getAs[Double]("pr"); val cd = r.getAs[Double]("cd")
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+      assert(pr <= cd + 1e-12, "percent_rank never exceeds cume_dist")
+      val qt = r.getAs[Int]("quartile")
+      assert(qt >= 1 && qt <= 4)
+      if (r.getAs[Int]("rn") == 1) assert(pr == 1.0 && cd == 1.0)
+    }
+  }
+
+  test("WAPE bounds MAPE's building blocks: |bias| <= abs_err <= actual-scale") {
+    val r = q("q_forecast_wape").collect().head
+    assert(math.abs(r.getAs[Long]("bias_num")) <= r.getAs[Long]("abs_err"))
+    assert(r.getAs[Long]("wape_micro") >= 0L)
+    assert(math.abs(r.getAs[Double]("bias_ratio")) <=
+      r.getAs[Long]("wape_micro").toDouble / 1e6 + 1e-9)
+  }
+
   test("ivf-pq ADC ranking: per-query top-5, non-decreasing, self-free") {
     val rows = q("q_sim_ivfpq").collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
