@@ -608,6 +608,29 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // the distincts
   }
 
+  test("keyphrase chi2: margins broadcast, top-k lowers to WindowGroupLimit") {
+    val p = plan("q_text_keyphrase")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3, p) // cw, cs, n
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("discount lift folds to one partial-aggregated scan") {
+    val p = plan("q_discount_lift")
+    assert(!p.contains("Join"), p)
+    // partial + final HashAggregate around a single exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("order-gap percentiles reuse ONE customer-keyed exchange") {
+    val p = plan("q_order_gap_percentiles")
+    // the lag window and the join probe share the o_custkey hash
+    // partitioning; only the segment rollup adds a second exchange
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size <= 3, p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
   test("ivf-pq: codebook and distance tables broadcast, no cartesian scoring") {
     val p = plan("q_sim_ivfpq")
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
