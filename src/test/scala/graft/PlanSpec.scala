@@ -649,4 +649,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
+
+  // The r9 verdict's named scale-killer: a row-scale global ntile is an
+  // unpartitioned WindowExec ("No Partition Defined ... single partition").
+  // Both former offenders now run the ScaleWindows bucket-offset
+  // decomposition; pin that NO Window node in either plan — including the
+  // cross-bucket offset step, which is a broadcast triangular join, not a
+  // window — is unpartitioned.
+  private def unpartitionedWindows(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w.windowExpressions.mkString(",")
+      }
+
+  test("rfm quintiles: no unpartitioned window anywhere in the plan") {
+    assert(unpartitionedWindows("q_customer_rfm").isEmpty,
+      unpartitionedWindows("q_customer_rfm"))
+  }
+
+  test("calibration deciles: no unpartitioned window anywhere in the plan") {
+    assert(unpartitionedWindows("q_calibration_bins").isEmpty,
+      unpartitionedWindows("q_calibration_bins"))
+  }
 }
