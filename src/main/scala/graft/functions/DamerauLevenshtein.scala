@@ -23,9 +23,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * built for (names, tokens) stays in TLAB and never escapes.
   */
 object DamerauLev {
+  /** Inputs above this length fail fast: unrestricted DL requires the
+    * FULL (la+2)×(lb+2) matrix (the transpose rule reaches back to an
+    * arbitrary earlier row via the last-seen map, so no two-row
+    * reduction exists), and a document-sized pair would allocate
+    * gigabytes per row before OOMing the executor (ADVICE r9). 10k
+    * covers every record-linkage key; compare documents with the
+    * shingle/minhash family instead. */
+  val MaxLen = 10000
+
   def dist(a: String, b: String): Int = {
     val la = a.length
     val lb = b.length
+    if (la > MaxLen || lb > MaxLen)
+      throw new IllegalArgumentException(
+        s"edit_dl: input length ${math.max(la, lb)} exceeds $MaxLen " +
+          "chars; the unrestricted Damerau-Levenshtein matrix would " +
+          "allocate O(la*lb) ints per row — use minhash/shingle " +
+          "similarity for document-scale text")
     if (la == 0) return lb
     if (lb == 0) return la
     val maxd = la + lb

@@ -167,9 +167,12 @@ object CorpusOps12 {
       .withColumn("i", row_number().over(Window.partitionBy(col("n_name"))
         .orderBy(col("cents"), col("o_custkey"))))
       .groupBy(col("n_name"))
+      // rank is promoted to DECIMAL(38,0) BEFORE the multiply (ADVICE
+      // r9): i·cents wraps int64 once a nation holds ~1e6 customers at
+      // ~1e8 lifetime cents; the oracle promotes the same operand
       .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("total_cents"),
-        sum((col("i") * col("cents")).cast(org.apache.spark.sql.types
-          .DecimalType(38, 0))).as("sixy"))
+        sum(col("i").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("cents")).as("sixy"))
       .select(col("n_name"), col("n_customers"), col("total_cents"),
         expr("""CAST((2 * sixy - (n_customers + 1) *
                   CAST(total_cents AS DECIMAL(38, 0))) * 1000000
@@ -322,7 +325,7 @@ object CorpusOps12 {
                    JOIN nation ON c_nationkey = n_nationkey)
       SELECT n_name, count(*) AS n_customers,
         CAST(sum(cents) AS BIGINT) AS total_cents,
-        CAST((2 * CAST(sum(i * cents) AS HUGEINT)
+        CAST((2 * sum(CAST(i AS HUGEINT) * cents)
           - (count(*) + 1) * CAST(sum(cents) AS HUGEINT)) * 1000000
           // (CAST(count(*) AS HUGEINT) * CAST(sum(cents) AS HUGEINT))
           AS BIGINT) AS gini_micro

@@ -132,9 +132,15 @@ object CorpusOps13 {
     counts
       .withColumn("n1s", sum(col("c1s")).over(wAll))
       .withColumn("n2s", sum(col("c2s")).over(wAll))
-      .withColumn("term", ((col("c1s") * col("n2s") - col("c2s") * col("n1s")) *
+      // the count-difference factor is promoted to DECIMAL(38,0) BEFORE
+      // the multiply — mirroring the oracle's HUGEINT cast placement —
+      // so the product cannot wrap int64 at corpus-scale counts
+      // (ADVICE r9: casting only the finished product left a silent
+      // long overflow inside it)
+      .withColumn("term",
+        (col("c1s") * col("n2s") - col("c2s") * col("n1s"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
         (lg(col("c1s") * col("n2s")) - lg(col("c2s") * col("n1s"))))
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
       .agg(count(lit(1)).as("n_bins"),
         max(col("n1s")).as("n1s"), max(col("n2s")).as("n2s"),
         sum(col("term")).as("term_sum"))

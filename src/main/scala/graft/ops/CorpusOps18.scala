@@ -42,10 +42,17 @@ object CorpusOps18 {
       .withColumn("b", col("cw") - col("a"))    // word elsewhere
       .withColumn("c", col("cs") - col("a"))    // other words in s
       .withColumn("d", col("n") - col("cw") - col("cs") + col("a"))
-      .filter(col("a") * col("d") > col("b") * col("c"))
+      // a·d is promoted to DECIMAL(38,0) BEFORE the multiply (ADVICE
+      // r9): at corpus-scale token totals the long product wraps
+      // silently; the oracle promotes the same operand to HUGEINT
+      .filter(col("a").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        * col("d") > col("b").cast(org.apache.spark.sql.types
+        .DecimalType(38, 0)) * col("c"))
       .withColumn("chi2_micro", expr(
         """CAST(CAST(n AS DECIMAL(38, 0)) *
-             (a * d - b * c) * (a * d - b * c) * 1000000
+             (CAST(a AS DECIMAL(38, 0)) * d - CAST(b AS DECIMAL(38, 0)) * c) *
+             (CAST(a AS DECIMAL(38, 0)) * d - CAST(b AS DECIMAL(38, 0)) * c)
+             * 1000000
            div (CAST(cw AS DECIMAL(38, 0)) * (n - cw) * cs * (n - cs))
            AS BIGINT)"""))
       .withColumn("rnk", row_number().over(Window
@@ -217,10 +224,13 @@ object CorpusOps18 {
                CROSS JOIN tot),
       scored AS (SELECT source, w, a,
                    CAST(CAST(n AS HUGEINT) *
-                       (a * d - b * c) * (a * d - b * c) * 1000000
+                       (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) *
+                       (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                       * 1000000
                      // (CAST(cw AS HUGEINT) * (n - cw) * cs * (n - cs))
                      AS BIGINT) AS chi2_micro
-                 FROM sc WHERE a * d > b * c)
+                 FROM sc
+                 WHERE CAST(a AS HUGEINT) * d > CAST(b AS HUGEINT) * c)
       SELECT source,
         CAST(row_number() OVER (PARTITION BY source
           ORDER BY chi2_micro DESC, w) AS INT) AS rnk,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.File
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util
 
@@ -55,7 +55,7 @@ private class AtomicSinkTable(schema: StructType, path: String)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new AtomicBatchWrite(info.schema(), path)
+          new AtomicBatchWrite(info.schema(), path, info.queryId())
       }
     }
 }
@@ -63,12 +63,12 @@ private class AtomicSinkTable(schema: StructType, path: String)
 private case class StagedFile(stagedPath: String, rows: Long)
     extends WriterCommitMessage
 
-private class AtomicBatchWrite(schema: StructType, path: String)
-    extends BatchWrite {
+private class AtomicBatchWrite(schema: StructType, path: String,
+    queryId: String) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    AtomicWriterFactory(schema, path)
+    AtomicWriterFactory(schema, path, queryId)
 
   /** Driver-side publish: rename the winning attempts' files in, then
     * manifest. The rename is within one directory tree → atomic on a
@@ -94,28 +94,40 @@ private class AtomicBatchWrite(schema: StructType, path: String)
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     deleteStaging()
 
+  /** Delete only THIS job's staging subtree (`_staging/<queryId>/`), so
+    * two concurrent jobs writing the same target path cannot delete
+    * each other's in-flight attempts (ADVICE r9 — the old code cleared
+    * the whole `_staging` dir). The shared `_staging` parent is removed
+    * only if empty (a no-op when a sibling job is still staging). */
   private def deleteStaging(): Unit = {
-    val staging = new File(s"$path/_staging")
+    val staging = new File(s"$path/_staging/$queryId")
     Option(staging.listFiles()).foreach(_.foreach(_.delete()))
     staging.delete()
+    new File(s"$path/_staging").delete() // succeeds only when empty
   }
 }
 
-private case class AtomicWriterFactory(schema: StructType, path: String)
-    extends DataWriterFactory {
+private case class AtomicWriterFactory(schema: StructType, path: String,
+    queryId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new AtomicTsvWriter(schema, path, partitionId, taskId)
+    new AtomicTsvWriter(schema, path, queryId, partitionId, taskId)
 }
 
 private class AtomicTsvWriter(schema: StructType, path: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    queryId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
 
-  // taskId is unique per ATTEMPT — retries/speculation stage separately
+  // taskId is unique per ATTEMPT — retries/speculation stage separately;
+  // the queryId level scopes staging per job (concurrent-writer safety)
   private val staged =
-    new File(s"$path/_staging/attempt-$partitionId-$taskId.tsv")
+    new File(s"$path/_staging/$queryId/attempt-$partitionId-$taskId.tsv")
   staged.getParentFile.mkdirs()
-  private val out = new BufferedWriter(new FileWriter(staged))
+  // explicit UTF-8: the manifest and round-trip reader are UTF-8, and
+  // FileWriter's platform-default charset would mis-encode non-ASCII
+  // strings on a non-UTF-8 JVM (ADVICE r9)
+  private val out = Files.newBufferedWriter(staged.toPath,
+    java.nio.charset.StandardCharsets.UTF_8)
   private var rows = 0L
 
   override def write(record: InternalRow): Unit = {

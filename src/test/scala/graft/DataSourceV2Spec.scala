@@ -111,4 +111,26 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(!files.exists(_.startsWith("part-")), files)
     assert(!files.contains("_staging"), files)
   }
+
+  test("commit scopes staging cleanup to its own job (concurrent-writer safe)") {
+    import spark.implicits._
+    val dir = new java.io.File(tmpDir(), "out")
+    // simulate ANOTHER job's in-flight attempt under the shared
+    // _staging parent; this job's commit must leave it untouched
+    // (ADVICE r9: the old cleanup cleared the whole _staging dir)
+    val foreign = new java.io.File(dir, "_staging/other-query-id")
+    foreign.mkdirs()
+    val inflight = new java.io.File(foreign, "attempt-0-7.tsv")
+    java.nio.file.Files.writeString(inflight.toPath, "9\tω\t1.0\n")
+    (0L until 10L).map(i => (i, s"ω$i", i * 0.5))
+      .toDF("id", "name", "score").repartition(2)
+      .write.format("graft.sources.AtomicTextSink")
+      .option("path", dir.getAbsolutePath).mode("append").save()
+    assert(inflight.exists(), "foreign in-flight attempt was deleted")
+    // and non-ASCII strings round-trip byte-exact (UTF-8 writer)
+    val back = spark.read.option("sep", "\t")
+      .schema("id LONG, name STRING, score DOUBLE")
+      .csv(dir.getAbsolutePath + "/part-*")
+    assert(back.filter(col("name") === "ω3").count() == 1L)
+  }
 }

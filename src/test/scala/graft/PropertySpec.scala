@@ -216,4 +216,13 @@ class PropertySpec extends AnyFunSuite {
       assert(dist(x, y) <= math.max(x.length, y.length))
     }
   }
+
+  test("damerau-levenshtein rejects document-sized input with a clear error") {
+    import graft.functions.DamerauLev
+    val big = "a" * (DamerauLev.MaxLen + 1)
+    val e = intercept[IllegalArgumentException](DamerauLev.dist(big, "b"))
+    assert(e.getMessage.contains("exceeds"), e.getMessage)
+    // at the boundary it still computes (one long run vs one char)
+    assert(DamerauLev.dist("a" * 3, "") == 3)
+  }
 }
