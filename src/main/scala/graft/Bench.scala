@@ -145,6 +145,16 @@ object Bench {
         f""","total_sf001":$t%.3f,"queries_sf001":${json(r)}"""
       } else ""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$scaling}""")
+    // compact totals-only line AFTER the full line: the driver's `tail`
+    // capture truncates the FRONT of long lines (BENCH_r09's sf0.1
+    // totals were lost that way — VERDICT r9 item 4), so the headline
+    // numbers also ride a line short enough to always survive
+    val t001 = scaling match {
+      case s if s.contains("\"total_sf001\":") =>
+        s.drop(s.indexOf("\"total_sf001\":") + 14).takeWhile(c => c != ',')
+      case _ => "null"
+    }
+    println(f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","total_sf001":$t001,"n_queries":${selected.size},"rc":${if (anyFailed) 1 else 0}}""")
     spark.stop()
     if (anyFailed) sys.exit(1)
   }

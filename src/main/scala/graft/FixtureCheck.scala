@@ -50,11 +50,53 @@ object FixtureCheck {
     "embeddings" -> Seq("vec_id" -> Set("bigint"),
       "embedding" -> Set("array<float>"), "label" -> Set("int")))
 
-  /** Human-readable drift lines ("table.col changed from {a,b} to c");
-    * empty = every fixture column reads as an accepted type. Reads footers
+  /** Expected fixture row counts per scale factor (measured from the
+    * driver's generation, TESTDATA.md). The volume canary (VERDICT r9
+    * item 5) warns when a table reads 0 rows or drifts >4x in either
+    * direction — the "silently truncated / silently exploded fixture"
+    * failure mode that schema checks cannot see. Dirs whose basename is
+    * not a known sf (scale-stress corpora, ad-hoc tests) skip the
+    * volume check. */
+  val expectedRows: Map[String, Map[String, Long]] = Map(
+    "sf0.001" -> Map("region" -> 5L, "nation" -> 25L, "customer" -> 150L,
+      "supplier" -> 10L, "part" -> 200L, "orders" -> 1500L,
+      "lineitem" -> 6000L, "events" -> 1000L, "documents" -> 500L,
+      "embeddings" -> 500L),
+    "sf0.01" -> Map("region" -> 5L, "nation" -> 25L, "customer" -> 1500L,
+      "supplier" -> 100L, "part" -> 2000L, "orders" -> 15000L,
+      "lineitem" -> 60000L, "events" -> 10000L, "documents" -> 500L,
+      "embeddings" -> 500L),
+    "sf0.1" -> Map("region" -> 5L, "nation" -> 25L, "customer" -> 15000L,
+      "supplier" -> 1000L, "part" -> 20000L, "orders" -> 150000L,
+      "lineitem" -> 600000L, "events" -> 100000L, "documents" -> 5000L,
+      "embeddings" -> 2000L))
+
+  /** Row count from parquet FOOTERS only (no data scan): a fixture is a
+    * single file today, but a directory of part files also sums. */
+  private def footerRows(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      else Array(p)
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** Human-readable drift lines ("table.col changed from {a,b} to c",
+    * "table: row count N is >4x off expected E"); empty = every fixture
+    * column reads as an accepted type at a sane volume. Reads footers
     * only (schema-only `spark.read.parquet`), so it is O(tables), not
     * O(data) — safe to run at the top of every Verify/Bench invocation. */
   def diff(spark: SparkSession, dir: String): Seq[String] = {
+    val sfRows = expectedRows.get(
+      new java.io.File(dir).getName.stripSuffix("/"))
     // events may need the nanos conf before its schema is even readable
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -68,7 +110,17 @@ object FixtureCheck {
           s"$table.$c: column missing (actual columns: ${actual.keys.toSeq.sorted.mkString(", ")})" }
         val drifted = cols.collect { case (c, ok) if actual.get(c).exists(!ok(_)) =>
           s"$table.$c changed from {${ok.toSeq.sorted.mkString(",")}} to ${actual(c)}" }
-        missing ++ drifted
+        val volume = sfRows.flatMap(_.get(table)).toSeq.flatMap { exp =>
+          val n = footerRows(spark, path)
+          if (n == 0L)
+            Seq(s"$table: fixture reads 0 rows (expected ~$exp)")
+          else if (n > 4L * exp || 4L * n < exp)
+            Seq(s"$table: row count $n is >4x off the ~$exp expected " +
+              s"for ${new java.io.File(dir).getName} (truncated or " +
+              "exploded fixture generation)")
+          else Nil
+        }
+        missing ++ drifted ++ volume
       }
     }
   }

@@ -17,6 +17,22 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(drift.isEmpty, "\n" + drift.mkString("\n"))
   }
 
+  test("a truncated fixture produces one readable volume-drift line") {
+    // Build a dir NAMED like a known sf holding a 3-row lineitem — the
+    // "driver regeneration silently truncated a table" scenario the
+    // schema canary cannot see (VERDICT r9 item 5).
+    val root = java.nio.file.Files.createTempDirectory("graft_fixture").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "sf0.01")
+    spark.read.parquet(s"$sf/lineitem.parquet").limit(3)
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val drift = FixtureCheck.diff(spark, dir.getAbsolutePath)
+    val volumeLines = drift.filter(_.contains(">4x off"))
+    assert(volumeLines.size == 1, "\n" + drift.mkString("\n"))
+    assert(volumeLines.head.startsWith("lineitem: row count 3"),
+      volumeLines.head)
+  }
+
   test("Tables() normalizes events.ts to session-TZ TimestampType") {
     // Whatever physical generation the fixture carries, downstream queries
     // and the driver's parquet-schema compare must see one stable type.
