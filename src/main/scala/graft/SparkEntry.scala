@@ -49,6 +49,7 @@ object SparkEntry {
     (CorpusOps16.queries, CorpusOps16.oracle),
     (CorpusOps17.queries, CorpusOps17.oracle),
     (CorpusOps18.queries, CorpusOps18.oracle),
+    (CorpusOps19.queries, CorpusOps19.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),
