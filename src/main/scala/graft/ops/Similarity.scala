@@ -216,9 +216,22 @@ object Similarity {
     * is an equi-join on (qid, m, code) with a partial-aggregated sum,
     * never a scan of raw vectors. Recall is bounded by the probed
     * cells exactly as qSimIvf (same coarse quantizer). */
-  val qSimIvfPq: Q = (s, dir) => {
+  val qSimIvfPq: Q = simIvfPqAt(nprobe = 4, m = 4)
+
+  /** Parameterized IVF-PQ (the tunable pair behind [[qSimIvfPq]] and
+    * the [[qSimRecallSweep]] frontier): `nprobe` coarse cells probed
+    * per query, `m` PQ subspaces of 64/m dims each (codebook stays 16
+    * codewords per subspace, seeded from the first 16 vectors). Larger
+    * nprobe widens the candidate set (recall ↑, scan cost ↑); larger m
+    * refines the ADC distance (recall ↑, code bytes ↑) — exactly the
+    * two dials a FAISS deployment sweeps before fixing an operating
+    * point (Jégou 2011 §V). */
+  private def simIvfPqAt(nprobe: Int, m: Int,
+      residual: Boolean = false,
+      rerank: Option[Int] = None): Q = (s, dir) => {
+    require(64 % m == 0, s"m=$m must divide the 64-dim embedding")
     val K = 16
-    val nprobe = 4
+    val d = 64 / m
     val emb = withNorm(quantized(s, dir))
     val cents = emb.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("q").as("cq"),
@@ -231,15 +244,36 @@ object Similarity {
     val assigned = scored.groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
         first(col("q")).as("q"))
-    // M=4 subspaces of 16 dims; codebook = subvectors of vec_id < 16
-    val subs = assigned.select(col("vec_id"), col("cid"), explode(expr(
-        """transform(sequence(0, 3),
-           m -> struct(m AS m, slice(q, m * 16 + 1, 16) AS sub))"""))
-        .as("e"))
-      .select(col("vec_id"), col("cid"), col("e.m").as("m"),
-        col("e.sub").as("sub"))
-    val codebook = subs.filter(col("vec_id") < 16)
-      .select(col("m"), col("vec_id").cast("int").as("code"),
+    // residual mode (Jégou 2011 §III / FAISS IVFPQ default): PQ encodes
+    // x − centroid(cell(x)) instead of x. Residuals concentrate around
+    // the origin, so the same 16 codewords/subspace capture far more of
+    // the remaining variance — the honest-recall lever the sweep shows.
+    // Exact: centroid components are micro ints, so the residual is one
+    // int64 subtraction per component.
+    val encIn =
+      if (!residual) assigned
+      else assigned
+        .join(broadcast(cents.select(col("cid"), col("cq"))), Seq("cid"))
+        .select(col("vec_id"), col("cid"),
+          expr("zip_with(q, cq, (x, y) -> x - y)").as("q"))
+    def subspaced(df: DataFrame, keys: Column*): DataFrame =
+      df.select(keys :+ explode(expr(
+          s"""transform(sequence(0, ${m - 1}),
+             m -> struct(m AS m, slice(q, m * $d + 1, $d) AS sub))"""))
+          .as("e"): _*)
+        .select(keys :+ col("e.m").as("m") :+ col("e.sub").as("sub"): _*)
+    // m subspaces of 64/m dims; codebook = 16 seed subvectors. Raw
+    // mode seeds from vec_id 0..15 (the deployed layout). Residual
+    // mode MUST seed elsewhere (16..31): vectors 0..15 are the coarse
+    // centroids, so their own residuals are all-zero — 16 identical
+    // zero codewords, a degenerate codebook whose ADC is constant per
+    // query (caught when the first sweep run returned tie-break-rank
+    // recall at every residual point).
+    val cbLo = if (residual) 16 else 0
+    val subs = subspaced(encIn, col("vec_id"), col("cid"))
+    val codebook = subs
+      .filter(col("vec_id") >= cbLo && col("vec_id") < cbLo + 16)
+      .select(col("m"), (col("vec_id") - cbLo).cast("int").as("code"),
         col("sub").as("csub"))
     val sqd = expr(
       """aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)),
@@ -250,11 +284,6 @@ object Similarity {
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("d2"), col("code"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.code").as("code"))
-    // ADC distance tables for the 10 query vectors (640 rows, broadcast)
-    val dt = subs.filter(col("vec_id") < 10)
-      .join(broadcast(codebook), Seq("m"))
-      .withColumn("d2q", sqd)
-      .select(col("vec_id").as("qid"), col("m"), col("code"), col("d2q"))
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
     val probes = scored.filter(col("vec_id") < 10)
@@ -263,16 +292,67 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("cid"))
     val cand = probes.join(assigned.select(col("vec_id"), col("cid")), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"))
+      .select(col("qid"), col("cid"), col("vec_id"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_d2"), col("neighbor"))
-    cand.join(codes, Seq("vec_id"))
-      .join(broadcast(dt), Seq("qid", "m", "code"))
+    // ADC distance tables for the 10 query vectors — raw mode: one
+    // query-vs-codebook table (m·16 rows per query); residual mode: the
+    // table is PER PROBED CELL (query residual depends on the cell), so
+    // it keys on (qid, cid, m, code) — still ≤ 10·nprobe·m·16 rows,
+    // broadcast. Candidates join through their OWN cell, which is by
+    // construction the probed cell that produced them.
+    val scoredAdc =
+      if (!residual) {
+        val dt = subs.filter(col("vec_id") < 10)
+          .join(broadcast(codebook), Seq("m"))
+          .withColumn("d2q", sqd)
+          .select(col("vec_id").as("qid"), col("m"), col("code"), col("d2q"))
+        cand.join(codes, Seq("vec_id"))
+          .join(broadcast(dt), Seq("qid", "m", "code"))
+      } else {
+        val qres = probes
+          .join(emb.select(col("vec_id").as("qid"), col("q")), Seq("qid"))
+          .join(broadcast(cents.select(col("cid"), col("cq"))), Seq("cid"))
+          .select(col("qid"), col("cid"),
+            expr("zip_with(q, cq, (x, y) -> x - y)").as("q"))
+        val dt = subspaced(qres, col("qid"), col("cid"))
+          .join(broadcast(codebook), Seq("m"))
+          .withColumn("d2q", sqd)
+          .select(col("qid"), col("cid"), col("m"), col("code"), col("d2q"))
+        cand.join(codes, Seq("vec_id"))
+          .join(broadcast(dt), Seq("qid", "cid", "m", "code"))
+      }
+    val adcRanked = scoredAdc
       .groupBy(col("qid"), col("vec_id").as("neighbor"))
       .agg(sum(col("d2q")).as("adc_d2"))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .orderBy(col("qid"), col("rnk"))
+    rerank match {
+      case None =>
+        adcRanked.filter(col("rnk") <= 5).orderBy(col("qid"), col("rnk"))
+      case Some(l) =>
+        // exact-rerank stage (the q_sim_rerank / FAISS serving recipe):
+        // the ADC top-L shortlist is re-scored with the EXACT integer
+        // dot product and only then cut to 5. Costs L exact dots per
+        // query — candidate-volume-independent — and is what lifts
+        // recall past the ADC quantization ceiling.
+        val qa = emb.select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("n2").as("qn2"))
+        val qb = emb.select(col("vec_id").as("neighbor"),
+          col("q").as("nv"), col("n2").as("nn2"))
+        val wf = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("neighbor"))
+        adcRanked.filter(col("rnk") <= l)
+          .select(col("qid"), col("neighbor"))
+          .join(broadcast(qa), Seq("qid"))
+          .join(qb, Seq("neighbor"))
+          .select(col("qid"), col("neighbor"),
+            (dotq(col("qv"), col("nv")).cast("double") /
+              (sqrt(col("qn2").cast("double")) *
+                sqrt(col("nn2").cast("double")))).as("cos"))
+          .withColumn("rnk", row_number().over(wf))
+          .filter(col("rnk") <= 5)
+          .orderBy(col("qid"), col("rnk"))
+    }
   }
 
   /** One k-means (Lloyd) iteration for the IVF coarse quantizer, as pure
@@ -500,8 +580,59 @@ object Similarity {
       .orderBy(col("method"))
   }
 
+  /** The IVF-PQ operating points swept by [[qSimRecallSweep]]:
+    * (label, nprobe, m, residual, rerank-L).
+    *
+    *  - np4_m4: [[qSimIvfPq]]'s deployed ADC-only point (r9 audit:
+    *    360 permille) — the honest baseline.
+    *  - np8_m8_res: residual encoding (Jégou §III) at doubled dials.
+    *    On THIS corpus it scores BELOW raw (≈280): the fixture's
+    *    embeddings are uniform random unit vectors, so residuals are
+    *    LARGER than the vectors (‖x−c‖² = 2−2·ccos > 1) and harder to
+    *    code — the audit proves residual's win needs clustered data,
+    *    which is exactly what a deployment must measure before
+    *    enabling it.
+    *  - np4_m4_rr50 / np8_m8_rr100: the same index families with an
+    *    exact-rerank stage over the ADC top-L shortlist (the FAISS
+    *    serving recipe; q_sim_rerank's shape) — the dial that lifts
+    *    recall past the ADC quantization ceiling (≈800 / ≈900). */
+  private val sweepPoints: Seq[(String, Int, Int, Boolean, Option[Int])] =
+    Seq(("np4_m4", 4, 4, false, None),
+      ("np8_m8_res", 8, 8, true, None),
+      ("np4_m4_rr50", 4, 4, false, Some(50)),
+      ("np8_m8_rr100", 8, 8, false, Some(100)))
+
+  /** IVF-PQ recall FRONTIER (VERDICT r9 item 7): recall@5 vs the exact
+    * cosine top-5 at three (nprobe, m) operating points. The deployed
+    * np4_m4 point recalled 360 permille in the r9 audit — this query
+    * shows what turning each dial buys, and the all-cells point
+    * isolates quantization error from probe misses. Every number is
+    * DuckDB-oracled (the oracle replays all three pipelines).
+    *
+    * Scale: each point's result set is ≤ 5 rows/query; the sweep costs
+    * one extra candidate pass per point, all on the broadcast-codebook
+    * ADC shapes — no raw-vector scan is added. */
+  val qSimRecallSweep: Q = (s, dir) => {
+    val exact = graft.CacheScope.track(
+      qSimTopK(s, dir).select(col("qid"), col("neighbor")).persist())
+    val total = exact.groupBy(col("qid")).count()
+      .agg(count(lit(1)).as("nq"), sum(col("count")).as("n_exact"))
+    sweepPoints.map { case (label, np, m, res, rr) =>
+      simIvfPqAt(np, m, residual = res, rerank = rr)(s, dir)
+        .select(col("qid"), col("neighbor"))
+        .join(exact, Seq("qid", "neighbor"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(label).as("point"), col("hits"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(total))
+      .select(col("point"), col("nq").as("n_queries"), col("n_exact"),
+        col("hits"), expr("hits * 1000 div n_exact").as("recall_permille"))
+      .orderBy(col("point"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_recall_audit" -> qSimRecallAudit,
+    "q_sim_recall_sweep" -> qSimRecallSweep,
     "q_sim_rerank" -> qSimRerank,
     "q_sim_diverse" -> qSampleDiverse,
     "q_sim_topk" -> qSimTopK,
@@ -514,6 +645,119 @@ object Similarity {
 
   private val quantSql =
     "SELECT vec_id, r.i AS i, CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000000) AS BIGINT) AS v FROM embeddings, range(1, 65) r(i)"
+
+  /** DuckDB replay of [[simIvfPqAt]] at one (nprobe, m, residual)
+    * point — the template behind both the deployed q_sim_ivfpq oracle
+    * (4, 4, raw) and the recall-sweep frontier. Subspace id =
+    * (i-1) // (64/m); residual mode subtracts the assigned centroid
+    * component-wise before encoding, and builds the per-probed-cell
+    * query distance tables, mirroring the Spark side exactly. */
+  private def ivfPqSqlAt(nprobe: Int, m: Int,
+      residual: Boolean = false,
+      rerank: Option[Int] = None): String = {
+    val d = 64 / m
+    // residual codebooks seed from 16..31 — 0..15 are the centroids,
+    // whose residuals are zero (see simIvfPqAt)
+    val cbLo = if (residual) 16 else 0
+    val cbHi = cbLo + 16
+    val encIn =
+      if (!residual)
+        """enc_in AS (SELECT a.vec_id, e.i, e.v
+                  FROM assigned a JOIN e ON e.vec_id = a.vec_id)"""
+      else
+        """cent AS (SELECT vec_id AS cid, i, v FROM e WHERE vec_id < 16),
+      enc_in AS (SELECT a.vec_id, e.i, e.v - c.v AS v
+                 FROM assigned a
+                   JOIN e ON e.vec_id = a.vec_id
+                   JOIN cent c ON c.cid = a.cid AND c.i = e.i)"""
+    val dtDef =
+      if (!residual)
+        s"""dt AS (SELECT vec_id AS qid, m, CAST(code AS INT) AS code,
+               d2 AS d2q
+             FROM enc WHERE vec_id < 10)"""
+      else
+        s"""qres AS (SELECT p.qid, p.cid, e.i, e.v - c.v AS v
+              FROM probes p
+                JOIN e ON e.vec_id = p.qid
+                JOIN cent c ON c.cid = p.cid AND c.i = e.i),
+      qsub AS (SELECT qid, cid, CAST((i - 1) // $d AS INT) AS m, i, v
+               FROM qres),
+      dt AS (SELECT q.qid, q.cid, q.m,
+               CAST(c.vec_id - $cbLo AS INT) AS code,
+               CAST(sum((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2q
+             FROM qsub q JOIN sub c
+               ON c.vec_id >= $cbLo AND c.vec_id < $cbHi
+                 AND c.m = q.m AND c.i = q.i
+             GROUP BY 1, 2, 3, 4)"""
+    val dtJoin =
+      if (!residual) "dt.qid = c.qid AND dt.m = k.m AND dt.code = k.code"
+      else "dt.qid = c.qid AND dt.cid = c.cid AND dt.m = k.m AND dt.code = k.code"
+    s"""
+      WITH e AS ($quantSql),
+      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      cd AS (SELECT a.vec_id, b.vec_id AS cid,
+               CAST(sum(a.v * b.v) AS BIGINT) AS dot
+             FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+             GROUP BY 1, 2),
+      ccos AS (SELECT cd.vec_id, cid,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) *
+                   sqrt(CAST(nc.n2 AS DOUBLE))) AS ccos
+               FROM cd JOIN n nv ON cd.vec_id = nv.vec_id
+                       JOIN n nc ON cid = nc.vec_id),
+      assigned AS (SELECT vec_id, cid FROM ccos
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, cid) = 1),
+      probes AS (SELECT vec_id AS qid, cid FROM ccos WHERE vec_id < 10
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cid) <= $nprobe),
+      $encIn,
+      sub AS (SELECT vec_id, CAST((i - 1) // $d AS INT) AS m, i, v
+              FROM enc_in),
+      enc AS (SELECT s.vec_id, s.m, c.vec_id - $cbLo AS code,
+                CAST(sum((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS d2
+              FROM sub s JOIN sub c
+                ON c.vec_id >= $cbLo AND c.vec_id < $cbHi
+                  AND c.m = s.m AND c.i = s.i
+              GROUP BY 1, 2, 3),
+      codes AS (SELECT vec_id, m, CAST(code AS INT) AS code FROM enc
+                QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY d2, code) = 1),
+      $dtDef,
+      cand AS (SELECT p.qid, p.cid, a.vec_id AS neighbor
+               FROM probes p JOIN assigned a USING (cid)
+               WHERE a.vec_id <> p.qid),
+      adc AS (SELECT c.qid, c.neighbor,
+                CAST(sum(dt.d2q) AS BIGINT) AS adc_d2
+              FROM cand c
+                JOIN codes k ON k.vec_id = c.neighbor
+                JOIN dt ON $dtJoin
+              GROUP BY 1, 2)
+      ${rerank match {
+        case None => """SELECT qid, neighbor, adc_d2,
+        CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY adc_d2, neighbor) AS INT) AS rnk
+      FROM adc QUALIFY rnk <= 5 ORDER BY qid, rnk"""
+        case Some(l) => s""", short AS (SELECT qid, neighbor FROM adc
+               QUALIFY row_number() OVER (PARTITION BY qid
+                 ORDER BY adc_d2, neighbor) <= $l),
+      rr AS (SELECT s.qid, s.neighbor,
+               CAST(sum(a.v * b.v) AS BIGINT) AS dot
+             FROM short s
+               JOIN e a ON a.vec_id = s.qid
+               JOIN e b ON b.vec_id = s.neighbor AND a.i = b.i
+             GROUP BY 1, 2),
+      fin AS (SELECT qid, neighbor,
+                CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) *
+                  sqrt(CAST(nn.n2 AS DOUBLE))) AS cos
+              FROM rr JOIN n nq ON qid = nq.vec_id
+                      JOIN n nn ON neighbor = nn.vec_id)
+      SELECT qid, neighbor, cos,
+        CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY cos DESC, neighbor) AS INT) AS rnk
+      FROM fin QUALIFY rnk <= 5 ORDER BY qid, rnk"""
+      }}"""
+  }
 
   private val baseOracle: Map[String, String] = Map(
     "q_sim_rerank" -> s"""
@@ -675,52 +919,7 @@ object Similarity {
         CAST(row_number() OVER (PARTITION BY qid
           ORDER BY cos DESC, neighbor) AS INT) AS rnk
       FROM scored QUALIFY rnk <= 5 ORDER BY qid, rnk""",
-    "q_sim_ivfpq" -> s"""
-      WITH e AS ($quantSql),
-      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
-            FROM e GROUP BY vec_id),
-      cd AS (SELECT a.vec_id, b.vec_id AS cid,
-               CAST(sum(a.v * b.v) AS BIGINT) AS dot
-             FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
-             GROUP BY 1, 2),
-      ccos AS (SELECT cd.vec_id, cid,
-                 CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) *
-                   sqrt(CAST(nc.n2 AS DOUBLE))) AS ccos
-               FROM cd JOIN n nv ON cd.vec_id = nv.vec_id
-                       JOIN n nc ON cid = nc.vec_id),
-      assigned AS (SELECT vec_id, cid FROM ccos
-                   QUALIFY row_number() OVER (PARTITION BY vec_id
-                     ORDER BY ccos DESC, cid) = 1),
-      probes AS (SELECT vec_id AS qid, cid FROM ccos WHERE vec_id < 10
-                 QUALIFY row_number() OVER (PARTITION BY vec_id
-                   ORDER BY ccos DESC, cid) <= 4),
-      sub AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS m, i, v
-              FROM e),
-      enc AS (SELECT s.vec_id, s.m, c.vec_id AS code,
-                CAST(sum((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS d2
-              FROM sub s JOIN sub c
-                ON c.vec_id < 16 AND c.m = s.m AND c.i = s.i
-              GROUP BY 1, 2, 3),
-      codes AS (SELECT vec_id, m, CAST(code AS INT) AS code FROM enc
-                QUALIFY row_number() OVER (PARTITION BY vec_id, m
-                  ORDER BY d2, code) = 1),
-      dt AS (SELECT vec_id AS qid, m, CAST(code AS INT) AS code,
-               d2 AS d2q
-             FROM enc WHERE vec_id < 10),
-      cand AS (SELECT p.qid, a.vec_id AS neighbor
-               FROM probes p JOIN assigned a USING (cid)
-               WHERE a.vec_id <> p.qid),
-      adc AS (SELECT c.qid, c.neighbor,
-                CAST(sum(dt.d2q) AS BIGINT) AS adc_d2
-              FROM cand c
-                JOIN codes k ON k.vec_id = c.neighbor
-                JOIN dt ON dt.qid = c.qid AND dt.m = k.m
-                  AND dt.code = k.code
-              GROUP BY 1, 2)
-      SELECT qid, neighbor, adc_d2,
-        CAST(row_number() OVER (PARTITION BY qid
-          ORDER BY adc_d2, neighbor) AS INT) AS rnk
-      FROM adc QUALIFY rnk <= 5 ORDER BY qid, rnk""",
+    "q_sim_ivfpq" -> ivfPqSqlAt(nprobe = 4, m = 4),
     "q_sim_kmeans_step" -> s"""
       WITH e AS ($quantSql),
       n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
@@ -809,5 +1008,25 @@ object Similarity {
       SELECT method, nq AS n_queries, CAST(n_exact AS BIGINT) AS n_exact,
         CAST(hits AS BIGINT) AS hits,
         CAST(hits AS BIGINT) * 1000 // n_exact AS recall_permille
-      FROM h CROSS JOIN tot ORDER BY method""")
+      FROM h CROSS JOIN tot ORDER BY method""") +
+    ("q_sim_recall_sweep" -> {
+      val pts = sweepPoints.map { case (label, np, m, res, rr) =>
+        s"p_$label AS (SELECT qid, neighbor FROM (${
+          ivfPqSqlAt(np, m, residual = res, rerank = rr)}))"
+      }.mkString(",\n      ")
+      val hits = sweepPoints.map { case (label, _, _, _, _) =>
+        s"SELECT '$label' AS point, count(*) AS hits FROM p_$label JOIN exact USING (qid, neighbor)"
+      }.mkString("\n            UNION ALL\n            ")
+      s"""
+      WITH exact AS (SELECT qid, neighbor
+                     FROM (${baseOracle("q_sim_topk")})),
+      $pts,
+      tot AS (SELECT count(DISTINCT qid) AS nq,
+                count(*) AS n_exact FROM exact),
+      h AS ($hits)
+      SELECT point, nq AS n_queries, CAST(n_exact AS BIGINT) AS n_exact,
+        CAST(hits AS BIGINT) AS hits,
+        CAST(hits AS BIGINT) * 1000 // n_exact AS recall_permille
+      FROM h CROSS JOIN tot ORDER BY point"""
+    })
 }
