@@ -50,6 +50,7 @@ object SparkEntry {
     (CorpusOps17.queries, CorpusOps17.oracle),
     (CorpusOps18.queries, CorpusOps18.oracle),
     (CorpusOps19.queries, CorpusOps19.oracle),
+    (CorpusOps20.queries, CorpusOps20.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10×-data scale-stress harness (VERDICT r9 item 3): materializes a
+  * deterministically inflated copy of a fixture dir and times the
+  * heaviest headline queries at 1× and 10×, reporting per-query wall
+  * scaling factors. Run manually (`runMain graft.StressBench`), NOT
+  * part of the driver's Bench contract — results are recorded as a
+  * ledger note in SURVEY.md §2.N.
+  *
+  * Inflation is workload-shape-preserving, not naive row duplication
+  * (10 identical corpus copies would create 10-cliques in every dedup/
+  * similarity query and measure a DIFFERENT, quadratically heavier
+  * workload):
+  *
+  *  - documents ×10: new doc_ids; copies >0 re-salt the token stream
+  *    with a copy-specific token every 2 words, so every 3-word shingle
+  *    differs across copies — MinHash/components see 10× independent-ish
+  *    docs (token count grows 1.5×, noted in the report);
+  *  - lineitem ×10: order keys shifted per copy (10× baskets), part
+  *    catalog FIXED — the TPC-H scaling model (facts grow, dims don't);
+  *  - customer ×10: names of copies >0 get two copy-derived tail chars,
+  *    keeping sibling copies OUTSIDE the fuzzy join's edit-distance-1
+  *    candidate radius;
+  *  - embeddings ×10: copies >0 are fresh hash-uniform vectors (md5-
+  *    derived components in [-0.25, 0.25]) — independent points, not
+  *    exact-duplicate cliques.
+  *
+  * Everything is md5/arithmetic-deterministic: two runs build identical
+  * corpora, so factors are comparable across rounds.
+  */
+object StressBench {
+
+  /** The 6 heaviest headline queries (r9 verdict's plan-audit list). */
+  val heavy: Seq[String] = Seq(
+    "q_dedup_components", "q_rec_itemcos", "q_basket_pairs",
+    "q_join_fuzzy", "q_emb_gram", "q_dedup_semantic")
+
+  def build(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
+    val c = spark.range(copies).select(col("id").cast("int").as("c"))
+    def inflate(table: String)(f: DataFrame => DataFrame): Unit = {
+      val target = new java.io.File(s"$out/$table.parquet")
+      if (!target.exists()) {
+        f(Tables(spark, src, table).crossJoin(c))
+          .write.mode("overwrite").parquet(target.getAbsolutePath)
+        System.err.println(s"[stress] built $target")
+      }
+    }
+    inflate("documents") { df =>
+      df.withColumn("doc_id", col("doc_id") * copies + col("c"))
+        .withColumn("text", when(col("c") === 0, col("text")).otherwise(
+          // salt token every 2 words: every 3-word shingle crosses a
+          // salt, so shingle sets are disjoint across copies
+          expr("""array_join(flatten(transform(
+                    sequence(0, (size(split(text, ' ')) - 1) div 2),
+                    j -> concat(slice(split(text, ' '), j * 2 + 1, 2),
+                                array(concat('zz', c, 'q', pmod(j, 5)))))),
+                  ' ')""")))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+    }
+    inflate("lineitem") { df =>
+      df.withColumn("l_orderkey", col("l_orderkey") * copies + col("c"))
+        .drop("c")
+    }
+    inflate("customer") { df =>
+      df.withColumn("c_custkey", col("c_custkey") * copies + col("c"))
+        .withColumn("c_name", when(col("c") === 0, col("c_name"))
+          .otherwise(concat(col("c_name"), lit("_"), col("c"),
+            pmod(col("c") * 7, lit(10)))))
+        .drop("c")
+    }
+    inflate("embeddings") { df =>
+      df.withColumn("vec_id", col("vec_id") * copies + col("c"))
+        .withColumn("embedding", when(col("c") === 0, col("embedding"))
+          .otherwise(expr(
+            """transform(sequence(0, 63), i ->
+                 cast(((cast(conv(substring(md5(concat(vec_id, '_', i)),
+                     1, 8), 16, 10) as bigint) % 2001) - 1000) / 4000.0
+                   as float))""")))
+        .select(col("vec_id"), col("embedding"), col("label"))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR",
+      "/tmp/graft_stress10x")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    System.setProperty("graft.noDumps", "1")
+    new java.io.File(out).mkdirs()
+    build(spark, src, out, copies)
+    spark.range(1000).selectExpr("sum(id)").collect() // warmup
+
+    def time(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = once(); val b = once()
+      CacheScope.release()
+      math.min(a, b)
+    }
+    // SPARK_GRAFT_STRESS_ONLY=a,b narrows a rerun after a targeted fix
+    val selected = sys.env.get("SPARK_GRAFT_STRESS_ONLY") match {
+      case Some(names) => heavy.filter(names.split(",").toSet)
+      case None => heavy
+    }
+    val rows = selected.map { name =>
+      val t1 = time(name, src)
+      val t10 = time(name, out)
+      val factor = t10 / math.max(t1, 1e-9)
+      System.err.println(f"[stress] $name%-22s 1x=$t1%6.2fs ${copies}x=$t10%6.2fs factor=$factor%5.2f")
+      f""""$name":{"t1":$t1%.3f,"t$copies":$t10%.3f,"factor":$factor%.2f}"""
+    }
+    println(s"""{"metric":"stress${copies}x","sf":"$src","queries":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}

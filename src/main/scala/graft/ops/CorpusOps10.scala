@@ -27,7 +27,7 @@ object CorpusOps10 {
     * runs). Bucket-level partial aggregation below the 256-row
     * broadcast weight join — identical plan shape to the classifier
     * itself. */
-  private def scored(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def scored(s: SparkSession, dir: String): DataFrame = {
     val weights = broadcast(s.range(0, 256).select(
       col("id").as("bucket"),
       (col("id") * lit(2654435761L) % 2003).as("weight")))
@@ -181,7 +181,7 @@ object CorpusOps10 {
     "q_agreement_kappa" -> qAgreementKappa,
     "q_dq_benford" -> qDqBenford)
 
-  private val scoredSql = """
+  private[ops] val scoredSql = """
       SELECT doc_id,
         CAST(sum(c * weight) AS BIGINT) * 1000 // any_value(ntok)
           AS score_milli,

@@ -582,7 +582,7 @@ object Dedup {
   /** Shared oracle prefix: the near-dup pair graph + recursive
     * reachability closure (consumed by the components and canonical
     * oracles — `reach` holds (v, every label reachable from v)). */
-  private val componentsCte = """
+  private[ops] val componentsCte = """
       WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t
                     FROM documents),
       sh0 AS (SELECT DISTINCT doc_id,

@@ -53,6 +53,26 @@ object ScaleWindows {
                     bucketDesc: Boolean, order: Seq[Column],
                     out: String): DataFrame = {
     require(k > 0, s"ntile k must be positive, got $k")
+    ranked(df, bucket, bucketDesc, order)
+      .withColumn(out, ntileFromRank(k))
+      .drop("__sw_b", "__sw_off", "__sw_n", "__sw_rn")
+  }
+
+  /** Append column `out` = the global 1-based `row_number()` under
+    * `order` (LongType), via the same decomposition — the building
+    * block for exact global ranks (Spearman, rank statistics) without
+    * a single-partition sort. Bucket contract as [[bucketedNtile]]. */
+  def bucketedRowNumber(df: DataFrame, bucket: Column,
+                        bucketDesc: Boolean, order: Seq[Column],
+                        out: String): DataFrame =
+    ranked(df, bucket, bucketDesc, order)
+      .withColumn(out, col("__sw_rn"))
+      .drop("__sw_b", "__sw_off", "__sw_n", "__sw_rn")
+
+  /** Steps 1-4 of the decomposition: emits `__sw_rn` (global rank) and
+    * `__sw_n` (total count) alongside the input columns. */
+  private def ranked(df: DataFrame, bucket: Column, bucketDesc: Boolean,
+                     order: Seq[Column]): DataFrame = {
     val b = df.withColumn("__sw_b", bucket)
     val counts = b.groupBy(col("__sw_b")).agg(count(lit(1)).as("__sw_c"))
     val ca = counts.select(col("__sw_b").as("__sw_ba"),
@@ -73,8 +93,6 @@ object ScaleWindows {
       .crossJoin(broadcast(n))
       .withColumn("__sw_rn",
         col("__sw_off") + row_number().over(w).cast("long"))
-      .withColumn(out, ntileFromRank(k))
-      .drop("__sw_b", "__sw_off", "__sw_n", "__sw_rn")
   }
 
   /** SQL-standard ntile fill rule from a 1-based global rank `__sw_rn`

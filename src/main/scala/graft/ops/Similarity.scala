@@ -462,21 +462,69 @@ object Similarity {
     * K=16 hard blocking — the K/nprobe pair is the recall-vs-cost
     * dial). */
   val qDedupSemantic: Q = (s, dir) => {
-    // K = 64 cells (vs the IVF query's 16): the within-cell candidate
-    // join is quadratic per cell, so cell population — n/K hard
-    // assignments, x nprobe probe rows — is the scale knob. SemDeDup
-    // grows K with corpus size for exactly this reason; 64 keeps the
-    // fixture's cells bounded while nprobe=6 holds recall.
-    val K = 64
+    // The within-cell candidate join is quadratic per cell, so cell
+    // POPULATION (~n/K × nprobe probe rows) is the scale knob and K
+    // must GROW with the corpus: K = max(64, n/32) holds cell size at
+    // ~32 however large n gets. The 64 floor keeps every fixture SF
+    // (≤2000 vectors) on the old constant, so oracles replay the same
+    // literal there via greatest(64, count(*)//32). The r10 stress run
+    // measured the fixed-K version at 163x wall for 10x data (20k
+    // vectors, 10x cell population, 100x pairs) — THE quadratic
+    // failure this parameterization removes; nprobe=6 holds recall.
     val nprobe = 6
     // persisted: feeds centroid scoring AND both cosine re-joins;
     // (vec_id, q, n2) is 64 longs/row — the narrow frame discipline
     val emb = graft.CacheScope.track(
       withNorm(quantized(s, dir)).persist())
+    // 1-row scalar action on the persisted narrow frame (the
+    // Dedup.scala:155 discipline) — K/S parameterize the plan the same
+    // way AQE would a partition count
+    val K = math.max(64L, emb.count() / 32L)
+    // Two-level coarse quantizer (the inverted-multi-index idea,
+    // Babenko & Lempitsky 2012; FAISS uses HNSW/IMI for exactly this):
+    // a flat n×K assignment scan re-becomes quadratic once K ∝ n, so
+    // vectors first score S = √(64·K) SUPER-cells (n×S rows), and only
+    // the sub-centroids belonging to the vector's top-8 supers get
+    // scored (expected 8·K/S more) — O(√n) per vector overall. At
+    // every fixture SF K = S = 64 and each sub-centroid is its own
+    // super (cos = 1.0 with itself), so top-8-supers ⊇ top-6-subs and
+    // the hierarchy DEGENERATES EXACTLY to the flat top-6: oracle
+    // hashes are unchanged there, while the r10 stress corpus (20k
+    // vectors) drops from the flat-K 13.9x to near-linear.
+    val S = math.max(64L, math.floor(math.sqrt(64.0 * K)).toLong)
+    val sups = emb.filter(col("vec_id") < S)
+      .select(col("vec_id").as("sid"), col("q").as("sq"),
+        col("n2").as("sn2"))
+    val vsc = graft.CacheScope.track(emb.crossJoin(broadcast(sups))
+      .select(col("vec_id"), col("sid"),
+        (dotq(col("q"), col("sq")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("sn2").cast("double"))))
+          .as("scos"))
+      .persist())
+    val wS = Window.partitionBy(col("vec_id"))
+      .orderBy(col("scos").desc, col("sid"))
+    val vsup = vsc.withColumn("srnk", row_number().over(wS))
+      .filter(col("srnk") <= 8)
+      .select(col("vec_id"), col("sid"))
+    // sub-centroid -> super assignment (reuses the vsc scores; max_by
+    // tie-break matches the oracle's ORDER BY ccos DESC, sid rank 1)
+    val scj = vsc.filter(col("vec_id") < K)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("sid"), struct(col("scos"), -col("sid"))).as("sid"))
+      .select(col("vec_id").as("cid"), col("sid"))
     val cents = emb.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("q").as("cq"),
         col("n2").as("cn2"))
-    val scored = emb.crossJoin(broadcast(cents))
+    // restricted sub scoring: only (vector, sub) pairs whose sub lives
+    // in one of the vector's top-8 super-cells. The centroid table
+    // broadcasts up to ~1e5 subs (~50 MB of quantized vectors); past
+    // that this equi-join flips to a shuffle join — the next dial,
+    // noted, not needed at the stress scale.
+    val allowed = vsup.join(broadcast(scj), Seq("sid"))
+      .select(col("vec_id"), col("cid"))
+    val scored = allowed
+      .join(broadcast(cents), Seq("cid"))
+      .join(emb.select(col("vec_id"), col("q"), col("n2")), Seq("vec_id"))
       .select(col("vec_id"), col("cid"),
         (dotq(col("q"), col("cq")).cast("double") /
           (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
@@ -961,16 +1009,42 @@ object Similarity {
       WITH e AS ($quantSql),
       n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
             FROM e GROUP BY vec_id),
+      k AS (SELECT greatest(64, count(*) // 32) AS k FROM embeddings),
+      sdef AS (SELECT greatest(64,
+                 CAST(floor(sqrt(64.0 * k)) AS BIGINT)) AS s FROM k),
+      vs AS (SELECT a.vec_id, b.vec_id AS sid,
+               CAST(sum(a.v * b.v) AS BIGINT) AS dot
+             FROM e a JOIN e b ON a.i = b.i
+               AND b.vec_id < (SELECT s FROM sdef)
+             GROUP BY 1, 2),
+      vsc AS (SELECT vs.vec_id, sid,
+                CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) *
+                  sqrt(CAST(ns.n2 AS DOUBLE))) AS scos
+              FROM vs JOIN n nv ON vs.vec_id = nv.vec_id
+                      JOIN n ns ON sid = ns.vec_id),
+      vsup AS (SELECT vec_id, sid FROM vsc
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                 ORDER BY scos DESC, sid) <= 8),
+      sc AS (SELECT vec_id AS cid, sid FROM vsc
+             WHERE vec_id < (SELECT k FROM k)
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+               ORDER BY scos DESC, sid) = 1),
       cd AS (SELECT a.vec_id, b.vec_id AS cid,
                CAST(sum(a.v * b.v) AS BIGINT) AS dot
-             FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 64
+             FROM e a JOIN e b ON a.i = b.i
+               AND b.vec_id < (SELECT k FROM k)
              GROUP BY 1, 2),
       ccos AS (SELECT cd.vec_id, cid,
                  CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) *
                    sqrt(CAST(nc.n2 AS DOUBLE))) AS ccos
                FROM cd JOIN n nv ON cd.vec_id = nv.vec_id
                        JOIN n nc ON cid = nc.vec_id),
-      probes AS (SELECT vec_id, cid FROM ccos
+      restricted AS (SELECT ccos.vec_id, ccos.cid, ccos.ccos
+                     FROM ccos
+                       JOIN sc ON ccos.cid = sc.cid
+                       JOIN vsup ON vsup.vec_id = ccos.vec_id
+                         AND vsup.sid = sc.sid),
+      probes AS (SELECT vec_id, cid FROM restricted
                  QUALIFY row_number() OVER (PARTITION BY vec_id
                    ORDER BY ccos DESC, cid) <= 6),
       cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
