@@ -73,7 +73,10 @@ object Bench {
     "q_ts_concurrency",        // +1/-1 interval sweep + prefix sum (r9)
     "q_event_pattern",         // per-user sequence regex matching (r9)
     "q_rec_itemcos",           // co-occurrence CF + per-item top-k (r9)
-    "q_join_interval_overlap") // customer-blocked interval self-join (r9)
+    "q_join_interval_overlap", // customer-blocked interval self-join (r9)
+    "q_url_domains",           // UDTF host parse + anti-join gate + rollup (r10)
+    "q_dedup_containment",     // df-capped shingle containment pairs (r10)
+    "q_corr_spearman")         // double bucket-offset global rank pass (r10)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -51,6 +51,7 @@ object SparkEntry {
     (CorpusOps18.queries, CorpusOps18.oracle),
     (CorpusOps19.queries, CorpusOps19.oracle),
     (CorpusOps20.queries, CorpusOps20.oracle),
+    (CorpusOps21.queries, CorpusOps21.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),
