@@ -52,6 +52,7 @@ object SparkEntry {
     (CorpusOps19.queries, CorpusOps19.oracle),
     (CorpusOps20.queries, CorpusOps20.oracle),
     (CorpusOps21.queries, CorpusOps21.oracle),
+    (CorpusOps22.queries, CorpusOps22.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

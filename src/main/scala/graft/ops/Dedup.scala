@@ -394,12 +394,26 @@ object Dedup {
     * = graph diameter, small for dedup clusters). Oracle: DuckDB
     * recursive-CTE reachability closure. */
   val qDedupComponents: Q = (s, dir) => {
-    // unsorted pairs: the presentation query's total ORDER BY would tax
-    // the edge fill with a range exchange + global sort the iterative
-    // join never needs. repartition(da): every round's edges-side probe
-    // reuses this one cached partitioning instead of re-exchanging the
-    // edge set per iteration.
-    val pairs = jaccardPairs(s, dir).select(col("da"), col("db"))
+    componentsOf(jaccardPairs(s, dir).select(col("da"), col("db")))
+      .select(col("v").as("doc_id"), col("l").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Min-label connected components over an undirected pair list
+    * (columns `da`, `db`) — the iterative core of
+    * [[qDedupComponents]], factored out (r10) so other edge sets
+    * (entity-resolution matches, similarity graphs) reuse the proven
+    * loop discipline. Returns (v, l): vertex → min-reachable label.
+    * Every per-round driver action is a 1-row scalar sum; lineage is
+    * localCheckpoint-truncated per round with RDD-level block
+    * release. */
+  private[ops] def componentsOf(
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // unsorted pairs: a presentation ORDER BY would tax the edge fill
+    // with a range exchange + global sort the iterative join never
+    // needs. repartition(da): every round's edges-side probe reuses
+    // this one cached partitioning instead of re-exchanging the edge
+    // set per iteration.
     val edges = pairs
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
       .repartition(col("da"))
@@ -463,8 +477,7 @@ object Dedup {
     if (changed) throw new IllegalStateException(
       s"connected components did not converge within $maxRounds rounds " +
         "(label sum still decreasing) — raise the round cap")
-    labels.select(col("v").as("doc_id"), col("l").as("component"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
   /** Canonical-representative selection — the step after clustering in

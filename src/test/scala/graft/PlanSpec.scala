@@ -672,4 +672,31 @@ class PlanSpec extends AnyFunSuite {
     assert(unpartitionedWindows("q_calibration_bins").isEmpty,
       unpartitionedWindows("q_calibration_bins"))
   }
+
+  test("spearman: both global ranks decompose — no unpartitioned window") {
+    assert(unpartitionedWindows("q_corr_spearman").isEmpty,
+      unpartitionedWindows("q_corr_spearman"))
+  }
+
+  test("ppjoin: prefix-filter candidates, never a cartesian pair scan") {
+    val p = plan("q_dedup_ppjoin")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("a-priori triples: semi-join pruned, never a cartesian basket scan") {
+    val p = plan("q_basket_triples")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("url domains: blocklist gate is a broadcast anti-join") {
+    val p = plan("q_url_domains")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("weighted median + MAD windows are all flag-partitioned") {
+    assert(unpartitionedWindows("q_weighted_median").isEmpty)
+    assert(unpartitionedWindows("q_robust_mad").isEmpty)
+  }
 }
