@@ -53,6 +53,7 @@ object SparkEntry {
     (CorpusOps20.queries, CorpusOps20.oracle),
     (CorpusOps21.queries, CorpusOps21.oracle),
     (CorpusOps22.queries, CorpusOps22.oracle),
+    (CorpusOps23.queries, CorpusOps23.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -33,10 +33,11 @@ import org.apache.spark.sql.functions._
   */
 object StressBench {
 
-  /** The 6 heaviest headline queries (r9 verdict's plan-audit list). */
+  /** The heaviest headline queries (r9 verdict's plan-audit list,
+    * plus the r10 prefix-filtering pair join). */
   val heavy: Seq[String] = Seq(
     "q_dedup_components", "q_rec_itemcos", "q_basket_pairs",
-    "q_join_fuzzy", "q_emb_gram", "q_dedup_semantic")
+    "q_join_fuzzy", "q_emb_gram", "q_dedup_semantic", "q_dedup_ppjoin")
 
   def build(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {
@@ -51,14 +52,18 @@ object StressBench {
     }
     inflate("documents") { df =>
       df.withColumn("doc_id", col("doc_id") * copies + col("c"))
+        // per-copy VOCABULARY mapping (w -> w~c): every token of copy
+        // c>0 is rewritten, so every shingle differs across copies
+        // while token counts, doc lengths and the within-copy near-dup
+        // structure are preserved EXACTLY. (The first r10 version
+        // inserted a salt token every 2 words instead; that turned a
+        // third of all 3-shingles into effective 2-shingles sharing a
+        // salt, inflating prefix posting lists ~5x beyond what 10x
+        // data justifies — the measured ppjoin "31x" was mostly that
+        // artifact, not the algorithm.)
         .withColumn("text", when(col("c") === 0, col("text")).otherwise(
-          // salt token every 2 words: every 3-word shingle crosses a
-          // salt, so shingle sets are disjoint across copies
-          expr("""array_join(flatten(transform(
-                    sequence(0, (size(split(text, ' ')) - 1) div 2),
-                    j -> concat(slice(split(text, ' '), j * 2 + 1, 2),
-                                array(concat('zz', c, 'q', pmod(j, 5)))))),
-                  ' ')""")))
+          expr("""array_join(transform(split(text, ' '),
+                    w -> concat(w, '~', c)), ' ')""")))
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           length(col("text")).cast("long").as("n_chars"))
     }

@@ -55,10 +55,17 @@ object CorpusOps21 {
       .persist())
     // prefix length for t=0.5: n − ceil(n/2) + 1 = n − (n+1) div 2 + 1
     val prefix = ranked.filter(expr("rn <= n - (n + 1) div 2 + 1"))
-      .select(col("doc_id"), col("w"))
-    val cand = prefix.select(col("doc_id").as("da"), col("w"))
-      .join(prefix.select(col("doc_id").as("db"), col("w")), Seq("w"))
-      .filter(col("da") < col("db"))
+      .select(col("doc_id"), col("w"), col("n"))
+    // length filter (Xiao et al. §3, sound): J(A,B) ≥ t forces
+    // t·|B| ≤ |A| ≤ |B|/t, so size-incompatible postings never pair —
+    // applied INSIDE the candidate join (2·na ≥ nb ∧ 2·nb ≥ na at
+    // t = 0.5), before the distinct
+    val cand = prefix.select(col("doc_id").as("da"), col("w"),
+        col("n").as("na0"))
+      .join(prefix.select(col("doc_id").as("db"), col("w"),
+        col("n").as("nb0")), Seq("w"))
+      .filter(col("da") < col("db") &&
+        col("na0") * 2 >= col("nb0") && col("nb0") * 2 >= col("na0"))
       .select(col("da"), col("db")).distinct()
     val sizes = ranked.groupBy(col("doc_id")).agg(max(col("n")).as("nn"))
     val inter = cand
@@ -217,11 +224,12 @@ object CorpusOps21 {
                    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
                      AS n
                  FROM tok JOIN df USING (w)),
-      prefix AS (SELECT doc_id, w FROM ranked
+      prefix AS (SELECT doc_id, w, n FROM ranked
                  WHERE rn <= n - (n + 1) // 2 + 1),
       cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                FROM prefix a JOIN prefix b
-                 ON a.w = b.w AND a.doc_id < b.doc_id),
+                 ON a.w = b.w AND a.doc_id < b.doc_id
+                 AND a.n * 2 >= b.n AND b.n * 2 >= a.n),
       sizes AS (SELECT doc_id, max(n) AS nn FROM ranked GROUP BY 1),
       inter AS (SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS i
                 FROM cand c
