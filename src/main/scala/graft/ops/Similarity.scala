@@ -678,9 +678,54 @@ object Similarity {
       .orderBy(col("point"))
   }
 
+  /** Milli-bit log2 discount table for NDCG@5: round(log2(rank+1)·1000)
+    * for ranks 1..5 — one IEEE log per SMALL integer, rounded
+    * identically in both engines, then everything downstream is exact
+    * integer division. */
+  private val lg2m = "array(1000, 1585, 2000, 2322, 2585)"
+
+  /** Ranking-quality evaluation of the deployed ANN point
+    * (IVF-PQ np4_m4) against the exact cosine top-5: per query,
+    * precision hits@5, reciprocal rank of the first true hit in
+    * micro-units, and NDCG@5 in permille with graded relevance
+    * rel = 6 − true_rank (Järvelin & Kekäläinen 2002). The rank-metric
+    * complement of the recall sweep: recall says WHETHER truth was
+    * retrieved, NDCG says how well it was ORDERED.
+    *
+    * Exactness: DCG terms are rel·1e9 div lg2m(rank+1) (milli-bit
+    * discount table above); IDCG is the same sum over the ideal
+    * (5,4,3,2,1) ordering — all integer divisions on non-negative
+    * operands, zero IEEE ops at eval time.
+    *
+    * Scale: both inputs are ≤5 rows/query; the eval join and rollup
+    * are audit-table-sized. */
+  val qEvalRanking: Q = (s, dir) => {
+    val truth = qSimTopK(s, dir)
+      .select(col("qid"), col("neighbor"),
+        (lit(6L) - col("rnk")).as("rel"))
+    val sys = qSimIvfPq(s, dir)
+      .select(col("qid"), col("neighbor"), col("rnk").cast("long")
+        .as("rnk_sys"))
+    val idcg = s"""(5000000000 div element_at($lg2m, 1)
+      + 4000000000 div element_at($lg2m, 2)
+      + 3000000000 div element_at($lg2m, 3)
+      + 2000000000 div element_at($lg2m, 4)
+      + 1000000000 div element_at($lg2m, 5))"""
+    sys.join(truth, Seq("qid", "neighbor"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("rel")).as("hits_at_5"),
+        coalesce(expr("1000000 div min(CASE WHEN rel IS NOT NULL " +
+          "THEN rnk_sys END)"), lit(0L)).as("rr_micro"),
+        sum(expr(s"coalesce(rel, 0) * 1000000000 " +
+          s"div element_at($lg2m, cast(rnk_sys as int))")).as("dcg_nano"))
+      .withColumn("ndcg_permille", expr(s"dcg_nano * 1000 div $idcg"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_recall_audit" -> qSimRecallAudit,
     "q_sim_recall_sweep" -> qSimRecallSweep,
+    "q_eval_ranking" -> qEvalRanking,
     "q_sim_rerank" -> qSimRerank,
     "q_sim_diverse" -> qSampleDiverse,
     "q_sim_topk" -> qSimTopK,
@@ -1102,5 +1147,27 @@ object Similarity {
         CAST(hits AS BIGINT) AS hits,
         CAST(hits AS BIGINT) * 1000 // n_exact AS recall_permille
       FROM h CROSS JOIN tot ORDER BY point"""
-    })
+    }) +
+    ("q_eval_ranking" -> s"""
+      WITH truth AS (SELECT qid, neighbor, CAST(6 - rnk AS BIGINT) AS rel
+                     FROM (${baseOracle("q_sim_topk")})),
+      sys AS (SELECT qid, neighbor, CAST(rnk AS BIGINT) AS rnk_sys
+              FROM (${baseOracle("q_sim_ivfpq")})),
+      lg AS (SELECT [1000, 1585, 2000, 2322, 2585] AS t),
+      idcg AS (SELECT 5000000000 // t[1] + 4000000000 // t[2]
+                 + 3000000000 // t[3] + 2000000000 // t[4]
+                 + 1000000000 // t[5] AS v FROM lg),
+      j AS (SELECT s.qid, s.rnk_sys, truth.rel
+            FROM sys s LEFT JOIN truth
+              ON s.qid = truth.qid AND s.neighbor = truth.neighbor)
+      SELECT qid, CAST(count(rel) AS BIGINT) AS hits_at_5,
+        coalesce(1000000 // min(CASE WHEN rel IS NOT NULL
+          THEN rnk_sys END), 0) AS rr_micro,
+        CAST(sum(coalesce(rel, 0) * 1000000000
+          // (SELECT t FROM lg)[CAST(rnk_sys AS INT)]) AS BIGINT)
+          AS dcg_nano,
+        CAST(sum(coalesce(rel, 0) * 1000000000
+          // (SELECT t FROM lg)[CAST(rnk_sys AS INT)]) AS BIGINT)
+          * 1000 // (SELECT v FROM idcg) AS ndcg_permille
+      FROM j GROUP BY qid ORDER BY qid""")
 }
