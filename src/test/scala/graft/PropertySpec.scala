@@ -217,6 +217,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketedNtile/RowNumber equal the naive global windows (generated)") {
+    // The bucket-offset decomposition's equality proof on arbitrary
+    // data, not just the fixtures the oracles replay: random values
+    // (ties included), random coarse divisors, asc and desc, k from
+    // degenerate (n < k) to coarse.
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.ScaleWindows
+    val gen: Gen[List[(Int, Int)]] = Gen.listOfN(157,
+      Gen.zip(Gen.choose(0, 500), Gen.choose(0, 1000000)))
+    for (s <- seeds; (desc, divisor, k) <-
+        Seq((false, 64, 5), (true, 7, 10), (false, 1, 3), (true, 997, 200))) {
+      val rows = sample(gen, s * 31 + divisor)
+      val df = rows.zipWithIndex
+        .map { case ((v, _), id) => (v.toLong, id.toLong) }
+        .toDF("v", "id")
+      val ord = if (desc) Seq($"v".desc, $"id".asc)
+                else Seq($"v".asc, $"id".asc)
+      val naive = df.withColumn("want_nt",
+          ntile(k).over(Window.orderBy(ord: _*)).cast("long"))
+        .withColumn("want_rn",
+          row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      val got = ScaleWindows.bucketedRowNumber(
+        ScaleWindows.bucketedNtile(df, k, expr(s"v div $divisor"), desc,
+          ord, "got_nt"),
+        expr(s"v div $divisor"), desc, ord, "got_rn")
+      val joined = naive.join(got, Seq("v", "id"))
+        .filter($"want_nt" =!= $"got_nt" || $"want_rn" =!= $"got_rn")
+      assert(joined.count() == 0,
+        s"seed $s desc=$desc div=$divisor k=$k: " +
+          joined.limit(3).collect().mkString(", "))
+    }
+  }
+
   test("damerau-levenshtein rejects document-sized input with a clear error") {
     import graft.functions.DamerauLev
     val big = "a" * (DamerauLev.MaxLen + 1)
