@@ -54,6 +54,7 @@ object SparkEntry {
     (CorpusOps21.queries, CorpusOps21.oracle),
     (CorpusOps22.queries, CorpusOps22.oracle),
     (CorpusOps23.queries, CorpusOps23.oracle),
+    (CorpusOps24.queries, CorpusOps24.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),
