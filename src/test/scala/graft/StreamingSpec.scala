@@ -396,6 +396,66 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.size} closed sessions != batch ${batch.size}")
   }
 
+  test("streaming conversion measures (fMGWS) == batch q_event_conversions") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // state per user: (lastViewUs, lastViewRn, prevPurchaseUs, rnSoFar)
+    // — the MATCH_RECOGNIZE navigation state. Unlike sessions there is
+    // no open tail (a conversion emits the moment its purchase is
+    // processed), so the streamed rows must equal the FULL batch
+    // result, including conversions whose view and purchase land in
+    // different micro-batches.
+    val dir = Files.createTempDirectory("conv_replay").toFile
+    dir.deleteOnExit()
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    for ((lo, hi, i) <- Seq(("2024-01-01", "2024-01-11", 1),
+        ("2024-01-11", "2024-01-21", 2), ("2024-01-21", "2024-02-01", 3))) {
+      ev.filter(col("ts_us") >= unix_micros(lit(lo).cast("timestamp")) &&
+          col("ts_us") < unix_micros(lit(hi).cast("timestamp")))
+        .coalesce(1).write.parquet(s"$dir/b$i")
+      Thread.sleep(1100)
+    }
+    val conv = spark.readStream
+      .schema(ev.schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/b*")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+         st: GroupState[(Long, Long, Long, Long)]) =>
+          var (lastVUs, lastVRn, prevPUs, rn) =
+            st.getOption.getOrElse((-1L, -1L, -1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long, Long)]
+          for ((_, eid, tsUs, tpe) <- rows.toSeq.sortBy(r => (r._3, r._2))) {
+            rn += 1
+            if (tpe == "purchase") {
+              if (lastVUs >= 0 && lastVUs > prevPUs)
+                out += ((uid, eid, lastVUs, tsUs, tsUs - lastVUs,
+                  rn - lastVRn - 1))
+              prevPUs = tsUs
+            } else if (tpe == "view") { lastVUs = tsUs; lastVRn = rn }
+          }
+          st.update((lastVUs, lastVRn, prevPUs, rn))
+          out.iterator
+      }
+      .toDF("user_id", "purchase_id", "view_us", "purchase_us",
+        "wait_us", "events_between")
+    val q = conv.writeStream.format("memory").queryName("t_conv")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_conv")
+      .orderBy(col("user_id"), col("purchase_us"), col("purchase_id"))
+      .collect().toSeq
+    val batch = ops.CorpusOps24.qEventConversions(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} conversions != batch ${batch.size}")
+  }
+
   test("streaming EWMA (flatMapGroupsWithState lag state) == batch q_ts_ewma") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
