@@ -91,8 +91,39 @@ object CorpusOps24 {
       .orderBy(col("day"))
   }
 
+  /** Brier score of the decile-calibrated classifier (Brier 1950; the
+    * proper scoring rule that complements q_calibration_bins'
+    * reliability table with ONE number): each doc's predicted
+    * probability is its decile bin's empirical positive rate in
+    * permille, and brier_micro = Σ (p_permille − 1000·pos)² div n —
+    * micro-units of probability², exact integers to the last division.
+    * The uncertainty floor p̄(1000−p̄) div 1000 (Murphy decomposition's
+    * irreducible term, same units) is emitted alongside: a useful
+    * score sits well below it.
+    *
+    * Scale: bins come from the scale-safe bucketed ntile (no
+    * unpartitioned window); everything else is one doc-level join
+    * against the 10-row bin table + one aggregate. */
+  val qEvalBrier: Q = (s, dir) => {
+    val sc = graft.CacheScope.track(CorpusOps10.scored(s, dir).persist())
+    val binned = graft.CacheScope.track(
+      ScaleWindows.bucketedNtile(sc, 10, expr("score_milli div 64"), false,
+        Seq(col("score_milli").asc, col("doc_id").asc), "bin").persist())
+    val rates = binned.groupBy(col("bin"))
+      .agg(expr("sum(pos) * 1000 div count(1)").as("p_permille"))
+    binned.join(broadcast(rates), Seq("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pos")).as("n_pos"),
+        expr("""sum((p_permille - 1000 * pos) * (p_permille - 1000 * pos))
+                div count(1)""").as("brier_micro"))
+      .withColumn("uncertainty_micro", expr(
+        """(n_pos * 1000 div n_docs) * (1000 - n_pos * 1000 div n_docs)
+           div 1000"""))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_event_conversions" -> qEventConversions,
+    "q_eval_brier" -> qEvalBrier,
     "q_ts_anomaly_stl" -> qTsAnomalyStl)
 
   val oracle: Map[String, String] = Map(
@@ -120,6 +151,22 @@ object CorpusOps24 {
       WHERE event_type = 'purchase' AND last_v_us IS NOT NULL
         AND (prev_p_us IS NULL OR last_v_us > prev_p_us)
       ORDER BY user_id, purchase_us, purchase_id""",
+    "q_eval_brier" -> s"""
+      WITH scored AS (${CorpusOps10.scoredSql}),
+      binned AS (SELECT *, ntile(10) OVER (ORDER BY score_milli, doc_id)
+                   AS bin FROM scored),
+      rates AS (SELECT bin,
+                  CAST(sum(pos) AS BIGINT) * 1000 // count(*)
+                    AS p_permille
+                FROM binned GROUP BY 1)
+      SELECT count(*) AS n_docs,
+        CAST(sum(pos) AS BIGINT) AS n_pos,
+        CAST(sum((p_permille - 1000 * pos) * (p_permille - 1000 * pos))
+          AS BIGINT) // count(*) AS brier_micro,
+        (CAST(sum(pos) AS BIGINT) * 1000 // count(*))
+          * (1000 - CAST(sum(pos) AS BIGINT) * 1000 // count(*)) // 1000
+          AS uncertainty_micro
+      FROM binned JOIN rates USING (bin)""",
     "q_ts_anomaly_stl" -> """
       WITH daily AS (SELECT CAST(ts AS DATE) AS day,
                        CAST(count(*) AS BIGINT) AS y
