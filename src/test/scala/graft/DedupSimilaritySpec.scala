@@ -66,6 +66,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(joined <= 0.25, s"max |est - exact| = $joined")
   }
 
+  test("ppjoin prefix+length prune is LOSSLESS vs brute-force Jaccard >= 0.5") {
+    // The whole claim of q_dedup_ppjoin over the df-cap heuristic is
+    // that its prune is derived from the threshold and thus exact —
+    // prove it against an ALL-PAIRS shingle Jaccard (sf0.001 keeps the
+    // brute force tractable), not just the oracle that replays the
+    // same pruned algorithm.
+    val toks = Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(when(size(col("t")) >= 3,
+          expr("""transform(sequence(1, size(t) - 2),
+                  i -> concat_ws(' ', element_at(t, i),
+                                 element_at(t, i + 1),
+                                 element_at(t, i + 2)))"""))
+          .otherwise(array()))).as("w"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val brute = toks.select(col("doc_id").as("da"), col("w"))
+      .join(toks.select(col("doc_id").as("db"), col("w")), Seq("w"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(expr("i * 1000 div (na + nb - i) >= 500"))
+      .select(col("da"), col("db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pp = SparkEntry.queries("q_dedup_ppjoin")(spark, sf)
+      .select(col("da"), col("db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture lost its planted near-dups?")
+    assert(pp == brute,
+      s"ppjoin ${pp.size} pairs != brute ${brute.size}: " +
+        s"missed=${(brute -- pp).take(3)} extra=${(pp -- brute).take(3)}")
+  }
+
   test("simhash salted skew path matches the unsalted pair set") {
     // hotBlockDf=0 marks EVERY (blk, bv) key hot, forcing the salted
     // scatter/replicate join everywhere — the strongest equivalence
