@@ -141,9 +141,12 @@ object CorpusOps20 {
         Seq(col("ntok").asc, col("doc_id").asc), "rank_len").persist())
     val r2 = ScaleWindows.bucketedRowNumber(r1, expr("qpm div 50"), false,
       Seq(col("qpm").asc, col("doc_id").asc), "rank_q")
+    // first factor promoted to DECIMAL(38,0) BEFORE the square (the
+    // ADVICE r9 overflow-ordering rule): d ≤ n, so d² wraps int64 past
+    // ~3e9 docs; the oracle promotes the same operand to HUGEINT
     r2.agg(count(lit(1)).as("n"),
-        sum(((col("rank_len") - col("rank_q")) *
-          (col("rank_len") - col("rank_q"))).cast(DecimalType(38, 0)))
+        sum((col("rank_len") - col("rank_q")).cast(DecimalType(38, 0)) *
+          (col("rank_len") - col("rank_q")))
           .as("sd2"))
       .select(col("n"), col("sd2").cast("long").as("sum_d2"),
         (lit(1.0) - (lit(6.0) * col("sd2").cast("double")) /
