@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrd
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.PlanBridge
 import graft.Tables
-import graft.plans.{GroupedTopKNode, GroupedTopKStrategy}
+import graft.plans.{AsOfJoinNode, AsOfJoinStrategy, GroupedTopKNode, GroupedTopKStrategy}
 
 /** Queries backed by the engine's custom plan nodes (SURVEY.md §2.F /
   * §7.3 tier (c): LogicalPlan + SparkStrategy + SparkPlan). */
@@ -55,11 +55,48 @@ object PlansOps {
     served.orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** The q_join_asof semantics executed by the custom
+    * [[graft.plans.AsOfJoinExec]] sort-merge operator instead of the
+    * tagged-union + window formulation: each side hash-clusters on
+    * user_id and sorts (user_id, ts) independently, then one O(1)-state
+    * forward merge per partition picks the latest purchase at-or-before
+    * each click. Same oracle SQL as q_join_asof — the two engines AND
+    * the two Spark formulations must all agree. */
+  val qJoinAsofCustom: Q = (s, dir) => {
+    if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("pid"))
+    val lPlan = clicks.queryExecution.analyzed
+    val rPlan = buys.queryExecution.analyzed
+    def lAttr(n: String) = lPlan.output.find(_.name == n).get
+    def rAttr(n: String) = rPlan.output.find(_.name == n).get
+    val node = AsOfJoinNode(lPlan, rPlan,
+      leftKeys = Seq(lAttr("user_id")), rightKeys = Seq(rAttr("b_user")),
+      leftTime = lAttr("ts"), rightTime = rAttr("b_ts"),
+      rightTiebreak = Seq(SortOrder(rAttr("pid"), Ascending)))
+    PlanBridge.ofRows(s, node)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        Tables.fmtTsUs(col("ts")).as("click_ts"),
+        col("pid").as("asof_pid"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_topk_grouped_custom" -> qTopKGrouped,
+    "q_join_asof_custom" -> qJoinAsofCustom,
     "q_results_cache_hit" -> qResultsCacheHit)
 
   val oracle: Map[String, String] = Map(
+    // identical semantics and output contract as q_join_asof — the
+    // custom operator must agree with the window formulation AND DuckDB
+    "q_join_asof_custom" -> Joins.oracle("q_join_asof"),
     "q_topk_grouped_custom" -> """
       SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
       FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

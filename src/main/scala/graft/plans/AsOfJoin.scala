@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** AS-OF join as a first-class operator (SURVEY.md §2.C / §7.3 tier
+  * (c): LogicalPlan + SparkStrategy + SparkPlan) — the second full
+  * custom operator beside [[GroupedTopKNode]].
+  *
+  * Semantics: for every left row, the LATEST right row of the same key
+  * with right.time <= left.time (ties among equal right times resolved
+  * by the caller-supplied total tiebreak order); unmatched left rows
+  * emit null right columns — i.e. kdb's `aj`, Pandas merge_asof
+  * (direction="backward"), Flink temporal join.
+  *
+  * The composable spelling (q_join_asof: tagged union + per-key
+  * last-ignoring-nulls window) is correct but carries BOTH tables
+  * through one union-wide sort and a window over the merged stream.
+  * This operator is the sort-merge shape instead: each side is hash-
+  * clustered on its own key and sorted (key, time) INDEPENDENTLY —
+  * Spark's EnsureRequirements inserts co-partitioned exchanges and
+  * external spilling sorts exactly as for a SortMergeJoin — and a
+  * single forward two-pointer pass per partition emits matches with
+  * O(1) state (one retained candidate row), never materializing a
+  * per-key buffer. At 100 TB that is the same cost class as any
+  * equi-join of the two tables; the window formulation's merged
+  * union stream and its null-carrying lattice are gone.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Seq[SortOrder]) extends BinaryNode {
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+    "as-of join needs matching non-empty key lists")
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      l: LogicalPlan, r: LogicalPlan): LogicalPlan =
+    copy(left = l, right = r)
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Seq[SortOrder],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partitioned like SortMergeJoin: EnsureRequirements inserts
+  // compatible hash exchanges for both children
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // each side sorted (keys, time[, tiebreak]) — external spilling sorts
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      (SortOrder(rightTime, Ascending) +: rightTiebreak))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKeys; val rk = rightKeys
+    val lt = leftTime; val rt = rightTime
+    val allOut = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      // canonical key/time row layouts so one generated comparator
+      // serves both sides
+      val keyAttrs = lk.map(e =>
+        AttributeReference("k", e.dataType, nullable = true)())
+      val keyOrd = GenerateOrdering.generate(
+        keyAttrs.map(SortOrder(_, Ascending)), keyAttrs)
+      val timeAttr = Seq(AttributeReference("t", lt.dataType,
+        nullable = true)())
+      val timeOrd = GenerateOrdering.generate(
+        timeAttr.map(SortOrder(_, Ascending)), timeAttr)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      val toUnsafe = UnsafeProjection.create(allOut, allOut)
+
+      // O(1)-state forward merge: `pending` is the un-consumed right
+      // lookahead; `lastMatch` the latest right row usable for the
+      // current left key so far
+      var pending: InternalRow = null
+      var pendingKey: InternalRow = null
+      var pendingTime: InternalRow = null
+      var lastMatch: InternalRow = null
+      var lastMatchKey: InternalRow = null
+
+      lIter.map { l =>
+        val lKey = lKeyProj(l)
+        val lTime = lTimeProj(l).copy()
+        if (lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) != 0) {
+          lastMatch = null; lastMatchKey = null
+        }
+        var advancing = true
+        while (advancing) {
+          if (pending == null && rIter.hasNext) {
+            val r = rIter.next()
+            pending = r.copy()
+            pendingKey = rKeyProj(pending).copy()
+            pendingTime = rTimeProj(pending).copy()
+          }
+          if (pending == null) advancing = false
+          else {
+            val ck = keyOrd.compare(pendingKey, lKey)
+            if (ck < 0) {
+              // right rows of earlier keys can never match again
+              pending = null
+            } else if (ck == 0 && timeOrd.compare(pendingTime, lTime) <= 0) {
+              lastMatch = pending; lastMatchKey = pendingKey
+              pending = null
+            } else advancing = false
+          }
+        }
+        toUnsafe(joined(l, if (lastMatch == null) nullRight else lastMatch))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: SparkPlan, r: SparkPlan): SparkPlan = copy(left = l, right = r)
+}
+
+/** Planner strategy: lower the logical as-of node to the exec. */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, rtb) =>
+      AsOfJoinExec(lk, rk, lt, rt, rtb, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
