@@ -76,7 +76,8 @@ object Bench {
     "q_join_interval_overlap", // customer-blocked interval self-join (r9)
     "q_url_domains",           // UDTF host parse + anti-join gate + rollup (r10)
     "q_dedup_containment",     // df-capped shingle containment pairs (r10)
-    "q_corr_spearman")         // double bucket-offset global rank pass (r10)
+    "q_corr_spearman",         // double bucket-offset global rank pass (r10)
+    "q_join_asof_custom")      // native sort-merge as-of operator (r10)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
