@@ -29,6 +29,66 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert("Sort ".r.findAllIn(p).size >= 2, p)
   }
 
+  test("custom as-of == reference on generated data (dup times, null keys)") {
+    // Edges the fixture never exercises: duplicate right timestamps per
+    // key (the tiebreak must decide deterministically), duplicate LEFT
+    // timestamps, null keys on both sides (window partitioning groups
+    // nulls — the operator must too), and keys present on one side only.
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260814L)
+    def gen(n: Int, idBase: Long) = (0 until n).map { i =>
+      val k: java.lang.Long =
+        if (rnd.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(6).toLong)
+      (k, rnd.nextInt(8).toLong, idBase + i)
+    }
+    val lRows = gen(120, 1000)
+    val rRows = gen(80, 5000)
+    val lDf = lRows.toDF("k", "t", "lid")
+    val rDf = rRows.toDF("k", "t", "rid")
+      .select(col("k").as("rk"), col("t").as("rt"), col("rid"))
+    // reference: tagged union + last-ignoring-nulls window, rid as the
+    // same-time tiebreak the operator is given
+    val tagged = lDf.withColumn("rid", lit(null).cast("long"))
+      .withColumn("is_r", lit(0)).withColumn("srt", lit(Long.MaxValue))
+      .unionByName(rDf.select(col("rk").as("k"), col("rt").as("t"),
+        col("rid")).withColumn("lid", lit(null).cast("long"))
+        .withColumn("is_r", lit(1)).withColumn("srt", col("rid")))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("is_r").desc, col("srt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = tagged
+      .withColumn("asof_rid", last(col("rid"), ignoreNulls = true).over(w))
+      .filter(col("is_r") === 0)
+      .select(col("lid"), col("asof_rid"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val lPlan = lDf.queryExecution.analyzed
+    val rPlan = rDf.queryExecution.analyzed
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).get
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+    val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+      leftKeys = Seq(a(lPlan, "k")), rightKeys = Seq(a(rPlan, "rk")),
+      leftTime = a(lPlan, "t"), rightTime = a(rPlan, "rt"),
+      rightTiebreak = Seq(SortOrder(a(rPlan, "rid"), Ascending)))
+    val got = org.apache.spark.sql.graft.PlanBridge.ofRows(spark, node)
+      .select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got.size == lRows.size)
+    val diffs = want.keys.filter(k => want(k) != got(k))
+    assert(diffs.isEmpty,
+      diffs.take(5).map(k => s"lid=$k want=${want(k)} got=${got(k)}")
+        .mkString(", "))
+  }
+
   test("left rows with no at-or-before match emit null, not a dropped row") {
     // every click by a user whose FIRST purchase is later (or who never
     // purchases) must still appear with asof_pid null
