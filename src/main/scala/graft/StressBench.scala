@@ -33,11 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object StressBench {
 
-  /** The heaviest headline queries (r9 verdict's plan-audit list,
-    * plus the r10 prefix-filtering pair join). */
+  /** The heaviest headline queries (r9 verdict's plan-audit list, the
+    * r10 prefix-filtering pair join, and BOTH as-of formulations —
+    * window vs native operator — so the operator's asymptotic claim
+    * gets measured, not asserted). */
   val heavy: Seq[String] = Seq(
     "q_dedup_components", "q_rec_itemcos", "q_basket_pairs",
-    "q_join_fuzzy", "q_emb_gram", "q_dedup_semantic", "q_dedup_ppjoin")
+    "q_join_fuzzy", "q_emb_gram", "q_dedup_semantic", "q_dedup_ppjoin",
+    "q_join_asof", "q_join_asof_custom")
 
   def build(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {
@@ -76,6 +79,14 @@ object StressBench {
         .withColumn("c_name", when(col("c") === 0, col("c_name"))
           .otherwise(concat(col("c_name"), lit("_"), col("c"),
             pmod(col("c") * 7, lit(10)))))
+        .drop("c")
+    }
+    inflate("events") { df =>
+      // 10x users, each copy keeping the original per-user history
+      // shape (timestamps unchanged) — the realistic "more users, same
+      // behavior" growth for per-user windows/joins
+      df.withColumn("event_id", col("event_id") * copies + col("c"))
+        .withColumn("user_id", col("user_id") * copies + col("c"))
         .drop("c")
     }
     inflate("embeddings") { df =>
