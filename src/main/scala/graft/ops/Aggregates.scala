@@ -65,6 +65,27 @@ object Aggregates {
       .orderBy(col("rf"), col("ls"))
   }
 
+  /** Hive's GROUPING__ID virtual column (the multi-bit mask, leftmost
+    * grouping column = most significant bit — Spark's grouping_id()
+    * and DuckDB's multi-arg GROUPING share the convention): the
+    * aggregation-level discriminator that tells rollup consumers WHICH
+    * grouping set a row belongs to without coalescing sentinel values
+    * into the keys. Null keys stay null; the deterministic total order
+    * pins NULLS FIRST explicitly on both engines (their defaults
+    * differ). */
+  val qAggGroupingId: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("g_rf"), col("g_ls"), col("cnt"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
   /** CUBE + per-column GROUPING indicator (cast to int on both engines). */
   val qAggCube: Q = (s, dir) => {
     val li = Tables(s, dir, "lineitem")
@@ -384,6 +405,7 @@ object Aggregates {
     "q1_pricing_summary" -> q1Pricing,
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_rollup" -> qAggRollup,
+    "q_agg_grouping_id" -> qAggGroupingId,
     "q_agg_cube" -> qAggCube,
     "q_agg_grouping_sets" -> qAggGroupingSets,
     "q_agg_stats" -> qAggStats,
@@ -511,6 +533,14 @@ object Aggregates {
              count(*) AS cnt
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY rf, ls""",
+    "q_agg_grouping_id" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+             CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+             count(*) AS cnt
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_agg_cube" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS rf,
              coalesce(l_linestatus, 'ALL') AS ls,
