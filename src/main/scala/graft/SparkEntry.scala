@@ -55,6 +55,7 @@ object SparkEntry {
     (CorpusOps22.queries, CorpusOps22.oracle),
     (CorpusOps23.queries, CorpusOps23.oracle),
     (CorpusOps24.queries, CorpusOps24.oracle),
+    (CorpusOps25.queries, CorpusOps25.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

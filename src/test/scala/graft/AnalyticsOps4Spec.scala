@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the r10 wave-9 operators: association-rule
+  * direction/bounds laws, the pigeonhole law of the mode, l-diversity
+  * floor bounds, and the curriculum interleave's per-source
+  * monotonicity (the law the bucketed-rank decomposition must
+  * preserve). */
+class AnalyticsOps4Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("association rules: bounds, no self-rules, direction asymmetry") {
+    val rows = q("q_basket_rules").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("antecedent") != r.getAs[Long]("consequent"))
+      val conf = r.getAs[Long]("conf_permille")
+      assert(conf >= 0L && conf <= 1000L, s"conf $conf")
+      assert(r.getAs[Long]("supp") >= 2L)
+      assert(r.getAs[Long]("lift_micro") >= 0L)
+    }
+    // lift is direction-symmetric: when both directions of a pair
+    // survive the top-20 cut, their lifts must agree exactly
+    val byPair = rows.groupBy(r => {
+      val a = r.getAs[Long]("antecedent"); val b = r.getAs[Long]("consequent")
+      (math.min(a, b), math.max(a, b))
+    })
+    byPair.values.filter(_.length == 2).foreach { pair =>
+      assert(pair(0).getAs[Long]("lift_micro") ==
+        pair(1).getAs[Long]("lift_micro"))
+      assert(pair(0).getAs[Long]("supp") == pair(1).getAs[Long]("supp"))
+    }
+  }
+
+  test("mode: pigeonhole law and share bound per group") {
+    val rows = q("q_agg_mode").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cnt = r.getAs[Long]("mode_cnt")
+      val nd = r.getAs[Long]("n_distinct")
+      val share = r.getAs[Long]("share_permille")
+      assert(share >= 0L && share <= 1000L)
+      // the most frequent value covers at least 1/n_distinct of rows
+      assert(cnt * nd * share >= 0)
+      assert(share * nd >= 1000L - nd, s"pigeonhole: $share * $nd")
+    }
+  }
+
+  test("l-diversity: majority floor and gate consistency") {
+    val rows = q("q_privacy_ldiversity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l_distinct")
+      val p = r.getAs[Long]("majority_permille")
+      assert(l >= 1L && p <= 1000L)
+      // floor(1000*max/n) with max*l >= n  =>  p*l >= 1000 - l
+      assert(p * l >= 1000L - l, s"majority floor: p=$p l=$l")
+      assert(r.getAs[Boolean]("is_diverse") == (l >= 2 && p <= 800))
+    }
+  }
+
+  test("curriculum: rounds contiguous per source, scores non-increasing") {
+    val rows = q("q_curriculum_order").collect()
+    assert(rows.length == 100)
+    // (round, source) unique
+    assert(rows.map(r => (r.getAs[Long]("round"),
+      r.getAs[String]("source"))).distinct.length == 100)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("round"))
+      // rounds start at 1 and are contiguous (the interleave serves
+      // every source's r-th doc before any source's (r+1)-th)
+      assert(sorted.head.getAs[Long]("round") == 1L, s"$src first round")
+      sorted.map(_.getAs[Long]("round")).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b == a + 1, s"$src gap $a->$b")
+        case _ =>
+      }
+      // curriculum = best-first within each source
+      sorted.map(_.getAs[Long]("score_milli")).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b <= a, s"$src score rise $a->$b")
+        case _ =>
+      }
+    }
+  }
+}
