@@ -56,6 +56,7 @@ object SparkEntry {
     (CorpusOps23.queries, CorpusOps23.oracle),
     (CorpusOps24.queries, CorpusOps24.oracle),
     (CorpusOps25.queries, CorpusOps25.oracle),
+    (CorpusOps26.queries, CorpusOps26.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

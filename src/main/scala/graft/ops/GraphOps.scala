@@ -96,7 +96,7 @@ object GraphOps {
     * peeling. The lineitem self-join partial-aggregates on (u, v)
     * BEFORE the support filter — the market-basket prune that bounds
     * edge density at any corpus size. */
-  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+  private[ops] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     // distinct first: a part listed twice in one order must not count
     // as two co-orders (same edge definition as qBasketPairs)
@@ -323,7 +323,7 @@ object GraphOps {
 
   /** Shared oracle prefix: the deduped, support-pruned co-purchase
     * edge set (the SQL twin of [[copurchaseEdges]]). */
-  private val copurchaseCte = """
+  private[ops] val copurchaseCte = """
       WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       e0 AS (
         SELECT a.l_partkey AS u, b.l_partkey AS v

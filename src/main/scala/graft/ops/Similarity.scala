@@ -736,7 +736,7 @@ object Similarity {
     "q_sim_kmeans_step" -> qSimKmeansStep,
     "q_dedup_semantic" -> qDedupSemantic)
 
-  private val quantSql =
+  private[ops] val quantSql =
     "SELECT vec_id, r.i AS i, CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000000) AS BIGINT) AS v FROM embeddings, range(1, 65) r(i)"
 
   /** DuckDB replay of [[simIvfPqAt]] at one (nprobe, m, residual)

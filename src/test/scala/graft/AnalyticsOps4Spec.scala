@@ -62,6 +62,67 @@ class AnalyticsOps4Spec extends AnyFunSuite {
     }
   }
 
+  test("label propagation: labels are graph node ids, sizes positive") {
+    val rows = q("q_graph_labelprop").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("community")).distinct.length == rows.length)
+    // every label originates from a node id, and node ids are part keys
+    val parts = Tables(spark, sf, "lineitem")
+      .select("l_partkey").distinct().collect()
+      .map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(parts.contains(r.getAs[Long]("community")))
+      assert(r.getAs[Long]("n_nodes") >= 1L)
+      assert(parts.contains(r.getAs[Long]("min_node")))
+    }
+  }
+
+  test("double exponential smoothing: Brown identities and cold start") {
+    val rows = q("q_ts_holt").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s1 = r.getAs[Long]("s1_milli"); val s2 = r.getAs[Long]("s2_milli")
+      assert(r.getAs[Long]("level_milli") == 2 * s1 - s2)
+      assert(r.getAs[Long]("trend_milli") == s1 - s2)
+      assert(r.getAs[Long]("forecast_milli") ==
+        r.getAs[Long]("level_milli") + r.getAs[Long]("trend_milli"))
+    }
+    // day 1: no lags, so S1 = y*1000 exactly and S2 = S1 (zero trend)
+    val first = rows.head
+    assert(first.getAs[Long]("s1_milli") == first.getAs[Long]("y") * 1000L)
+    assert(first.getAs[Long]("trend_milli") == 0L)
+  }
+
+  test("mips: 5 ranks per query, dot non-increasing, ranks positive") {
+    val rows = q("q_sim_mips").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("mips_rnk"))
+      assert(sorted.map(_.getAs[Long]("mips_rnk")).toSeq == (1L to 5L))
+      sorted.map(_.getAs[Long]("dot")).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b <= a, s"q$qid dot rise")
+        case _ =>
+      }
+      rs.foreach(r => assert(r.getAs[Long]("cos_rnk") >= 1L))
+    }
+  }
+
+  test("correlation matrix: 6 pairs, r2 within [0, 1e6], sign in range") {
+    val rows = q("q_corr_matrix").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val r2 = r.getAs[Long]("r2_micro")
+      // Cauchy-Schwarz: r^2 <= 1 exactly, in micro units
+      assert(r2 >= 0L && r2 <= 1000000L, s"r2 $r2")
+      assert(Set(-1L, 0L, 1L).contains(r.getAs[Long]("sign")))
+      // pairs follow the declared feature order (i < j), never self-pairs
+      val order = Seq("qty", "disc", "tax", "price_k")
+      assert(order.indexOf(r.getAs[String]("feat_x")) <
+        order.indexOf(r.getAs[String]("feat_y")))
+    }
+  }
+
   test("curriculum: rounds contiguous per source, scores non-increasing") {
     val rows = q("q_curriculum_order").collect()
     assert(rows.length == 100)
