@@ -77,7 +77,9 @@ object Bench {
     "q_url_domains",           // UDTF host parse + anti-join gate + rollup (r10)
     "q_dedup_containment",     // df-capped shingle containment pairs (r10)
     "q_corr_spearman",         // double bucket-offset global rank pass (r10)
-    "q_join_asof_custom")      // native sort-merge as-of operator (r10)
+    "q_join_asof_custom",      // native sort-merge as-of operator (r10)
+    "q_graph_labelprop",       // 3-round synchronized LPA join loop (r10)
+    "q_basket_rules")          // directed confidence/lift rule mining (r10)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

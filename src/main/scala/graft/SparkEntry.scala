@@ -57,6 +57,7 @@ object SparkEntry {
     (CorpusOps24.queries, CorpusOps24.oracle),
     (CorpusOps25.queries, CorpusOps25.oracle),
     (CorpusOps26.queries, CorpusOps26.oracle),
+    (CorpusOps27.queries, CorpusOps27.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -123,6 +123,50 @@ class AnalyticsOps4Spec extends AnyFunSuite {
     }
   }
 
+  test("upsample plan: cap respected, deficit only from the cap") {
+    val rows = q("q_mix_upsample").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val repeat = r.getAs[Long]("repeat_milli")
+      val capped = r.getAs[Long]("capped_milli")
+      val tokens = r.getAs[Long]("tokens")
+      assert(capped <= 4000L && capped <= repeat && capped >= 0L)
+      assert(r.getAs[Long]("effective_tokens") <= tokens * 4)
+      val deficit = r.getAs[Long]("deficit_tokens")
+      assert(deficit >= 0L)
+      // uncapped sources only miss their target by fixed-point rounding
+      if (capped < 4000L)
+        assert(deficit <= tokens / 1000L + 2L, s"deficit $deficit")
+    }
+  }
+
+  test("modularity: degree-mass law per community, bounded total") {
+    val rows = q("q_graph_modularity").collect()
+    val total = rows.filter(_.getAs[Long]("community") == -1L)
+    assert(total.length == 1)
+    // Q is bounded in [-1/2, 1); milli units with per-community floor slack
+    val qm = total.head.getAs[Long]("q_milli")
+    assert(qm >= -1000L && qm <= 1000L, s"total modularity $qm")
+    rows.filter(_.getAs[Long]("community") != -1L).foreach { r =>
+      // 2*e_c <= d_c: intra edges count twice in the degree mass
+      assert(2 * r.getAs[Long]("e_in") <= r.getAs[Long]("d_sum"))
+      assert(r.getAs[Long]("n_nodes") >= 1L)
+    }
+  }
+
+  test("welch t-test: t2 non-negative, df within classical bounds") {
+    val r = q("q_stats_ttest").collect().head
+    val n1 = r.getAs[Long]("n1"); val n0 = r.getAs[Long]("n0")
+    assert(n1 > 1L && n0 > 1L)
+    assert(r.getAs[Double]("t2") >= 0.0)
+    val df = r.getAs[Double]("welch_df")
+    assert(df >= math.min(n1, n0) - 1.0 - 1e-9, s"df $df")
+    assert(df <= n1 + n0 - 2.0 + 1e-9, s"df $df")
+    // the split covers the whole corpus
+    val docs = Tables(spark, sf, "documents").count()
+    assert(n1 + n0 == docs)
+  }
+
   test("curriculum: rounds contiguous per source, scores non-increasing") {
     val rows = q("q_curriculum_order").collect()
     assert(rows.length == 100)

@@ -678,6 +678,23 @@ class PlanSpec extends AnyFunSuite {
       unpartitionedWindows("q_corr_spearman"))
   }
 
+  test("curriculum order: per-source ranks decompose — no unpartitioned window") {
+    assert(unpartitionedWindows("q_curriculum_order").isEmpty,
+      unpartitionedWindows("q_curriculum_order"))
+  }
+
+  test("label propagation: round joins are never cartesian") {
+    val p = plan("q_graph_labelprop")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(!p.toLowerCase.contains("broadcastnestedloop"), p)
+  }
+
+  test("association rules: counts broadcast onto the pruned rule table") {
+    val p = plan("q_basket_rules")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
   test("ppjoin: prefix-filter candidates, never a cartesian pair scan") {
     val p = plan("q_dedup_ppjoin")
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
