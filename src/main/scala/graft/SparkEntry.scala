@@ -58,6 +58,7 @@ object SparkEntry {
     (CorpusOps25.queries, CorpusOps25.oracle),
     (CorpusOps26.queries, CorpusOps26.oracle),
     (CorpusOps27.queries, CorpusOps27.oracle),
+    (CorpusOps28.queries, CorpusOps28.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

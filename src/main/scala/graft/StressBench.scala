@@ -40,7 +40,7 @@ object StressBench {
   val heavy: Seq[String] = Seq(
     "q_dedup_components", "q_rec_itemcos", "q_basket_pairs",
     "q_join_fuzzy", "q_emb_gram", "q_dedup_semantic", "q_dedup_ppjoin",
-    "q_join_asof", "q_join_asof_custom")
+    "q_join_asof", "q_join_asof_custom", "q_graph_labelprop")
 
   def build(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {

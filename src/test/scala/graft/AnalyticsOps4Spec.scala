@@ -167,6 +167,31 @@ class AnalyticsOps4Spec extends AnyFunSuite {
     assert(n1 + n0 == docs)
   }
 
+  test("filter venn: masks decode to the flag columns, mass conserved") {
+    val rows = q("q_filter_venn").collect()
+    assert(rows.map(_.getAs[Long]("mask")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val mask = r.getAs[Long]("mask")
+      assert(((mask & 1) == 1) == r.getAs[Boolean]("f_len"))
+      assert(((mask & 2) == 2) == r.getAs[Boolean]("f_lang"))
+      assert(((mask & 4) == 4) == r.getAs[Boolean]("f_score"))
+      assert(((mask & 8) == 8) == r.getAs[Boolean]("f_ttr"))
+    }
+    // every doc lands in exactly one combination
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables(spark, sf, "documents").count())
+  }
+
+  test("bootstrap: interval ordered and covers both means") {
+    val r = q("q_stats_bootstrap").collect().head
+    val lo = r.getAs[Long]("ci_lo_milli"); val hi = r.getAs[Long]("ci_hi_milli")
+    assert(lo <= hi)
+    assert(lo <= r.getAs[Long]("boot_mean_milli") &&
+      r.getAs[Long]("boot_mean_milli") <= hi)
+    assert(lo <= r.getAs[Long]("obs_mean_milli") &&
+      r.getAs[Long]("obs_mean_milli") <= hi)
+  }
+
   test("curriculum: rounds contiguous per source, scores non-increasing") {
     val rows = q("q_curriculum_order").collect()
     assert(rows.length == 100)
