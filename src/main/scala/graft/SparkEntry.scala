@@ -59,6 +59,7 @@ object SparkEntry {
     (CorpusOps26.queries, CorpusOps26.oracle),
     (CorpusOps27.queries, CorpusOps27.oracle),
     (CorpusOps28.queries, CorpusOps28.oracle),
+    (CorpusOps29.queries, CorpusOps29.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -192,6 +192,53 @@ class AnalyticsOps4Spec extends AnyFunSuite {
       r.getAs[Long]("obs_mean_milli") <= hi)
   }
 
+  test("matryoshka: hit counts are subsets of a 5-list") {
+    val rows = q("q_emb_matryoshka").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val h16 = r.getAs[Long]("hits16"); val h32 = r.getAs[Long]("hits32")
+      assert(h16 >= 0L && h16 <= 5L)
+      assert(h32 >= 0L && h32 <= 5L)
+    }
+  }
+
+  test("as-of tolerance: gate nulls stale matches, agrees with plain as-of") {
+    val tol = q("q_join_asof_tol").collect()
+    tol.foreach { r =>
+      val pid = Option(r.getAs[Any]("pid_tol"))
+      val wait = Option(r.getAs[Any]("wait_us"))
+      assert(pid.isDefined == wait.isDefined)
+      wait.foreach(w =>
+        assert(w.asInstanceOf[Long] >= 0L &&
+          w.asInstanceOf[Long] <= 3600000000L))
+    }
+    // wherever the tolerance matched, it matched the SAME purchase the
+    // unbounded as-of found (the gate only ever removes, never rewires)
+    val plain = q("q_join_asof").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id")) ->
+        Option(r.getAs[Any]("asof_pid"))).toMap
+    tol.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"))
+      Option(r.getAs[Any]("pid_tol")).foreach { p =>
+        assert(plain(key).contains(p), s"rewired match at $key")
+      }
+    }
+  }
+
+  test("twap: bounded by the observed value range") {
+    val rows = q("q_ts_twap").collect()
+    assert(rows.nonEmpty)
+    val mm = Tables(spark, sf, "events")
+      .selectExpr("min(CAST(round(value * 1e6) AS BIGINT)) lo",
+        "max(CAST(round(value * 1e6) AS BIGINT)) hi").collect().head
+    rows.foreach { r =>
+      val t = r.getAs[Long]("twap_micro")
+      assert(t >= mm.getAs[Long]("lo") && t <= mm.getAs[Long]("hi"),
+        s"twap $t outside value range")
+      assert(r.getAs[Long]("span_us") > 0L)
+    }
+  }
+
   test("curriculum: rounds contiguous per source, scores non-increasing") {
     val rows = q("q_curriculum_order").collect()
     assert(rows.length == 100)
