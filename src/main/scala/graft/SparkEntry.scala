@@ -60,6 +60,7 @@ object SparkEntry {
     (CorpusOps27.queries, CorpusOps27.oracle),
     (CorpusOps28.queries, CorpusOps28.oracle),
     (CorpusOps29.queries, CorpusOps29.oracle),
+    (CorpusOps30.queries, CorpusOps30.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

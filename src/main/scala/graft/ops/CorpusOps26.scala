@@ -30,7 +30,13 @@ object CorpusOps26 {
     * plus two partial-aggregable hash aggregates ((node, label) counts,
     * then a max(struct) arg-max per node) — no windows, no driver-side
     * state; the fixed round count keeps lineage depth constant. */
-  val qGraphLabelprop: Q = (s, dir) => {
+  /** The shared 3-round synchronized LPA pass: persisted directed
+    * edges (u < v), persisted undirected edges, and the final label
+    * table — reused by q_graph_labelprop, q_graph_modularity and
+    * q_graph_conductance so the loop exists ONCE. */
+  private[ops] def lpa3(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     val e0 = graft.CacheScope.track(
       GraphOps.copurchaseEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK))
     val und = graft.CacheScope.track(
@@ -47,6 +53,11 @@ object CorpusOps26 {
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("mx"))
         .select(col("u").as("node"), (-col("mx.neg")).as("label"))
     }
+    (e0, und, labels)
+  }
+
+  val qGraphLabelprop: Q = (s, dir) => {
+    val (_, _, labels) = lpa3(s, dir)
     labels.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
       .orderBy(col("n_nodes").desc, col("community"))

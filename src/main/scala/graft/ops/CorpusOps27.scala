@@ -65,22 +65,7 @@ object CorpusOps27 {
     * the label table (both endpoints) plus community-level
     * aggregates. */
   val qGraphModularity: Q = (s, dir) => {
-    val e0 = graft.CacheScope.track(
-      GraphOps.copurchaseEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK))
-    val und = graft.CacheScope.track(
-      e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    var labels = und.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-    for (_ <- 1 to 3) {
-      val nbr = und.join(labels.select(col("node").as("v"), col("label")),
-        Seq("v"))
-      labels = nbr.groupBy(col("u"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("u"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("mx"))
-        .select(col("u").as("node"), (-col("mx.neg")).as("label"))
-    }
+    val (e0, und, labels) = CorpusOps26.lpa3(s, dir)
     val lab = graft.CacheScope.track(
       labels.persist(StorageLevel.MEMORY_AND_DISK))
     val m = e0.agg(count(lit(1)).as("m"))
@@ -159,7 +144,7 @@ object CorpusOps27 {
     "q_graph_modularity" -> qGraphModularity,
     "q_stats_ttest" -> qStatsTtest)
 
-  private val lpaRoundsSql = GraphOps.copurchaseCte + """,
+  private[ops] val lpaRoundsSql = GraphOps.copurchaseCte + """,
       und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
       l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
       r1 AS (SELECT u AS node, label FROM (

@@ -239,6 +239,40 @@ class AnalyticsOps4Spec extends AnyFunSuite {
     }
   }
 
+  test("regr battery: r2 in [0,1], counts conserve") {
+    val rows = q("q_agg_regr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2")
+      assert(r.getAs[Long]("n") > 0L)
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables(spark, sf, "lineitem").count())
+  }
+
+  test("conductance: phi in [0,1000], cut within volume") {
+    val rows = q("q_graph_conductance").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val phi = r.getAs[Long]("phi_milli")
+      assert(phi >= 0L && phi <= 1000L, s"phi $phi")
+      val cut = r.getAs[Long]("cut")
+      assert(cut >= 0L && cut <= r.getAs[Long]("vol"))
+    }
+  }
+
+  test("markov evolution: mass conserved within truncation slack") {
+    val rows = q("q_path_stationary").collect()
+    val init = rows.length * 1000000L
+    for (c <- Seq("pi1_micro", "pi2_micro", "pi3_micro")) {
+      val mass = rows.map(_.getAs[Long](c)).sum
+      assert(mass <= init, s"$c mass $mass above initial")
+      assert(mass >= init * 95 / 100, s"$c mass $mass lost >5%")
+      rows.foreach(r => assert(r.getAs[Long](c) >= 0L))
+    }
+  }
+
   test("curriculum: rounds contiguous per source, scores non-increasing") {
     val rows = q("q_curriculum_order").collect()
     assert(rows.length == 100)
