@@ -61,6 +61,7 @@ object SparkEntry {
     (CorpusOps28.queries, CorpusOps28.oracle),
     (CorpusOps29.queries, CorpusOps29.oracle),
     (CorpusOps30.queries, CorpusOps30.oracle),
+    (CorpusOps31.queries, CorpusOps31.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -273,6 +273,44 @@ class AnalyticsOps4Spec extends AnyFunSuite {
     }
   }
 
+  test("burstiness: VMR floor, df respected") {
+    val rows = q("q_text_burstiness").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      // VMR >= the Poisson floor is not guaranteed (underdispersion
+      // exists), but it is never negative and df/tf are consistent
+      assert(r.getAs[Long]("vmr_milli") >= 0L)
+      assert(r.getAs[Long]("df") >= 5L)
+      assert(r.getAs[Long]("tf") >= r.getAs[Long]("df"))
+    }
+  }
+
+  test("hubness: occurrence mass equals the retrieved-list mass") {
+    val rows = q("q_emb_hubness").collect()
+    val nVecs = Tables(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == nVecs)
+    // total occurrences = 5 per sampled query
+    val mass = rows.map(r =>
+      r.getAs[Long]("occ") * r.getAs[Long]("n_vectors")).sum
+    val nQueries = Tables(spark, sf, "embeddings")
+      .filter("vec_id % 10 = 0").count()
+    assert(mass == nQueries * 5)
+  }
+
+  test("iqr outliers: fences ordered, outlier mass bounded") {
+    val rows = q("q_dq_iqr_outliers").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fence_lo") <= r.getAs[Double]("q1"))
+      assert(r.getAs[Double]("q1") <= r.getAs[Double]("q3"))
+      assert(r.getAs[Double]("q3") <= r.getAs[Double]("fence_hi"))
+      val n = r.getAs[Long]("n")
+      // each tail holds at most a quarter of the mass by construction
+      assert(r.getAs[Long]("n_below") <= n / 4 + 1)
+      assert(r.getAs[Long]("n_above") <= n / 4 + 1)
+    }
+  }
+
   test("curriculum: rounds contiguous per source, scores non-increasing") {
     val rows = q("q_curriculum_order").collect()
     assert(rows.length == 100)
