@@ -62,6 +62,7 @@ object SparkEntry {
     (CorpusOps29.queries, CorpusOps29.oracle),
     (CorpusOps30.queries, CorpusOps30.oracle),
     (CorpusOps31.queries, CorpusOps31.oracle),
+    (CorpusOps32.queries, CorpusOps32.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

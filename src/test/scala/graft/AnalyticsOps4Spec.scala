@@ -311,6 +311,27 @@ class AnalyticsOps4Spec extends AnyFunSuite {
     }
   }
 
+  test("srm: both designs audited, chi2 consistent with the flag") {
+    val rows = q("q_ab_srm").collect()
+    assert(rows.map(_.getAs[String]("scenario")).sorted.toSeq ==
+      Seq("ab_50_50", "holdout_90_10"))
+    val users = Tables(spark, sf, "events")
+      .select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users)
+      val chi2 = r.getAs[Long]("chi2_micro")
+      assert(chi2 >= 0L)
+      assert(r.getAs[Boolean]("srm_detected") == (chi2 > 3841000L))
+    }
+  }
+
+  test("assortativity: correlation bounded, edge ends even") {
+    val r = q("q_graph_assortativity").collect().head
+    val rm = r.getAs[Long]("r_milli")
+    assert(rm >= -1000L && rm <= 1000L, s"r_milli $rm")
+    assert(r.getAs[Long]("edge_ends") % 2 == 0L)
+  }
+
   test("curriculum: rounds contiguous per source, scores non-increasing") {
     val rows = q("q_curriculum_order").collect()
     assert(rows.length == 100)

@@ -816,4 +816,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch,
       s"stream ${streamed.take(3)} != batch ${batch.take(3)}")
   }
+
+  test("streaming TWAP intervals (fMGWS last-event state) == batch q_ts_twap") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // The stateful part of a streaming TWAP is carrying each user's
+    // LAST (ts, value) across micro-batch boundaries so the holding
+    // interval closes when the next event arrives — O(1) state per
+    // key. Replay in 3 time slices so that carry is genuinely tested;
+    // the final Σv·Δt/ΣΔt runs the batch operator's own DECIMAL(38,0)
+    // aggregation over the streamed interval rows.
+    val dir = Files.createTempDirectory("twap_replay").toFile
+    dir.deleteOnExit()
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 1e6).cast("long").as("vm"))
+    for ((lo, hi, i) <- Seq(("2024-01-01", "2024-01-11", 1),
+        ("2024-01-11", "2024-01-21", 2), ("2024-01-21", "2024-02-01", 3))) {
+      ev.filter(col("ts_us") >= unix_micros(lit(lo).cast("timestamp")) &&
+          col("ts_us") < unix_micros(lit(hi).cast("timestamp")))
+        .coalesce(1).write.parquet(s"$dir/b$i")
+      Thread.sleep(1100)
+    }
+    val intervals = spark.readStream
+      .schema(ev.schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/b*")
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        // state: (last ts_us, last vm) — each arriving event closes
+        // the previous event's holding interval
+        (uid: Long, rows: Iterator[(Long, Long, Long, Long)],
+         st: GroupState[(Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var prev = st.getOption
+          val out = sorted.flatMap { case (_, _, ts, vm) =>
+            val iv = prev.map { case (pts, pvm) => (uid, pvm, ts - pts) }
+            prev = Some((ts, vm))
+            iv
+          }
+          prev.foreach(st.update)
+          out.iterator
+      }.toDF("user_id", "vm", "dt_us")
+    val q = intervals.writeStream.format("memory").queryName("t_twap")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_twap")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).as("span_us"),
+        sum(expr("CAST(vm AS DECIMAL(38, 0)) * dt_us")).as("vdt"))
+      .select(col("user_id"), col("n_intervals"), col("span_us"),
+        expr("CAST(vdt div span_us AS BIGINT)").as("twap_micro"))
+      .orderBy(col("user_id")).collect().toSeq
+    val batch = ops.CorpusOps29.qTsTwap(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} users != batch ${batch.size}")
+  }
 }
