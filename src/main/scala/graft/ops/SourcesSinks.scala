@@ -231,6 +231,24 @@ object SourcesSinks {
       .orderBy(col("bucket"))
   }
 
+  /** DSv2 COMPLETE aggregate pushdown (SupportsPushDownAggregates —
+    * the `PushedAggregates` tier JDBC storage handlers ride):
+    * COUNT(*) / MIN / MAX grouped by bucket over a filtered id range
+    * are answered by the source from closed-form range arithmetic —
+    * zero rows materialized, no exchange, no HashAggregate in the
+    * plan (pinned in DataSourceV2Spec). The 100 TB reading: an
+    * aggregate a storage handler can answer never ships rows. */
+  val qSrcDsv2Agg: Q = (s, _) => {
+    s.read.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "100000").option("partitions", "8").load()
+      .filter(col("doc_id") >= 1000 && col("doc_id") < 90000)
+      .groupBy(col("bucket"))
+      .agg(expr("count(*)").as("cnt"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("bucket"))
+  }
+
   /** SequenceFile round trip [hive: ql/src/java/org/apache/hadoop/hive/ql/
     * io/HiveSequenceFileOutputFormat.java]: Hadoop's KV container, written
     * and re-read through Spark core's native SequenceFile support
@@ -315,6 +333,7 @@ object SourcesSinks {
     "q_src_regex" -> qSrcRegex,
     "q_src_seqfile" -> qSrcSeqFile,
     "q_src_dsv2" -> qSrcDsv2,
+    "q_src_dsv2_agg" -> qSrcDsv2Agg,
     "q_src_csv" -> qSrcCsv,
     "q_src_json" -> qSrcJson,
     "q_src_orc" -> qSrcOrc,
@@ -344,6 +363,10 @@ object SourcesSinks {
         CAST(sum(length(p_name)) AS BIGINT) AS sum_len,
         min(p_partkey) AS min_key
       FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q_src_dsv2_agg" -> """
+      SELECT CAST(range % 10 AS INT) AS bucket,
+        count(*) AS cnt, min(range) AS min_id, max(range) AS max_id
+      FROM range(1000, 90000) GROUP BY 1 ORDER BY 1""",
     "q_src_dsv2" -> """
       WITH t AS (
         SELECT range AS id, CAST(range % 10 AS INT) AS bucket,

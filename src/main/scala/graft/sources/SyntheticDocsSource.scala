@@ -5,8 +5,10 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -69,11 +71,53 @@ private class SyntheticDocsTable(rows: Long, partitions: Int)
 
 private class SyntheticDocsScanBuilder(rows: Long, partitions: Int)
   extends ScanBuilder
-  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SyntheticDocs.schema
+  private var aggSpec: Option[(Boolean, Seq[String])] = None
+
+  /** COMPLETE aggregate pushdown (the DSv2 tier JDBC sources use for
+    * `PushedAggregates`): COUNT(*) / MIN(doc_id) / MAX(doc_id),
+    * optionally grouped by `bucket`, are all CLOSED-FORM over the
+    * pushed [lo, hi) id range — the scan answers the aggregate from
+    * integer arithmetic without materializing a single row, the
+    * whole point of pushing aggregation into a storage handler.
+    * Parse result: (groupedByBucket, agg column tags in order). */
+  private def isRef(e: org.apache.spark.sql.connector.expressions.Expression,
+      name: String): Boolean = e match {
+    case r: NamedReference => r.fieldNames().sameElements(Array(name))
+    case _ => false
+  }
+
+  private def parse(agg: Aggregation): Option[(Boolean, Seq[String])] = {
+    val grouped = agg.groupByExpressions() match {
+      case Array() => Some(false)
+      case Array(r) if isRef(r, "bucket") => Some(true)
+      case _ => None
+    }
+    val cols = agg.aggregateExpressions().foldLeft(
+        Option(Seq.empty[String])) {
+      case (Some(acc), _: CountStar) => Some(acc :+ "count")
+      case (Some(acc), m: Min) if isRef(m.column(), "doc_id") =>
+        Some(acc :+ "min")
+      case (Some(acc), m: Max) if isRef(m.column(), "doc_id") =>
+        Some(acc :+ "max")
+      case _ => None
+    }
+    for (g <- grouped; c <- cols) yield (g, c)
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    parse(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    parse(agg) match {
+      case s @ Some(_) => aggSpec = s; true
+      case None => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -83,6 +127,11 @@ private class SyntheticDocsScanBuilder(rows: Long, partitions: Int)
       case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1); true
       case EqualTo("doc_id", v: Long) =>
         lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      // generated columns are never null: absorbing IsNotNull keeps the
+      // plan residual-free, which is what lets aggregate pushdown fire
+      // (Spark only pushes an Aggregate that sits DIRECTLY on the scan)
+      case IsNotNull("doc_id") | IsNotNull("bucket") | IsNotNull("text") =>
+        true
       case _ => false
     }
     pushed = accepted
@@ -91,8 +140,82 @@ private class SyntheticDocsScanBuilder(rows: Long, partitions: Int)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new SyntheticDocsScan(lo, math.max(lo, hi), partitions, required)
+  override def build(): Scan = aggSpec match {
+    case Some((grouped, cols)) =>
+      new SyntheticDocsAggScan(lo, math.max(lo, hi), grouped, cols)
+    case None =>
+      new SyntheticDocsScan(lo, math.max(lo, hi), partitions, required)
+  }
+}
+
+/** The aggregate-pushdown scan: ≤10 result rows from closed-form
+  * range arithmetic, ONE partition (complete pushdown must emit each
+  * group exactly once). Output columns: group key first (when
+  * grouped), then the aggregates in pushed order — the layout
+  * V2ScanRelationPushDown expects back. */
+private class SyntheticDocsAggScan(lo: Long, hi: Long, grouped: Boolean,
+    cols: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType = {
+    val base = if (grouped) new StructType().add("bucket", IntegerType)
+               else new StructType()
+    cols.foldLeft(base)((s, c) => s.add(c match {
+      case "count" => "count(*)"
+      case "min" => "min(doc_id)"
+      case "max" => "max(doc_id)"
+    }, LongType))
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticDocsAgg range=[$lo,$hi) grouped=$grouped aggs=${cols.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DocsRange(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    SyntheticDocsAggReaderFactory(grouped, cols)
+}
+
+/** Standalone serializable factory (the task closure must not drag the
+  * Scan along): computes the ≤10 closed-form result rows on the
+  * executor from the partition's [lo, hi) range alone. */
+private case class SyntheticDocsAggReaderFactory(grouped: Boolean,
+    cols: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[DocsRange]
+    val lo = r.lo; val hi = r.hi
+    val rows: Seq[InternalRow] =
+      if (hi <= lo) Seq.empty
+      else if (!grouped) {
+        Seq(InternalRow.fromSeq(cols.map {
+          case "count" => hi - lo
+          case "min" => lo
+          case "max" => hi - 1
+        }.toIndexedSeq))
+      } else {
+        (0 until 10).flatMap { b =>
+          // smallest/largest id in [lo, hi) with id % 10 == b
+          val mn = lo + (((b - lo) % 10 + 10) % 10)
+          if (mn >= hi) None
+          else {
+            val mx = (hi - 1) - ((((hi - 1 - b) % 10) + 10) % 10)
+            val cnt = (mx - mn) / 10 + 1
+            Some(InternalRow.fromSeq((b +: cols.map {
+              case "count" => cnt
+              case "min" => mn
+              case "max" => mx
+            }).toIndexedSeq))
+          }
+        }
+      }
+    new PartitionReader[InternalRow] {
+      private val it = rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        val has = it.hasNext; if (has) cur = it.next(); has
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private case class DocsRange(lo: Long, hi: Long) extends InputPartition

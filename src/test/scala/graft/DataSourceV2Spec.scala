@@ -34,6 +34,42 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(scanDesc(full).contains("text"), scanDesc(full))
   }
 
+  // aggregate plans carry an exchange, so AQE wraps them — read the
+  // scan out of the pre-adaptive sparkPlan instead of executedPlan
+  private def aggScanDesc(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.sparkPlan.collectLeaves().collect {
+      case b: BatchScanExec => b.scan.description()
+    }.mkString("; ")
+
+  test("complete aggregate pushdown: no HashAggregate, closed-form answer") {
+    val df = docs(100000).filter(col("doc_id") >= 1000 &&
+        col("doc_id") < 90000)
+      .groupBy(col("bucket"))
+      .agg(org.apache.spark.sql.functions.expr("count(*)").as("cnt"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(aggScanDesc(df).contains("SyntheticDocsAgg"), aggScanDesc(df))
+    assert(aggScanDesc(df).contains("range=[1000,90000)"), aggScanDesc(df))
+    assert(!plan.contains("HashAggregate"), plan)
+    // closed form: bucket 0 ids are 1000..89990 step 10
+    val r0 = df.filter(col("bucket") === 0).collect().head
+    assert(r0.getAs[Long]("cnt") == 8900L)
+    assert(r0.getAs[Long]("min_id") == 1000L)
+    assert(r0.getAs[Long]("max_id") == 89990L)
+  }
+
+  test("aggregates the source cannot answer fall back to Spark's agg") {
+    // sum(length(text)) is not in the pushdown surface: the source
+    // must refuse and Spark must aggregate rows as usual
+    val df = docs().groupBy(col("bucket"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(col("text"))).as("s"))
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!aggScanDesc(df).contains("SyntheticDocsAgg"), aggScanDesc(df))
+    assert(df.count() == 10)
+  }
+
   test("filters the source cannot absorb are re-applied by Spark") {
     // a text predicate is rejected by pushFilters — Spark must keep a
     // Filter node above the scan and results must still be correct
