@@ -7,7 +7,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -72,12 +73,38 @@ private class SyntheticDocsTable(rows: Long, partitions: Int)
 private class SyntheticDocsScanBuilder(rows: Long, partitions: Int)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates with SupportsPushDownLimit
+  with SupportsPushDownTopN {
   private var lo = 0L
   private var hi = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SyntheticDocs.schema
   private var aggSpec: Option[(Boolean, Seq[String])] = None
+  private var reverse = false
+
+  /** LIMIT pushdown: generated ids are emitted in order, so LIMIT n
+    * over the (filtered) range is exactly the first n ids — shrink hi.
+    * Fully pushed (not partial): the range IS the result. */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit); true
+  }
+  override def isPartiallyPushed(): Boolean = false
+
+  /** TOP-N pushdown (ORDER BY doc_id [DESC] LIMIT n): ascending keeps
+    * the low end of the range, descending the high end with the scan
+    * emitting ids in reverse — either way n rows, no Sort in the
+    * plan. Only the natural doc_id ordering is answerable. */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
+    orders match {
+      case Array(o) if isRef(o.expression(), "doc_id") =>
+        if (o.direction() == SortDirection.ASCENDING) {
+          hi = math.min(hi, lo + limit)
+        } else {
+          lo = math.max(lo, hi - limit); reverse = true
+        }
+        true
+      case _ => false
+    }
 
   /** COMPLETE aggregate pushdown (the DSv2 tier JDBC sources use for
     * `PushedAggregates`): COUNT(*) / MIN(doc_id) / MAX(doc_id),
@@ -144,7 +171,8 @@ private class SyntheticDocsScanBuilder(rows: Long, partitions: Int)
     case Some((grouped, cols)) =>
       new SyntheticDocsAggScan(lo, math.max(lo, hi), grouped, cols)
     case None =>
-      new SyntheticDocsScan(lo, math.max(lo, hi), partitions, required)
+      new SyntheticDocsScan(lo, math.max(lo, hi), partitions, required,
+        reverse)
   }
 }
 
@@ -218,18 +246,35 @@ private case class SyntheticDocsAggReaderFactory(grouped: Boolean,
   }
 }
 
-private case class DocsRange(lo: Long, hi: Long) extends InputPartition
+private case class DocsRange(lo: Long, hi: Long, reverse: Boolean = false)
+  extends InputPartition
 
 private class SyntheticDocsScan(lo: Long, hi: Long, partitions: Int,
-    required: StructType) extends Scan with Batch {
+    required: StructType, reverse: Boolean = false)
+  extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"SyntheticDocs range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+    s"SyntheticDocs range=[$lo,$hi)${if (reverse) " desc" else ""} " +
+      s"cols=${required.fieldNames.mkString(",")}"
+  /** Exact statistics from the pushed range — what lets the planner
+    * broadcast a narrowed synthetic side without guessing. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(0L, hi - lo))
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(0L, hi - lo) * 32L)
+  }
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = hi - lo
-    val per = math.max(1L, (n + partitions - 1) / partitions)
-    (lo until hi by per).map(s => DocsRange(s, math.min(hi, s + per))).toArray
+    // a fully-pushed descending top-N must stream high-to-low from ONE
+    // partition so row order survives without a Sort node
+    if (reverse) Array(DocsRange(lo, hi, reverse = true))
+    else {
+      val n = hi - lo
+      val per = math.max(1L, (n + partitions - 1) / partitions)
+      (lo until hi by per).map(s => DocsRange(s, math.min(hi, s + per)))
+        .toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticDocsReaderFactory(required)
@@ -240,9 +285,13 @@ private class SyntheticDocsReaderFactory(required: StructType)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[DocsRange]
     new PartitionReader[InternalRow] {
-      private var id = r.lo - 1
+      private val step = if (r.reverse) -1L else 1L
+      private var id = if (r.reverse) r.hi else r.lo - 1
       private val fields = required.fieldNames
-      override def next(): Boolean = { id += 1; id < r.hi }
+      override def next(): Boolean = {
+        id += step
+        if (r.reverse) id >= r.lo else id < r.hi
+      }
       override def get(): InternalRow = {
         val values = fields.map {
           case "doc_id" => id

@@ -70,6 +70,31 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(df.count() == 10)
   }
 
+  test("limit pushdown shrinks the generated range, no rows discarded") {
+    val df = docs(100000).filter(col("doc_id") >= 500).limit(20)
+    // limit absorbed: range narrows to exactly 20 ids
+    assert(scanDesc(df).contains("range=[500,520)"), scanDesc(df))
+    assert(df.collect().map(_.getAs[Long]("doc_id")).toSeq ==
+      (500L until 520L))
+  }
+
+  test("descending top-N pushes: high end of range, no Sort in plan") {
+    val df = docs(100000).orderBy(col("doc_id").desc).limit(5)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(aggScanDesc(df).contains("range=[99995,100000) desc"),
+      aggScanDesc(df))
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("Sort "),
+      plan)
+    assert(df.collect().map(_.getAs[Long]("doc_id")).toSeq ==
+      Seq(99999L, 99998L, 99997L, 99996L, 99995L))
+  }
+
+  test("source reports exact range statistics to the planner") {
+    val df = docs(100000).filter(col("doc_id") < 64)
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(64)), stats)
+  }
+
   test("filters the source cannot absorb are re-applied by Spark") {
     // a text predicate is rejected by pushFilters — Spark must keep a
     // Filter node above the scan and results must still be correct
