@@ -63,6 +63,7 @@ object SparkEntry {
     (CorpusOps30.queries, CorpusOps30.oracle),
     (CorpusOps31.queries, CorpusOps31.oracle),
     (CorpusOps32.queries, CorpusOps32.oracle),
+    (CorpusOps33.queries, CorpusOps33.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

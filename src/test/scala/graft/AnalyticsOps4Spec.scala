@@ -332,6 +332,43 @@ class AnalyticsOps4Spec extends AnyFunSuite {
     assert(r.getAs[Long]("edge_ends") % 2 == 0L)
   }
 
+  test("kaplan-meier: survival non-increasing, risk set telescopes") {
+    val rows = q("q_surv_km").collect()
+    assert(rows.nonEmpty)
+    val total = Tables(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.head.getAs[Long]("n_risk") == total)
+    assert(rows.map(r => r.getAs[Long]("d_events") +
+      r.getAs[Long]("c_censored")).sum == total)
+    // risk set strictly shrinks along t; survival log never rises
+    var prevRisk = Long.MaxValue
+    var prevS = 0L // log2 S starts at 0 (S = 1)
+    rows.foreach { r =>
+      val risk = r.getAs[Long]("n_risk")
+      assert(risk < prevRisk || prevRisk == Long.MaxValue)
+      assert(risk > 0L)
+      prevRisk = risk
+      Option(r.getAs[Any]("s_log2_micro")).foreach { s =>
+        assert(s.asInstanceOf[Long] <= prevS,
+          s"survival rose at t=${r.getAs[Long]("t_days")}")
+        prevS = s.asInstanceOf[Long]
+      }
+    }
+  }
+
+  test("sax: 8 segments cover the day axis, quartile symbols balanced") {
+    val rows = q("q_ts_sax").collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("segment")).sorted.toSeq == (0L to 7L))
+    val nDays = Tables(spark, sf, "events")
+      .selectExpr("to_date(ts)").distinct().count()
+    assert(rows.map(_.getAs[Long]("days")).sum == nDays)
+    // equi-depth quartiles of 8 segments: each symbol exactly twice
+    val syms = rows.map(_.getAs[String]("symbol")).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(syms == Map("a" -> 2, "b" -> 2, "c" -> 2, "d" -> 2), syms)
+  }
+
   test("curriculum: rounds contiguous per source, scores non-increasing") {
     val rows = q("q_curriculum_order").collect()
     assert(rows.length == 100)
