@@ -1,0 +1,222 @@
+package graft.api
+
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.GraftFunctions
+import graft.ops.{Dedup, ScaleWindows}
+import org.apache.spark.sql.graft.PlanBridge
+
+import graft.plans.{AsOfJoinNode, AsOfJoinStrategy, GroupedTopKNode, GroupedTopKStrategy}
+
+/** The engine's PUBLIC operator API: the reusable, fixture-independent
+  * form of the flagship operators the `q_*` contract queries exercise.
+  * A user switching from the reference engine programs against THIS
+  * surface (plus plain Spark SQL / DataFrames and the
+  * [[graft.GraftExtensions]] session wiring); every method here is
+  * covered by GraftApiSpec against an independent formulation.
+  *
+  * Determinism and scale contracts match the query library: no
+  * unpartitioned row-scale windows, broadcasts for bounded sides,
+  * partial aggregation before shuffles, arithmetic exact where the
+  * operator's semantics allow it.
+  */
+object Graft {
+
+  /** AS-OF join through the native sort-merge operator
+    * ([[graft.plans.AsOfJoinExec]]): for every left row, the latest
+    * right row with `rightTime <= leftTime` on equal keys — kdb `aj`,
+    * DuckDB `ASOF JOIN` — at equi-join cost (co-partitioned exchange +
+    * external sort per side, O(1) merge state; no union-wide window).
+    * Right columns come back null when no match exists.
+    *
+    * @param tiebreak right-side column resolving equal-time candidates
+    *                 deterministically (highest such wins last). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    val s = left.sparkSession
+    if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def lAttr(n: String) = lPlan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"left column $n not found"))
+    def rAttr(n: String) = rPlan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"right column $n not found"))
+    PlanBridge.ofRows(s, AsOfJoinNode(lPlan, rPlan,
+      leftKeys = leftKeys.map(lAttr), rightKeys = rightKeys.map(rAttr),
+      leftTime = lAttr(leftTime), rightTime = rAttr(rightTime),
+      rightTiebreak = tiebreak.map(c => SortOrder(rAttr(c), Ascending))))
+  }
+
+  /** Top-k rows per group through the native
+    * [[graft.plans.GroupedTopKExec]] operator: bounded map-side
+    * k-heaps make the exchange carry at most k rows per (group,
+    * mapper) instead of the full table — the grouped-top-k shape a
+    * row_number window pays a full shuffle+sort for.
+    *
+    * @param order (column, ascending?) pairs, best row first. */
+  def groupedTopK(df: DataFrame, groupCols: Seq[String],
+      order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val s = df.sparkSession
+    if (!s.experimental.extraStrategies.contains(GroupedTopKStrategy)) {
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ GroupedTopKStrategy
+    }
+    val child = df.queryExecution.analyzed
+    def attr(n: String) = child.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found"))
+    PlanBridge.ofRows(s, GroupedTopKNode(
+      grouping = groupCols.map(attr),
+      ordering = order.map { case (c, asc) =>
+        SortOrder(attr(c), if (asc) Ascending else Descending) },
+      k = k, child = child))
+  }
+
+  /** Connected components by iterative min-label propagation with
+    * per-round localCheckpoint lineage cuts and a 1-row scalar
+    * convergence action — the q_dedup_components engine, generalized.
+    * Returns (`node`, `component`) where the component id is the
+    * smallest node id reachable. Fails loudly if the diameter exceeds
+    * the round cap. */
+  def connectedComponents(edges: DataFrame, src: String, dst: String)
+      : DataFrame =
+    Dedup.componentsOf(edges.select(col(src).as("da"), col(dst).as("db")))
+      .select(col("v").as("node"), col("l").as("component"))
+
+  /** MinHash-LSH near-duplicate candidate pairs over a text column:
+    * 3-token shingles → xxhash64 → a 32-hash MinHash sketch
+    * ([[graft.functions.MinHashAgg]]) → 16 bands × 2 rows; a pair
+    * collides when any band agrees, and the returned
+    * `est_jaccard_permille` is the sketch agreement rate. Never
+    * enumerates all pairs — the band equi-join is the only pair
+    * generator (Broder 1997; Leskovec-Rajaraman-Ullman ch. 3).
+    *
+    * @param threshold drop pairs whose estimate falls below this
+    *                  (permille). 0 keeps every banded candidate. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Int = 0): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val sh = docs
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("t"))
+      .select(col("__id"),
+        explode(array_distinct(when(size(col("t")) >= 3,
+          expr("""transform(sequence(1, size(t) - 2),
+                  i -> concat_ws(' ', element_at(t, i),
+                                 element_at(t, i + 1),
+                                 element_at(t, i + 2)))"""))
+          .otherwise(array()))).as("g"))
+    val sigs = graft.CacheScope.track(sh
+      .withColumn("th", xxhash64(col("g")))
+      .groupBy(col("__id"))
+      .agg(expr("minhash32(th)").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bands = sigs.select(col("__id"),
+      posexplode(expr(
+        """transform(sequence(0, 15),
+           b -> xxhash64(element_at(sig, b * 2 + 1),
+                         element_at(sig, b * 2 + 2)))""")))
+      .select(col("__id"), col("pos").as("band"), col("col").as("bh"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("__id").as("id_a"), col("sig").as("sa")), "id_a")
+      .join(sigs.select(col("__id").as("id_b"), col("sig").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"), expr(
+        """aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)),
+           0, (acc, v) -> acc + v) * 1000 div size(sa)""")
+        .as("est_jaccard_permille"))
+      .filter(col("est_jaccard_permille") >= threshold)
+  }
+
+  /** Gap-based sessionization: rows of one key more than `gapSeconds`
+    * apart start a new session. Returns the input plus `session_id`
+    * (1-based per key). One shuffle on the key; both windows ride the
+    * same per-key sort. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    df.withColumn("__prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("__new", when(col("__prev_us").isNull ||
+        unix_micros(col(tsCol)) - col("__prev_us") >
+          gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev_us", "__new")
+  }
+
+  /** Exact cosine top-k neighbors of each query vector over a
+    * candidate set (both frames: id column + Array[Float] vector
+    * column). Vectors micro-quantize to int64 so dot products are
+    * exact and the ranking bit-stable; the query side broadcasts and
+    * candidates stream (the 100 TB shape); per-query top-k lowers to
+    * WindowGroupLimit. */
+  def cosineTopK(candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(candidates.sparkSession)
+    def quant(df: DataFrame, id: String, v: String) = df.select(
+      col(idCol).as(id),
+      expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) " +
+        "* 1000000, 0) AS BIGINT))").as(v))
+      .withColumn(v + "_n2", call_function("dotq", col(v), col(v)))
+    val c = quant(candidates, "cand_id", "cv")
+    val q = quant(queries, "query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (call_function("dotq", col("qv"), col("cv")).cast("double") /
+          (sqrt(col("qv_n2").cast("double")) *
+           sqrt(col("cv_n2").cast("double")))).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Synchronized label propagation communities (min-label ties) —
+    * the q_graph_labelprop loop, generalized: returns (`node`,
+    * `community`) after `rounds` synchronized updates. Each round is
+    * one equi-join of the undirected edge list against the label
+    * table plus two partial-aggregable hash aggregates. */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col(src).as("u"), col(dst).as("v"))
+    val und = graft.CacheScope.track(
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var labels = und.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      labels = und
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("mx"))
+        .select(col("u").as("node"), (-col("mx.neg")).as("label"))
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
+  /** Scale-safe global ntile: the bucket-offset decomposition of
+    * [[graft.ops.ScaleWindows]] — no single-partition sort at any
+    * size. `bucket` must be coarse and monotone (same direction as
+    * `order`'s leading column). */
+  def globalNtile(df: DataFrame, k: Int, bucket: Column,
+      bucketDesc: Boolean, order: Seq[Column], out: String): DataFrame =
+    ScaleWindows.bucketedNtile(df, k, bucket, bucketDesc, order, out)
+
+  /** Scale-safe global row_number under the same contract. */
+  def globalRowNumber(df: DataFrame, bucket: Column, bucketDesc: Boolean,
+      order: Seq[Column], out: String): DataFrame =
+    ScaleWindows.bucketedRowNumber(df, bucket, bucketDesc, order, out)
+}

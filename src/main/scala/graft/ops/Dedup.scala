@@ -407,7 +407,7 @@ object Dedup {
     * Every per-round driver action is a 1-row scalar sum; lineage is
     * localCheckpoint-truncated per round with RDD-level block
     * release. */
-  private[ops] def componentsOf(
+  private[graft] def componentsOf(
       pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // unsorted pairs: a presentation ORDER BY would tax the edge fill
     // with a range exchange + global sort the iterative join never

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Graft
+
+/** The public operator API ([[graft.api.Graft]]) checked against
+  * independent formulations: the facade must agree with the window
+  * spelling (as-of, grouped top-k, cosine), the declared contract
+  * queries (label propagation), and hand-built truths (components,
+  * sessionize, minhash). */
+class GraftApiSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("asofJoin facade == tagged-union window formulation") {
+    val ev = Tables(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("pid"))
+    val api = Graft.asofJoin(clicks, buys,
+        Seq("user_id"), Seq("b_user"), "ts", "b_ts", Seq("pid"))
+      .select(col("user_id"), col("event_id").as("click_id"), col("pid"))
+      .orderBy(col("user_id"), col("click_id")).collect().toSeq
+    val window = SparkEntry.queries("q_join_asof")(spark, sf)
+      .select(col("user_id"), col("click_id"), col("asof_pid").as("pid"))
+      .orderBy(col("user_id"), col("click_id")).collect().toSeq
+    assert(api.nonEmpty && api == window)
+  }
+
+  test("groupedTopK facade == row_number window formulation") {
+    val li = Tables(spark, sf, "lineitem")
+    val api = Graft.groupedTopK(li, Seq("l_suppkey"),
+        Seq(("l_extendedprice", false), ("l_orderkey", true),
+          ("l_linenumber", true)), 3)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      .collect().toSeq
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+    val naive = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      .collect().toSeq
+    assert(api.nonEmpty && api == naive)
+  }
+
+  test("connectedComponents facade labels a known graph") {
+    import spark.implicits._
+    // chain 1-2-3, pair 10-11, isolated edge 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("s", "d")
+    val got = Graft.connectedComponents(edges, "s", "d").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
+      .toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("minhashPairs: exact duplicates collide at estimate 1000") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words that share no three gram at all here"
+    val docs = Seq((1L, text), (2L, text), (3L, other)).toDF("id", "body")
+    val pairs = Graft.minhashPairs(docs, "id", "body").collect()
+    CacheScope.release()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L)
+    assert(pairs.head.getAs[Long]("id_b") == 2L)
+    assert(pairs.head.getAs[Long]("est_jaccard_permille") == 1000L)
+  }
+
+  test("sessionize: gaps above the threshold split sessions") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 02:00:00"), // > 30 min gap → session 2
+      (2L, "2024-01-01 05:00:00"))
+      .toDF("uid", "t").withColumn("t", col("t").cast("timestamp"))
+    val got = Graft.sessionize(rows, "uid", "t", 1800)
+      .orderBy(col("uid"), col("t"))
+      .select(col("uid"), col("session_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("cosineTopK facade == q_sim_topk on the fixture embeddings") {
+    val emb = Tables(spark, sf, "embeddings")
+    val api = Graft.cosineTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+      .select(col("query_id"), col("cand_id"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val declared = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .select(col("qid"), col("neighbor"), col("rnk"))
+      .orderBy(col("qid"), col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(api.nonEmpty && api == declared)
+  }
+
+  test("labelPropagation facade == declared labelprop communities") {
+    // rebuild the support-pruned co-purchase edges independently
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+    val api = Graft.labelPropagation(edges, "u", "v", 3)
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy(col("n_nodes").desc, col("community")).limit(25)
+      .orderBy(col("community")).collect().toSeq
+    val declared = SparkEntry.queries("q_graph_labelprop")(spark, sf)
+      .collect().toSeq
+    CacheScope.release()
+    assert(api.nonEmpty && api == declared)
+  }
+}
