@@ -37,7 +37,8 @@ object Graft {
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
-      tiebreak: Seq[String] = Nil): DataFrame = {
+      tiebreak: Seq[String] = Nil,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val s = left.sparkSession
     if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       s.experimental.extraStrategies =
@@ -52,7 +53,8 @@ object Graft {
     PlanBridge.ofRows(s, AsOfJoinNode(lPlan, rPlan,
       leftKeys = leftKeys.map(lAttr), rightKeys = rightKeys.map(rAttr),
       leftTime = lAttr(leftTime), rightTime = rAttr(rightTime),
-      rightTiebreak = tiebreak.map(c => SortOrder(rAttr(c), Ascending))))
+      rightTiebreak = tiebreak.map(c => SortOrder(rAttr(c), Ascending)),
+      toleranceUs = toleranceUs))
   }
 
   /** Top-k rows per group through the native

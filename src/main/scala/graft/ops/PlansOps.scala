@@ -88,15 +88,38 @@ object PlansOps {
       .orderBy(col("user_id"), col("click_id"))
   }
 
+  /** The q_join_asof_tol semantics (1-hour staleness gate) executed by
+    * the native operator's tolerance parameter instead of the window
+    * formulation's carried-timestamp gate — same DuckDB oracle, so the
+    * operator extension is value-proven, not just spec'd. */
+  val qJoinAsofTolCustom: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("pid"))
+    graft.api.Graft.asofJoin(clicks, buys,
+        Seq("user_id"), Seq("b_user"), "ts", "b_ts", Seq("pid"),
+        toleranceUs = Some(3600000000L))
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("pid").as("pid_tol"),
+        (expr("unix_micros(ts)") - expr("unix_micros(b_ts)"))
+          .as("wait_us"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_topk_grouped_custom" -> qTopKGrouped,
     "q_join_asof_custom" -> qJoinAsofCustom,
+    "q_join_asof_tol_custom" -> qJoinAsofTolCustom,
     "q_results_cache_hit" -> qResultsCacheHit)
 
   val oracle: Map[String, String] = Map(
     // identical semantics and output contract as q_join_asof — the
     // custom operator must agree with the window formulation AND DuckDB
     "q_join_asof_custom" -> Joins.oracle("q_join_asof"),
+    "q_join_asof_tol_custom" -> CorpusOps29.oracle("q_join_asof_tol"),
     "q_topk_grouped_custom" -> """
       SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
       FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

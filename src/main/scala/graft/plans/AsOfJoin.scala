@@ -35,9 +35,14 @@ case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightTiebreak: Seq[SortOrder]) extends BinaryNode {
+    rightTiebreak: Seq[SortOrder],
+    toleranceUs: Option[Long] = None) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
+  require(toleranceUs.isEmpty || Seq(leftTime, rightTime).forall(t =>
+    t.dataType == org.apache.spark.sql.types.TimestampType ||
+      t.dataType == org.apache.spark.sql.types.LongType),
+    "as-of tolerance needs long-backed time columns (timestamp or long)")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -49,7 +54,8 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[SortOrder],
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    toleranceUs: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -102,12 +108,17 @@ case class AsOfJoinExec(
       var pendingTime: InternalRow = null
       var lastMatch: InternalRow = null
       var lastMatchKey: InternalRow = null
+      var lastMatchTime: InternalRow = null
+      // kdb-wj staleness gate, checked at emit time: lTime only grows
+      // within a key, so the arithmetic is one long compare per row
+      // (times are long-backed by the node's require)
+      val tol = toleranceUs.getOrElse(Long.MaxValue)
 
       lIter.map { l =>
         val lKey = lKeyProj(l)
         val lTime = lTimeProj(l).copy()
         if (lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) != 0) {
-          lastMatch = null; lastMatchKey = null
+          lastMatch = null; lastMatchKey = null; lastMatchTime = null
         }
         var advancing = true
         while (advancing) {
@@ -125,11 +136,15 @@ case class AsOfJoinExec(
               pending = null
             } else if (ck == 0 && timeOrd.compare(pendingTime, lTime) <= 0) {
               lastMatch = pending; lastMatchKey = pendingKey
+              lastMatchTime = pendingTime
               pending = null
             } else advancing = false
           }
         }
-        toUnsafe(joined(l, if (lastMatch == null) nullRight else lastMatch))
+        val fresh = lastMatch != null &&
+          (toleranceUs.isEmpty ||
+            lTime.getLong(0) - lastMatchTime.getLong(0) <= tol)
+        toUnsafe(joined(l, if (fresh) lastMatch else nullRight))
       }
     }
   }
@@ -141,8 +156,9 @@ case class AsOfJoinExec(
 /** Planner strategy: lower the logical as-of node to the exec. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, rtb) =>
-      AsOfJoinExec(lk, rk, lt, rt, rtb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, rtb, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, rtb, planLater(l), planLater(r),
+        tol) :: Nil
     case _ => Nil
   }
 }

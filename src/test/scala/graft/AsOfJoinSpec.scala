@@ -99,4 +99,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.filter(col("asof_pid").isNull).count() > 0,
       "fixture should contain clicks before any purchase")
   }
+
+  test("tolerance gate: boundary match kept, one microsecond past dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val left = Seq((1L, 10_000_000L, 100L), (1L, 10_000_001L, 101L))
+      .toDF("k", "t_us", "lid")
+      .withColumn("t", timestamp_micros(col("t_us"))).drop("t_us")
+    val right = Seq((1L, 5_000_000L, 900L))
+      .toDF("rk", "rt_us", "rid")
+      .withColumn("rt", timestamp_micros(col("rt_us"))).drop("rt_us")
+    // gap of left row 100 is exactly 5_000_000 us; row 101 is 1 us past
+    val got = api.Graft.asofJoin(left, right, Seq("k"), Seq("rk"),
+        "t", "rt", Seq("rid"), toleranceUs = Some(5_000_000L))
+      .orderBy(col("lid"))
+      .select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("rid")))).toSeq
+    assert(got == Seq((100L, Some(900L)), (101L, None)))
+  }
 }
