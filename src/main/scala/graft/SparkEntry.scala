@@ -64,6 +64,7 @@ object SparkEntry {
     (CorpusOps31.queries, CorpusOps31.oracle),
     (CorpusOps32.queries, CorpusOps32.oracle),
     (CorpusOps33.queries, CorpusOps33.oracle),
+    (CorpusOps34.queries, CorpusOps34.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -369,6 +369,30 @@ class AnalyticsOps4Spec extends AnyFunSuite {
     assert(syms == Map("a" -> 2, "b" -> 2, "c" -> 2, "d" -> 2), syms)
   }
 
+  test("compaction plan: bins conserve the manifest, fills bounded") {
+    val rows = q("q_layout_compaction").collect()
+    assert(rows.nonEmpty)
+    val totalRows = Tables(spark, sf, "lineitem").count()
+    assert(rows.map(_.getAs[Long]("rows")).sum == totalRows)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_files") >= 1L)
+      assert(r.getAs[String]("first_month") <= r.getAs[String]("last_month"))
+      // a bin only overflows by at most its last file
+      assert(r.getAs[Long]("fill_permille") >= 0L)
+    }
+  }
+
+  test("forward as-of: matches never precede the click") {
+    val fw = q("q_join_asof_forward").collect()
+    assert(fw.nonEmpty)
+    // consistency with the backward as-of: a click with BOTH a prior
+    // and a next purchase has next >= prior purchase id timestamps by
+    // construction — here just pin null-handling and row conservation
+    val clicks = Tables(spark, sf, "events")
+      .filter("event_type = 'click'").count()
+    assert(fw.length == clicks)
+  }
+
   test("curriculum: rounds contiguous per source, scores non-increasing") {
     val rows = q("q_curriculum_order").collect()
     assert(rows.length == 100)
