@@ -65,6 +65,7 @@ object SparkEntry {
     (CorpusOps32.queries, CorpusOps32.oracle),
     (CorpusOps33.queries, CorpusOps33.oracle),
     (CorpusOps34.queries, CorpusOps34.oracle),
+    (CorpusOps35.queries, CorpusOps35.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -393,6 +393,22 @@ class AnalyticsOps4Spec extends AnyFunSuite {
     assert(fw.length == clicks)
   }
 
+  test("not-in null trap: raw is zero, stripped agrees with not-exists") {
+    val r = q("q_subquery_not_in_null").collect().head
+    assert(r.getAs[Long]("cnt_raw") == 0L)
+    assert(r.getAs[Long]("cnt_stripped") == r.getAs[Long]("cnt_not_exists"))
+    assert(r.getAs[Long]("cnt_stripped") > 0L)
+  }
+
+  test("quantified comparisons: ALL is never beaten more than ANY") {
+    val rows = q("q_subquery_quantified").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("beats_all") <= r.getAs[Long]("beats_any"))
+      assert(r.getAs[Long]("beats_any") <= r.getAs[Long]("n_cust"))
+    }
+  }
+
   test("curriculum: rounds contiguous per source, scores non-increasing") {
     val rows = q("q_curriculum_order").collect()
     assert(rows.length == 100)
