@@ -66,6 +66,7 @@ object SparkEntry {
     (CorpusOps33.queries, CorpusOps33.oracle),
     (CorpusOps34.queries, CorpusOps34.oracle),
     (CorpusOps35.queries, CorpusOps35.oracle),
+    (CorpusOps36.queries, CorpusOps36.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

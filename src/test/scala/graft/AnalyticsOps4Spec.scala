@@ -409,6 +409,28 @@ class AnalyticsOps4Spec extends AnyFunSuite {
     }
   }
 
+  test("t-closeness: distance in [0,1000], gate consistent") {
+    val rows = q("q_privacy_tcloseness").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("t_permille")
+      assert(t >= 0L && t <= 1000L, s"t $t")
+      assert(r.getAs[Boolean]("is_close") == (t <= 300L))
+      assert(r.getAs[Long]("n_docs") >= 1L)
+    }
+  }
+
+  test("changepoint p-value: add-one bounds and arithmetic consistency") {
+    val r = q("q_ts_changepoint_pvalue").collect().head
+    assert(r.getAs[Long]("n_perms") == 50L)
+    val nGe = r.getAs[Long]("n_ge")
+    assert(nGe >= 0L && nGe <= 50L)
+    val p = r.getAs[Long]("p_permille")
+    assert(p == (nGe + 1) * 1000 / 51)
+    assert(p >= 19L && p <= 1000L) // add-one smoothing floor 1/51
+    assert(r.getAs[Long]("peak_obs") > 0L)
+  }
+
   test("curriculum: rounds contiguous per source, scores non-increasing") {
     val rows = q("q_curriculum_order").collect()
     assert(rows.length == 100)
