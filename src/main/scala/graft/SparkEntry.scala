@@ -67,6 +67,8 @@ object SparkEntry {
     (CorpusOps34.queries, CorpusOps34.oracle),
     (CorpusOps35.queries, CorpusOps35.oracle),
     (CorpusOps36.queries, CorpusOps36.oracle),
+    (GraphOps2.queries, GraphOps2.oracle),
+    (CorpusOps37.queries, CorpusOps37.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),
