@@ -69,6 +69,7 @@ object SparkEntry {
     (CorpusOps36.queries, CorpusOps36.oracle),
     (GraphOps2.queries, GraphOps2.oracle),
     (CorpusOps37.queries, CorpusOps37.oracle),
+    (CorpusOps38.queries, CorpusOps38.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),
