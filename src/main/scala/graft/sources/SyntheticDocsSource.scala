@@ -8,8 +8,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -50,6 +50,13 @@ object SyntheticDocs {
     "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
     "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
     "oscar", "papa")
+
+  /** Rows actually emitted by full scans since the last reset — the
+    * observability counter the runtime-filtering spec reads to prove
+    * pruning cut real scan volume (local-mode only: one JVM). Readers
+    * accumulate locally and add once on close, so the hot loop never
+    * touches shared state. */
+  val rowsEmitted = new java.util.concurrent.atomic.LongAdder
 
   def bucket(id: Long): Int = (id % 10).toInt
   def text(id: Long): String = {
@@ -246,12 +253,48 @@ private case class SyntheticDocsAggReaderFactory(grouped: Boolean,
   }
 }
 
-private case class DocsRange(lo: Long, hi: Long, reverse: Boolean = false)
+private case class DocsRange(lo: Long, hi: Long, reverse: Boolean = false,
+    allowed: Array[Long] = null)
   extends InputPartition
 
-private class SyntheticDocsScan(lo: Long, hi: Long, partitions: Int,
+private class SyntheticDocsScan(lo0: Long, hi0: Long, partitions: Int,
     required: StructType, reverse: Boolean = false)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
+  private var lo = lo0
+  private var hi = hi0
+  // runtime IN-set (null = none): ids outside it are skipped at read
+  // time, on top of the [lo, hi) range narrowing it implies
+  private var allowed: Array[Long] = null
+
+  /** Runtime (dynamic-pruning) filtering on the generated key: Spark's
+    * PartitionPruning rule treats these attributes as the source's
+    * partition columns, plants the build-side subquery, and calls
+    * [[filter]] with its values before input partitions are planned —
+    * the DSv2 analogue of Hive's dynamic partition pruning, here
+    * collapsing the generated id space to the join's live keys. */
+  override def filterAttributes(): Array[NamedReference] = Array(
+    org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("doc_id", vs) =>
+      val ids = vs.collect { case l: Long => l }.sorted
+      if (ids.nonEmpty) {
+        lo = math.max(lo, ids.head)
+        hi = math.min(hi, ids.last + 1)
+        // the set only pays for itself while it is small; the range
+        // bounds above are always safe
+        if (ids.length <= 100000) allowed = ids
+      } else { hi = lo }
+    case EqualTo("doc_id", v: Long) =>
+      lo = math.max(lo, v); hi = math.min(hi, v + 1)
+    case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1)
+    case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
+    case LessThan("doc_id", v: Long) => hi = math.min(hi, v)
+    case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1)
+    case _ => () // unknown runtime filters are advisory — ignore
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -268,11 +311,17 @@ private class SyntheticDocsScan(lo: Long, hi: Long, partitions: Int,
   override def planInputPartitions(): Array[InputPartition] = {
     // a fully-pushed descending top-N must stream high-to-low from ONE
     // partition so row order survives without a Sort node
-    if (reverse) Array(DocsRange(lo, hi, reverse = true))
+    if (hi <= lo) Array.empty
+    else if (reverse) Array(DocsRange(lo, hi, reverse = true, allowed))
     else {
       val n = hi - lo
       val per = math.max(1L, (n + partitions - 1) / partitions)
-      (lo until hi by per).map(s => DocsRange(s, math.min(hi, s + per)))
+      // the runtime IN-set rides the PARTITIONS, not the reader
+      // factory: BatchScanExec builds the factory during planning
+      // (supportsColumnar probing), BEFORE runtime filters arrive,
+      // while input partitions are re-planned after filter()
+      (lo until hi by per)
+        .map(s => DocsRange(s, math.min(hi, s + per), false, allowed))
         .toArray
     }
   }
@@ -288,11 +337,19 @@ private class SyntheticDocsReaderFactory(required: StructType)
       private val step = if (r.reverse) -1L else 1L
       private var id = if (r.reverse) r.hi else r.lo - 1
       private val fields = required.fieldNames
+      private var emitted = 0L
+      private val allowed = r.allowed
+      private def inRange: Boolean =
+        if (r.reverse) id >= r.lo else id < r.hi
       override def next(): Boolean = {
         id += step
-        if (r.reverse) id >= r.lo else id < r.hi
+        // runtime-filtered scan: hop over ids the join cannot match
+        while (inRange && allowed != null &&
+            java.util.Arrays.binarySearch(allowed, id) < 0) id += step
+        inRange
       }
       override def get(): InternalRow = {
+        emitted += 1
         val values = fields.map {
           case "doc_id" => id
           case "bucket" => SyntheticDocs.bucket(id)
@@ -300,7 +357,7 @@ private class SyntheticDocsReaderFactory(required: StructType)
         }
         InternalRow.fromSeq(values.toIndexedSeq)
       }
-      override def close(): Unit = ()
+      override def close(): Unit = SyntheticDocs.rowsEmitted.add(emitted)
     }
   }
 }

@@ -194,4 +194,38 @@ class DataSourceV2Spec extends AnyFunSuite {
       .csv(dir.getAbsolutePath + "/part-*")
     assert(back.filter(col("name") === "ω3").count() == 1L)
   }
+
+  test("runtime filtering: join build side prunes the generated scan") {
+    // DSv2 dynamic pruning (SupportsRuntimeFiltering): the dim side's
+    // filter keys flow into the scan at runtime, which then skips the
+    // non-matching generated ids entirely. Force the benefit heuristic
+    // on (the synthetic side reports exact stats, which the ratio
+    // check would otherwise weigh against a tiny build side).
+    val confs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"
+        -> "10.0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val total = 20000
+      val dim = spark.range(0, 2000)
+        .select(col("id").as("k"), (col("id") % 37).as("flag"))
+        .filter(col("flag") === 3) // ~54 live keys, known only at runtime
+      val joined = docs(total, 8).join(dim, col("doc_id") === col("k"))
+        .select(col("doc_id"), col("text"))
+      graft.sources.SyntheticDocs.rowsEmitted.reset()
+      val rows = joined.collect()
+      val emitted = graft.sources.SyntheticDocs.rowsEmitted.sum()
+      assert(rows.length == 54, s"join result ${rows.length}")
+      assert(rows.forall(_.getLong(0) % 37 == 3))
+      // without runtime filtering the scan generates all 20000 rows;
+      // with it, only the live keys (plus nothing else) materialize
+      assert(emitted <= 200,
+        s"runtime filter did not prune the scan: emitted $emitted")
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("dynamicpruning") ||
+        planStr.contains("RuntimeFilters"), planStr.take(800))
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
