@@ -70,6 +70,7 @@ object SparkEntry {
     (GraphOps2.queries, GraphOps2.oracle),
     (CorpusOps37.queries, CorpusOps37.oracle),
     (CorpusOps38.queries, CorpusOps38.oracle),
+    (CorpusOps39.queries, CorpusOps39.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),
