@@ -79,7 +79,10 @@ object Bench {
     "q_corr_spearman",         // double bucket-offset global rank pass (r10)
     "q_join_asof_custom",      // native sort-merge as-of operator (r10)
     "q_graph_labelprop",       // 3-round synchronized LPA join loop (r10)
-    "q_basket_rules")          // directed confidence/lift rule mining (r10)
+    "q_basket_rules",          // directed confidence/lift rule mining (r10)
+    "q_mix_dsir",              // hashed-unigram importance weighting (r10)
+    "q_eval_bradley_terry",    // pairwise tournament + 3 MM rounds (r10)
+    "q_graph_clustering")      // oriented wedge join + corner credit (r10)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

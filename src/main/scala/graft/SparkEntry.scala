@@ -71,6 +71,7 @@ object SparkEntry {
     (CorpusOps37.queries, CorpusOps37.oracle),
     (CorpusOps38.queries, CorpusOps38.oracle),
     (CorpusOps39.queries, CorpusOps39.oracle),
+    (CorpusOps40.queries, CorpusOps40.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -92,10 +92,19 @@ object CorpusOps39 {
           expr("""coalesce(CAST(w AS DECIMAL(38,0)) * 1000000000000
                   div nullif(denom, 0), 0)""").as("st0"))
       val tot = raw.agg(sum(col("st0")).as("tot"))
+      // Each MM step references `strength` three times (si, sj, and
+      // through tot), so without truncation the logical plan grows
+      // ~3^iterations and Catalyst re-analysis dominates wall clock
+      // (the q_dedup_components lesson, Dedup.scala:452-458).
+      // localCheckpoint keeps every step's plan constant-depth over
+      // the |sources|-row frame.
       strength = raw.crossJoin(broadcast(tot))
         .crossJoin(broadcast(nSrc))
         .select(col("source"),
           expr("st0 * (k * 1000000) div nullif(tot, 0)").as("st"))
+        .localCheckpoint()
+      graft.CacheScope.checkpointRdd(strength)
+        .foreach(graft.CacheScope.trackRdd)
     }
     full.groupBy(col("i").as("source"))
       .agg(sum(col("wins")).as("wins"), sum(col("wins_ji")).as("losses"))

@@ -875,4 +875,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch,
       s"streamed ${streamed.size} users != batch ${batch.size}")
   }
+
+  test("streaming Misra-Gries heavy hitters: bounded state, MG guarantee") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // Bounded-state heavy hitters across micro-batches: each of 8
+    // user-id shards keeps a Misra-Gries(k=32) summary (Misra & Gries
+    // 1982) PLUS its total decrement count D, carried by
+    // mapGroupsWithState. The MG theorem gives per-shard
+    //   0 <= true(u) - est(u) <= D  (est(u)=0 for evicted users) and
+    //   D <= N_shard/(k+1),
+    // asserted here against exact per-shard batch counts — the sketch
+    // analogue of the stream==batch twins, with the provable bound as
+    // the equality.
+    val k = 32
+    val dir = Files.createTempDirectory("mg_replay").toFile
+    dir.deleteOnExit()
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    for ((lo, hi, i) <- Seq(("2024-01-01", "2024-01-11", 1),
+        ("2024-01-11", "2024-01-21", 2), ("2024-01-21", "2024-02-01", 3))) {
+      ev.filter(col("ts_us") >= unix_micros(lit(lo).cast("timestamp")) &&
+          col("ts_us") < unix_micros(lit(hi).cast("timestamp")))
+        .coalesce(1).write.parquet(s"$dir/b$i")
+      Thread.sleep(1100)
+    }
+    val sketches = spark.readStream
+      .schema(ev.schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/b*")
+      .as[(Long, Long)]
+      .groupByKey(_._1 % 8)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[(Long, Long)],
+         st: GroupState[(Map[Long, Long], Long, Long)]) =>
+          var (m, d, batch) = st.getOption.getOrElse(
+            (Map.empty[Long, Long], 0L, 0L))
+          rows.foreach { case (uid, _) =>
+            if (m.contains(uid)) m = m.updated(uid, m(uid) + 1)
+            else if (m.size < k) m = m.updated(uid, 1L)
+            else { // decrement-all step: one unit off every counter
+              d += 1
+              m = m.map { case (u, c) => u -> (c - 1) }
+                .filter(_._2 > 0)
+            }
+          }
+          st.update((m, d, batch + 1))
+          (shard, batch + 1, d, m.toSeq)
+      }.toDF("shard", "batch", "d", "entries")
+    val q = sketches.writeStream.format("memory").queryName("t_mg")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    // keep each shard's LAST emission (the complete 3-batch sketch)
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("batch").desc)
+    val fin = spark.table("t_mg")
+      .withColumn("rk", row_number().over(wLast))
+      .filter(col("rk") === 1).drop("rk")
+      .collect()
+    assert(fin.length == 8, s"shards: ${fin.length}")
+    val truth = ev.groupBy((col("user_id") % 8).as("shard"), col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getAs[Long]("shard"))
+      .map { case (sh, rows) =>
+        sh -> rows.map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n"))
+          .toMap }
+    fin.foreach { r =>
+      val sh = r.getAs[Long]("shard")
+      val d = r.getAs[Long]("d")
+      val est = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("entries"))
+        .map(e => e.getLong(0) -> e.getLong(1)).toMap
+      val tr = truth(sh)
+      val nShard = tr.values.sum
+      assert(est.size <= k, s"state exceeded k: ${est.size}")
+      assert(d <= nShard / (k + 1),
+        s"decrements $d exceed N/(k+1)=${nShard / (k + 1)}")
+      tr.foreach { case (u, n) =>
+        val e = est.getOrElse(u, 0L)
+        assert(e <= n && n - e <= d,
+          s"MG bound violated for user $u: true $n est $e d $d")
+        if (n > d) assert(est.contains(u),
+          s"heavy hitter $u (true $n > d $d) evicted")
+      }
+    }
+  }
 }
