@@ -72,6 +72,7 @@ object SparkEntry {
     (CorpusOps38.queries, CorpusOps38.oracle),
     (CorpusOps39.queries, CorpusOps39.oracle),
     (CorpusOps40.queries, CorpusOps40.oracle),
+    (CorpusOps41.queries, CorpusOps41.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),
