@@ -161,9 +161,16 @@ object Graft {
     * column). Vectors micro-quantize to int64 so dot products are
     * exact and the ranking bit-stable; the query side broadcasts and
     * candidates stream (the 100 TB shape); per-query top-k lowers to
-    * WindowGroupLimit. */
+    * WindowGroupLimit.
+    *
+    * `excludeSelf` (default true) drops pairs whose ids are equal —
+    * correct when queries and candidates share one id space (the
+    * self-join shape). Pass `excludeSelf = false` when the two frames
+    * are DISTINCT datasets whose ids may coincidentally collide, or
+    * legitimate (query, candidate) pairs would be silently excluded. */
   def cosineTopK(candidates: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     GraftFunctions.register(candidates.sparkSession)
     def quant(df: DataFrame, id: String, v: String) = df.select(
       col(idCol).as(id),
@@ -174,7 +181,9 @@ object Graft {
     val q = quant(queries, "query_id", "qv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
-    c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+    val cond = if (excludeSelf) col("query_id") =!= col("cand_id")
+               else lit(true)
+    c.join(broadcast(q), cond)
       .select(col("query_id"), col("cand_id"),
         (call_function("dotq", col("qv"), col("cv")).cast("double") /
           (sqrt(col("qv_n2").cast("double")) *

@@ -68,49 +68,51 @@ object CorpusOps39 {
     val pairs0 = srcs.select(col("source").as("i"))
       .crossJoin(srcs.select(col("source").as("j")))
       .filter(col("i") =!= col("j"))
-    val full = graft.CacheScope.track(pairs0
+    val full = pairs0
       .join(wins, Seq("i", "j"), "left").na.fill(0L, Seq("wins"))
       .join(wins.select(col("i").as("j"), col("j").as("i"),
         col("wins").as("wins_ji")), Seq("i", "j"), "left")
       .na.fill(0L, Seq("wins_ji"))
       .withColumn("n_ij", col("wins") + col("wins_ji"))
-      .persist())
-    val w = full.groupBy(col("i")).agg(sum(col("wins")).as("w"))
-    val nSrc = srcs.agg(count(lit(1)).as("k"))
-    var strength = srcs.select(col("source"), lit(1000000L).as("st"))
+    // The MM loop's frame is |sources|²-bounded, so running it as
+    // Spark jobs buys nothing and costs a checkpoint round-trip per
+    // iteration (~6 s of pure job fan-out at ANY scale — r10's
+    // heaviest bench line). Instead the whole matrix packs into ONE
+    // row (array of per-source rows + a source→strength map) and the
+    // 3 iterations become higher-order-function column expressions —
+    // same exact integer arithmetic (term = n_ij·10¹² div (si+sj),
+    // floor division only), zero extra jobs, constant plan depth.
+    val packed = full.groupBy(col("i"))
+      .agg(sort_array(collect_list(struct(col("j"), col("n_ij")))).as("ns"),
+        sum(col("wins")).as("w"), sum(col("wins_ji")).as("losses"))
+    var one = packed
+      .agg(sort_array(collect_list(
+        struct(col("i"), col("ns"), col("w"), col("losses")))).as("m"))
+      .withColumn("st", expr(
+        "map_from_arrays(transform(m, r -> r.i), " +
+          "transform(m, r -> CAST(1000000 AS BIGINT)))"))
     for (_ <- 1 to 3) {
-      val withS = full
-        .join(strength.select(col("source").as("i"), col("st").as("si")),
-          Seq("i"))
-        .join(strength.select(col("source").as("j"), col("st").as("sj")),
-          Seq("j"))
-        .withColumn("term", // n_ij·10¹² tops int64 at corpus scale
-          expr("CAST(n_ij AS DECIMAL(38,0)) * 1000000000000 div (si + sj)"))
-        .groupBy(col("i")).agg(sum(col("term")).as("denom"))
-      val raw = withS.join(w, Seq("i"))
-        .select(col("i").as("source"),
-          expr("""coalesce(CAST(w AS DECIMAL(38,0)) * 1000000000000
-                  div nullif(denom, 0), 0)""").as("st0"))
-      val tot = raw.agg(sum(col("st0")).as("tot"))
-      // Each MM step references `strength` three times (si, sj, and
-      // through tot), so without truncation the logical plan grows
-      // ~3^iterations and Catalyst re-analysis dominates wall clock
-      // (the q_dedup_components lesson, Dedup.scala:452-458).
-      // localCheckpoint keeps every step's plan constant-depth over
-      // the |sources|-row frame.
-      strength = raw.crossJoin(broadcast(tot))
-        .crossJoin(broadcast(nSrc))
-        .select(col("source"),
-          expr("st0 * (k * 1000000) div nullif(tot, 0)").as("st"))
-        .localCheckpoint()
-      graft.CacheScope.checkpointRdd(strength)
-        .foreach(graft.CacheScope.trackRdd)
+      one = one
+        .withColumn("st0", expr(
+          """transform(m, r -> coalesce(
+               CAST(r.w AS DECIMAL(38,0)) * 1000000000000 div nullif(
+                 aggregate(r.ns, CAST(0 AS BIGINT), (acc, x) ->
+                   acc + CAST(x.n_ij AS DECIMAL(38,0)) * 1000000000000
+                         div (element_at(st, r.i) + element_at(st, x.j))),
+                 0), 0))"""))
+        .withColumn("tot",
+          expr("aggregate(st0, CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("st", expr(
+          """map_from_arrays(transform(m, r -> r.i),
+             transform(st0, x ->
+               x * (size(m) * CAST(1000000 AS BIGINT))
+                 div nullif(tot, 0)))"""))
+        .drop("st0", "tot")
     }
-    full.groupBy(col("i").as("source"))
-      .agg(sum(col("wins")).as("wins"), sum(col("wins_ji")).as("losses"))
-      .join(strength, Seq("source"))
-      .select(col("source"), col("wins"), col("losses"),
-        col("st").as("strength_micro"))
+    one.select(explode(col("m")).as("r"), col("st"))
+      .select(col("r.i").as("source"), col("r.w").as("wins"),
+        col("r.losses").as("losses"),
+        expr("element_at(st, r.i)").as("strength_micro"))
       .orderBy(col("strength_micro").desc, col("source"))
   }
 

@@ -79,17 +79,26 @@ object ScaleWindows {
       col("__sw_c").as("__sw_cnt"))
     val cb = counts.select(col("__sw_b").as("__sw_bb"),
       col("__sw_c").as("__sw_cb"))
-    // rows strictly before bucket `a` in the global order
+    // rows strictly before bucket `a` in the global order, with null
+    // buckets placed exactly where the naive global window would put
+    // them (Spark defaults: NULLS FIRST ascending, NULLS LAST
+    // descending) — so rows with a null bucket expression are ranked,
+    // not dropped, and non-null buckets count them correctly
     val before =
-      if (bucketDesc) col("__sw_bb") > col("__sw_ba")
-      else col("__sw_bb") < col("__sw_ba")
+      if (bucketDesc)
+        (col("__sw_ba").isNull && col("__sw_bb").isNotNull) ||
+          col("__sw_bb") > col("__sw_ba")
+      else
+        (col("__sw_bb").isNull && col("__sw_ba").isNotNull) ||
+          col("__sw_bb") < col("__sw_ba")
     val offsets = ca.join(broadcast(cb), before, "left")
       .groupBy(col("__sw_ba"))
       .agg(coalesce(sum(col("__sw_cb")), lit(0L)).as("__sw_off"))
-      .select(col("__sw_ba").as("__sw_b"), col("__sw_off"))
+      .select(col("__sw_ba").as("__sw_b2"), col("__sw_off"))
     val n = counts.agg(sum(col("__sw_c")).as("__sw_n"))
     val w = Window.partitionBy(col("__sw_b")).orderBy(order: _*)
-    b.join(broadcast(offsets), Seq("__sw_b"))
+    b.join(broadcast(offsets), col("__sw_b") <=> col("__sw_b2"))
+      .drop("__sw_b2")
       .crossJoin(broadcast(n))
       .withColumn("__sw_rn",
         col("__sw_off") + row_number().over(w).cast("long"))

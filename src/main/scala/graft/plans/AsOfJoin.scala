@@ -39,6 +39,16 @@ case class AsOfJoinNode(
     toleranceUs: Option[Long] = None) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
+  // the key comparator is generated from LEFT types and hash
+  // co-partitioning is type-sensitive: an int-vs-long pair would
+  // silently mis-match beyond 32 bits rather than fail — reject here
+  require(leftKeys.zip(rightKeys).forall { case (l, r) =>
+    l.dataType == r.dataType },
+    s"as-of join key types must match pairwise: " +
+      s"${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time column types must match: " +
+      s"${leftTime.dataType} vs ${rightTime.dataType}")
   require(toleranceUs.isEmpty || Seq(leftTime, rightTime).forall(t =>
     t.dataType == org.apache.spark.sql.types.TimestampType ||
       t.dataType == org.apache.spark.sql.types.LongType),

@@ -93,6 +93,11 @@ private class SyntheticDocsScanBuilder(rows: Long, partitions: Int)
     * over the (filtered) range is exactly the first n ids — shrink hi.
     * Fully pushed (not partial): the range IS the result. */
   override def pushLimit(limit: Int): Boolean = {
+    // A LIMIT arriving after an aggregate was pushed applies to the
+    // AGGREGATE OUTPUT rows, not the input id range — shrinking [lo,hi)
+    // there would silently corrupt the closed-form result. Decline so
+    // Spark applies the limit above the scan.
+    if (aggSpec.isDefined) return false
     hi = math.min(hi, lo + limit); true
   }
   override def isPartiallyPushed(): Boolean = false
@@ -103,6 +108,7 @@ private class SyntheticDocsScanBuilder(rows: Long, partitions: Int)
     * plan. Only the natural doc_id ordering is answerable. */
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
     orders match {
+      case _ if aggSpec.isDefined => false // see pushLimit: range ≠ agg output
       case Array(o) if isRef(o.expression(), "doc_id") =>
         if (o.direction() == SortDirection.ASCENDING) {
           hi = math.min(hi, lo + limit)

@@ -89,6 +89,29 @@ class DataSourceV2Spec extends AnyFunSuite {
       Seq(99999L, 99998L, 99997L, 99996L, 99995L))
   }
 
+  test("LIMIT over a pushed aggregate does NOT shrink the input range") {
+    // Spark pushes limits AFTER aggregates; a limit arriving then
+    // applies to aggregate OUTPUT rows. The source must refuse it, or
+    // groupBy(bucket).count().limit(3) would shrink [lo,hi) and return
+    // cnt=1 per bucket instead of the true per-bucket count.
+    val df = docs(100000).filter(col("doc_id") >= 1000 &&
+        col("doc_id") < 90000)
+      .groupBy(col("bucket")).agg(expr("count(*)").as("cnt"))
+      .limit(3)
+    // aggregate is still pushed over the FULL filtered range
+    assert(aggScanDesc(df).contains("SyntheticDocsAgg"), aggScanDesc(df))
+    assert(aggScanDesc(df).contains("range=[1000,90000)"), aggScanDesc(df))
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[Long]("cnt") == 8900L),
+      rows.map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("cnt")).toSeq)
+    // and the top-N variant of the same trap
+    val tn = docs(100000)
+      .groupBy(col("bucket")).agg(expr("count(*)").as("cnt"))
+      .orderBy(col("bucket")).limit(2)
+    assert(tn.collect().map(_.getAs[Long]("cnt")).toSeq == Seq(10000L, 10000L))
+  }
+
   test("source reports exact range statistics to the planner") {
     val df = docs(100000).filter(col("doc_id") < 64)
     val stats = df.queryExecution.optimizedPlan.stats

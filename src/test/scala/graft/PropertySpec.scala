@@ -250,6 +250,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketedNtile/RowNumber keep and correctly rank NULL buckets") {
+    // r10 advice: the offsets equi-join silently dropped rows whose
+    // bucket expression was null. Null order keys must rank exactly
+    // where the naive window puts them (NULLS FIRST asc / NULLS LAST
+    // desc — Spark defaults) and every input row must survive.
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.ScaleWindows
+    val df = Seq[(java.lang.Long, Long)](
+      (null, 0L), (5L, 1L), (null, 2L), (3L, 3L), (9L, 4L),
+      (1L, 5L), (null, 6L), (7L, 7L), (3L, 8L), (2L, 9L))
+      .toDF("v", "id")
+    for (desc <- Seq(false, true)) {
+      val ord = if (desc) Seq($"v".desc, $"id".asc)
+                else Seq($"v".asc, $"id".asc)
+      val naive = df.withColumn("want_nt",
+          ntile(3).over(Window.orderBy(ord: _*)).cast("long"))
+        .withColumn("want_rn",
+          row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      val got = ScaleWindows.bucketedRowNumber(
+        ScaleWindows.bucketedNtile(df, 3, expr("v div 2"), desc,
+          ord, "got_nt"),
+        expr("v div 2"), desc, ord, "got_rn")
+      assert(got.count() == 10, s"desc=$desc: rows dropped")
+      val bad = naive.join(got, Seq("id"))
+        .filter($"want_nt" =!= $"got_nt" || $"want_rn" =!= $"got_rn")
+      assert(bad.count() == 0,
+        s"desc=$desc: " + bad.limit(5).collect().mkString(", "))
+    }
+  }
+
   test("damerau-levenshtein rejects document-sized input with a clear error") {
     import graft.functions.DamerauLev
     val big = "a" * (DamerauLev.MaxLen + 1)
