@@ -33,12 +33,18 @@ object Graft {
     * Right columns come back null when no match exists.
     *
     * @param tiebreak right-side column resolving equal-time candidates
-    *                 deterministically (highest such wins last). */
+    *                 deterministically (highest such wins last for
+    *                 backward; lowest wins for forward).
+    * @param forward  false (default) = latest right at-or-before left
+    *                 time; true = earliest right at-or-after (Pandas
+    *                 merge_asof direction="forward"), with the
+    *                 tolerance gate flipped to rightTime - leftTime. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
       tiebreak: Seq[String] = Nil,
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     val s = left.sparkSession
     if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       s.experimental.extraStrategies =
@@ -54,7 +60,7 @@ object Graft {
       leftKeys = leftKeys.map(lAttr), rightKeys = rightKeys.map(rAttr),
       leftTime = lAttr(leftTime), rightTime = rAttr(rightTime),
       rightTiebreak = tiebreak.map(c => SortOrder(rAttr(c), Ascending)),
-      toleranceUs = toleranceUs))
+      toleranceUs = toleranceUs, forward = forward))
   }
 
   /** Top-k rows per group through the native

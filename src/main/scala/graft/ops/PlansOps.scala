@@ -109,10 +109,31 @@ object PlansOps {
       .orderBy(col("user_id"), col("click_id"))
   }
 
+  /** The q_join_asof_forward semantics (earliest purchase at-or-after
+    * each click) executed by the native operator's FORWARD direction
+    * instead of the FOLLOWING-frame window formulation — same DuckDB
+    * forward-ASOF oracle, so all three agree: window form, native op,
+    * DuckDB. */
+  val qJoinAsofForwardCustom: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("pid"))
+    graft.api.Graft.asofJoin(clicks, buys,
+        Seq("user_id"), Seq("b_user"), "ts", "b_ts", Seq("pid"),
+        forward = true)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("pid").as("next_pid"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_topk_grouped_custom" -> qTopKGrouped,
     "q_join_asof_custom" -> qJoinAsofCustom,
     "q_join_asof_tol_custom" -> qJoinAsofTolCustom,
+    "q_join_asof_forward_custom" -> qJoinAsofForwardCustom,
     "q_results_cache_hit" -> qResultsCacheHit)
 
   val oracle: Map[String, String] = Map(
@@ -120,6 +141,7 @@ object PlansOps {
     // custom operator must agree with the window formulation AND DuckDB
     "q_join_asof_custom" -> Joins.oracle("q_join_asof"),
     "q_join_asof_tol_custom" -> CorpusOps29.oracle("q_join_asof_tol"),
+    "q_join_asof_forward_custom" -> CorpusOps34.oracle("q_join_asof_forward"),
     "q_topk_grouped_custom" -> """
       SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
       FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

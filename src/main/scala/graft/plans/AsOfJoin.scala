@@ -12,11 +12,16 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * (c): LogicalPlan + SparkStrategy + SparkPlan) — the second full
   * custom operator beside [[GroupedTopKNode]].
   *
-  * Semantics: for every left row, the LATEST right row of the same key
-  * with right.time <= left.time (ties among equal right times resolved
+  * Semantics (direction `forward = false`, the default): for every
+  * left row, the LATEST right row of the same key with
+  * right.time <= left.time (ties among equal right times resolved
   * by the caller-supplied total tiebreak order); unmatched left rows
   * emit null right columns — i.e. kdb's `aj`, Pandas merge_asof
-  * (direction="backward"), Flink temporal join.
+  * (direction="backward"), Flink temporal join. With `forward = true`
+  * the comparisons mirror: the EARLIEST right row with
+  * right.time >= left.time wins (first in (time, tiebreak) order on
+  * equal times), and the staleness gate flips to
+  * rightTime - leftTime <= tolerance — Pandas direction="forward".
   *
   * The composable spelling (q_join_asof: tagged union + per-key
   * last-ignoring-nulls window) is correct but carries BOTH tables
@@ -36,7 +41,8 @@ case class AsOfJoinNode(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[SortOrder],
-    toleranceUs: Option[Long] = None) extends BinaryNode {
+    toleranceUs: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
   // the key comparator is generated from LEFT types and hash
@@ -65,7 +71,8 @@ case class AsOfJoinExec(
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[SortOrder],
     left: SparkPlan, right: SparkPlan,
-    toleranceUs: Option[Long] = None) extends BinaryExecNode {
+    toleranceUs: Option[Long] = None,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -124,7 +131,42 @@ case class AsOfJoinExec(
       // (times are long-backed by the node's require)
       val tol = toleranceUs.getOrElse(Long.MaxValue)
 
-      lIter.map { l =>
+      def loadPending(): Unit =
+        if (pending == null && rIter.hasNext) {
+          val r = rIter.next()
+          pending = r.copy()
+          pendingKey = rKeyProj(pending).copy()
+          pendingTime = rTimeProj(pending).copy()
+        }
+
+      if (forward) {
+        // FORWARD merge is simpler than backward: the match IS the
+        // lookahead row (never consumed on match — it may serve later
+        // left rows of the same key too); only dead right rows (key
+        // passed, or same key strictly before lTime — left times are
+        // nondecreasing within a key) are consumed
+        lIter.map { l =>
+          val lKey = lKeyProj(l)
+          val lTime = lTimeProj(l).copy()
+          var advancing = true
+          while (advancing) {
+            loadPending()
+            if (pending == null) advancing = false
+            else {
+              val ck = keyOrd.compare(pendingKey, lKey)
+              if (ck < 0 ||
+                  (ck == 0 && timeOrd.compare(pendingTime, lTime) < 0)) {
+                pending = null
+              } else advancing = false
+            }
+          }
+          val matched = pending != null &&
+            keyOrd.compare(pendingKey, lKey) == 0 &&
+            (toleranceUs.isEmpty ||
+              pendingTime.getLong(0) - lTime.getLong(0) <= tol)
+          toUnsafe(joined(l, if (matched) pending else nullRight))
+        }
+      } else lIter.map { l =>
         val lKey = lKeyProj(l)
         val lTime = lTimeProj(l).copy()
         if (lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) != 0) {
@@ -132,12 +174,7 @@ case class AsOfJoinExec(
         }
         var advancing = true
         while (advancing) {
-          if (pending == null && rIter.hasNext) {
-            val r = rIter.next()
-            pending = r.copy()
-            pendingKey = rKeyProj(pending).copy()
-            pendingTime = rTimeProj(pending).copy()
-          }
+          loadPending()
           if (pending == null) advancing = false
           else {
             val ck = keyOrd.compare(pendingKey, lKey)
@@ -166,9 +203,9 @@ case class AsOfJoinExec(
 /** Planner strategy: lower the logical as-of node to the exec. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, rtb, tol) =>
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, rtb, tol, fwd) =>
       AsOfJoinExec(lk, rk, lt, rt, rtb, planLater(l), planLater(r),
-        tol) :: Nil
+        tol, fwd) :: Nil
     case _ => Nil
   }
 }

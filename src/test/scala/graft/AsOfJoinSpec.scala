@@ -100,6 +100,93 @@ class AsOfJoinSpec extends AnyFunSuite {
       "fixture should contain clicks before any purchase")
   }
 
+  test("forward custom as-of == FOLLOWING-window formulation, row for row") {
+    val custom = SparkEntry.queries("q_join_asof_forward_custom")(spark, sf)
+      .collect().toSeq
+    val window = SparkEntry.queries("q_join_asof_forward")(spark, sf)
+      .collect().toSeq
+    assert(custom.nonEmpty && custom == window,
+      s"custom ${custom.size} rows != window ${window.size}")
+  }
+
+  test("forward == reference on generated data (dup times, null keys)") {
+    // mirror of the backward generated-data proof: earliest right row
+    // at-or-after, ties on equal right time resolved by LOWEST rid
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260815L)
+    def gen(n: Int, idBase: Long) = (0 until n).map { i =>
+      val k: java.lang.Long =
+        if (rnd.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(6).toLong)
+      (k, rnd.nextInt(8).toLong, idBase + i)
+    }
+    val lRows = gen(120, 1000)
+    val rRows = gen(80, 5000)
+    val lDf = lRows.toDF("k", "t", "lid")
+    val rDf = rRows.toDF("k", "t", "rid")
+      .select(col("k").as("rk"), col("t").as("rt"), col("rid"))
+    // reference: tagged union, FOLLOWING frame, first-ignoring-nulls;
+    // right rows sort AFTER left on equal t (inclusive >=), rid asc
+    val tagged = lDf.withColumn("rid", lit(null).cast("long"))
+      .withColumn("is_r", lit(0)).withColumn("srt", lit(Long.MinValue))
+      .unionByName(rDf.select(col("rk").as("k"), col("rt").as("t"),
+        col("rid")).withColumn("lid", lit(null).cast("long"))
+        .withColumn("is_r", lit(1)).withColumn("srt", col("rid")))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("is_r"), col("srt"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val want = tagged
+      .withColumn("next_rid", first(col("rid"), ignoreNulls = true).over(w))
+      .filter(col("is_r") === 0)
+      .select(col("lid"), col("next_rid"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val got = api.Graft.asofJoin(lDf, rDf, Seq("k"), Seq("rk"),
+        "t", "rt", Seq("rid"), forward = true)
+      .select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got.size == lRows.size)
+    val diffs = want.keys.filter(k => want(k) != got(k))
+    assert(diffs.isEmpty,
+      diffs.take(5).map(k => s"lid=$k want=${want(k)} got=${got(k)}")
+        .mkString(", "))
+  }
+
+  test("forward edges: no later match emits null; boundary + tolerance") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 900L), (1L, 20L, 901L))
+      .toDF("rk", "rt", "rid")
+    def run(tol: Option[Long]) =
+      api.Graft.asofJoin(left, right, Seq("k"), Seq("rk"),
+          "t", "rt", Seq("rid"), toleranceUs = tol, forward = true)
+        .orderBy(col("lid")).select(col("lid"), col("rid")).collect()
+        .map(r => (r.getLong(0), Option(r.getAs[Any]("rid")))).toSeq
+    // exact boundary rt == t matches; t past the last right emits null;
+    // a key absent on the right emits null
+    assert(run(None) == Seq((100L, Some(900L)), (101L, None), (102L, None)))
+    // tolerance: rt - t <= tol; 900 is 0 away from lid 100
+    val tolLeft = Seq((1L, 15L, 200L), (1L, 16L, 201L)).toDF("k", "t", "lid")
+    val gotTol = api.Graft.asofJoin(tolLeft, right, Seq("k"), Seq("rk"),
+        "t", "rt", Seq("rid"), toleranceUs = Some(5L), forward = true)
+      .orderBy(col("lid")).select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("rid")))).toSeq
+    // lid 200: next right at 20, gap 5 == tol -> kept; lid 201: gap 4? no:
+    // 20 - 16 = 4 <= 5 -> kept too; push past: t=26 has no next at all
+    assert(gotTol == Seq((200L, Some(901L)), (201L, Some(901L))))
+    val past = api.Graft.asofJoin(Seq((1L, 14L, 300L)).toDF("k", "t", "lid"),
+        right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"),
+        toleranceUs = Some(5L), forward = true)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("rid")))).toSeq
+    // next right at 20, gap 6 > 5 -> stale, null
+    assert(past == Seq((300L, None)))
+  }
+
   test("tolerance gate: boundary match kept, one microsecond past dropped") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

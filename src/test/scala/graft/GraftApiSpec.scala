@@ -31,6 +31,24 @@ class GraftApiSpec extends AnyFunSuite {
     assert(api.nonEmpty && api == window)
   }
 
+  test("asofJoin(forward = true) facade == FOLLOWING-window formulation") {
+    val ev = Tables(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("pid"))
+    val api = Graft.asofJoin(clicks, buys,
+        Seq("user_id"), Seq("b_user"), "ts", "b_ts", Seq("pid"),
+        forward = true)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("pid").as("next_pid"))
+      .orderBy(col("user_id"), col("click_id")).collect().toSeq
+    val window = SparkEntry.queries("q_join_asof_forward")(spark, sf)
+      .orderBy(col("user_id"), col("click_id")).collect().toSeq
+    assert(api.nonEmpty && api == window)
+  }
+
   test("groupedTopK facade == row_number window formulation") {
     val li = Tables(spark, sf, "lineitem")
     val api = Graft.groupedTopK(li, Seq("l_suppkey"),
