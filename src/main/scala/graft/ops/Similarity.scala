@@ -193,6 +193,72 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** IVF index incremental maintenance — the vector-side twin of
+    * q_index_delta: a delta batch of new vectors (vec_id % 10 == 0)
+    * merges into the stored IVF cell state WITHOUT retraining
+    * centroids or re-scanning base vectors. New vectors assign to the
+    * EXISTING (frozen) centroids via the same broadcast map-side
+    * max_by as qSimIvf; the merge is a cell-keyed full-outer join of
+    * two bounded (≤K rows) aggregate states; the report is the table
+    * an index operator reads before deciding to retrain: per-cell
+    * base/delta/merged counts, an exact id-sum content checksum,
+    * delta growth permille and post-merge imbalance permille (cell
+    * share × K, 1000 = perfectly balanced).
+    *
+    * Scale: at 100 TB the base cell state is a stored artifact — this
+    * query materializes it through a parquet round-trip so the merge
+    * plan genuinely READS postings state (K rows) and never touches
+    * base vectors (SimilaritySpec pins the plan); the delta pass is
+    * batch-sized, one broadcast against K centroids, no shuffle
+    * larger than the delta. */
+  val qSimIvfDelta: Q = (s, dir) => {
+    val K = 16
+    val emb = withNorm(quantized(s, dir))
+    val cents = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    def assign(vecs: DataFrame): DataFrame = vecs
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dotq(col("q"), col("cq")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+    def cellState(assigned: DataFrame): DataFrame = assigned
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("idsum"))
+    // the stored index artifact: cell state only, base vectors gone
+    val basePath = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_base_${Integer.toHexString(dir.hashCode)}").toString
+    cellState(assign(emb.filter(col("vec_id") % 10 =!= 0)))
+      .write.mode("overwrite").parquet(basePath)
+    val stored = s.read.parquet(basePath)
+      .select(col("cid"), col("n").as("n_base"),
+        col("idsum").as("idsum_base"))
+    val delta = cellState(assign(emb.filter(col("vec_id") % 10 === 0)))
+      .select(col("cid"), col("n").as("n_delta"),
+        col("idsum").as("idsum_delta"))
+    val merged = stored.join(delta, Seq("cid"), "full_outer")
+      .select(col("cid"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_base"), lit(0L))
+          + coalesce(col("n_delta"), lit(0L))).as("n_merged"),
+        (coalesce(col("idsum_base"), lit(0L))
+          + coalesce(col("idsum_delta"), lit(0L))).as("idsum_merged"))
+    val tot = merged.agg(sum(col("n_merged")).as("tot_merged"))
+    merged.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_base"), col("n_delta"), col("n_merged"),
+        col("idsum_merged"),
+        expr("n_delta * 1000 div greatest(n_base, 1)")
+          .as("growth_permille"),
+        expr(s"n_merged * $K * 1000 div tot_merged")
+          .as("imbalance_permille"))
+      .orderBy(col("cid"))
+  }
+
   /** IVF-PQ with ADC (asymmetric distance computation) — the two
     * quantizers of qSimIvf (coarse cells) and q_emb_pq (product codes)
     * COMPOSED into the index structure FAISS ships as IVFPQ (Jégou,
@@ -732,6 +798,7 @@ object Similarity {
     "q_sim_neardup" -> qSimNearDup,
     "q_sim_ann_lsh" -> qSimAnnLsh,
     "q_sim_ivf" -> qSimIvf,
+    "q_sim_ivf_delta" -> qSimIvfDelta,
     "q_sim_ivfpq" -> qSimIvfPq,
     "q_sim_kmeans_step" -> qSimKmeansStep,
     "q_dedup_semantic" -> qDedupSemantic)
@@ -1012,6 +1079,42 @@ object Similarity {
         CAST(row_number() OVER (PARTITION BY qid
           ORDER BY cos DESC, neighbor) AS INT) AS rnk
       FROM scored QUALIFY rnk <= 5 ORDER BY qid, rnk""",
+    "q_sim_ivf_delta" -> s"""
+      WITH e AS ($quantSql),
+      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      cd AS (SELECT a.vec_id, b.vec_id AS cid,
+               CAST(sum(a.v * b.v) AS BIGINT) AS dot
+             FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+             GROUP BY 1, 2),
+      ccos AS (SELECT cd.vec_id, cid,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) *
+                   sqrt(CAST(nc.n2 AS DOUBLE))) AS ccos
+               FROM cd JOIN n nv ON cd.vec_id = nv.vec_id
+                       JOIN n nc ON cid = nc.vec_id),
+      assigned AS (SELECT vec_id, cid FROM ccos
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, cid) = 1),
+      base AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_base,
+                 CAST(sum(vec_id) AS BIGINT) AS idsum_base
+               FROM assigned WHERE vec_id % 10 <> 0 GROUP BY cid),
+      delta AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_delta,
+                  CAST(sum(vec_id) AS BIGINT) AS idsum_delta
+                FROM assigned WHERE vec_id % 10 = 0 GROUP BY cid),
+      merged AS (SELECT cid,
+                   coalesce(n_base, 0) AS n_base,
+                   coalesce(n_delta, 0) AS n_delta,
+                   coalesce(n_base, 0) + coalesce(n_delta, 0) AS n_merged,
+                   coalesce(idsum_base, 0) + coalesce(idsum_delta, 0)
+                     AS idsum_merged
+                 FROM base FULL OUTER JOIN delta USING (cid))
+      SELECT cid, n_base, n_delta, n_merged, idsum_merged,
+        CAST(n_delta * 1000 // greatest(n_base, 1) AS BIGINT)
+          AS growth_permille,
+        CAST(n_merged * 16 * 1000
+          // CAST((SELECT sum(n_merged) FROM merged) AS BIGINT) AS BIGINT)
+          AS imbalance_permille
+      FROM merged ORDER BY cid""",
     "q_sim_ivfpq" -> ivfPqSqlAt(nprobe = 4, m = 4),
     "q_sim_kmeans_step" -> s"""
       WITH e AS ($quantSql),

@@ -178,6 +178,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall (K=16, nprobe=4)")
   }
 
+  test("IVF delta merge: conservation, checksum, and stored-state plan") {
+    val df = SparkEntry.queries("q_sim_ivf_delta")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // conservation: every vector lands in exactly one cell, so counts
+    // and id-sums across cells reproduce the corpus exactly
+    val emb = Tables(spark, sf, "embeddings")
+    val nAll = emb.count()
+    val idSum = emb.agg(org.apache.spark.sql.functions.sum("vec_id"))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_merged")).sum == nAll)
+    assert(rows.map(_.getAs[Long]("n_base")).sum ==
+      emb.filter(col("vec_id") % 10 =!= 0).count())
+    assert(rows.map(_.getAs[Long]("idsum_merged")).sum == idSum)
+    // imbalance permilles sum to ~K*1000 (floor division slack < K)
+    val imb = rows.map(_.getAs[Long]("imbalance_permille")).sum
+    assert(imb > 16000 - 16 && imb <= 16000, s"imbalance sum $imb")
+    // the merge plan consumes the STORED cell-state parquet and never
+    // re-scans base vectors: the stored path appears, the base-side
+    // predicate (vec_id % 10 != 0) does not — only the delta batch
+    // (= 0) and the frozen centroids (< 16) touch the embeddings table
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString)
+    assert(scans.exists(_.contains("graft_ivf_base")),
+      scans.map(_.take(300)).mkString("\n"))
+    val plan = df.queryExecution.optimizedPlan.toString.replaceAll("\\s", "")
+    assert(!plan.contains("NOT((vec_id%10)=0)") &&
+      !plan.contains("(vec_id%10)!=0"),
+      "base vectors must come from stored postings, not a re-scan")
+  }
+
   test("bloom pre-filter never yields a false negative") {
     // the Bloom guarantee the exact-verify join relies on: every true
     // member is bloom-positive, so n_member <= n_bloom_pos per doc and
