@@ -40,7 +40,11 @@ object StressBench {
   val heavy: Seq[String] = Seq(
     "q_dedup_components", "q_rec_itemcos", "q_basket_pairs",
     "q_join_fuzzy", "q_emb_gram", "q_dedup_semantic", "q_dedup_ppjoin",
-    "q_join_asof", "q_join_asof_custom", "q_graph_labelprop")
+    "q_join_asof", "q_join_asof_custom", "q_graph_labelprop",
+    // r10 additions post-dating the first harness run: BT should be
+    // ~flat (post-scan frame is |sources|²-bounded), rules ~linear in
+    // baskets, clustering bounded by the wedge fan-out
+    "q_eval_bradley_terry", "q_basket_rules", "q_graph_clustering")
 
   def build(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {

@@ -236,4 +236,39 @@ object Graft {
   def globalRowNumber(df: DataFrame, bucket: Column, bucketDesc: Boolean,
       order: Seq[Column], out: String): DataFrame =
     ScaleWindows.bucketedRowNumber(df, bucket, bucketDesc, order, out)
+
+  /** PPJoin threshold similarity self-join (Xiao, Wang, Lin, Yu 2008)
+    * — the LOSSLESS near-duplicate pair finder of the dedup pipeline:
+    * returns exactly the document pairs whose k-shingle Jaccard
+    * (integer permille) is >= `thresholdPermille`, pruned by prefix
+    * filtering + the threshold-derived length filter, never all
+    * pairs. Output: (da, db, i, na, nb, jacc_permille), da < db.
+    *
+    * Scale: prefix posting lists are rarest-first by global shingle
+    * df, so hot shingles land in suffixes; the exact-intersection
+    * verify join runs on candidates only. */
+  def ppjoin(docs: DataFrame, idCol: String, textCol: String,
+      thresholdPermille: Int = 500, shingle: Int = 3): DataFrame =
+    graft.ops.CorpusOps21.ppjoinImpl(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      thresholdPermille, shingle)
+
+  /** SemDeDup (Abbas et al. 2023): near-duplicate embedding pairs
+    * with exact cosine >= `threshold`, found within shared IVF cells
+    * (multi-probe soft assignment, nprobe cells per vector) — the
+    * production-scale semantic dedup that never goes all-pairs.
+    * Vectors micro-quantize to int64 so the verify cosine is
+    * bit-stable. `idCol` must be numeric (cast to long: the coarse
+    * quantizer seeds centroids from the lowest ids and the cell count
+    * K grows with the corpus, K = max(64, n/32)). Output:
+    * (va, vb, cos), va < vb. */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.3, nprobe: Int = 6): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val emb = vectors.select(col(idCol).cast("long").as("vec_id"),
+      expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) " +
+        "* 1000000, 0) AS BIGINT))").as("q"))
+      .withColumn("n2", call_function("dotq", col("q"), col("q")))
+    graft.ops.Similarity.semanticDedupImpl(emb, threshold, nprobe)
+  }
 }

@@ -34,15 +34,29 @@ object CorpusOps21 {
     * construction (hot shingles land in suffixes); the verify join
     * runs only on candidates. Per-doc rank windows partition by doc.
     * Exactness: jaccard is integer permille i·1000 div (na+nb−i). */
-  val qDedupPpjoin: Q = (s, dir) => {
-    val tok = graft.CacheScope.track(Tables(s, dir, "documents")
+  val qDedupPpjoin: Q = (s, dir) =>
+    ppjoinImpl(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")), 500, 3)
+
+  /** The PPJoin pipeline behind [[qDedupPpjoin]], parameterized and
+    * shared with the public `graft.api.Graft.ppjoin` facade: docs =
+    * (doc_id, text); `thrPermille` is the Jaccard threshold t·1000
+    * (prefix length n − ceil(t·n) + 1 and the length filter
+    * t·|B| ≤ |A| ≤ |B|/t are both derived from it, so the prune stays
+    * LOSSLESS at any threshold); `shingle` is the k-shingle width. At
+    * (500, 3) every integer formula reduces to the literals the
+    * DuckDB oracle replays — bit-identical to the r10 version. */
+  private[graft] def ppjoinImpl(docs: org.apache.spark.sql.DataFrame,
+      thrPermille: Int, shingle: Int): org.apache.spark.sql.DataFrame = {
+    require(thrPermille > 0 && thrPermille <= 1000,
+      s"threshold permille must be in (0, 1000], got $thrPermille")
+    require(shingle >= 1, s"shingle width must be >= 1, got $shingle")
+    val tok = graft.CacheScope.track(docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"),
-        explode(array_distinct(when(size(col("t")) >= 3,
-          expr("""transform(sequence(1, size(t) - 2),
-                  i -> concat_ws(' ', element_at(t, i),
-                                 element_at(t, i + 1),
-                                 element_at(t, i + 2)))"""))
+        explode(array_distinct(when(size(col("t")) >= shingle,
+          expr(s"""transform(sequence(1, size(t) - $shingle + 1),
+                  i -> array_join(slice(t, i, $shingle), ' '))"""))
           .otherwise(array()))).as("w"))
       .persist())
     val df = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -53,19 +67,21 @@ object CorpusOps21 {
       .withColumn("rn", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(wN))
       .persist())
-    // prefix length for t=0.5: n − ceil(n/2) + 1 = n − (n+1) div 2 + 1
-    val prefix = ranked.filter(expr("rn <= n - (n + 1) div 2 + 1"))
+    // prefix length: n − ceil(t·n) + 1 (at t = 0.5 this is the
+    // n − (n+1) div 2 + 1 the oracle replays)
+    val prefix = ranked.filter(
+        expr(s"rn <= n - ($thrPermille * n + 999) div 1000 + 1"))
       .select(col("doc_id"), col("w"), col("n"))
     // length filter (Xiao et al. §3, sound): J(A,B) ≥ t forces
     // t·|B| ≤ |A| ≤ |B|/t, so size-incompatible postings never pair —
-    // applied INSIDE the candidate join (2·na ≥ nb ∧ 2·nb ≥ na at
-    // t = 0.5), before the distinct
+    // applied INSIDE the candidate join, before the distinct
     val cand = prefix.select(col("doc_id").as("da"), col("w"),
         col("n").as("na0"))
       .join(prefix.select(col("doc_id").as("db"), col("w"),
         col("n").as("nb0")), Seq("w"))
       .filter(col("da") < col("db") &&
-        col("na0") * 2 >= col("nb0") && col("nb0") * 2 >= col("na0"))
+        col("na0") * 1000 >= col("nb0") * thrPermille &&
+        col("nb0") * 1000 >= col("na0") * thrPermille)
       .select(col("da"), col("db")).distinct()
     val sizes = ranked.groupBy(col("doc_id")).agg(max(col("n")).as("nn"))
     val inter = cand
@@ -78,7 +94,7 @@ object CorpusOps21 {
       .join(sizes.select(col("doc_id").as("db"), col("nn").as("nb")), "db")
       .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
         expr("i * 1000 div (na + nb - i)").as("jacc_permille"))
-      .filter(col("jacc_permille") >= 500)
+      .filter(col("jacc_permille") >= thrPermille)
       .orderBy(col("da"), col("db"))
   }
 

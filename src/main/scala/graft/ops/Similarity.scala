@@ -527,7 +527,17 @@ object Similarity {
     * (measured 0.845 at sf0.01 for half the candidate volume of a
     * K=16 hard blocking — the K/nprobe pair is the recall-vs-cost
     * dial). */
-  val qDedupSemantic: Q = (s, dir) => {
+  val qDedupSemantic: Q = (s, dir) =>
+    semanticDedupImpl(withNorm(quantized(s, dir)), 0.3, 6)
+
+  /** The SemDeDup pipeline behind [[qDedupSemantic]], parameterized
+    * and shared with the public `graft.api.Graft.semanticDedup`
+    * facade. `embIn` = (vec_id long, q array<bigint> micro-quantized,
+    * n2 = q·q); `threshold` the cosine floor; `nprobe` probed cells
+    * per vector. At (0.3, 6) on the fixture tables this is
+    * bit-identical to the r10 declared query. */
+  private[graft] def semanticDedupImpl(embIn: DataFrame,
+      threshold: Double, nprobe: Int): DataFrame = {
     // The within-cell candidate join is quadratic per cell, so cell
     // POPULATION (~n/K × nprobe probe rows) is the scale knob and K
     // must GROW with the corpus: K = max(64, n/32) holds cell size at
@@ -537,11 +547,10 @@ object Similarity {
     // measured the fixed-K version at 163x wall for 10x data (20k
     // vectors, 10x cell population, 100x pairs) — THE quadratic
     // failure this parameterization removes; nprobe=6 holds recall.
-    val nprobe = 6
+    //
     // persisted: feeds centroid scoring AND both cosine re-joins;
     // (vec_id, q, n2) is 64 longs/row — the narrow frame discipline
-    val emb = graft.CacheScope.track(
-      withNorm(quantized(s, dir)).persist())
+    val emb = graft.CacheScope.track(embIn.persist())
     // 1-row scalar action on the persisted narrow frame (the
     // Dedup.scala:155 discipline) — K/S parameterize the plan the same
     // way AQE would a partition count

@@ -141,4 +141,40 @@ class GraftApiSpec extends AnyFunSuite {
     CacheScope.release()
     assert(api.nonEmpty && api == declared)
   }
+
+  test("ppjoin facade == declared q_dedup_ppjoin at (500, 3)") {
+    val api = Graft.ppjoin(Tables(spark, sf, "documents"),
+        "doc_id", "text").collect().toSeq
+    val declared = SparkEntry.queries("q_dedup_ppjoin")(spark, sf)
+      .collect().toSeq
+    CacheScope.release()
+    assert(api.nonEmpty && api == declared)
+  }
+
+  test("ppjoin facade at a higher threshold is the filtered subset") {
+    // threshold soundness on the public surface: raising t must only
+    // REMOVE pairs (the prefix/length prunes stay lossless), and the
+    // survivors keep identical intersection stats
+    val lo = Graft.ppjoin(Tables(spark, sf, "documents"),
+        "doc_id", "text", 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    val hi = Graft.ppjoin(Tables(spark, sf, "documents"),
+        "doc_id", "text", 800).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    CacheScope.release()
+    assert(hi.nonEmpty || lo.values.forall(_ < 800))
+    assert(hi.keySet.subsetOf(lo.filter(_._2 >= 800).keySet) &&
+      lo.count(_._2 >= 800) == hi.size,
+      s"hi ${hi.size} pairs vs lo-filtered ${lo.count(_._2 >= 800)}")
+  }
+
+  test("semanticDedup facade == declared q_dedup_semantic at (0.3, 6)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val api = Graft.semanticDedup(emb, "vec_id", "embedding")
+      .collect().toSeq
+    val declared = SparkEntry.queries("q_dedup_semantic")(spark, sf)
+      .collect().toSeq
+    CacheScope.release()
+    assert(api.nonEmpty && api == declared)
+  }
 }

@@ -683,6 +683,37 @@ class PlanSpec extends AnyFunSuite {
       unpartitionedWindows("q_curriculum_order"))
   }
 
+  test("headline unpartitioned windows: audited allowlist, aggregate-bounded") {
+    // Bench logs 'WindowExec: No Partition Defined' warnings that are
+    // benign ONLY because the window's input is a dimension-bounded
+    // aggregate (day/score/bin axis), never corpus rows. Make that a
+    // contract: every unpartitioned Window in a headline plan must
+    // (a) belong to this audited set and (b) consume Aggregate output,
+    // so a new row-scale global window fails the suite instead of
+    // hiding in log noise (VERDICT r10 item 7; q_ts_concurrency's
+    // windows run over the per-day aggregate, CorpusOps12).
+    val allowed = Set("q_ts_concurrency")
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for (name <- Bench.headline) {
+      val lp = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan
+      val wins = lp.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      if (wins.nonEmpty && !allowed(name))
+        offenders += s"$name: NEW unpartitioned window (audit or decompose)"
+      wins.foreach { w =>
+        val aggBounded = w.child.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.isDefined
+        if (!aggBounded)
+          offenders += s"$name: unpartitioned window over NON-AGGREGATED input"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("label propagation: round joins are never cartesian") {
     val p = plan("q_graph_labelprop")
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
