@@ -328,7 +328,30 @@ object SourcesSinks {
       .orderBy(col("gen"), col("n_nationkey"))
   }
 
+  /** Avro container round trip [hive: serde2/avro/AvroSerDe.java]
+    * through [[graft.sources.AvroIO]] — built on the avro +
+    * avro-mapred jars this distribution ships (no spark-avro module,
+    * deps frozen). Events write with their TIMESTAMP column (logical
+    * timestamp-micros), read back in parallel container-file tasks,
+    * and aggregate; the formatted min(ts) proves the logical-type
+    * round trip to the microsecond against the parquet-sourced
+    * oracle. */
+  val qSrcAvro: Q = (s, dir) => {
+    val path = tmp("graft_avro")
+    graft.sources.AvroIO.write(
+      Tables(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts")), path)
+    graft.sources.AvroIO.read(s, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        sum(col("user_id")).as("sum_users"),
+        Tables.fmtTsUs(min(col("ts"))).as("first_ts"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_src_avro" -> qSrcAvro,
     "q_src_schema_merge" -> qSrcSchemaMerge,
     "q_src_regex" -> qSrcRegex,
     "q_src_seqfile" -> qSrcSeqFile,
@@ -357,6 +380,12 @@ object SourcesSinks {
       SELECT event_type, count(*) AS cnt, min(event_id) AS min_id,
         max(event_id) AS max_id,
         CAST(sum(user_id) AS BIGINT) AS sum_users
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_src_avro" -> """
+      SELECT event_type, count(*) AS cnt, min(event_id) AS min_id,
+        max(event_id) AS max_id,
+        CAST(sum(user_id) AS BIGINT) AS sum_users,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
     "q_src_seqfile" -> """
       SELECT p_brand, count(*) AS cnt,
