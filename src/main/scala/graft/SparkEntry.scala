@@ -73,6 +73,7 @@ object SparkEntry {
     (CorpusOps39.queries, CorpusOps39.oracle),
     (CorpusOps40.queries, CorpusOps40.oracle),
     (CorpusOps41.queries, CorpusOps41.oracle),
+    (CorpusOps42.queries, CorpusOps42.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

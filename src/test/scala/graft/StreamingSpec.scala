@@ -876,6 +876,62 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.size} users != batch ${batch.size}")
   }
 
+  test("streaming AS-OF temporal join (fMGWS latest-state) == batch q_join_asof") {
+    // the streaming twin of the as-of family: a click stream enriched
+    // with the latest purchase-at-or-before per user, state = ONE
+    // (ts, pid) pair per user (the Flink temporal-join shape). Three
+    // ts-ranged replay files force the latest-purchase state to carry
+    // across micro-batch boundaries.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = Files.createTempDirectory("asof_replay").toFile
+    dir.deleteOnExit()
+    val ev = Tables(spark, sf, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        (col("event_type") === "purchase").cast("int").as("is_r"),
+        col("event_id"))
+    for ((lo, hi, i) <- Seq(("2024-01-01", "2024-01-11", 1),
+        ("2024-01-11", "2024-01-21", 2), ("2024-01-21", "2024-02-01", 3))) {
+      ev.filter(col("ts_us") >= unix_micros(lit(lo).cast("timestamp")) &&
+          col("ts_us") < unix_micros(lit(hi).cast("timestamp")))
+        .coalesce(1).write.parquet(s"$dir/b$i")
+      Thread.sleep(1100)
+    }
+    val joined = spark.readStream
+      .schema(ev.schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/b*")
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        // state: latest purchase (ts_us, pid) at-or-before the cursor
+        (uid: Long, rows: Iterator[(Long, Long, Int, Long)],
+         st: GroupState[(Long, Long)]) =>
+          // same within-ts tie rule as the batch window (purchases
+          // sort before clicks on equal ts => inclusive <=)
+          val sorted = rows.toSeq.sortBy(r => (r._2, -r._3, r._4))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Option[Long])]
+          for ((_, ts, isR, id) <- sorted) {
+            if (isR == 1) st.update((ts, id))
+            else out += ((uid, id, st.getOption.map(_._2)))
+          }
+          out.iterator
+      }
+      .toDF("user_id", "click_id", "asof_pid")
+    val q = joined.writeStream.format("memory").queryName("t_asof")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_asof")
+      .orderBy(col("user_id"), col("click_id")).collect().toSeq
+    val batch = SparkEntry.queries("q_join_asof")(spark, sf)
+      .select(col("user_id"), col("click_id"), col("asof_pid"))
+      .orderBy(col("user_id"), col("click_id")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} != batch ${batch.size}")
+  }
+
   test("streaming Misra-Gries heavy hitters: bounded state, MG guarantee") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
