@@ -314,8 +314,60 @@ object GraphOps {
       .orderBy(col("dist"), col("part"))
   }
 
+  /** Personalized PageRank / random-walk-with-restart (Page et al.
+    * 1999 §6 "personalized" vector; Tong, Faloutsos, Pan ICDM 2006):
+    * the restart mass returns to ONE seed node — the top-degree node,
+    * deterministically (deg DESC, node) — instead of spreading
+    * uniformly, so the stationary mass ranks nodes by PROXIMITY to
+    * the seed (the "related items / local community" primitive the
+    * uniform PageRank cannot express). 3 unrolled iterations of
+    * r'(v) = 150000·[v = seed] + (Σ_{u→v} r(u) div deg(u))·85 div 100
+    * on the same supplier–customer bipartite graph as
+    * [[qGraphPagerank]], micro fixed point, floor division only.
+    *
+    * Scale: same cost class as PageRank — per-iteration one
+    * rank-to-edges equi-join (rank broadcasts; the conf-gated
+    * shuffle-path discipline of pagerankRanks applies unchanged) and
+    * one partial-aggregated sum; the seed is a 1-row broadcast. */
+  val qGraphPpr: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("S"), col("l_suppkey")).as("a"),
+        concat(lit("C"), col("o_custkey")).as("b"))
+      .distinct()
+    val edges = graft.CacheScope.track(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val seed = deg.orderBy(col("deg").desc, col("src")).limit(1)
+      .select(col("src").as("seed"))
+    val edgesD = edges.join(broadcast(deg), Seq("src"))
+    var rank = deg.crossJoin(broadcast(seed))
+      .select(col("src").as("node"),
+        when(col("src") === col("seed"), 1000000L).otherwise(0L).as("r"))
+    for (_ <- 1 to 3) {
+      rank = graft.CacheScope.track(edgesD
+        .join(broadcast(rank), col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(expr("cast((sum(c) * 85) div 100 as bigint)").as("walk"))
+        .crossJoin(broadcast(seed))
+        .select(col("dst").as("node"),
+          (when(col("dst") === col("seed"), 150000L).otherwise(0L)
+            + col("walk")).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    }
+    rank.filter(col("r") > 0)
+      .orderBy(col("r").desc, col("node")).limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> qGraphPagerank,
+    "q_graph_ppr" -> qGraphPpr,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_linkpred" -> qGraphLinkpred,
     "q_graph_bfs" -> qGraphBfs,
@@ -332,6 +384,39 @@ object GraphOps {
         GROUP BY 1, 2 HAVING count(*) >= 2)"""
 
   val oracle: Map[String, String] = Map(
+    "q_graph_ppr" -> """
+      WITH pairs AS (
+        SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,
+               'C' || CAST(o_custkey AS VARCHAR) AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+      seed AS (SELECT src AS seed FROM deg
+               ORDER BY deg DESC, src LIMIT 1),
+      e AS (SELECT edges.src, edges.dst, deg.deg
+            FROM edges JOIN deg USING (src)),
+      r0 AS (SELECT src AS node,
+               CAST(CASE WHEN src = (SELECT seed FROM seed)
+                    THEN 1000000 ELSE 0 END AS BIGINT) AS r
+             FROM deg),
+      r1 AS (SELECT e.dst AS node,
+               CAST(CASE WHEN e.dst = (SELECT seed FROM seed)
+                    THEN 150000 ELSE 0 END
+                 + (sum(r0.r // e.deg) * 85) // 100 AS BIGINT) AS r
+             FROM e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+      r2 AS (SELECT e.dst AS node,
+               CAST(CASE WHEN e.dst = (SELECT seed FROM seed)
+                    THEN 150000 ELSE 0 END
+                 + (sum(r1.r // e.deg) * 85) // 100 AS BIGINT) AS r
+             FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+      r3 AS (SELECT e.dst AS node,
+               CAST(CASE WHEN e.dst = (SELECT seed FROM seed)
+                    THEN 150000 ELSE 0 END
+                 + (sum(r2.r // e.deg) * 85) // 100 AS BIGINT) AS r
+             FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst)
+      SELECT node, r FROM r3 WHERE r > 0
+      ORDER BY r DESC, node LIMIT 20""",
     "q_graph_pagerank" -> """
       WITH pairs AS (
         SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,

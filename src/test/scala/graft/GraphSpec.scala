@@ -81,4 +81,38 @@ class GraphSpec extends AnyFunSuite {
     val degs = rows.filter(_.getString(0) == "top").map(_.getLong(2))
     assert(degs.forall(_ >= 3), s"residual degree under k: ${degs.toSeq}")
   }
+
+  test("personalized pagerank: mass localizes at the seed, 3-hop support") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_graph_ppr")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) > 0))
+    // the seed (top-degree node, deterministic tie) holds the restart
+    // mass every iteration -> it must rank first
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("S"), col("l_suppkey")).as("a"),
+        concat(lit("C"), col("o_custkey")).as("b")).distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val seed = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src")).limit(1)
+      .collect()(0).getString(0)
+    assert(rows.head.getString(0) == seed,
+      s"top PPR node ${rows.head.getString(0)} != seed $seed")
+    // after 3 iterations only nodes within 3 hops of the seed can
+    // carry mass (walk support = BFS ball of radius 3)
+    var frontier = Set(seed)
+    var ball = Set(seed)
+    val adj = edges.collect().groupBy(_.getString(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    for (_ <- 1 to 3) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- ball
+      ball ++= frontier
+    }
+    val outside = rows.map(_.getString(0)).filterNot(ball)
+    assert(outside.isEmpty, s"mass outside the 3-hop ball: $outside")
+  }
 }
