@@ -27,7 +27,7 @@ object CorpusOps10 {
     * runs). Bucket-level partial aggregation below the 256-row
     * broadcast weight join — identical plan shape to the classifier
     * itself. */
-  private[ops] def scored(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def scored(s: SparkSession, dir: String): DataFrame = {
     val weights = broadcast(s.range(0, 256).select(
       col("id").as("bucket"),
       (col("id") * lit(2654435761L) % 2003).as("weight")))

