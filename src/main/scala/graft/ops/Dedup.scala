@@ -190,13 +190,7 @@ object Dedup {
     // holds identical signatures — rewriting it would only re-open the
     // overwrite window against a concurrent oracle reader. coalesce(1):
     // one 32-long array per doc is kilobytes at any test SF.
-    if (!sys.props.contains("graft.noDumps")) {
-      val part = s"$MinhashSigDump/k=${corpusFingerprint(s, dir)}"
-      val done = new org.apache.hadoop.fs.Path(part, "_SUCCESS")
-      val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(done))
-        sigs.coalesce(1).write.mode("overwrite").parquet(part)
-    }
+    dumpSigs(s, dir, sigs)
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
         """transform(sequence(0, 15),
@@ -218,6 +212,66 @@ object Dedup {
           .as("est_jacc"))
       .filter(col("est_jacc") >= 0.2)
       .orderBy(col("da"), col("db"))
+  }
+
+  private def dumpSigs(s: org.apache.spark.sql.SparkSession, dir: String,
+      sigs: org.apache.spark.sql.DataFrame): Unit =
+    if (!sys.props.contains("graft.noDumps")) {
+      val part = s"$MinhashSigDump/k=${corpusFingerprint(s, dir)}"
+      val done = new org.apache.hadoop.fs.Path(part, "_SUCCESS")
+      val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(done))
+        sigs.coalesce(1).write.mode("overwrite").parquet(part)
+    }
+
+  /** LSH banding (b, r) operating-point sweep over ONE shared 32-perm
+    * signature frame — the S-curve tuning table (Leskovec, Rajaraman,
+    * Ullman, "Mining of Massive Datasets" §3.4.2) a deployment reads
+    * before fixing its banding: more bands of fewer rows push the
+    * collision curve left (recall ↑, candidates ↑). Three points
+    * (32×1, 16×2, 8×4) report the closed-form collision probability
+    * at J = 0.5 (1 − (1 − 2⁻ʳ)ᵇ, exact integers: 1000 −
+    * (2ʳ−1)ᵇ·1000 div 2ʳᵇ), measured candidate volume, and measured
+    * recall against the EXACT J ≥ 0.5 truth (the PPJoin pipeline,
+    * proven lossless in DedupSimilaritySpec — no df-cap caveat).
+    *
+    * Scale: signatures computed once and persisted (the qDedupMinhash
+    * discipline); each point is a band equi-join over doc×b rows plus
+    * a semi-join against the truth pairs — never all-pairs. */
+  val qDedupLshSweep: Q = (s, dir) => {
+    GraftFunctions.register(s)
+    val sigs = graft.CacheScope.track(shingled(s, dir)
+      .withColumn("th", xxhash64(col("g")))
+      .groupBy(col("doc_id"))
+      .agg(expr("minhash32(th)").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    dumpSigs(s, dir, sigs)
+    val truth = graft.CacheScope.track(CorpusOps21.ppjoinImpl(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        500, 3)
+      .select(col("da"), col("db")).persist())
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val points = Seq((32, 1), (16, 2), (8, 4)).map { case (b, r) =>
+      val theory = 1000L - (BigInt((1L << r) - 1).pow(b) * 1000 /
+        BigInt(1L << r).pow(b)).toLong
+      val bands = sigs.select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, ${b - 1}), bi -> slice(sig, bi * $r + 1, $r))")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val hits = cand.join(truth, Seq("da", "db"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      nc.crossJoin(hits).crossJoin(nTruth)
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          lit(theory).as("theory_permille_at_500"),
+          col("n_candidates"), col("n_truth"), col("hits"),
+          expr("hits * 1000 div n_truth").as("recall_permille"))
+    }
+    points.reduce(_ unionByName _).orderBy(col("bands").desc)
   }
 
   /** Unsorted SimHash fingerprint frame shared by the presentation query
@@ -588,6 +642,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_lsh_sweep" -> qDedupLshSweep,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash_pairs" -> qDedupSimhashPairs,
     "q_dedup_incremental" -> qDedupIncremental)
@@ -683,8 +738,62 @@ object Dedup {
       WHERE bands > 0 AND est_jacc >= 0.2
       ORDER BY da, db"""
 
+  private def lshTheory(b: Int, r: Int): Long =
+    1000L - (BigInt((1L << r) - 1).pow(b) * 1000 /
+      BigInt(1L << r).pow(b)).toLong
+
+  /** Per-(b, r) candidate CTE + stats row for the sweep oracle. */
+  private def lshSweepSql: String = {
+    val cfgs = Seq((32, 1), (16, 2), (8, 4))
+    val cands = cfgs.map { case (b, r) => s"""
+      c_${b}_$r AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_filter(range(0, $b), bi ->
+          list_transform(range(1, ${r + 1}), kk -> a.sig[bi * $r + kk]) =
+          list_transform(range(1, ${r + 1}), kk -> b.sig[bi * $r + kk])))
+          > 0)""" }.mkString(",")
+    val rows = cfgs.map { case (b, r) => s"""
+      SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT)
+          AS rows_per_band,
+        CAST(${lshTheory(b, r)} AS BIGINT) AS theory_permille_at_500,
+        (SELECT CAST(count(*) AS BIGINT) FROM c_${b}_$r) AS n_candidates,
+        (SELECT n_truth FROM nt) AS n_truth,
+        (SELECT CAST(count(*) AS BIGINT)
+         FROM c_${b}_$r JOIN truth USING (da, db)) AS hits""" }
+      .mkString(" UNION ALL ")
+    s"""
+      WITH s AS (SELECT doc_id, sig
+                 FROM read_parquet('$MinhashSigDump/*/*.parquet',
+                                   hive_partitioning = true)
+                 WHERE k = (SELECT bit_xor(CAST('0x' ||
+                     substr(md5(text), 1, 15) AS BIGINT))
+                   FROM documents)),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS t
+               FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+             FROM (SELECT *, unnest(range(1, len(t) - 1)) AS i
+                   FROM toks)),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                  CAST(count(*) AS BIGINT) AS i
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      truth AS (SELECT da, db FROM inter
+                JOIN sizes sa ON da = sa.doc_id
+                JOIN sizes sb ON db = sb.doc_id
+                WHERE i * 1000 // (sa.n + sb.n - i) >= 500),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+      $cands
+      SELECT bands, rows_per_band, theory_permille_at_500, n_candidates,
+        n_truth, hits, hits * 1000 // n_truth AS recall_permille
+      FROM ($rows) ORDER BY bands DESC"""
+  }
+
   def oracle: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql,
+    "q_dedup_lsh_sweep" -> lshSweepSql,
     // sketch-quality confusion table: both sides reuse the exact oracle
     // texts above/below as nested-WITH CTE bodies, so the recall numbers
     // are derived from the SAME pair definitions the pair queries verify
