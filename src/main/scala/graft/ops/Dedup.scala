@@ -274,6 +274,63 @@ object Dedup {
     points.reduce(_ unionByName _).orderBy(col("bands").desc)
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm): hash every 5-token k-gram,
+    * slide a w = 4 window over the hash stream, and keep the
+    * LEFTMOST MINIMUM of each window as a fingerprint — the
+    * position-aware local scheme that GUARANTEES any shared run of
+    * ≥ w + k − 1 tokens yields a shared fingerprint (the detection
+    * floor MinHash's whole-document sketch cannot promise). Pairs
+    * sharing ≥ 2 fingerprints are reported with their shared count;
+    * fingerprints appearing in > 50 docs are dropped (boilerplate
+    * guard — same df-cap discipline as the postings band, documented
+    * recall caveat for mass-boilerplate only).
+    *
+    * Scale: the window min runs per-doc (partitioned, never global);
+    * fingerprint density is ~2/(w+1) of the gram stream, so the
+    * pair join's posting lists are df-capped AND ¼ the length the
+    * raw gram inverted index would carry. Hashes ride the md5
+    * 60-bit bridge, exact in both engines. */
+  val qDedupWinnow: Q = (s, dir) =>
+    winnowPairs(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")))
+
+  /** The winnowing pipeline behind [[qDedupWinnow]], shared with the
+    * generated-data guarantee spec: docs = (doc_id, text). */
+  private[graft] def winnowPairs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val K = 5; val W = 4
+    import org.apache.spark.sql.expressions.Window
+    val g = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= K)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(t) - ${K - 1}),
+            i -> array_join(slice(t, i, $K), ' '))""")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val fps = g
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("fp", min(struct(col("h"), col("pos")))
+        .over(byDoc.rowsBetween(0, W - 1)))
+      .filter(col("pos") <= greatest(col("ng") - (W - 1), lit(1)))
+      .select(col("doc_id"), col("fp.h").as("h"))
+      .distinct()
+    val fpsP = graft.CacheScope.track(fps.persist())
+    val hot = fpsP.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 50)
+    val cold = fpsP.join(broadcast(hot), Seq("h"), "left_anti")
+    cold.as("a").join(cold.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= 2)
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Unsorted SimHash fingerprint frame shared by the presentation query
     * and the pair scan. The pair scan must NOT inherit a global orderBy:
     * in r4 the inherited range-exchange + sort was computed once per join
@@ -643,6 +700,7 @@ object Dedup {
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_lsh_sweep" -> qDedupLshSweep,
+    "q_dedup_winnow" -> qDedupWinnow,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash_pairs" -> qDedupSimhashPairs,
     "q_dedup_incremental" -> qDedupIncremental)
@@ -794,6 +852,29 @@ object Dedup {
   def oracle: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql,
     "q_dedup_lsh_sweep" -> lshSweepSql,
+    "q_dedup_winnow" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      g AS (SELECT doc_id, i AS pos,
+              CAST('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' ||
+                t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]), 1, 15)
+                AS BIGINT) AS h
+            FROM (SELECT *, unnest(range(1, len(t) - 3)) AS i FROM toks)),
+      ng AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      ws AS (SELECT g.doc_id, g.pos AS w0 FROM g JOIN ng USING (doc_id)
+             WHERE g.pos <= greatest(ng.n - 3, 1)),
+      wmin AS (SELECT ws.doc_id, ws.w0, min(g.h) AS mh
+               FROM ws JOIN g ON g.doc_id = ws.doc_id
+                 AND g.pos BETWEEN ws.w0 AND ws.w0 + 3
+               GROUP BY 1, 2),
+      fps AS (SELECT DISTINCT doc_id, mh AS h FROM wmin),
+      cold AS (SELECT doc_id, h FROM fps WHERE h IN
+                 (SELECT h FROM fps GROUP BY h HAVING count(*) <= 50))
+      SELECT a.doc_id AS da, b.doc_id AS db,
+        CAST(count(*) AS BIGINT) AS shared_fp
+      FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY da, db""",
     // sketch-quality confusion table: both sides reuse the exact oracle
     // texts above/below as nested-WITH CTE bodies, so the recall numbers
     // are derived from the SAME pair definitions the pair queries verify

@@ -209,6 +209,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "base vectors must come from stored postings, not a re-scan")
   }
 
+  test("winnowing guarantee: a shared run of w+k-1 tokens always collides") {
+    // Schleimer et al. 2003 Theorem: any match of length
+    // >= w + k - 1 (= 8 tokens at k=5, w=4) yields at least one
+    // shared fingerprint. Generated docs share an 8-token run inside
+    // otherwise-disjoint token streams; control docs share nothing.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    // 12 tokens = 8 shared k-grams = 5 windows fully inside the run;
+    // ceil(5/w) = 2 distinct guaranteed fingerprints, matching the
+    // pair filter's shared_fp >= 2 (a bare w+k-1 = 8-token run
+    // guarantees only ONE)
+    val run = (1 to 12).map(i => s"shared$i").mkString(" ")
+    def noise(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag${rnd.nextInt(1000)}x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${noise("a", 20)} $run ${noise("b", 20)}"),
+      (2L, s"${noise("c", 30)} $run ${noise("d", 10)}"),
+      (3L, noise("e", 40)), // control: no shared run
+      (4L, s"${noise("f", 15)} $run ${noise("g", 25)}"))
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.winnowPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair among {1,2,4} must collide with >= 2 shared
+    // fingerprints (the 12-token run's guarantee above)
+    for (p <- Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+      assert(pairs.contains(p), s"guaranteed pair $p missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"control doc collided: $pairs")
+  }
+
   test("bloom pre-filter never yields a false negative") {
     // the Bloom guarantee the exact-verify join relies on: every true
     // member is bloom-positive, so n_member <= n_bloom_pos per doc and
