@@ -128,9 +128,45 @@ object CorpusOps42 {
       .orderBy(col("n_cal"))
   }
 
+  /** Reciprocal-rank fusion of two document rankings (Cormack,
+    * Clarke, Büttcher SIGIR 2009 — "RRF outperforms Condorcet and
+    * individual rank learning methods"): the classifier-quality
+    * ranking and the lexical-uniqueness ranking fuse via
+    * Σ 10⁶ div (60 + rank) — the k = 60 constant from the paper,
+    * exact integers. The ensemble selection step a curation pipeline
+    * runs when two scorers disagree: fusion rewards documents BOTH
+    * rankers place high without trusting either's scale.
+    *
+    * Scale: both global ranks ride ScaleWindows.bucketedRowNumber
+    * (coarse monotone buckets + broadcast offsets — no
+    * single-partition sort at any size; the oracle runs naive global
+    * row_number, equality is the decomposition's proof); the fusion
+    * arithmetic is map-side; top-20 lowers to TakeOrdered. */
+  val qRankFusion: Q = (s, dir) => {
+    val sc = graft.CacheScope.track(CorpusOps10.scored(s, dir).persist())
+    val uniq = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"),
+        expr("size(array_distinct(a)) * 1000 div size(a)").as("qpm"))
+    val base = sc.select(col("doc_id"), col("score_milli"))
+      .join(uniq, Seq("doc_id"))
+    val r1 = ScaleWindows.bucketedRowNumber(base,
+      expr("score_milli div 64"), true,
+      Seq(col("score_milli").desc, col("doc_id").asc), "rank_q")
+    val r2 = ScaleWindows.bucketedRowNumber(r1,
+      expr("qpm div 50"), true,
+      Seq(col("qpm").desc, col("doc_id").asc), "rank_u")
+    r2.select(col("doc_id"), col("score_milli"), col("qpm"),
+        col("rank_q"), col("rank_u"),
+        expr("1000000 div (60 + rank_q) + 1000000 div (60 + rank_u)")
+          .as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id")).limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_mix_doremi" -> qMixDoremi,
-    "q_eval_conformal" -> qEvalConformal)
+    "q_eval_conformal" -> qEvalConformal,
+    "q_rank_fusion" -> qRankFusion)
 
   val oracle: Map[String, String] = Map(
     "q_mix_doremi" -> s"""
@@ -200,5 +236,22 @@ object CorpusOps42 {
           // CAST(count(*) AS BIGINT) AS flagged_permille
       FROM scored, thr t
       WHERE doc_id % 2 = 1
-      GROUP BY t.n_cal, t.rank_r, t.threshold_milli""")
+      GROUP BY t.n_cal, t.rank_r, t.threshold_milli""",
+    "q_rank_fusion" -> s"""
+      WITH scored AS (${CorpusOps10.scoredSql}),
+      u AS (SELECT doc_id,
+              len(list_distinct(string_split(text, ' '))) * 1000
+                // len(string_split(text, ' ')) AS qpm
+            FROM documents),
+      b AS (SELECT s.doc_id, s.score_milli, u.qpm
+            FROM scored s JOIN u USING (doc_id)),
+      r AS (SELECT *,
+              CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id)
+                AS BIGINT) AS rank_q,
+              CAST(row_number() OVER (ORDER BY qpm DESC, doc_id)
+                AS BIGINT) AS rank_u
+            FROM b)
+      SELECT doc_id, score_milli, qpm, rank_q, rank_u,
+        1000000 // (60 + rank_q) + 1000000 // (60 + rank_u) AS rrf_micro
+      FROM r ORDER BY rrf_micro DESC, doc_id LIMIT 20""")
 }
