@@ -82,7 +82,10 @@ object Bench {
     "q_basket_rules",          // directed confidence/lift rule mining (r10)
     "q_mix_dsir",              // hashed-unigram importance weighting (r10)
     "q_eval_bradley_terry",    // pairwise tournament + 3 MM rounds (r10)
-    "q_graph_clustering")      // oriented wedge join + corner credit (r10)
+    "q_graph_clustering",      // oriented wedge join + corner credit (r10)
+    "q_join_asof_forward_custom", // native FORWARD as-of merge (r11)
+    "q_dedup_winnow",          // per-doc window-min fingerprints + pair join (r11)
+    "q_dedup_lsh_sweep")       // 3-point banding sweep + lossless truth (r11)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
