@@ -224,6 +224,57 @@ object Graft {
     labels.select(col("node"), col("label").as("community"))
   }
 
+  /** Uniform PageRank (Page et al. 1999) over an arbitrary directed
+    * (`src`, `dst`) edge frame — the q_graph_pagerank loop,
+    * generalized: `iterations` unrolled steps of
+    * r'(v) = 150 000 + (Σ_{u→v} r(u) div deg(u))·85 div 100 in
+    * integer micro-units (floor division only, bit-stable). Returns
+    * (`node`, `r`). Pass both edge directions for an undirected graph.
+    *
+    * Scale: rank/degree broadcast map-side by default; when |V|
+    * outgrows the broadcast, `shuffleJoin = true` hash-partitions
+    * edges on src ONCE and every rank join becomes a co-partitioned
+    * shuffled-hash join (bit-identical — one shared core with the
+    * query library, pinned in GraftApiSpec/GraphSpec). */
+  def pagerank(edges: DataFrame, src: String, dst: String,
+      iterations: Int = 3, shuffleJoin: Boolean = false): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    graft.ops.GraphOps.pagerankCore(
+      edges.select(col(src).as("src"), col(dst).as("dst")),
+      iterations, shuffleJoin, personalized = false, seed = None)
+  }
+
+  /** Personalized PageRank / random-walk-with-restart (Page et al.
+    * 1999 §6; Tong, Faloutsos, Pan ICDM 2006): all restart mass
+    * returns to ONE seed node, so the stationary mass ranks nodes by
+    * PROXIMITY to the seed. `seed = Some(id)` restarts at that node
+    * (cast to the edge frame's node type); `None` picks the
+    * top-degree node deterministically (deg DESC, node). Same core,
+    * same `shuffleJoin` scale path, same bit-identity guarantee as
+    * [[pagerank]]. Returns (`node`, `r`). */
+  def personalizedPagerank(edges: DataFrame, src: String, dst: String,
+      seed: Option[Any] = None, iterations: Int = 3,
+      shuffleJoin: Boolean = false): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+    val seedDf = seed.map(v => edges.sparkSession.range(1)
+      .select(lit(v).cast(edges.schema(src).dataType).as("seed")))
+    graft.ops.GraphOps.pagerankCore(e, iterations, shuffleJoin,
+      personalized = true, seed = seedDf)
+  }
+
+  /** Winnowing document-fingerprint near-dup pairs (Schleimer,
+    * Wilkerson, Aiken SIGMOD 2003 — MOSS): hash every `k`-token gram,
+    * keep the leftmost minimum of each `w`-wide window, report pairs
+    * sharing ≥ 2 fingerprints as (da, db, shared_fp) — the
+    * position-aware local scheme that guarantees any shared token run
+    * of ≥ w + k − 1 tokens is detected. Fingerprints in > 50 docs are
+    * dropped (boilerplate guard, the df-cap discipline). */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame =
+    graft.ops.Dedup.winnowPairs(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), k, w)
+
   /** Scale-safe global ntile: the bucket-offset decomposition of
     * [[graft.ops.ScaleWindows]] — no single-partition sort at any
     * size. `bucket` must be coarse and monotone (same direction as

@@ -65,8 +65,11 @@ object CorpusOps34 {
       .withColumn("event_id", lit(null).cast("long"))
       .withColumn("is_r", lit(1))
     val w = Window.partitionBy(col("user_id"))
-      // purchases AFTER clicks at equal ts => inclusive (pts >= ts)
-      .orderBy(col("ts"), col("is_r"))
+      // purchases AFTER clicks at equal ts => inclusive (pts >= ts);
+      // pid as the final key pins the LOWEST pid among purchases tied
+      // on (user_id, ts) — the same tie rule the native forward
+      // operator applies (nulls-first asc is a no-op for clicks)
+      .orderBy(col("ts"), col("is_r"), col("pid"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     clicks.unionByName(buys)
       .withColumn("next_pid",

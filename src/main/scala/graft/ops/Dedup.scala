@@ -237,7 +237,12 @@ object Dedup {
     *
     * Scale: signatures computed once and persisted (the qDedupMinhash
     * discipline); each point is a band equi-join over doc×b rows plus
-    * a semi-join against the truth pairs — never all-pairs. */
+    * a semi-join against the truth pairs — never all-pairs. Band keys
+    * with > 50 members are PRUNED from the candidate join (the df-cap
+    * discipline every other dedup join carries): without it one
+    * boilerplate-heavy band value goes quadratic. The dropped-key
+    * count rides each row as `dropped_keys`, so the reported recall
+    * stays honest about what the cap cost. */
   val qDedupLshSweep: Q = (s, dir) => {
     GraftFunctions.register(s)
     val sigs = graft.CacheScope.track(shingled(s, dir)
@@ -254,10 +259,21 @@ object Dedup {
     val points = Seq((32, 1), (16, 2), (8, 4)).map { case (b, r) =>
       val theory = 1000L - (BigInt((1L << r) - 1).pow(b) * 1000 /
         BigInt(1L << r).pow(b)).toLong
-      val bands = sigs.select(col("doc_id"), posexplode(expr(
+      val bands = graft.CacheScope.track(sigs
+        .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, ${b - 1}), bi -> slice(sig, bi * $r + 1, $r))")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-      val cand = bands.as("a").join(bands.as("b"),
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // hot-band cap: a (band, key) bucket with > 50 docs is
+      // boilerplate, not near-duplication — anti-join it out before
+      // the self-join (worst case bounded at 50·49/2 pairs per key)
+      val hot = graft.CacheScope.track(bands
+        .groupBy(col("band"), col("key")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 50)
+        .select(col("band"), col("key")).persist())
+      val nDrop = hot.agg(count(lit(1)).as("dropped_keys"))
+      val cold = bands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+      val cand = cold.as("a").join(cold.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -265,13 +281,37 @@ object Dedup {
       val nc = cand.agg(count(lit(1)).as("n_candidates"))
       val hits = cand.join(truth, Seq("da", "db"), "left_semi")
         .agg(count(lit(1)).as("hits"))
-      nc.crossJoin(hits).crossJoin(nTruth)
+      nc.crossJoin(hits).crossJoin(nTruth).crossJoin(nDrop)
         .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
           lit(theory).as("theory_permille_at_500"),
-          col("n_candidates"), col("n_truth"), col("hits"),
+          col("n_candidates"), col("dropped_keys"),
+          col("n_truth"), col("hits"),
           expr("hits * 1000 div n_truth").as("recall_permille"))
     }
     points.reduce(_ unionByName _).orderBy(col("bands").desc)
+  }
+
+  /** Operating-point AUTOPICK over the [[qDedupLshSweep]] table — the
+    * FAISS-autotune shape: a declared policy (recall floor ≥ 900
+    * permille at J = 0.5; among qualifiers, smallest candidate
+    * budget; bands DESC tie-break) joined against the measured sweep,
+    * emitting the ONE (b, r) point a deployment should band with. If
+    * no point meets the floor, the fallback maximizes recall. This is
+    * the selection that justifies q_dedup_minhash's shipped 16×2
+    * banding as data rather than folklore.
+    *
+    * Scale: one bounded sort over the 3-row sweep table — the sweep
+    * itself is the only distributed work. */
+  val qDedupLshAutopick: Q = (s, dir) => {
+    val sweep = qDedupLshSweep(s, dir)
+    sweep
+      .withColumn("meets_floor",
+        when(col("recall_permille") >= 900, 1L).otherwise(0L))
+      .orderBy(col("meets_floor").desc,
+        when(col("meets_floor") === 1, col("n_candidates"))
+          .otherwise(lit(1000000000L) - col("recall_permille")),
+        col("bands").desc)
+      .limit(1)
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
@@ -297,10 +337,14 @@ object Dedup {
       .select(col("doc_id"), col("text")))
 
   /** The winnowing pipeline behind [[qDedupWinnow]], shared with the
-    * generated-data guarantee spec: docs = (doc_id, text). */
+    * generated-data guarantee spec and the public API
+    * (`Graft.winnowPairs`): docs = (doc_id, text); `k` = gram length,
+    * `w` = winnowing window (guarantee threshold t = w + k − 1). */
   private[graft] def winnowPairs(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val K = 5; val W = 4
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int = 5, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    val K = k; val W = w
+    require(K >= 1 && W >= 1, s"k and w must be >= 1, got k=$K w=$W")
     import org.apache.spark.sql.expressions.Window
     val g = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -700,6 +744,7 @@ object Dedup {
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_lsh_sweep" -> qDedupLshSweep,
+    "q_dedup_lsh_autopick" -> qDedupLshAutopick,
     "q_dedup_winnow" -> qDedupWinnow,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash_pairs" -> qDedupSimhashPairs,
@@ -804,17 +849,26 @@ object Dedup {
   private def lshSweepSql: String = {
     val cfgs = Seq((32, 1), (16, 2), (8, 4))
     val cands = cfgs.map { case (b, r) => s"""
+      bk_${b}_$r AS (SELECT doc_id, bi,
+          list_transform(range(1, ${r + 1}), kk -> sig[bi * $r + kk])
+            AS key
+        FROM s, range(0, $b) t(bi)),
+      hot_${b}_$r AS (SELECT bi, key FROM bk_${b}_$r
+        GROUP BY 1, 2 HAVING count(*) > 50),
+      cold_${b}_$r AS (SELECT bk.doc_id, bk.bi, bk.key
+        FROM bk_${b}_$r bk ANTI JOIN hot_${b}_$r h
+          ON bk.bi = h.bi AND bk.key = h.key),
       c_${b}_$r AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        FROM s a JOIN s b ON a.doc_id < b.doc_id
-        WHERE len(list_filter(range(0, $b), bi ->
-          list_transform(range(1, ${r + 1}), kk -> a.sig[bi * $r + kk]) =
-          list_transform(range(1, ${r + 1}), kk -> b.sig[bi * $r + kk])))
-          > 0)""" }.mkString(",")
+        FROM cold_${b}_$r a JOIN cold_${b}_$r b
+          ON a.bi = b.bi AND a.key = b.key AND a.doc_id < b.doc_id)"""
+    }.mkString(",")
     val rows = cfgs.map { case (b, r) => s"""
       SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT)
           AS rows_per_band,
         CAST(${lshTheory(b, r)} AS BIGINT) AS theory_permille_at_500,
         (SELECT CAST(count(*) AS BIGINT) FROM c_${b}_$r) AS n_candidates,
+        (SELECT CAST(count(*) AS BIGINT) FROM hot_${b}_$r)
+          AS dropped_keys,
         (SELECT n_truth FROM nt) AS n_truth,
         (SELECT CAST(count(*) AS BIGINT)
          FROM c_${b}_$r JOIN truth USING (da, db)) AS hits""" }
@@ -845,13 +899,25 @@ object Dedup {
       nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
       $cands
       SELECT bands, rows_per_band, theory_permille_at_500, n_candidates,
-        n_truth, hits, hits * 1000 // n_truth AS recall_permille
+        dropped_keys, n_truth, hits,
+        hits * 1000 // n_truth AS recall_permille
       FROM ($rows) ORDER BY bands DESC"""
   }
 
   def oracle: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql,
     "q_dedup_lsh_sweep" -> lshSweepSql,
+    "q_dedup_lsh_autopick" -> s"""
+      SELECT bands, rows_per_band, theory_permille_at_500, n_candidates,
+        dropped_keys, n_truth, hits, recall_permille,
+        CAST(CASE WHEN recall_permille >= 900 THEN 1 ELSE 0 END
+          AS BIGINT) AS meets_floor
+      FROM ($lshSweepSql) sweep
+      ORDER BY meets_floor DESC,
+        CASE WHEN recall_permille >= 900 THEN n_candidates
+             ELSE 1000000000 - recall_permille END,
+        bands DESC
+      LIMIT 1""",
     "q_dedup_winnow" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                     FROM documents WHERE len(string_split(text, ' ')) >= 5),

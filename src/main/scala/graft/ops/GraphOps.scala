@@ -49,7 +49,14 @@ object GraphOps {
     * broadcast/shuffle trajectory equality over ALL nodes, not just the
     * presented top-20. */
   private[graft] def pagerankRanks(s: org.apache.spark.sql.SparkSession,
-      dir: String, shuffleJoin: Boolean): org.apache.spark.sql.DataFrame = {
+      dir: String, shuffleJoin: Boolean): org.apache.spark.sql.DataFrame =
+    pagerankCore(supplierCustomerEdges(s, dir), iterations = 3,
+      shuffleJoin = shuffleJoin, personalized = false, seed = None)
+
+  /** The shared supplier–customer bipartite edge frame (undirected:
+    * both directions emitted) of [[qGraphPagerank]] and [[qGraphPpr]]. */
+  private def supplierCustomerEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val li = Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables(s, dir, "orders")
@@ -58,8 +65,36 @@ object GraphOps {
       .select(concat(lit("S"), col("l_suppkey")).as("a"),
         concat(lit("C"), col("o_custkey")).as("b"))
       .distinct()
-    val edges0 = pairs.select(col("a").as("src"), col("b").as("dst"))
+    pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** Integer-micro PageRank iteration core over an arbitrary directed
+    * (`src`, `dst`) edge frame — the single loop behind the uniform
+    * ([[pagerankRanks]]), personalized ([[pprRanks]]) and public-API
+    * (`Graft.pagerank` / `Graft.personalizedPagerank`) entry points.
+    *
+    * `personalized = false`: init 1 000 000 micro at every node,
+    * restart mass 150 000 to every node per step. `personalized =
+    * true`: all init/restart mass concentrates on ONE seed node —
+    * `seed` (a 1-row frame with column `seed`) if given, else the
+    * top-degree node (deg DESC, node), deterministically.
+    *
+    * Scale: the per-node state (rank, degree) is |V| rows while the
+    * edge set is |E| >> |V| — on the default path rank and degree
+    * broadcast and the edge stream joins them MAP-SIDE; the only
+    * shuffle per iteration is the contribution aggregate on dst
+    * (partial-aggregated). When |V| outgrows the broadcast,
+    * `shuffleJoin = true` hash-partitions edges on src ONCE
+    * (persisted) and every deg/rank join becomes a shuffled-hash join
+    * riding that partitioning — zero |E| re-shuffles, only the
+    * |V|-sized rank side moves per iteration. All arithmetic is floor
+    * division and exact integer sums, so the two paths are
+    * bit-identical (pinned in GraphSpec for BOTH variants). */
+  private[graft] def pagerankCore(edges0: org.apache.spark.sql.DataFrame,
+      iterations: Int, shuffleJoin: Boolean, personalized: Boolean,
+      seed: Option[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
     // Broadcast path: edges persist as-is, deg/rank broadcast map-side.
     // Shuffle path: pay ONE |E| shuffle up front (hash-partition on src,
     // persisted) — the persisted partitioning satisfies the join
@@ -72,8 +107,18 @@ object GraphOps {
     val edgesD = if (shuffleJoin)
       edges.join(deg.hint("shuffle_hash"), Seq("src"))
     else edges.join(broadcast(deg), Seq("src"))
-    var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to 3) {
+    val seedDf = if (!personalized) None else Some(seed.getOrElse(
+      deg.orderBy(col("deg").desc, col("src")).limit(1)
+        .select(col("src").as("seed"))))
+    var rank = seedDf match {
+      case None =>
+        deg.select(col("src").as("node"), lit(1000000L).as("r"))
+      case Some(sd) => deg.crossJoin(broadcast(sd))
+        .select(col("src").as("node"),
+          when(col("src") === col("seed"), 1000000L)
+            .otherwise(0L).as("r"))
+    }
+    for (_ <- 1 to iterations) {
       // persist each iterate: the rank join executes rank's full
       // lineage, so an unpersisted chain recomputes iteration k-1 (and
       // everything before it) inside iteration k — 1+2+3 passes
@@ -81,15 +126,32 @@ object GraphOps {
       val joined = if (shuffleJoin)
         edgesD.join(rank.hint("shuffle_hash"), col("src") === col("node"))
       else edgesD.join(broadcast(rank), col("src") === col("node"))
-      rank = graft.CacheScope.track(joined
+      val contrib = joined
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst"))
-        .agg(expr("cast(150000 + (sum(c) * 85) div 100 as bigint)").as("r"))
-        .select(col("dst").as("node"), col("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      rank = graft.CacheScope.track((seedDf match {
+        case None => contrib
+          .agg(expr("cast(150000 + (sum(c) * 85) div 100 as bigint)")
+            .as("r"))
+          .select(col("dst").as("node"), col("r"))
+        case Some(sd) => contrib
+          .agg(expr("cast((sum(c) * 85) div 100 as bigint)").as("walk"))
+          .crossJoin(broadcast(sd))
+          .select(col("dst").as("node"),
+            (when(col("dst") === col("seed"), 150000L).otherwise(0L)
+              + col("walk")).as("r"))
+      }).persist(StorageLevel.MEMORY_AND_DISK))
     }
     rank
   }
+
+  /** Full post-iteration personalized-PageRank frame; `shuffleJoin`
+    * selects the scale path exactly as [[pagerankRanks]] does (same
+    * core, same conf gate, same bit-identity guarantee). */
+  private[graft] def pprRanks(s: org.apache.spark.sql.SparkSession,
+      dir: String, shuffleJoin: Boolean): org.apache.spark.sql.DataFrame =
+    pagerankCore(supplierCustomerEdges(s, dir), iterations = 3,
+      shuffleJoin = shuffleJoin, personalized = true, seed = None)
 
   /** Support-pruned part co-purchase edges (u < v, co-ordered >= 2
     * times): the shared graph of the triangle census and k-core
@@ -326,42 +388,15 @@ object GraphOps {
     * [[qGraphPagerank]], micro fixed point, floor division only.
     *
     * Scale: same cost class as PageRank — per-iteration one
-    * rank-to-edges equi-join (rank broadcasts; the conf-gated
-    * shuffle-path discipline of pagerankRanks applies unchanged) and
-    * one partial-aggregated sum; the seed is a 1-row broadcast. */
+    * rank-to-edges equi-join (rank broadcasts; the SAME conf gate as
+    * [[qGraphPagerank]], `spark.graft.pagerank.shuffleJoin=true`,
+    * flips it to the co-partitioned shuffled-hash path — one shared
+    * [[pagerankCore]], bit-identical, GraphSpec-pinned) and one
+    * partial-aggregated sum; the seed is a 1-row broadcast. */
   val qGraphPpr: Q = (s, dir) => {
-    val li = Tables(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("S"), col("l_suppkey")).as("a"),
-        concat(lit("C"), col("o_custkey")).as("b"))
-      .distinct()
-    val edges = graft.CacheScope.track(
-      pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val seed = deg.orderBy(col("deg").desc, col("src")).limit(1)
-      .select(col("src").as("seed"))
-    val edgesD = edges.join(broadcast(deg), Seq("src"))
-    var rank = deg.crossJoin(broadcast(seed))
-      .select(col("src").as("node"),
-        when(col("src") === col("seed"), 1000000L).otherwise(0L).as("r"))
-    for (_ <- 1 to 3) {
-      rank = graft.CacheScope.track(edgesD
-        .join(broadcast(rank), col("src") === col("node"))
-        .select(col("dst"), expr("r div deg").as("c"))
-        .groupBy(col("dst"))
-        .agg(expr("cast((sum(c) * 85) div 100 as bigint)").as("walk"))
-        .crossJoin(broadcast(seed))
-        .select(col("dst").as("node"),
-          (when(col("dst") === col("seed"), 150000L).otherwise(0L)
-            + col("walk")).as("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    }
-    rank.filter(col("r") > 0)
+    val shuffle = s.conf.getOption("spark.graft.pagerank.shuffleJoin")
+      .contains("true")
+    pprRanks(s, dir, shuffle).filter(col("r") > 0)
       .orderBy(col("r").desc, col("node")).limit(20)
   }
 

@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-JVM tag scoping stored index artifacts (see qSimIvfDelta):
+    * concurrent verifies on one box never share a state path. */
+  private val JvmTag: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   /** Quantized embedding: array<long> of round(x * 1e6) — the shared
     * contract lives in [[EmbQuant]] (ops package object). */
   private def quantized(s: SparkSession, dir: String): DataFrame =
@@ -228,10 +233,16 @@ object Similarity {
     def cellState(assigned: DataFrame): DataFrame = assigned
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("idsum"))
-    // the stored index artifact: cell state only, base vectors gone
+    // the stored index artifact: cell state only, base vectors gone.
+    // Keyed by the md5 of the corpus dir (collision-free, unlike
+    // hashCode) AND a per-JVM tag: two JVMs verifying the same SF dir
+    // write disjoint paths, so neither overwrites state the other's
+    // merge plan is reading.
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val basePath = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft_ivf_base_${Integer.toHexString(dir.hashCode)}").toString
+      s"graft_ivf_base_${dirKey}_$JvmTag").toString
     cellState(assign(emb.filter(col("vec_id") % 10 =!= 0)))
       .write.mode("overwrite").parquet(basePath)
     val stored = s.read.parquet(basePath)
@@ -257,6 +268,87 @@ object Similarity {
         expr(s"n_merged * $K * 1000 div tot_merged")
           .as("imbalance_permille"))
       .orderBy(col("cid"))
+  }
+
+  /** IVF cell SPLIT — the maintenance step the [[qSimIvfDelta]]
+    * report's imbalance column schedules (the index-lifecycle
+    * completion: build → delta-merge → split, never a global
+    * retrain): the HOTTEST cell (n DESC, cid — deterministic) is
+    * split in two by re-assigning ONLY that cell's members to 2
+    * sub-centroids seeded from its two lowest vec_ids (the same
+    * lowest-id seeding discipline as the coarse quantizer), via an
+    * EXACT int64 squared-distance argmin (d² = n2 + sn2 − 2·dot on
+    * micro-quantized components, ties to the lower sub id). Output:
+    * post-split cell state — unsplit cells ride through with
+    * sub = 0, the hot cell emits sub ∈ {1, 2} — plus each cell's
+    * post-split share (permille × (K+1) cells; 1000 = balanced) and
+    * the pre-split trigger imbalance the scheduler acted on.
+    * SimilaritySpec pins vector conservation (Σn unchanged) and that
+    * the max cell size strictly decreases.
+    *
+    * Scale: the only work beyond the assignment scan every IVF op
+    * shares is bounded by the ONE hot cell — a semi-join fetch of its
+    * members, a 2-row broadcast of sub-centroids, and a cell-sized
+    * argmin; no other cell's vectors are touched, no centroid
+    * retrains. */
+  val qSimIvfSplit: Q = (s, dir) => {
+    val K = 16
+    val emb = graft.CacheScope.track(withNorm(quantized(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cents = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    val assigned = graft.CacheScope.track(emb
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dotq(col("q"), col("cq")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val state = graft.CacheScope.track(assigned
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("idsum"))
+      .persist())
+    val tot = state.agg(sum(col("n")).as("tot"))
+    val hot = state.orderBy(col("n").desc, col("cid")).limit(1)
+      .select(col("cid").as("hot_cid"), col("n").as("hot_n"))
+    // the one-cell fetch: members (with vectors) of the hot cell only
+    val members = emb.join(
+      assigned.join(broadcast(hot), col("cid") === col("hot_cid"))
+        .select(col("vec_id")),
+      Seq("vec_id"))
+    // two lowest member ids via TakeOrderedAndProject (never a global
+    // sort); sub labels from a min-agg, not a window
+    val two = members.orderBy(col("vec_id")).limit(2)
+    val seeds = two
+      .crossJoin(broadcast(two.agg(min(col("vec_id")).as("mn"))))
+      .select(when(col("vec_id") === col("mn"), 1L).otherwise(2L)
+          .as("sub"),
+        col("q").as("sq"), col("n2").as("sn2"))
+    val reassigned = members.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("sub"),
+        (col("n2") + col("sn2") - lit(2L) * dotq(col("q"), col("sq")))
+          .as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("sub"), struct(col("d2"), col("sub"))).as("sub"))
+    val splitState = reassigned.groupBy(col("sub"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("idsum"))
+      .crossJoin(broadcast(hot.select(col("hot_cid"))))
+      .select(col("hot_cid").as("cid"), col("sub"), col("n"),
+        col("idsum"))
+    val unsplit = state
+      .join(broadcast(hot), col("cid") === col("hot_cid"), "left_anti")
+      .select(col("cid"), lit(0L).as("sub"), col("n"), col("idsum"))
+    unsplit.unionByName(splitState)
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(hot.select(col("hot_n"))))
+      .select(col("cid"), col("sub"), col("n"), col("idsum"),
+        expr(s"n * ${K + 1} * 1000 div tot").as("share_permille"),
+        expr(s"hot_n * $K * 1000 div tot")
+          .as("trigger_imbalance_permille"))
+      .orderBy(col("cid"), col("sub"))
   }
 
   /** IVF-PQ with ADC (asymmetric distance computation) — the two
@@ -808,6 +900,7 @@ object Similarity {
     "q_sim_ann_lsh" -> qSimAnnLsh,
     "q_sim_ivf" -> qSimIvf,
     "q_sim_ivf_delta" -> qSimIvfDelta,
+    "q_sim_ivf_split" -> qSimIvfSplit,
     "q_sim_ivfpq" -> qSimIvfPq,
     "q_sim_kmeans_step" -> qSimKmeansStep,
     "q_dedup_semantic" -> qDedupSemantic)
@@ -1124,6 +1217,60 @@ object Similarity {
           // CAST((SELECT sum(n_merged) FROM merged) AS BIGINT) AS BIGINT)
           AS imbalance_permille
       FROM merged ORDER BY cid""",
+    "q_sim_ivf_split" -> s"""
+      WITH e AS ($quantSql),
+      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      cd AS (SELECT a.vec_id, b.vec_id AS cid,
+               CAST(sum(a.v * b.v) AS BIGINT) AS dot
+             FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+             GROUP BY 1, 2),
+      ccos AS (SELECT cd.vec_id, cid,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) *
+                   sqrt(CAST(nc.n2 AS DOUBLE))) AS ccos
+               FROM cd JOIN n nv ON cd.vec_id = nv.vec_id
+                       JOIN n nc ON cid = nc.vec_id),
+      assigned AS (SELECT vec_id, cid FROM ccos
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, cid) = 1),
+      state AS (SELECT cid, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(vec_id) AS BIGINT) AS idsum
+                FROM assigned GROUP BY cid),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM state),
+      hot AS (SELECT cid AS hot_cid, n AS hot_n FROM state
+              ORDER BY n DESC, cid LIMIT 1),
+      members AS (SELECT a.vec_id FROM assigned a
+                  JOIN hot ON a.cid = hot_cid),
+      two AS (SELECT vec_id FROM members ORDER BY vec_id LIMIT 2),
+      seeds AS (SELECT vec_id AS svec,
+                  CASE WHEN vec_id = (SELECT min(vec_id) FROM two)
+                       THEN 1 ELSE 2 END AS sub
+                FROM two),
+      dd AS (SELECT a.vec_id, s.sub,
+               CAST(sum(a.v * b.v) AS BIGINT) AS dot
+             FROM e a JOIN members m ON a.vec_id = m.vec_id
+               JOIN seeds s ON true
+               JOIN e b ON b.vec_id = s.svec AND b.i = a.i
+             GROUP BY 1, 2),
+      reass AS (SELECT dd.vec_id, dd.sub FROM dd
+                  JOIN n nv ON dd.vec_id = nv.vec_id
+                  JOIN seeds s ON dd.sub = s.sub
+                  JOIN n ns ON s.svec = ns.vec_id
+                QUALIFY row_number() OVER (PARTITION BY dd.vec_id
+                  ORDER BY nv.n2 + ns.n2 - 2 * dd.dot, dd.sub) = 1),
+      split_state AS (SELECT (SELECT hot_cid FROM hot) AS cid,
+                        CAST(sub AS BIGINT) AS sub,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(vec_id) AS BIGINT) AS idsum
+                      FROM reass GROUP BY sub),
+      final AS (SELECT cid, CAST(0 AS BIGINT) AS sub, n, idsum
+                FROM state WHERE cid <> (SELECT hot_cid FROM hot)
+                UNION ALL SELECT cid, sub, n, idsum FROM split_state)
+      SELECT cid, sub, n, idsum,
+        n * 17 * 1000 // (SELECT tot FROM tot) AS share_permille,
+        (SELECT hot_n FROM hot) * 16 * 1000 // (SELECT tot FROM tot)
+          AS trigger_imbalance_permille
+      FROM final ORDER BY cid, sub""",
     "q_sim_ivfpq" -> ivfPqSqlAt(nprobe = 4, m = 4),
     "q_sim_kmeans_step" -> s"""
       WITH e AS ($quantSql),

@@ -151,44 +151,90 @@ object AvroIO {
     case (other, _) => other
   }
 
+  /** Hadoop `Configuration` is not `java.io.Serializable`; this
+    * wrapper ships the DRIVER's configuration (credentials,
+    * defaultFS, scheme impls) to tasks via its own write/readFields
+    * marshalling — the standard pattern, re-stated here because
+    * Spark's internal equivalent is `private[spark]`. */
+  private class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   // ---- write: one Avro container file per partition ----
 
+  /** Task-committed write: each task writes an ATTEMPT-UNIQUE hidden
+    * temp file (`.part-P-attemptA.avro.tmp`) and renames it to the
+    * final `part-P.avro` only on success — a retried or speculative
+    * attempt can never interleave bytes with another attempt, and a
+    * loser of the rename race deletes its own temp. An empty frame
+    * still round-trips: the driver writes one schema-only container
+    * when no partition produced a file. */
   def write(df: DataFrame, path: String): Unit = {
     val sparkSchema = df.schema
     val avroJson = toAvroSchema(sparkSchema).toString
     val out = new Path(path)
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    val fs = out.getFileSystem(conf)
+    val driverConf = df.sparkSession.sparkContext.hadoopConfiguration
+    val confBc = df.sparkSession.sparkContext
+      .broadcast(new SerializableHadoopConf(driverConf))
+    val fs = out.getFileSystem(driverConf)
     if (fs.exists(out)) fs.delete(out, true)
     fs.mkdirs(out)
+
+    def writeContainer(fsys: FileSystem, file: Path, schema: Schema,
+        rows: Iterator[Row]): Unit = {
+      val writer = new DataFileWriter(
+        new GenericDatumWriter[GenericRecord](schema))
+        .setCodec(CodecFactory.deflateCodec(6))
+        .create(schema, fsys.create(file, true))
+      try rows.foreach { row =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < sparkSchema.length) {
+          rec.put(i, toAvroValue(row.get(i), sparkSchema(i).dataType))
+          i += 1
+        }
+        writer.append(rec)
+      } finally writer.close() // closes the stream too
+    }
+
     df.rdd.foreachPartition { rows =>
       if (rows.hasNext) {
         val schema = new Schema.Parser().parse(avroJson)
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val file = new Path(path, f"part-$pid%05d.avro")
-        val os = file.getFileSystem(new Configuration())
-          .create(file, true)
-        val writer = new DataFileWriter(
-          new GenericDatumWriter[GenericRecord](schema))
-          .setCodec(CodecFactory.deflateCodec(6))
-          .create(schema, os)
-        try rows.foreach { row =>
-          val rec = new GenericData.Record(schema)
-          var i = 0
-          while (i < sparkSchema.length) {
-            rec.put(i, toAvroValue(row.get(i), sparkSchema(i).dataType))
-            i += 1
-          }
-          writer.append(rec)
-        } finally writer.close() // closes the stream too
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val fsys = new Path(path).getFileSystem(confBc.value.value)
+        val tmp = new Path(path,
+          f".part-$pid%05d-attempt-${tc.taskAttemptId()}.avro.tmp")
+        val fin = new Path(path, f"part-$pid%05d.avro")
+        writeContainer(fsys, tmp, schema, rows)
+        // commit: first successful attempt renames into place; a
+        // later attempt finds the final file and discards its temp
+        if (fsys.exists(fin) || !fsys.rename(tmp, fin))
+          fsys.delete(tmp, false)
       }
     }
+    // empty-frame round trip: guarantee at least one (schema-only)
+    // container so read() recovers the schema and returns 0 rows
+    if (fs.globStatus(new Path(out, "*.avro")).isEmpty)
+      writeContainer(fs, new Path(out, "part-00000.avro"),
+        new Schema.Parser().parse(avroJson), Iterator.empty)
   }
 
   // ---- read: one task per container file ----
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val confBc = spark.sparkContext
+      .broadcast(new SerializableHadoopConf(conf))
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val files = fs.globStatus(new Path(root, "*.avro"))
@@ -205,16 +251,16 @@ object AvroIO {
       .parallelize(files.toIndexedSeq, files.length)
       .flatMap { f =>
         val schema = new Schema.Parser().parse(avroJson)
-        val in = new Path(f).getFileSystem(new Configuration()).open(
+        val in = new Path(f).getFileSystem(confBc.value.value).open(
           new Path(f))
         val stream = new DataFileStream(in,
           new GenericDatumReader[GenericRecord](schema))
+        // close at task end even when the iterator is not drained
+        // (limit / take stop mid-file) — not just on exhaustion
+        org.apache.spark.TaskContext.get()
+          .addTaskCompletionListener[Unit](_ => stream.close())
         new Iterator[Row] {
-          def hasNext: Boolean = {
-            val h = stream.hasNext
-            if (!h) stream.close()
-            h
-          }
+          def hasNext: Boolean = stream.hasNext
           def next(): Row = {
             val rec = stream.next()
             Row.fromSeq(sparkSchema.fields.indices.map(i =>

@@ -92,6 +92,35 @@ class AvroIOSpec extends AnyFunSuite {
     assert(AvroIO.toSparkSchema(avro) == st)
   }
 
+  test("an empty frame round-trips: schema-only container, zero rows") {
+    val df = spark.range(10).filter(col("id") < 0)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+    val path = tmp()
+    AvroIO.write(df, path)
+    val back = AvroIO.read(spark, path)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("partial consumption (limit) does not leak or fail: listener closes") {
+    val df = spark.range(1000).select(col("id")).repartition(2)
+    val path = tmp()
+    AvroIO.write(df, path)
+    // limit stops mid-file: the task-completion listener (not
+    // iterator exhaustion) must close the container stream
+    val few = AvroIO.read(spark, path).limit(3).collect()
+    assert(few.length == 3)
+  }
+
+  test("committed writes: no temp files survive, one final per partition") {
+    val df = spark.range(100).select(col("id")).repartition(3)
+    val path = tmp()
+    AvroIO.write(df, path)
+    val names = new java.io.File(path).listFiles().map(_.getName).toSeq
+    assert(names.count(_.endsWith(".avro")) == 3, names)
+    assert(!names.exists(_.endsWith(".tmp")), s"uncommitted temps: $names")
+  }
+
   test("unsupported types fail fast with a clear message") {
     val st = StructType(Seq(StructField("m",
       MapType(StringType, LongType), nullable = true)))

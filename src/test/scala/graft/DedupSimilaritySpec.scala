@@ -209,6 +209,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "base vectors must come from stored postings, not a re-scan")
   }
 
+  test("IVF split: vectors conserved, max cell strictly shrinks, one split") {
+    val rows = SparkEntry.queries("q_sim_ivf_split")(spark, sf).collect()
+    val emb = Tables(spark, sf, "embeddings")
+    val nAll = emb.count()
+    val idSum = emb.agg(org.apache.spark.sql.functions.sum("vec_id"))
+      .collect()(0).getLong(0)
+    // conservation: the split moves vectors between sub-cells of ONE
+    // cell — totals across the post-split state reproduce the corpus
+    assert(rows.map(_.getAs[Long]("n")).sum == nAll)
+    assert(rows.map(_.getAs[Long]("idsum")).sum == idSum)
+    // exactly one cell split (two rows with sub > 0, same cid, both
+    // non-empty: the two seeds are members, so neither side is bare)
+    val split = rows.filter(_.getAs[Long]("sub") > 0)
+    assert(split.length == 2 &&
+      split.map(_.getAs[Long]("cid")).distinct.length == 1, split.toSeq)
+    assert(split.forall(_.getAs[Long]("n") >= 1))
+    assert(rows.count(_.getAs[Long]("sub") == 0L) == 15)
+    // imbalance strictly decreases: the pre-split hot cell was the
+    // max; afterwards every cell (sub-cells included) is smaller
+    val hotN = split.map(_.getAs[Long]("n")).sum
+    assert(rows.map(_.getAs[Long]("n")).max < hotN,
+      s"max cell must shrink below the pre-split hot size $hotN")
+    // the trigger column reports the pre-split imbalance of that cell
+    val trig = rows.map(_.getAs[Long]("trigger_imbalance_permille")).distinct
+    assert(trig.length == 1 && trig.head == hotN * 16 * 1000 / nAll)
+  }
+
   test("winnowing guarantee: a shared run of w+k-1 tokens always collides") {
     // Schleimer et al. 2003 Theorem: any match of length
     // >= w + k - 1 (= 8 tokens at k=5, w=4) yields at least one

@@ -177,4 +177,73 @@ class GraftApiSpec extends AnyFunSuite {
     CacheScope.release()
     assert(api.nonEmpty && api == declared)
   }
+
+  /** The supplier–customer bipartite edge frame the graph query
+    * library derives from lineitem ⨝ orders — rebuilt here
+    * independently so the facades are pinned against the library's
+    * own formulation. */
+  private def scEdges = {
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("S"), col("l_suppkey")).as("s"),
+        concat(lit("C"), col("o_custkey")).as("c"))
+      .distinct()
+    pairs.select(col("s").as("a"), col("c").as("b"))
+      .union(pairs.select(col("c").as("a"), col("s").as("b")))
+  }
+
+  test("pagerank facade == library ranks on both join paths") {
+    def srt(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.sortBy(_.getString(0))
+    for (shuffle <- Seq(false, true)) {
+      val api = try srt(Graft.pagerank(scEdges, "a", "b",
+          iterations = 3, shuffleJoin = shuffle).collect().toSeq)
+        finally CacheScope.release()
+      val lib = try srt(graft.ops.GraphOps
+          .pagerankRanks(spark, sf, shuffle).collect().toSeq)
+        finally CacheScope.release()
+      assert(api.nonEmpty && api == lib, s"shuffleJoin=$shuffle diverges")
+    }
+  }
+
+  test("personalizedPagerank: default seed == library; explicit seed pins") {
+    val api = try Graft.personalizedPagerank(scEdges, "a", "b")
+        .orderBy(col("node")).collect().toSeq
+      finally CacheScope.release()
+    val lib = try graft.ops.GraphOps.pprRanks(spark, sf, shuffleJoin = false)
+        .orderBy(col("node")).collect().toSeq
+      finally CacheScope.release()
+    assert(api.nonEmpty && api == lib)
+    // passing the top-degree node EXPLICITLY must reproduce the
+    // default; a different seed must move the mass (seed gets base)
+    val topSeed = try scEdges.groupBy(col("a")).count()
+        .orderBy(col("count").desc, col("a")).limit(1)
+        .collect()(0).getString(0)
+      finally CacheScope.release()
+    val explicit = try Graft.personalizedPagerank(scEdges, "a", "b",
+        seed = Some(topSeed)).orderBy(col("node")).collect().toSeq
+      finally CacheScope.release()
+    assert(explicit == lib)
+    val otherSeed = lib.map(_.getString(0)).filterNot(_ == topSeed).min
+    val moved = try Graft.personalizedPagerank(scEdges, "a", "b",
+        seed = Some(otherSeed)).filter(col("node") === otherSeed)
+        .collect().toSeq
+      finally CacheScope.release()
+    assert(moved.nonEmpty && moved.head.getLong(1) >= 150000L,
+      s"seed $otherSeed did not receive restart mass: $moved")
+  }
+
+  test("winnowPairs facade == declared q_dedup_winnow at (5, 4)") {
+    val docs = Tables(spark, sf, "documents")
+    val api = try Graft.winnowPairs(docs, "doc_id", "text")
+        .collect().toSeq
+      finally CacheScope.release()
+    val declared = try SparkEntry.queries("q_dedup_winnow")(spark, sf)
+        .collect().toSeq
+      finally CacheScope.release()
+    assert(api == declared)
+  }
 }

@@ -60,6 +60,33 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("ppr broadcast and shuffle-join paths are bit-identical") {
+    // Same discipline as PageRank (same core): integer micro-unit
+    // ranks, so the co-partitioned shuffle path must reproduce the
+    // broadcast trajectory EXACTLY over all nodes.
+    val dir = "/root/testdata/sf0.01"
+    def ranks(shuffle: Boolean) = try
+      ops.GraphOps.pprRanks(spark, dir, shuffle)
+        .orderBy(col("node")).collect().toSeq
+    finally CacheScope.release()
+    val b = ranks(shuffle = false)
+    val sh = ranks(shuffle = true)
+    assert(b.nonEmpty && b == sh,
+      s"broadcast/shuffle PPR diverge: ${b.take(3)} vs ${sh.take(3)}")
+    // and the conf gate actually routes the public query
+    spark.conf.set("spark.graft.pagerank.shuffleJoin", "true")
+    try {
+      val viaConf = SparkEntry.queries("q_graph_ppr")(spark, dir)
+        .collect().toSeq
+      val top = b.filter(_.getLong(1) > 0)
+        .sortBy(r => (-r.getLong(1), r.getString(0))).take(20)
+      assert(viaConf == top)
+    } finally {
+      spark.conf.unset("spark.graft.pagerank.shuffleJoin")
+      CacheScope.release()
+    }
+  }
+
   test("k-core broadcast and shuffle-semi paths are bit-identical") {
     // Pure integer set filtering — the co-partitioned shuffle path must
     // reproduce the broadcast path exactly, rounds and top list included.

@@ -343,6 +343,27 @@ class PlanSpec extends AnyFunSuite {
     } finally CacheScope.release()
   }
 
+  test("ppr shuffle path: rank joins are co-partitioned, never broadcast") {
+    // Personalized PageRank rides the same conf-gated core: on the
+    // scale path no |V|-sized deg/rank state may broadcast (the seed,
+    // a 1-row frame, is the only allowed non-edge-build broadcast).
+    val p = ops.GraphOps.pprRanks(spark, sf, shuffleJoin = true)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    try {
+      assert("ShuffledHashJoin".r.findAllIn(p).size >= 4,
+        s"deg/rank joins not shuffled-hash:\n$p")
+      val bhjKeyLines = p.split("\\n\\(\\d+\\) ").toSeq
+        .filter(_.startsWith("BroadcastHashJoin"))
+        .flatMap(_.linesIterator.filter(_.contains("keys")))
+      assert(!bhjKeyLines.exists(l =>
+          l.contains("node#") || l.contains("src#")),
+        s"deg/rank state still broadcasts on the scale path:\n$bhjKeyLines")
+      assert(p.contains("InMemoryTableScan"),
+        s"pre-partitioned edges not cached:\n$p")
+    } finally CacheScope.release()
+  }
+
   test("events ts predicate pushes through the generation normalization") {
     // Tables() casts events.ts NTZ->LTZ (micros fixtures); Catalyst's
     // cast-unwrapping must still deliver the time predicate to the
