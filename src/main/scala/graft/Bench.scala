@@ -85,7 +85,18 @@ object Bench {
     "q_graph_clustering",      // oriented wedge join + corner credit (r10)
     "q_join_asof_forward_custom", // native FORWARD as-of merge (r11)
     "q_dedup_winnow",          // per-doc window-min fingerprints + pair join (r11)
-    "q_dedup_lsh_sweep")       // 3-point banding sweep + lossless truth (r11)
+    "q_dedup_lsh_sweep",       // 3-point banding sweep + lossless truth (r11)
+    "q_sim_ivf_split",         // hottest-cell split: one-cell argmin re-assign (r12)
+    "q_eval_elo",              // ordered duel stream + packed-row Elo fold (r12)
+    "q_graph_ppr_topic",       // seed-set restart walk on the shared core (r12)
+    "q_eval_pass_at_k",        // falling-factorial pass@k over source pools (r12)
+    "q_text_distinct_n",       // distinct-1/2 lexical diversity per source (r12)
+    "q_sim_hard_negatives",    // label-disjoint cosine top-3 mining (r12)
+    "q_sim_maxsim",            // ColBERT late-interaction sub-vector MaxSim (r12)
+    "q_eval_lc_winrate",       // length-controlled stratified win rate (r12)
+    "q_vocab_overlap",         // pairwise source top-k vocab Jaccard (r12)
+    "q_sim_binary_sq",         // sign-bit words + popcount(xor) Hamming ANN (r12)
+    "q_eval_rating_agreement") // Elo-vs-BT Kendall tau-b2 agreement (r12)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -74,6 +74,9 @@ object SparkEntry {
     (CorpusOps40.queries, CorpusOps40.oracle),
     (CorpusOps41.queries, CorpusOps41.oracle),
     (CorpusOps42.queries, CorpusOps42.oracle),
+    (CorpusOps43.queries, CorpusOps43.oracle),
+    (CorpusOps44.queries, CorpusOps44.oracle),
+    (CorpusOps45.queries, CorpusOps45.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

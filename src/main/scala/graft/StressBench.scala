@@ -44,7 +44,14 @@ object StressBench {
     // r10 additions post-dating the first harness run: BT should be
     // ~flat (post-scan frame is |sources|²-bounded), rules ~linear in
     // baskets, clustering bounded by the wedge fan-out
-    "q_eval_bradley_terry", "q_basket_rules", "q_graph_clustering")
+    "q_eval_bradley_terry", "q_basket_rules", "q_graph_clustering",
+    // r11 additions (r11 verdict item 3): lsh_sweep is dominated by
+    // its PPJoin truth pass + 3 df-capped band joins, winnow by the
+    // df-capped fingerprint pair join (~linear: density is a constant
+    // fraction of the gram stream), ivf_delta by the assignment scan,
+    // doremi should be scale-flat (packed |sources|-row HOF updates)
+    "q_dedup_lsh_sweep", "q_dedup_winnow", "q_sim_ivf_delta",
+    "q_mix_doremi")
 
   def build(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {

@@ -257,10 +257,33 @@ object Graft {
       shuffleJoin: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
-    val seedDf = seed.map(v => edges.sparkSession.range(1)
-      .select(lit(v).cast(edges.schema(src).dataType).as("seed")))
+    val seedDf = seed.map { v =>
+      val sd = edges.sparkSession.range(1)
+        .select(lit(v).cast(edges.schema(src).dataType).as("seed"))
+      (_: DataFrame) => sd
+    }
     graft.ops.GraphOps.pagerankCore(e, iterations, shuffleJoin,
       personalized = true, seed = seedDf)
+  }
+
+  /** Topic-sensitive PageRank (Haveliwala WWW 2002): restart mass
+    * spreads uniformly (exact 1/|S| floor division) over a seed SET.
+    * Same core, same `shuffleJoin` scale path as [[pagerank]];
+    * the seed set collapses to one broadcast row. Returns
+    * (`node`, `r`). */
+  def topicPagerank(edges: DataFrame, src: String, dst: String,
+      seeds: Seq[Any], iterations: Int = 3,
+      shuffleJoin: Boolean = false): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(seeds.nonEmpty, "seeds must be non-empty")
+    val t = edges.schema(src).dataType
+    val sd = seeds.map(v => edges.sparkSession.range(1)
+        .select(lit(v).cast(t).as("seed")))
+      .reduce(_ unionByName _)
+    graft.ops.GraphOps.pagerankCore(
+      edges.select(col(src).as("src"), col(dst).as("dst")),
+      iterations, shuffleJoin, personalized = true,
+      seed = Some((_: DataFrame) => sd))
   }
 
   /** Winnowing document-fingerprint near-dup pairs (Schleimer,

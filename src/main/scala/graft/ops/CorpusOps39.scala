@@ -153,7 +153,7 @@ object CorpusOps39 {
     "q_eval_bradley_terry" -> qEvalBradleyTerry,
     "q_rank_kendall" -> qRankKendall)
 
-  private val winsSql = s"""
+  private[ops] val winsSql = s"""
       scored AS (${CorpusOps10.scoredSql}),
       sc AS (SELECT scored.*, documents.source FROM scored
              JOIN documents ON documents.doc_id = scored.doc_id),
@@ -188,7 +188,7 @@ object CorpusOps39 {
                FROM full_m GROUP BY 1),
       nsrc AS (SELECT CAST(count(*) AS BIGINT) AS k FROM srcs)"""
 
-  private def iterSql(prev: String, cur: String): String = s"""
+  private[ops] def iterSql(prev: String, cur: String): String = s"""
       d_$cur AS (SELECT f.i,
           CAST(sum(CAST(f.n_ij AS HUGEINT) * 1000000000000
             // (si.st + sj.st)) AS BIGINT) AS denom

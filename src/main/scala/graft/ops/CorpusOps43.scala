@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus + analytics operators, r12 wave 31 (SURVEY.md §2.M): ONLINE
+  * Elo ratings over the cross-source quality tournament — the
+  * sequential-update counterpart of the batch Bradley-Terry MM fit
+  * (ops/CorpusOps39.scala). Where BT refits the whole win matrix, Elo
+  * ingests an ORDERED game stream and updates two ratings per game —
+  * the shape a live preference-data pipeline runs as annotator votes
+  * arrive (Elo, "The Rating of Chessplayers", 1978; the same
+  * arena-style leaderboard discipline popularized for LLM evals).
+  *
+  * Determinism contract: the expected score is a STEP TABLE over the
+  * clamped rating difference (the published-table discipline FIDE
+  * uses rather than evaluating the logistic): E_i(d) permille =
+  * [91,151,240,360,500,640,760,849,909][(clamp(d,−400,400)+400) div
+  * 100], K = 32, ΔR = (K·(S_i − E_i + 1000)) div 1000 − 32 (the
+  * +1000/−32 shift keeps the dividend non-negative so floor and
+  * truncating integer division agree across engines), loser delta :=
+  * −winner delta exactly (zero-sum, total rating conserved).
+  */
+object CorpusOps43 {
+
+  /** Per-(source, round) exact score sums: round = doc_id % 16, the
+    * deterministic "match day" axis; means compare by integer
+    * cross-multiplication (tot_a·n_b vs tot_b·n_a), never a float. */
+  private def eloGames(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sc = CorpusOps10.scored(s, dir)
+      .join(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+    val rounds = sc
+      .groupBy(col("source"), (col("doc_id") % 16).as("round"))
+      .agg(count(lit(1)).as("n"), sum(col("score_milli")).as("tot"))
+    rounds.as("a").join(rounds.as("b"),
+        col("a.round") === col("b.round") &&
+          col("a.source") < col("b.source"))
+      .select(col("a.round").as("round"), col("a.source").as("i"),
+        col("b.source").as("j"),
+        when(col("a.tot") * col("b.n") > col("b.tot") * col("a.n"), 1000L)
+          .when(col("a.tot") * col("b.n") < col("b.tot") * col("a.n"), 0L)
+          .otherwise(500L).as("s_i"))
+  }
+
+  /** Online Elo leaderboard: 16 rounds of pairwise source duels on
+    * the classifier quality score (round r = docs with doc_id % 16 =
+    * r; the duel compares exact integer mean scores), folded through
+    * the ordered game stream (round, i, j) with the step-table update
+    * in the object docstring. Output per source: final rating, games,
+    * wins/draws/losses, (rating DESC, source) ordered.
+    *
+    * Scale: the corpus collapses to the (source, round) cell table —
+    * |sources|·16 rows — in ONE partial-aggregated scan (the
+    * classifier pass is the only per-doc work); the game stream is
+    * |sources|²·16-bounded, packs into ONE row, and the inherently
+    * sequential Elo fold runs as a single `aggregate` higher-order
+    * expression carrying the source→rating map — zero per-game or
+    * per-round Spark jobs (the q_eval_bradley_terry packed-row
+    * discipline; an unpacked formulation would schedule thousands of
+    * dependent jobs). */
+  val qEvalElo: Q = (s, dir) => {
+    val games = graft.CacheScope.track(eloGames(s, dir).persist())
+    val srcs = Tables(s, dir, "documents").select(col("source")).distinct()
+    val delta = (side: String) =>
+      s"""((32 * (g.s_i - element_at(
+            array(91, 151, 240, 360, 500, 640, 760, 849, 909),
+            CAST((greatest(-400, least(400,
+              element_at(st, g.i) - element_at(st, g.j))) + 400) div 100
+              AS INT) + 1)
+          + 1000)) div 1000 - 32)"""
+    val ratings = games
+      .agg(sort_array(collect_list(struct(
+        col("round"), col("i"), col("j"), col("s_i")))).as("gs"))
+      .crossJoin(broadcast(
+        srcs.agg(sort_array(collect_list(col("source"))).as("ss"))))
+      .withColumn("fin", expr(
+        s"""aggregate(gs,
+             map_from_arrays(ss, transform(ss, x -> CAST(1500 AS BIGINT))),
+             (st, g) -> map_from_arrays(map_keys(st),
+               transform(map_keys(st), k ->
+                 CASE WHEN k = g.i THEN element_at(st, k) + ${delta("i")}
+                      WHEN k = g.j THEN element_at(st, k) - ${delta("j")}
+                      ELSE element_at(st, k) END)))"""))
+      .select(explode(expr("map_entries(fin)")).as("e"))
+      .select(col("e.key").as("source"), col("e.value").as("rating"))
+    val tallies = games
+      .select(col("i").as("source"), col("s_i").as("sv"))
+      .unionByName(games.select(col("j").as("source"),
+        (lit(1000L) - col("s_i")).as("sv")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("games"),
+        sum(when(col("sv") === 1000, 1L).otherwise(0L)).as("wins"),
+        sum(when(col("sv") === 500, 1L).otherwise(0L)).as("draws"),
+        sum(when(col("sv") === 0, 1L).otherwise(0L)).as("losses"))
+    ratings.join(tallies, Seq("source"))
+      .orderBy(col("rating").desc, col("source"))
+  }
+
+  /** Rank agreement between the ONLINE Elo leaderboard and the BATCH
+    * Bradley-Terry fit over the same tournament — Kendall τ-b in the
+    * signed-τ² permille form of [[CorpusOps39.qRankKendall]] (no
+    * sqrt: sign(C−D)·(C−D)²·1000 div ((n0−tₑ)(n0−t_b)), exact
+    * integers). The methodology check a rating pipeline runs before
+    * trusting its cheap online scores: high agreement means the
+    * incremental Elo board tracks what a full refit would say.
+    *
+    * Scale: both inputs are |sources|-row leaderboards; the pair scan
+    * is |sources|²-bounded column arithmetic. */
+  val qEvalRatingAgreement: Q = (s, dir) => {
+    val elo = qEvalElo(s, dir).select(col("source"), col("rating"))
+    val bt = CorpusOps39.qEvalBradleyTerry(s, dir)
+      .select(col("source"), col("strength_micro"))
+    val per = elo.join(bt, Seq("source"))
+    val p = per.as("a").join(per.as("b"),
+        col("a.source") < col("b.source"))
+      .select((col("a.rating") - col("b.rating")).as("de"),
+        (col("a.strength_micro") - col("b.strength_micro")).as("db"))
+    p.agg(count(lit(1)).as("n0"),
+        sum(when(col("de") * col("db") > 0, 1L).otherwise(0L)).as("c"),
+        sum(when(col("de") * col("db") < 0, 1L).otherwise(0L)).as("d"),
+        sum(when(col("de") === 0, 1L).otherwise(0L)).as("te"),
+        sum(when(col("db") === 0, 1L).otherwise(0L)).as("tb"))
+      .select(col("n0"), col("c"), col("d"), col("te"), col("tb"),
+        expr("""CAST(sign(c - d) AS BIGINT) * (c - d) * (c - d) * 1000
+                div nullif((n0 - te) * (n0 - tb), 0)""")
+          .as("tau_b2_signed_permille"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_eval_elo" -> qEvalElo,
+    "q_eval_rating_agreement" -> qEvalRatingAgreement)
+
+  /** The Elo CTE chain (expects a preceding `scored` CTE and the
+    * enclosing WITH to be RECURSIVE); ends with `ratings(source,
+    * rating)` — shared by the q_eval_elo oracle and the
+    * rating-agreement oracle. */
+  private[ops] val eloCtes: String = s"""
+      rounds AS (SELECT d.source, d.doc_id % 16 AS round,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(s.score_milli) AS BIGINT) AS tot
+                 FROM scored s JOIN documents d USING (doc_id)
+                 GROUP BY 1, 2),
+      g0 AS (SELECT a.round, a.source AS i, b.source AS j,
+               CAST(CASE WHEN a.tot * b.n > b.tot * a.n THEN 1000
+                         WHEN a.tot * b.n < b.tot * a.n THEN 0
+                         ELSE 500 END AS BIGINT) AS s_i
+             FROM rounds a JOIN rounds b
+               ON a.round = b.round AND a.source < b.source),
+      games AS (SELECT CAST(row_number() OVER (ORDER BY round, i, j)
+                  AS BIGINT) AS gi, i, j, s_i FROM g0),
+      init AS (SELECT list(struct_pack(k := source,
+                       r := CAST(1500 AS BIGINT)) ORDER BY source) AS st
+               FROM (SELECT DISTINCT source FROM documents)),
+      state AS (
+        SELECT CAST(0 AS BIGINT) AS gi, st FROM init
+        UNION ALL
+        SELECT g.gi,
+          list_transform(s.st, x ->
+            CASE WHEN x.k = g.i THEN struct_pack(k := x.k, r := x.r +
+              ((32 * (g.s_i - list_extract(
+                 [91,151,240,360,500,640,760,849,909],
+                 CAST((greatest(-400, least(400,
+                   list_filter(s.st, y -> y.k = g.i)[1].r -
+                   list_filter(s.st, y -> y.k = g.j)[1].r)) + 400) // 100
+                   AS INT) + 1)
+               + 1000)) // 1000 - 32))
+            WHEN x.k = g.j THEN struct_pack(k := x.k, r := x.r -
+              ((32 * (g.s_i - list_extract(
+                 [91,151,240,360,500,640,760,849,909],
+                 CAST((greatest(-400, least(400,
+                   list_filter(s.st, y -> y.k = g.i)[1].r -
+                   list_filter(s.st, y -> y.k = g.j)[1].r)) + 400) // 100
+                   AS INT) + 1)
+               + 1000)) // 1000 - 32))
+            ELSE x END)
+        FROM state s JOIN games g ON g.gi = s.gi + 1),
+      final AS (SELECT st FROM state
+                WHERE gi = (SELECT coalesce(max(gi), 0) FROM games)),
+      ratings AS (SELECT u.k AS source, u.r AS rating
+                  FROM final, unnest(final.st) AS t(u))"""
+
+  val oracle: Map[String, String] = Map(
+    "q_eval_elo" -> s"""
+      WITH RECURSIVE scored AS (${CorpusOps10.scoredSql}),
+      $eloCtes,
+      tallies AS (
+        SELECT source,
+          CAST(count(*) AS BIGINT) AS games,
+          CAST(sum(CASE WHEN s = 1000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS wins,
+          CAST(sum(CASE WHEN s = 500 THEN 1 ELSE 0 END) AS BIGINT)
+            AS draws,
+          CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS losses
+        FROM (SELECT i AS source, s_i AS s FROM games
+              UNION ALL SELECT j, 1000 - s_i FROM games)
+        GROUP BY 1)
+      SELECT r.source, r.rating, t.games, t.wins, t.draws, t.losses
+      FROM ratings r JOIN tallies t USING (source)
+      ORDER BY r.rating DESC, r.source""",
+    // MATERIALIZED on the shared/expensive CTEs is REQUIRED here: in a
+    // WITH RECURSIVE, DuckDB may inline non-recursive CTEs into the
+    // recursive step, re-running the whole classifier scan per Elo
+    // game (measured: hangs without, 1.8 s with, identical result)
+    "q_eval_rating_agreement" -> Seq("scored AS (", "grid AS (",
+      "cum AS (", "wins AS (", "full_m AS (", "rounds AS (", "g0 AS (",
+      "games AS (").foldLeft(s"""
+      WITH RECURSIVE ${CorpusOps39.winsSql},
+      s0 AS (SELECT source, CAST(1000000 AS BIGINT) AS st FROM srcs),
+      ${CorpusOps39.iterSql("s0", "s1")},
+      ${CorpusOps39.iterSql("s1", "s2")},
+      ${CorpusOps39.iterSql("s2", "s3")},
+      $eloCtes,
+      per2 AS (SELECT e.source, e.rating, b.st AS strength
+               FROM ratings e JOIN s3 b USING (source)),
+      p2 AS (SELECT a.rating - b.rating AS de,
+               a.strength - b.strength AS db
+             FROM per2 a JOIN per2 b ON a.source < b.source),
+      agg2 AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN de * db > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN de * db < 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d,
+                 CAST(sum(CASE WHEN de = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS te,
+                 CAST(sum(CASE WHEN db = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tb
+               FROM p2)
+      SELECT n0, c, d, te, tb,
+        CAST(sign(c - d) AS BIGINT) * (c - d) * (c - d) * 1000
+          // nullif((n0 - te) * (n0 - tb), 0)
+          AS tau_b2_signed_permille
+      FROM agg2""") { (sql, cte) =>
+      sql.replace(cte, cte.replace(" AS (", " AS MATERIALIZED ("))
+    })
+}

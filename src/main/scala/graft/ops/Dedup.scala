@@ -296,9 +296,12 @@ object Dedup {
     * permille at J = 0.5; among qualifiers, smallest candidate
     * budget; bands DESC tie-break) joined against the measured sweep,
     * emitting the ONE (b, r) point a deployment should band with. If
-    * no point meets the floor, the fallback maximizes recall. This is
-    * the selection that justifies q_dedup_minhash's shipped 16×2
-    * banding as data rather than folklore.
+    * no point meets the floor, the fallback maximizes recall. On this
+    * fixture every point measures 1000‰ (the planted near-dups are
+    * high-Jaccard), so the policy rightly picks the cheapest (8, 4);
+    * the theory column records why 16×2 stays the robust default for
+    * a J ≈ 0.5 regime (990‰ vs 404‰ closed-form collision odds) —
+    * the autopick turns that trade into data either way.
     *
     * Scale: one bounded sort over the 3-row sweep table — the sweep
     * itself is the only distributed work. */

@@ -76,9 +76,14 @@ object GraphOps {
     *
     * `personalized = false`: init 1 000 000 micro at every node,
     * restart mass 150 000 to every node per step. `personalized =
-    * true`: all init/restart mass concentrates on ONE seed node —
-    * `seed` (a 1-row frame with column `seed`) if given, else the
-    * top-degree node (deg DESC, node), deterministically.
+    * true`: all init/restart mass concentrates on a SEED SET —
+    * `seed` (a function deg-frame → frame with column `seed`; 1 row
+    * = classic PPR, N rows = topic-sensitive PageRank, Haveliwala
+    * WWW 2002, mass split 1/|S| each by exact floor division) if
+    * given, else the top-degree node (deg DESC, node),
+    * deterministically. The seed set collapses to ONE broadcast row
+    * (array + count), so seed membership is an array_contains against
+    * O(1) state — never a |V|-keyed join.
     *
     * Scale: the per-node state (rank, degree) is |V| rows while the
     * edge set is |E| >> |V| — on the default path rank and degree
@@ -93,7 +98,8 @@ object GraphOps {
     * bit-identical (pinned in GraphSpec for BOTH variants). */
   private[graft] def pagerankCore(edges0: org.apache.spark.sql.DataFrame,
       iterations: Int, shuffleJoin: Boolean, personalized: Boolean,
-      seed: Option[org.apache.spark.sql.DataFrame])
+      seed: Option[org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame])
       : org.apache.spark.sql.DataFrame = {
     // Broadcast path: edges persist as-is, deg/rank broadcast map-side.
     // Shuffle path: pay ONE |E| shuffle up front (hash-partition on src,
@@ -107,15 +113,22 @@ object GraphOps {
     val edgesD = if (shuffleJoin)
       edges.join(deg.hint("shuffle_hash"), Seq("src"))
     else edges.join(broadcast(deg), Seq("src"))
-    val seedDf = if (!personalized) None else Some(seed.getOrElse(
-      deg.orderBy(col("deg").desc, col("src")).limit(1)
-        .select(col("src").as("seed"))))
+    val seedDf = if (!personalized) None else {
+      val sd = seed.map(_(deg)).getOrElse(
+        deg.orderBy(col("deg").desc, col("src")).limit(1)
+          .select(col("src").as("seed"))).distinct()
+      // one broadcast row: the seed array + its size (the 1/|S| mass
+      // denominator) — membership is array_contains on O(1) state
+      Some(sd.agg(collect_list(col("seed")).as("seeds"),
+        count(lit(1)).as("ns")))
+    }
     var rank = seedDf match {
       case None =>
         deg.select(col("src").as("node"), lit(1000000L).as("r"))
-      case Some(sd) => deg.crossJoin(broadcast(sd))
+      case Some(sdn) => deg.crossJoin(broadcast(sdn))
         .select(col("src").as("node"),
-          when(col("src") === col("seed"), 1000000L)
+          when(array_contains(col("seeds"), col("src")),
+            expr("1000000 div ns"))
             .otherwise(0L).as("r"))
     }
     for (_ <- 1 to iterations) {
@@ -134,11 +147,12 @@ object GraphOps {
           .agg(expr("cast(150000 + (sum(c) * 85) div 100 as bigint)")
             .as("r"))
           .select(col("dst").as("node"), col("r"))
-        case Some(sd) => contrib
+        case Some(sdn) => contrib
           .agg(expr("cast((sum(c) * 85) div 100 as bigint)").as("walk"))
-          .crossJoin(broadcast(sd))
+          .crossJoin(broadcast(sdn))
           .select(col("dst").as("node"),
-            (when(col("dst") === col("seed"), 150000L).otherwise(0L)
+            (when(array_contains(col("seeds"), col("dst")),
+              expr("150000 div ns")).otherwise(0L)
               + col("walk")).as("r"))
       }).persist(StorageLevel.MEMORY_AND_DISK))
     }
@@ -400,9 +414,36 @@ object GraphOps {
       .orderBy(col("r").desc, col("node")).limit(20)
   }
 
+  /** Topic-sensitive PageRank (Haveliwala, WWW 2002): the restart
+    * mass spreads UNIFORMLY over a topic's seed SET instead of one
+    * node — here "the supplier side": the 5 top-degree S-nodes
+    * (deg DESC, node — deterministic), each holding exactly
+    * 1/5 of the init and restart mass by floor division. The
+    * stationary mass ranks nodes by proximity to the topic, the
+    * primitive behind topical related-item feeds and seeded
+    * community scoring.
+    *
+    * Scale: identical cost class to [[qGraphPpr]] — the seed set
+    * collapses to ONE broadcast row (array + count), membership is an
+    * array_contains against O(|S|) state, and the same
+    * `spark.graft.pagerank.shuffleJoin` gate flips the rank joins to
+    * the co-partitioned shuffle path (shared [[pagerankCore]]). */
+  val qGraphPprTopic: Q = (s, dir) => {
+    val shuffle = s.conf.getOption("spark.graft.pagerank.shuffleJoin")
+      .contains("true")
+    pagerankCore(supplierCustomerEdges(s, dir), iterations = 3,
+      shuffleJoin = shuffle, personalized = true,
+      seed = Some(deg => deg.filter(col("src").startsWith("S"))
+        .orderBy(col("deg").desc, col("src")).limit(5)
+        .select(col("src").as("seed"))))
+      .filter(col("r") > 0)
+      .orderBy(col("r").desc, col("node")).limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_ppr" -> qGraphPpr,
+    "q_graph_ppr_topic" -> qGraphPprTopic,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_linkpred" -> qGraphLinkpred,
     "q_graph_bfs" -> qGraphBfs,
@@ -448,6 +489,41 @@ object GraphOps {
       r3 AS (SELECT e.dst AS node,
                CAST(CASE WHEN e.dst = (SELECT seed FROM seed)
                     THEN 150000 ELSE 0 END
+                 + (sum(r2.r // e.deg) * 85) // 100 AS BIGINT) AS r
+             FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst)
+      SELECT node, r FROM r3 WHERE r > 0
+      ORDER BY r DESC, node LIMIT 20""",
+    "q_graph_ppr_topic" -> """
+      WITH pairs AS (
+        SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,
+               'C' || CAST(o_custkey AS VARCHAR) AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+      seeds AS (SELECT src AS seed FROM deg WHERE src LIKE 'S%'
+                ORDER BY deg DESC, src LIMIT 5),
+      ns AS (SELECT count(*) AS ns FROM seeds),
+      e AS (SELECT edges.src, edges.dst, deg.deg
+            FROM edges JOIN deg USING (src)),
+      r0 AS (SELECT src AS node,
+               CAST(CASE WHEN src IN (SELECT seed FROM seeds)
+                    THEN 1000000 // (SELECT ns FROM ns)
+                    ELSE 0 END AS BIGINT) AS r
+             FROM deg),
+      r1 AS (SELECT e.dst AS node,
+               CAST(CASE WHEN e.dst IN (SELECT seed FROM seeds)
+                    THEN 150000 // (SELECT ns FROM ns) ELSE 0 END
+                 + (sum(r0.r // e.deg) * 85) // 100 AS BIGINT) AS r
+             FROM e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+      r2 AS (SELECT e.dst AS node,
+               CAST(CASE WHEN e.dst IN (SELECT seed FROM seeds)
+                    THEN 150000 // (SELECT ns FROM ns) ELSE 0 END
+                 + (sum(r1.r // e.deg) * 85) // 100 AS BIGINT) AS r
+             FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+      r3 AS (SELECT e.dst AS node,
+               CAST(CASE WHEN e.dst IN (SELECT seed FROM seeds)
+                    THEN 150000 // (SELECT ns FROM ns) ELSE 0 END
                  + (sum(r2.r // e.deg) * 85) // 100 AS BIGINT) AS r
              FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst)
       SELECT node, r FROM r3 WHERE r > 0

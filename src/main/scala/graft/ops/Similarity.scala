@@ -59,6 +59,116 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** HARD-negative mining for embedding/retriever training (the
+    * in-batch-negatives upgrade every dense-retrieval recipe ships —
+    * Karpukhin et al., "Dense Passage Retrieval", EMNLP 2020 §3.2):
+    * for each query vector, the top-3 MOST similar candidates with a
+    * DIFFERENT label — maximally confusable non-matches, the examples
+    * a contrastive loss learns most from. Complements q_neg_sample
+    * (hash-uniform RANDOM negatives): random negatives bound the
+    * denominator, hard negatives sharpen the decision boundary.
+    *
+    * Scale: identical shape to [[qSimTopK]] — queries broadcast,
+    * candidates stream map-side (one pass, no candidate shuffle), the
+    * label filter rides the broadcast join condition, top-3 via the
+    * per-query window. At 100 TB swap the brute-force scan for the
+    * IVF probe set (qSimIvf) — same downstream shape. */
+  val qSimHardNegatives: Q = (s, dir) => {
+    val emb = withNorm(quantized(s, dir)) // carries label (EmbQuant)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        col("n2").as("qn2"), col("label").as("qlabel"))
+    val scored = emb.join(broadcast(queries),
+        col("qid") =!= col("vec_id") && col("qlabel") =!= col("label"))
+      .select(col("qid"), col("qlabel"), col("vec_id").as("neighbor"),
+        col("label").as("neg_label"),
+        (dotq(col("qv"), col("q")).cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+          .as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Late-interaction MaxSim retrieval scoring (ColBERT — Khattab &
+    * Zaharia, SIGIR 2020): score(q, d) = Σ_i max_j ⟨q_i, d_j⟩ over
+    * the two sides' sub-vector sets — here the 8 contiguous 8-dim
+    * slices of each 64-dim embedding (the multi-vector layout a
+    * token-level late-interaction index stores). MaxSim rewards a
+    * strong ALIGNED facet where the single full-vector dot averages
+    * it away; the output carries both (maxsim, dot_full) so the rank
+    * disagreement is visible, top-5 per query by (maxsim DESC,
+    * neighbor).
+    *
+    * Exactness: sub-vector dots are exact int64 on the micro-quantized
+    * components (8-dim dot ≤ 8·(2.5e5)² ≈ 5e11), max/sum are integer.
+    *
+    * Scale: same one-pass broadcast-query shape as [[qSimTopK]]; the
+    * 64 sub-dot grid per (query, candidate) runs as a higher-order
+    * expression inside the scan — no extra shuffle, no row blow-up. */
+  val qSimMaxsim: Q = (s, dir) => {
+    val emb = quantized(s, dir).select(col("vec_id"), col("q"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val scored = emb.join(broadcast(queries), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("neighbor"),
+        expr("""aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) ->
+            acc + array_max(transform(sequence(0, 7), j ->
+              dotq(slice(qv, i * 8 + 1, 8), slice(q, j * 8 + 1, 8)))))""")
+          .as("maxsim"),
+        dotq(col("qv"), col("q")).as("dot_full"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("maxsim").desc, col("neighbor"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Binary sign quantization + Hamming ANN (Charikar's hyperplane
+    * LSH, STOC 2002, in its identity-rotation form — the 1-bit/dim
+    * "binary embedding" every billion-vector serving tier keeps hot):
+    * each 64-dim vector compresses to TWO 32-bit sign words (64×
+    * smaller than float32), candidate distance is
+    * popcount(w0⊕w0') + popcount(w1⊕w1'), and the top-5 per query by
+    * (hamming ASC, neighbor) is audited against the exact cosine
+    * top-5 (`in_exact_top5`) so the compression's recall is measured,
+    * not assumed. Two words instead of one keep every intermediate a
+    * non-negative int64 — no sign-bit arithmetic traps across engines.
+    *
+    * Scale: the scan reads 16 bytes/vector instead of 256; same
+    * broadcast-query one-pass shape as [[qSimTopK]]; XOR+popcount is
+    * codegen-friendly integer work. */
+  val qSimBinarySq: Q = (s, dir) => {
+    val words = quantized(s, dir).select(col("vec_id"),
+      expr("""aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) ->
+          acc + IF(element_at(q, i) > 0, shiftleft(CAST(1 AS BIGINT), i - 1),
+                   CAST(0 AS BIGINT)))""").as("w0"),
+      expr("""aggregate(sequence(33, 64), CAST(0 AS BIGINT), (acc, i) ->
+          acc + IF(element_at(q, i) > 0, shiftleft(CAST(1 AS BIGINT), i - 33),
+                   CAST(0 AS BIGINT)))""").as("w1"))
+    val wp = graft.CacheScope.track(words.persist())
+    val queries = wp.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("w0").as("qw0"),
+        col("w1").as("qw1"))
+    val scored = wp.join(broadcast(queries), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("neighbor"),
+        expr("bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1)")
+          .cast("long").as("hamming"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("neighbor"))
+    val top = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+    val exact = qSimTopK(s, dir)
+      .select(col("qid"), col("neighbor"), lit(1L).as("in_exact_top5"))
+    top.join(exact, Seq("qid", "neighbor"), "left")
+      .na.fill(0L, Seq("in_exact_top5"))
+      .select(col("qid"), col("neighbor"), col("hamming"), col("rnk"),
+        col("in_exact_top5"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Cosine near-dup pairs (cos >= 0.3) across all pairs — the exact
     * baseline the LSH variant is measured against. */
   val qSimNearDup: Q = (s, dir) => {
@@ -896,6 +1006,9 @@ object Similarity {
     "q_sim_rerank" -> qSimRerank,
     "q_sim_diverse" -> qSampleDiverse,
     "q_sim_topk" -> qSimTopK,
+    "q_sim_hard_negatives" -> qSimHardNegatives,
+    "q_sim_maxsim" -> qSimMaxsim,
+    "q_sim_binary_sq" -> qSimBinarySq,
     "q_sim_neardup" -> qSimNearDup,
     "q_sim_ann_lsh" -> qSimAnnLsh,
     "q_sim_ivf" -> qSimIvf,
@@ -1092,6 +1205,92 @@ object Similarity {
         CAST(row_number() OVER (PARTITION BY qid
           ORDER BY cos DESC, neighbor) AS INT) AS rnk
       FROM scored QUALIFY rnk <= 5 ORDER BY qid, rnk""",
+    "q_sim_hard_negatives" -> s"""
+      WITH e AS ($quantSql),
+      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      d AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+              CAST(sum(a.v * b.v) AS BIGINT) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10
+              AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2),
+      scored AS (SELECT qid, lq.label AS qlabel, neighbor,
+              ln.label AS neg_label,
+              CAST(dot AS DOUBLE) /
+                (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE)))
+                AS cos
+            FROM d JOIN n nq ON qid = nq.vec_id
+                   JOIN n nn ON neighbor = nn.vec_id
+                   JOIN embeddings lq ON qid = lq.vec_id
+                   JOIN embeddings ln ON neighbor = ln.vec_id
+            WHERE lq.label <> ln.label)
+      SELECT qid, qlabel, neighbor, neg_label, cos,
+        CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY cos DESC, neighbor) AS INT) AS rnk
+      FROM scored QUALIFY rnk <= 3 ORDER BY qid, rnk""",
+    "q_sim_maxsim" -> s"""
+      WITH e AS ($quantSql),
+      sub AS (SELECT vec_id, (i - 1) // 8 AS s, ((i - 1) % 8) + 1 AS d, v
+              FROM e),
+      dots AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+                 a.s AS si, b.s AS sj, CAST(sum(a.v * b.v) AS BIGINT) AS dt
+               FROM sub a JOIN sub b
+                 ON a.d = b.d AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+               GROUP BY 1, 2, 3, 4),
+      mx AS (SELECT qid, neighbor, si, max(dt) AS m
+             FROM dots GROUP BY 1, 2, 3),
+      ms AS (SELECT qid, neighbor, CAST(sum(m) AS BIGINT) AS maxsim
+             FROM mx GROUP BY 1, 2),
+      df AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+               CAST(sum(a.v * b.v) AS BIGINT) AS dot_full
+             FROM e a JOIN e b
+               ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+             GROUP BY 1, 2)
+      SELECT qid, neighbor, maxsim, dot_full,
+        CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY maxsim DESC, neighbor) AS INT) AS rnk
+      FROM ms JOIN df USING (qid, neighbor)
+      QUALIFY rnk <= 5 ORDER BY qid, rnk""",
+    "q_sim_binary_sq" -> s"""
+      WITH e AS ($quantSql),
+      words AS (SELECT vec_id,
+          CAST(sum(CASE WHEN v > 0 AND i <= 32
+                   THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)
+            AS BIGINT) AS w0,
+          CAST(sum(CASE WHEN v > 0 AND i >= 33
+                   THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)
+            AS BIGINT) AS w1
+        FROM e GROUP BY vec_id),
+      scored AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+          CAST(bit_count(xor(a.w0, b.w0))
+            + bit_count(xor(a.w1, b.w1)) AS BIGINT) AS hamming
+        FROM words a JOIN words b
+          ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+      top AS (SELECT qid, neighbor, hamming,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY hamming, neighbor) AS INT) AS rnk
+        FROM scored QUALIFY rnk <= 5),
+      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      dd AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+               CAST(sum(a.v * b.v) AS BIGINT) AS dot
+             FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10
+               AND b.vec_id <> a.vec_id
+             GROUP BY 1, 2),
+      cs AS (SELECT qid, neighbor,
+               CAST(dot AS DOUBLE) /
+                 (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE)))
+                 AS cos
+             FROM dd JOIN n nq ON qid = nq.vec_id
+                     JOIN n nn ON neighbor = nn.vec_id),
+      etop AS (SELECT qid, neighbor FROM cs
+               QUALIFY row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, neighbor) <= 5)
+      SELECT t.qid, t.neighbor, t.hamming, t.rnk,
+        CAST(CASE WHEN e5.neighbor IS NOT NULL THEN 1 ELSE 0 END
+          AS BIGINT) AS in_exact_top5
+      FROM top t LEFT JOIN etop e5 USING (qid, neighbor)
+      ORDER BY qid, rnk""",
     "q_sim_neardup" -> s"""
       WITH e AS ($quantSql),
       n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
