@@ -51,7 +51,14 @@ object StressBench {
     // fraction of the gram stream), ivf_delta by the assignment scan,
     // doremi should be scale-flat (packed |sources|-row HOF updates)
     "q_dedup_lsh_sweep", "q_dedup_winnow", "q_sim_ivf_delta",
-    "q_mix_doremi")
+    "q_mix_doremi",
+    // r12 additions: maxsim/hard-negatives/binary are broadcast-query
+    // one-pass scans (expect ~linear in candidates), lc_winrate and
+    // elo collapse to the (source, bin/round, score) axis (expect
+    // ~flat beyond the classifier scan), ivf_split is bounded by the
+    // one hot cell
+    "q_sim_maxsim", "q_sim_hard_negatives", "q_sim_binary_sq",
+    "q_eval_lc_winrate", "q_eval_elo", "q_sim_ivf_split")
 
   def build(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {

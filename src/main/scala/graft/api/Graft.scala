@@ -298,6 +298,29 @@ object Graft {
     graft.ops.Dedup.winnowPairs(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), k, w)
 
+  /** Online Elo ratings over an ordered game stream — the q_eval_elo
+    * fold, generalized: `games` rows are processed in (`ordCol`,
+    * `iCol`, `jCol`) order; `sPermilleCol` is side i's score in
+    * permille (1000 win / 500 draw / 0 loss). Updates use the
+    * FIDE-style step table over the clamped rating diff, K = 32,
+    * exact zero-sum integer deltas (loser delta := −winner delta);
+    * everyone starts at 1500. Returns (`player`, `rating`).
+    *
+    * Scale: the whole inherently-sequential loop runs as ONE
+    * packed-row `aggregate` higher-order expression — zero per-game
+    * Spark jobs. The games frame must be dimension-bounded (players²
+    * × rounds, not corpus-sized) — that is what makes Elo-on-Spark
+    * sane; aggregate per-(player-pair, period) FIRST, as the declared
+    * query does. */
+  def eloRatings(games: DataFrame, ordCol: String, iCol: String,
+      jCol: String, sPermilleCol: String): DataFrame = {
+    val g = games.select(col(ordCol).as("ord"), col(iCol).as("i"),
+      col(jCol).as("j"), col(sPermilleCol).cast("long").as("s_i"))
+    val players = g.select(col("i").as("player"))
+      .union(g.select(col("j").as("player"))).distinct()
+    graft.ops.CorpusOps43.eloFold(g, players)
+  }
+
   /** Scale-safe global ntile: the bucket-offset decomposition of
     * [[graft.ops.ScaleWindows]] — no single-partition sort at any
     * size. `bucket` must be coarse and monotone (same direction as

@@ -60,31 +60,51 @@ object CorpusOps43 {
     * per-round Spark jobs (the q_eval_bradley_terry packed-row
     * discipline; an unpacked formulation would schedule thousands of
     * dependent jobs). */
-  val qEvalElo: Q = (s, dir) => {
-    val games = graft.CacheScope.track(eloGames(s, dir).persist())
-    val srcs = Tables(s, dir, "documents").select(col("source")).distinct()
-    val delta = (side: String) =>
+  /** The packed-row Elo fold shared by [[qEvalElo]] and the public
+    * API (`Graft.eloRatings`): `games` = (ord, i, j, s_i) — processed
+    * in (ord, i, j) order; `players` = 1-column (`player`) frame of
+    * participants (all start at 1500). Returns (player, rating). The
+    * entire inherently-sequential update loop is ONE `aggregate`
+    * higher-order expression over the packed game array, carrying the
+    * player→rating map — zero per-game jobs at any corpus size
+    * (bounded by the games frame, which the callers keep
+    * dimension-bounded). */
+  private[graft] def eloFold(games: org.apache.spark.sql.DataFrame,
+      players: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val delta =
       s"""((32 * (g.s_i - element_at(
             array(91, 151, 240, 360, 500, 640, 760, 849, 909),
             CAST((greatest(-400, least(400,
               element_at(st, g.i) - element_at(st, g.j))) + 400) div 100
               AS INT) + 1)
           + 1000)) div 1000 - 32)"""
-    val ratings = games
+    games
       .agg(sort_array(collect_list(struct(
-        col("round"), col("i"), col("j"), col("s_i")))).as("gs"))
+        col("ord"), col("i"), col("j"), col("s_i")))).as("gs"))
       .crossJoin(broadcast(
-        srcs.agg(sort_array(collect_list(col("source"))).as("ss"))))
+        players.agg(sort_array(collect_list(col("player"))).as("ss"))))
       .withColumn("fin", expr(
         s"""aggregate(gs,
              map_from_arrays(ss, transform(ss, x -> CAST(1500 AS BIGINT))),
              (st, g) -> map_from_arrays(map_keys(st),
                transform(map_keys(st), k ->
-                 CASE WHEN k = g.i THEN element_at(st, k) + ${delta("i")}
-                      WHEN k = g.j THEN element_at(st, k) - ${delta("j")}
+                 CASE WHEN k = g.i THEN element_at(st, k) + $delta
+                      WHEN k = g.j THEN element_at(st, k) - $delta
                       ELSE element_at(st, k) END)))"""))
       .select(explode(expr("map_entries(fin)")).as("e"))
-      .select(col("e.key").as("source"), col("e.value").as("rating"))
+      .select(col("e.key").as("player"), col("e.value").as("rating"))
+  }
+
+  val qEvalElo: Q = (s, dir) => {
+    val games = graft.CacheScope.track(eloGames(s, dir).persist())
+    val srcs = Tables(s, dir, "documents")
+      .select(col("source").as("player")).distinct()
+    val ratings = eloFold(
+        games.select(col("round").as("ord"), col("i"), col("j"),
+          col("s_i")),
+        srcs)
+      .select(col("player").as("source"), col("rating"))
     val tallies = games
       .select(col("i").as("source"), col("s_i").as("sv"))
       .unionByName(games.select(col("j").as("source"),

@@ -169,6 +169,46 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Cluster-balanced CORESET selection — the diversity-preserving
+    * subsample a SemDeDup-style pipeline takes after dedup (Abbas et
+    * al. 2023 keep-within-cluster discipline; √-allocation is the
+    * classic stratified design): assign every vector to the K = 16
+    * frozen coarse cells, keep ceil(√n) vectors per cell (the lowest
+    * vec_ids — deterministic), so dense clusters are downsampled
+    * hard while rare clusters survive intact. Output per cell: pool
+    * size, kept count, an exact id-sum checksum of the kept set, and
+    * the kept share in permille.
+    *
+    * Scale: the assignment scan is the only per-vector work; the
+    * per-cell rank is a partitioned window (never global); output is
+    * K rows. */
+  val qSampleCoreset: Q = (s, dir) => {
+    val emb = withNorm(quantized(s, dir))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dotq(col("q"), col("cq")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+    val withN = assigned
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("cid"))))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy(col("cid")).orderBy(col("vec_id"))))
+    val kept = withN
+      .filter(col("rk") <= ceil(sqrt(col("n").cast("double"))))
+    kept.groupBy(col("cid"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("kept"),
+        sum(col("vec_id")).as("idsum_kept"))
+      .select(col("cid"), col("n"), col("kept"), col("idsum_kept"),
+        expr("kept * 1000 div n").as("kept_permille"))
+      .orderBy(col("cid"))
+  }
+
   /** Cosine near-dup pairs (cos >= 0.3) across all pairs — the exact
     * baseline the LSH variant is measured against. */
   val qSimNearDup: Q = (s, dir) => {
@@ -1009,6 +1049,7 @@ object Similarity {
     "q_sim_hard_negatives" -> qSimHardNegatives,
     "q_sim_maxsim" -> qSimMaxsim,
     "q_sim_binary_sq" -> qSimBinarySq,
+    "q_sample_coreset" -> qSampleCoreset,
     "q_sim_neardup" -> qSimNearDup,
     "q_sim_ann_lsh" -> qSimAnnLsh,
     "q_sim_ivf" -> qSimIvf,
@@ -1251,6 +1292,35 @@ object Similarity {
           ORDER BY maxsim DESC, neighbor) AS INT) AS rnk
       FROM ms JOIN df USING (qid, neighbor)
       QUALIFY rnk <= 5 ORDER BY qid, rnk""",
+    "q_sample_coreset" -> s"""
+      WITH e AS ($quantSql),
+      n AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      cd AS (SELECT a.vec_id, b.vec_id AS cid,
+               CAST(sum(a.v * b.v) AS BIGINT) AS dot
+             FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+             GROUP BY 1, 2),
+      ccos AS (SELECT cd.vec_id, cid,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) *
+                   sqrt(CAST(nc.n2 AS DOUBLE))) AS ccos
+               FROM cd JOIN n nv ON cd.vec_id = nv.vec_id
+                       JOIN n nc ON cid = nc.vec_id),
+      assigned AS (SELECT vec_id, cid FROM ccos
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, cid) = 1),
+      ranked AS (SELECT vec_id, cid,
+                   CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n,
+                   row_number() OVER (PARTITION BY cid
+                     ORDER BY vec_id) AS rk
+                 FROM assigned),
+      kept AS (SELECT * FROM ranked
+               WHERE rk <= ceil(sqrt(CAST(n AS DOUBLE))))
+      SELECT cid, CAST(max(n) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS kept,
+        CAST(sum(vec_id) AS BIGINT) AS idsum_kept,
+        CAST(count(*) AS BIGINT) * 1000 // CAST(max(n) AS BIGINT)
+          AS kept_permille
+      FROM kept GROUP BY cid ORDER BY cid""",
     "q_sim_binary_sq" -> s"""
       WITH e AS ($quantSql),
       words AS (SELECT vec_id,

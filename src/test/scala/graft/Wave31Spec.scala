@@ -40,6 +40,38 @@ class Wave31Spec extends AnyFunSuite {
       assert(w.getAs[Long]("rating") > l.getAs[Long]("rating"), s"$w vs $l")
   }
 
+  test("eloRatings facade == declared q_eval_elo leaderboard") {
+    // rebuild the duel stream exactly as the query library derives it,
+    // then pin the public fold against the declared leaderboard
+    val sc = graft.ops.CorpusOps10.scored(spark, sf)
+      .join(Tables(spark, sf, "documents")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+    val rounds = sc
+      .groupBy(col("source"), (col("doc_id") % 16).as("round"))
+      .agg(count(lit(1)).as("n"), sum(col("score_milli")).as("tot"))
+    val games = rounds.as("a").join(rounds.as("b"),
+        col("a.round") === col("b.round") &&
+          col("a.source") < col("b.source"))
+      .select(col("a.round").as("g_ord"), col("a.source").as("gi"),
+        col("b.source").as("gj"),
+        when(col("a.tot") * col("b.n") > col("b.tot") * col("a.n"), 1000L)
+          .when(col("a.tot") * col("b.n") < col("b.tot") * col("a.n"), 0L)
+          .otherwise(500L).as("sp"))
+    val api = try Graft.eloRatings(games, "g_ord", "gi", "gj", "sp")
+        .orderBy(col("player")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      finally CacheScope.release()
+    val declared = try SparkEntry.queries("q_eval_elo")(spark, sf)
+        .collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Long]("rating"))
+        .toMap
+      finally CacheScope.release()
+    // facade players come FROM the games, so compare on played sources
+    assert(declared.nonEmpty &&
+      declared.forall { case (s0, r0) => api.get(s0).contains(r0) },
+      s"facade diverges: ${declared.toSeq.sorted.take(3)} vs ${api.toSeq.sorted.take(3)}")
+  }
+
   test("topicPagerank facade == declared q_graph_ppr_topic top-20") {
     val li = Tables(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))

@@ -68,6 +68,25 @@ class Wave33Spec extends AnyFunSuite {
     assert(t >= -1000 && t <= 1000, r)
   }
 
+  test("coreset: sqrt allocation exact, kept ids are the cell minima") {
+    val rows = try SparkEntry.queries("q_sample_coreset")(spark, sf)
+        .collect()
+      finally CacheScope.release()
+    val nAll = Tables(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nAll)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("kept"))
+      assert(k == math.ceil(math.sqrt(n.toDouble)).toLong,
+        s"allocation not ceil(sqrt): $r")
+      assert(k >= 1 && k <= n, r)
+    }
+    // dense cells downsample harder than sparse ones (monotone share)
+    val byN = rows.sortBy(_.getAs[Long]("n"))
+    val shares = byN.map(_.getAs[Long]("kept_permille"))
+    assert(shares.head >= shares.last,
+      s"sparse cells must keep a larger share: ${shares.toSeq}")
+  }
+
   test("vocab overlap: full upper triangle, jaccard bounded and exact") {
     val rows = try SparkEntry.queries("q_vocab_overlap")(spark, sf)
         .collect()
