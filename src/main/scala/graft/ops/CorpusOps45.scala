@@ -111,9 +111,55 @@ object CorpusOps45 {
       .orderBy(col("sa"), col("sb"))
   }
 
+  /** Best-fit-decreasing sequence packing (the classic bin-packing
+    * heuristic, Johnson 1973, applied to LLM context windows): docs
+    * sort by (len DESC, doc_id) within their shard and each goes into
+    * the FULLEST bin that still fits (min remaining ≥ len, lowest bin
+    * index on ties), else opens a new 1024-token bin — the
+    * no-straddle alternative to q_pack_efficiency's concat-and-chunk
+    * (which splits documents across block boundaries). Output per
+    * shard: docs, token total, bins used, fill permille, and the
+    * contiguous-packing lower bound ceil(total/1024) for contrast —
+    * the table a training-throughput owner reads before picking a
+    * packer.
+    *
+    * Scale: packing is inherently sequential WITHIN a shard, so the
+    * fold runs as ONE `aggregate` higher-order expression per shard
+    * row (state = the bin-remainder array, bounded by shard size) —
+    * shards pack in parallel, zero per-doc Spark jobs. Lens clamp to
+    * the 1024 cap (an over-long doc fills one bin exactly). */
+  val qPackBestfit: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        least(size(split(col("text"), " ")).cast("long"), lit(1024L))
+          .as("len"))
+    val bestIdx = "array_position(st, array_min(" +
+      "filter(st, c -> c >= d.len)))"
+    docs.groupBy(col("shard"))
+      .agg(sort_array(collect_list(struct((-col("len")).as("nl"),
+          col("doc_id"), col("len")))).as("ds"),
+        count(lit(1)).as("n_docs"), sum(col("len")).as("total_len"))
+      .withColumn("bins", expr(
+        s"""aggregate(ds, CAST(array() AS ARRAY<BIGINT>), (st, d) ->
+             CASE WHEN size(filter(st, c -> c >= d.len)) = 0
+                  THEN concat(st, array(CAST(1024 AS BIGINT) - d.len))
+                  ELSE transform(sequence(1, size(st)), i ->
+                    IF(i = $bestIdx,
+                       element_at(st, CAST(i AS INT)) - d.len,
+                       element_at(st, CAST(i AS INT))))
+             END)"""))
+      .select(col("shard"), col("n_docs"), col("total_len"),
+        size(col("bins")).cast("long").as("bins"),
+        expr("total_len * 1000 div (size(bins) * 1024)")
+          .as("fill_permille"),
+        expr("(total_len + 1023) div 1024").as("contig_lower_bound"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_eval_lc_winrate" -> qEvalLcWinrate,
-    "q_vocab_overlap" -> qVocabOverlap)
+    "q_vocab_overlap" -> qVocabOverlap,
+    "q_pack_bestfit" -> qPackBestfit)
 
   val oracle: Map[String, String] = Map(
     "q_eval_lc_winrate" -> s"""
@@ -156,6 +202,44 @@ object CorpusOps45 {
         CAST(sum(win2) * 1000 // sum(den2)
           - sum(bin_permille) // count(*) AS BIGINT) AS lc_gap
       FROM scored_bins GROUP BY source ORDER BY source""",
+    "q_pack_bestfit" -> """
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+          least(CAST(len(string_split(text, ' ')) AS BIGINT), 1024)
+            AS len
+        FROM documents),
+      ordered AS (SELECT shard, doc_id, len,
+                    CAST(row_number() OVER (PARTITION BY shard
+                      ORDER BY len DESC, doc_id) AS BIGINT) AS idx
+                  FROM docs),
+      state AS (
+        SELECT shard, CAST(0 AS BIGINT) AS idx,
+          CAST([] AS BIGINT[]) AS bins
+        FROM (SELECT DISTINCT shard FROM docs)
+        UNION ALL
+        SELECT s.shard, o.idx,
+          CASE WHEN len(list_filter(s.bins, c -> c >= o.len)) = 0
+               THEN list_append(s.bins, 1024 - o.len)
+               ELSE list_transform(range(1, len(s.bins) + 1), i ->
+                 CASE WHEN i = list_position(s.bins,
+                        list_min(list_filter(s.bins, c -> c >= o.len)))
+                      THEN s.bins[i] - o.len ELSE s.bins[i] END)
+          END
+        FROM state s JOIN ordered o
+          ON o.shard = s.shard AND o.idx = s.idx + 1),
+      final AS (SELECT shard, bins FROM state s
+                WHERE idx = (SELECT max(idx) FROM ordered o2
+                             WHERE o2.shard = s.shard)),
+      tots AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len) AS BIGINT) AS total_len
+               FROM docs GROUP BY 1)
+      SELECT t.shard, t.n_docs, t.total_len,
+        CAST(len(f.bins) AS BIGINT) AS bins,
+        t.total_len * 1000 // (CAST(len(f.bins) AS BIGINT) * 1024)
+          AS fill_permille,
+        (t.total_len + 1023) // 1024 AS contig_lower_bound
+      FROM tots t JOIN final f USING (shard)
+      ORDER BY t.shard""",
     "q_vocab_overlap" -> """
       WITH counts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
                       FROM (SELECT source, unnest(string_split(text, ' '))

@@ -87,6 +87,25 @@ class Wave33Spec extends AnyFunSuite {
       s"sparse cells must keep a larger share: ${shares.toSeq}")
   }
 
+  test("bestfit packing: bins within bounds, never beats contiguous LB") {
+    val rows = try SparkEntry.queries("q_pack_bestfit")(spark, sf)
+        .collect()
+      finally CacheScope.release()
+    assert(rows.length == 8) // one row per shard (doc_id % 8)
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val (bins, lb, nd) = (r.getAs[Long]("bins"),
+        r.getAs[Long]("contig_lower_bound"), r.getAs[Long]("n_docs"))
+      // no-straddle packing can never use fewer bins than the
+      // contiguous bound, and never more than one bin per doc
+      assert(bins >= lb && bins <= nd, r)
+      val fill = r.getAs[Long]("fill_permille")
+      assert(fill > 0 && fill <= 1000, r)
+      assert(fill == r.getAs[Long]("total_len") * 1000 / (bins * 1024), r)
+    }
+  }
+
   test("vocab overlap: full upper triangle, jaccard bounded and exact") {
     val rows = try SparkEntry.queries("q_vocab_overlap")(spark, sf)
         .collect()
