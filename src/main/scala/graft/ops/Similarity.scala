@@ -109,14 +109,22 @@ object Similarity {
     * 64 sub-dot grid per (query, candidate) runs as a higher-order
     * expression inside the scan — no extra shuffle, no row blow-up. */
   val qSimMaxsim: Q = (s, dir) => {
-    val emb = quantized(s, dir).select(col("vec_id"), col("q"))
+    // sub-vector slices project BELOW the join — computed once per
+    // ROW, not once per (query, candidate) pair (128 slice
+    // allocations/pair in the first cut; this shape re-reads the
+    // materialized arrays instead)
+    val subsExpr =
+      expr("transform(sequence(0, 7), i -> slice(q, i * 8 + 1, 8))")
+    val emb = quantized(s, dir)
+      .select(col("vec_id"), col("q"), subsExpr.as("subs"))
     val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("q").as("qv"))
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        col("subs").as("qsubs"))
     val scored = emb.join(broadcast(queries), col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("neighbor"),
-        expr("""aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) ->
-            acc + array_max(transform(sequence(0, 7), j ->
-              dotq(slice(qv, i * 8 + 1, 8), slice(q, j * 8 + 1, 8)))))""")
+        expr("""aggregate(sequence(1, 8), CAST(0 AS BIGINT), (acc, i) ->
+            acc + array_max(transform(sequence(1, 8), j ->
+              dotq(element_at(qsubs, i), element_at(subs, j)))))""")
           .as("maxsim"),
         dotq(col("qv"), col("q")).as("dot_full"))
     val w = Window.partitionBy(col("qid"))
