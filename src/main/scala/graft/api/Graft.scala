@@ -44,7 +44,8 @@ object Graft {
       leftTime: String, rightTime: String,
       tiebreak: Seq[String] = Nil,
       toleranceUs: Option[Long] = None,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      nearest: Boolean = false): DataFrame = {
     val s = left.sparkSession
     if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       s.experimental.extraStrategies =
@@ -60,7 +61,7 @@ object Graft {
       leftKeys = leftKeys.map(lAttr), rightKeys = rightKeys.map(rAttr),
       leftTime = lAttr(leftTime), rightTime = rAttr(rightTime),
       rightTiebreak = tiebreak.map(c => SortOrder(rAttr(c), Ascending)),
-      toleranceUs = toleranceUs, forward = forward))
+      toleranceUs = toleranceUs, forward = forward, nearest = nearest))
   }
 
   /** Top-k rows per group through the native

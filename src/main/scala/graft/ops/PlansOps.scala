@@ -129,11 +129,47 @@ object PlansOps {
       .orderBy(col("user_id"), col("click_id"))
   }
 
+  /** Nearest-event join through the native operator's NEAREST
+    * direction (Pandas merge_asof direction="nearest"): for every
+    * error, the temporally closest purchase by the same user — the
+    * O(1)-state sort-merge pass keeps the backward candidate AND the
+    * forward lookahead and emits the closer one (exact microsecond
+    * distance, ties backward). Contract note vs the window form
+    * (q_join_nearest): a purchase at EXACTLY the error's timestamp is
+    * a backward candidate here (highest pid among equal times wins),
+    * so this query carries its own oracle encoding the operator's
+    * precise tie rules rather than borrowing the window form's.
+    *
+    * Scale: same cost class as q_join_asof_custom — co-partitioned
+    * hash exchanges + per-side external sorts + one merge pass; the
+    * window formulation's union-wide sort and TWO full-frame walks
+    * (backward + forward IGNORE NULLS) are gone. */
+  val qJoinNearestCustom: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("pid"))
+    graft.api.Graft.asofJoin(errs, buys,
+        Seq("user_id"), Seq("b_user"), "ts", "b_ts", Seq("pid"),
+        nearest = true)
+      .filter(col("pid").isNotNull)
+      .select(col("user_id"), col("event_id").as("error_id"),
+        Tables.fmtTsUs(col("ts")).as("error_ts"),
+        col("pid").as("nearest_purchase_id"),
+        Tables.fmtTsUs(col("b_ts")).as("purchase_ts"),
+        abs(expr("unix_micros(ts)") - expr("unix_micros(b_ts)"))
+          .as("distance_us"))
+      .orderBy(col("user_id"), col("error_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_topk_grouped_custom" -> qTopKGrouped,
     "q_join_asof_custom" -> qJoinAsofCustom,
     "q_join_asof_tol_custom" -> qJoinAsofTolCustom,
     "q_join_asof_forward_custom" -> qJoinAsofForwardCustom,
+    "q_join_nearest_custom" -> qJoinNearestCustom,
     "q_results_cache_hit" -> qResultsCacheHit)
 
   val oracle: Map[String, String] = Map(
@@ -142,6 +178,44 @@ object PlansOps {
     "q_join_asof_custom" -> Joins.oracle("q_join_asof"),
     "q_join_asof_tol_custom" -> CorpusOps29.oracle("q_join_asof_tol"),
     "q_join_asof_forward_custom" -> CorpusOps34.oracle("q_join_asof_forward"),
+    "q_join_nearest_custom" -> """
+      WITH err AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'error'),
+      pur AS (SELECT user_id, ts AS pts, event_id AS pid FROM events
+              WHERE event_type = 'purchase'),
+      pairs AS (SELECT e.user_id, e.event_id AS error_id, e.ts AS ets,
+                  p.pid, p.pts
+                FROM err e JOIN pur p USING (user_id)),
+      bw AS (SELECT user_id, error_id, pid, pts
+             FROM pairs WHERE pts <= ets
+             QUALIFY row_number() OVER (PARTITION BY user_id, error_id
+               ORDER BY pts DESC, pid DESC) = 1),
+      fw AS (SELECT user_id, error_id, pid, pts
+             FROM pairs WHERE pts > ets
+             QUALIFY row_number() OVER (PARTITION BY user_id, error_id
+               ORDER BY pts ASC, pid ASC) = 1),
+      pick AS (SELECT a.user_id, a.event_id AS error_id, a.ts AS ets,
+          CASE WHEN b.pid IS NOT NULL AND (f.pid IS NULL OR
+                 date_diff('microsecond', b.pts, a.ts) <=
+                 date_diff('microsecond', a.ts, f.pts))
+               THEN b.pid ELSE f.pid END AS nearest_purchase_id,
+          CASE WHEN b.pid IS NOT NULL AND (f.pid IS NULL OR
+                 date_diff('microsecond', b.pts, a.ts) <=
+                 date_diff('microsecond', a.ts, f.pts))
+               THEN b.pts ELSE f.pts END AS pts
+        FROM err a
+        LEFT JOIN bw b ON b.user_id = a.user_id
+          AND b.error_id = a.event_id
+        LEFT JOIN fw f ON f.user_id = a.user_id
+          AND f.error_id = a.event_id)
+      SELECT user_id, error_id,
+        strftime(ets, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+        nearest_purchase_id,
+        strftime(pts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        CAST(abs(date_diff('microsecond', pts, ets)) AS BIGINT)
+          AS distance_us
+      FROM pick WHERE nearest_purchase_id IS NOT NULL
+      ORDER BY user_id, error_id""",
     "q_topk_grouped_custom" -> """
       SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
       FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

@@ -22,6 +22,16 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * right.time >= left.time wins (first in (time, tiebreak) order on
   * equal times), and the staleness gate flips to
   * rightTime - leftTime <= tolerance — Pandas direction="forward".
+  * With `nearest = true` (Pandas direction="nearest", the kdb
+  * nearest-event shape) the merge keeps BOTH the backward candidate
+  * (latest right at-or-before — ties to the HIGHEST (time, tiebreak))
+  * and the forward lookahead (earliest right strictly after) and
+  * emits whichever is temporally closer, exact-microsecond ties to
+  * the backward side; the tolerance gates each side's own distance.
+  * NOTE the same-time boundary: a right row at exactly left.time is a
+  * BACKWARD candidate here (distance 0, always wins), whereas the
+  * window formulation (q_join_nearest) splits same-time rows by id
+  * interleaving — each contract is exact and separately oracled.
   *
   * The composable spelling (q_join_asof: tagged union + per-key
   * last-ignoring-nulls window) is correct but carries BOTH tables
@@ -42,9 +52,16 @@ case class AsOfJoinNode(
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[SortOrder],
     toleranceUs: Option[Long] = None,
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    nearest: Boolean = false) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
+  require(!(forward && nearest),
+    "as-of direction is one of backward (default), forward, nearest")
+  require(!nearest || Seq(leftTime, rightTime).forall(t =>
+    t.dataType == org.apache.spark.sql.types.TimestampType ||
+      t.dataType == org.apache.spark.sql.types.LongType),
+    "nearest as-of needs long-backed time columns (timestamp or long)")
   // the key comparator is generated from LEFT types and hash
   // co-partitioning is type-sensitive: an int-vs-long pair would
   // silently mis-match beyond 32 bits rather than fail — reject here
@@ -72,7 +89,8 @@ case class AsOfJoinExec(
     rightTiebreak: Seq[SortOrder],
     left: SparkPlan, right: SparkPlan,
     toleranceUs: Option[Long] = None,
-    forward: Boolean = false) extends BinaryExecNode {
+    forward: Boolean = false,
+    nearest: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -191,7 +209,24 @@ case class AsOfJoinExec(
         val fresh = lastMatch != null &&
           (toleranceUs.isEmpty ||
             lTime.getLong(0) - lastMatchTime.getLong(0) <= tol)
-        toUnsafe(joined(l, if (fresh) lastMatch else nullRight))
+        if (!nearest) {
+          toUnsafe(joined(l, if (fresh) lastMatch else nullRight))
+        } else {
+          // NEAREST: the un-consumed lookahead (strictly after lTime —
+          // same-time rows were consumed into lastMatch) competes with
+          // the backward candidate on exact microsecond distance;
+          // ties go backward. Each side gates on its own tolerance.
+          val fwdOk = pending != null &&
+            keyOrd.compare(pendingKey, lKey) == 0 &&
+            pendingTime.getLong(0) - lTime.getLong(0) <= tol
+          val pickBack = fresh && (!fwdOk ||
+            lTime.getLong(0) - lastMatchTime.getLong(0) <=
+              pendingTime.getLong(0) - lTime.getLong(0))
+          toUnsafe(joined(l,
+            if (pickBack) lastMatch
+            else if (fwdOk) pending
+            else nullRight))
+        }
       }
     }
   }
@@ -203,9 +238,9 @@ case class AsOfJoinExec(
 /** Planner strategy: lower the logical as-of node to the exec. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, rtb, tol, fwd) =>
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, rtb, tol, fwd, near) =>
       AsOfJoinExec(lk, rk, lt, rt, rtb, planLater(l), planLater(r),
-        tol, fwd) :: Nil
+        tol, fwd, near) :: Nil
     case _ => Nil
   }
 }

@@ -204,4 +204,59 @@ class AsOfJoinSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), Option(r.getAs[Any]("rid")))).toSeq
     assert(got == Seq((100L, Some(900L)), (101L, None)))
   }
+
+  test("nearest == brute force on generated data (dup times, ties, tol)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    def gen(n: Int, idBase: Long) = (0 until n).map { i =>
+      val k: java.lang.Long =
+        if (rnd.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(6).toLong)
+      (k, rnd.nextInt(8).toLong, idBase + i)
+    }
+    val lRows = gen(120, 1000)
+    val rRows = gen(80, 5000)
+    val lDf = lRows.toDF("k", "t", "lid")
+    val rDf = rRows.toDF("k", "t", "rid")
+      .select(col("k").as("rk"), col("t").as("rt"), col("rid"))
+    // operator contract, replayed literally: backward = max (t, rid)
+    // with rt <= t (same-time rows are backward); forward = min (t,
+    // rid) with rt > t; closer wins, exact ties to backward; with a
+    // tolerance each side gates on its own distance
+    def brute(tol: Option[Long]): Map[Long, Long] = lRows.map {
+      case (k, t, lid) =>
+        val cands = rRows.filter(r => Option(r._1) == Option(k))
+        val back = cands.filter(_._2 <= t)
+          .sortBy(c => (c._2, c._3)).lastOption
+          .filter(c => tol.forall(t - c._2 <= _))
+        val fwd = cands.filter(_._2 > t)
+          .sortBy(c => (c._2, c._3)).headOption
+          .filter(c => tol.forall(c._2 - t <= _))
+        val pick = (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            Some(if (t - b._2 <= f._2 - t) b else f)
+          case (b, f) => b.orElse(f)
+        }
+        lid -> pick.map(_._3).getOrElse(-1L)
+    }.toMap
+    for (tol <- Seq(None, Some(2L))) {
+      val got = api.Graft.asofJoin(lDf, rDf, Seq("k"), Seq("rk"),
+          "t", "rt", Seq("rid"), toleranceUs = tol, nearest = true)
+        .select(col("lid"), col("rid")).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(got == brute(tol), s"nearest diverges at tol=$tol")
+    }
+  }
+
+  test("forward+nearest is rejected at node construction") {
+    import spark.implicits._
+    val d = Seq((1L, 1L, 1L)).toDF("k", "t", "id")
+    val e = intercept[IllegalArgumentException](
+      api.Graft.asofJoin(d, d.select(col("k").as("rk"),
+          col("t").as("rt"), col("id").as("rid")),
+        Seq("k"), Seq("rk"), "t", "rt",
+        forward = true, nearest = true))
+    assert(e.getMessage.contains("direction"))
+  }
 }
