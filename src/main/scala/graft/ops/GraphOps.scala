@@ -440,10 +440,48 @@ object GraphOps {
       .orderBy(col("r").desc, col("node")).limit(20)
   }
 
+  /** Truncated Katz centrality (Katz, Psychometrika 1953):
+    * K(v) = Σ_{k=1..3} βᵏ · walks_k(v) with β = 1/8, where
+    * walks_k(v) counts length-k walks ENDING at v — the
+    * attenuated-influence measure that, unlike degree, credits
+    * friends-of-friends. Exact integers throughout: with the common
+    * denominator 8³, K(v)·512 = 64·w₁ + 8·w₂ + w₃ (no division at
+    * all — the one centrality in the family with a purely integral
+    * fixed point). Walk counts are three sparse mat-vec passes
+    * w_k(v) = Σ_{u→v} w_{k-1}(u) over the supplier–customer graph,
+    * seeded w₀ = 1; top-20 by (katz_x512 DESC, node).
+    *
+    * Scale: same cost class as one PageRank iteration each — the
+    * |V|-row walk vector broadcasts against the edge stream (the
+    * conf-gated shuffle discipline would apply identically), and the
+    * per-step aggregate is partial-aggregated on dst. */
+  val qGraphKatz: Q = (s, dir) => {
+    val edges = graft.CacheScope.track(supplierCustomerEdges(s, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    var w = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1L).as("w"))
+    val walks = (1 to 3).map { _ =>
+      w = graft.CacheScope.track(edges
+        .join(broadcast(w), col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("w")).as("w"))
+        .select(col("dst").as("node"), col("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+      w
+    }
+    walks(0).select(col("node"), col("w").as("w1"))
+      .join(walks(1).select(col("node"), col("w").as("w2")), Seq("node"))
+      .join(walks(2).select(col("node"), col("w").as("w3")), Seq("node"))
+      .select(col("node"), col("w1"), col("w2"), col("w3"),
+        (col("w1") * 64 + col("w2") * 8 + col("w3")).as("katz_x512"))
+      .orderBy(col("katz_x512").desc, col("node")).limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_ppr" -> qGraphPpr,
     "q_graph_ppr_topic" -> qGraphPprTopic,
+    "q_graph_katz" -> qGraphKatz,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_linkpred" -> qGraphLinkpred,
     "q_graph_bfs" -> qGraphBfs,
@@ -493,6 +531,24 @@ object GraphOps {
              FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst)
       SELECT node, r FROM r3 WHERE r > 0
       ORDER BY r DESC, node LIMIT 20""",
+    "q_graph_katz" -> """
+      WITH pairs AS (
+        SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,
+               'C' || CAST(o_custkey AS VARCHAR) AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+      a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS w
+             FROM edges GROUP BY 1),
+      a2 AS (SELECT e.dst AS node, CAST(sum(a1.w) AS BIGINT) AS w
+             FROM edges e JOIN a1 ON e.src = a1.node GROUP BY 1),
+      a3 AS (SELECT e.dst AS node, CAST(sum(a2.w) AS BIGINT) AS w
+             FROM edges e JOIN a2 ON e.src = a2.node GROUP BY 1)
+      SELECT a1.node, a1.w AS w1, a2.w AS w2, a3.w AS w3,
+        a1.w * 64 + a2.w * 8 + a3.w AS katz_x512
+      FROM a1 JOIN a2 ON a1.node = a2.node
+              JOIN a3 ON a1.node = a3.node
+      ORDER BY katz_x512 DESC, a1.node LIMIT 20""",
     "q_graph_ppr_topic" -> """
       WITH pairs AS (
         SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,

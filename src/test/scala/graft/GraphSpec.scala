@@ -87,6 +87,32 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("katz: w1 is exact indegree, fixed point is pure integer algebra") {
+    val rows = try SparkEntry.queries("q_graph_katz")(spark, sf).collect()
+      finally CacheScope.release()
+    assert(rows.length == 20)
+    // independent indegree recomputation for the reported nodes
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("S"), col("l_suppkey")).as("a"),
+        concat(lit("C"), col("o_custkey")).as("b"))
+      .distinct()
+    val indeg = pairs.select(col("b").as("node"))
+      .union(pairs.select(col("a").as("node")))
+      .groupBy(col("node")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("w1") == indeg(r.getAs[String]("node")), r)
+      assert(r.getAs[Long]("katz_x512") == r.getAs[Long]("w1") * 64 +
+        r.getAs[Long]("w2") * 8 + r.getAs[Long]("w3"), r)
+    }
+    val ks = rows.map(_.getAs[Long]("katz_x512")).toSeq
+    assert(ks == ks.sorted.reverse, "top-20 must be katz-descending")
+  }
+
   test("k-core broadcast and shuffle-semi paths are bit-identical") {
     // Pure integer set filtering — the co-partitioned shuffle path must
     // reproduce the broadcast path exactly, rounds and top list included.
