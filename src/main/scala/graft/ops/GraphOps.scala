@@ -456,13 +456,29 @@ object GraphOps {
     * conf-gated shuffle discipline would apply identically), and the
     * per-step aggregate is partial-aggregated on dst. */
   val qGraphKatz: Q = (s, dir) => {
-    val edges = graft.CacheScope.track(supplierCustomerEdges(s, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    val shuffle = s.conf.getOption("spark.graft.pagerank.shuffleJoin")
+      .contains("true")
+    katzWalks(s, dir, shuffle)
+  }
+
+  /** The Katz walk table; `shuffleJoin` selects the same conf-gated
+    * co-partitioned scale path as [[pagerankCore]] (edges
+    * hash-partitioned on src once, walk vectors shuffled-hash-joined
+    * instead of broadcast) — pure integer sums, so the paths are
+    * bit-identical (GraphSpec pin). */
+  private[graft] def katzWalks(s: org.apache.spark.sql.SparkSession,
+      dir: String, shuffleJoin: Boolean): org.apache.spark.sql.DataFrame = {
+    val edges0 = supplierCustomerEdges(s, dir)
+    val edges = graft.CacheScope.track(
+      (if (shuffleJoin) edges0.repartition(col("src")) else edges0)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     var w = edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1L).as("w"))
     val walks = (1 to 3).map { _ =>
-      w = graft.CacheScope.track(edges
-        .join(broadcast(w), col("src") === col("node"))
+      val joined = if (shuffleJoin)
+        edges.join(w.hint("shuffle_hash"), col("src") === col("node"))
+      else edges.join(broadcast(w), col("src") === col("node"))
+      w = graft.CacheScope.track(joined
         .groupBy(col("dst"))
         .agg(sum(col("w")).as("w"))
         .select(col("dst").as("node"), col("w"))

@@ -113,6 +113,17 @@ class GraphSpec extends AnyFunSuite {
     assert(ks == ks.sorted.reverse, "top-20 must be katz-descending")
   }
 
+  test("katz broadcast and shuffle-join paths are bit-identical") {
+    val dir = "/root/testdata/sf0.01"
+    def top(shuffle: Boolean) = try
+      ops.GraphOps.katzWalks(spark, dir, shuffle).collect().toSeq
+    finally CacheScope.release()
+    val b = top(shuffle = false)
+    val sh = top(shuffle = true)
+    assert(b.nonEmpty && b == sh,
+      s"broadcast/shuffle Katz diverge: ${b.take(3)} vs ${sh.take(3)}")
+  }
+
   test("k-core broadcast and shuffle-semi paths are bit-identical") {
     // Pure integer set filtering — the co-partitioned shuffle path must
     // reproduce the broadcast path exactly, rounds and top list included.
