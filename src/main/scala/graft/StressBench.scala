@@ -58,7 +58,12 @@ object StressBench {
     // ~flat beyond the classifier scan), ivf_split is bounded by the
     // one hot cell
     "q_sim_maxsim", "q_sim_hard_negatives", "q_sim_binary_sq",
-    "q_eval_lc_winrate", "q_eval_elo", "q_sim_ivf_split")
+    "q_eval_lc_winrate", "q_eval_elo", "q_sim_ivf_split",
+    // late-r12 adds: katz ~ one pagerank iteration each, nearest is
+    // the as-of merge cost class, bestfit folds per shard (8 rows of
+    // packed state), coreset is the assignment scan + tiny windows
+    "q_graph_katz", "q_join_nearest_custom", "q_pack_bestfit",
+    "q_sample_coreset")
 
   def build(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {
@@ -90,6 +95,14 @@ object StressBench {
     }
     inflate("lineitem") { df =>
       df.withColumn("l_orderkey", col("l_orderkey") * copies + col("c"))
+        .drop("c")
+    }
+    inflate("orders") { df =>
+      // keys shift exactly like lineitem's l_orderkey and customer's
+      // c_custkey, so joins stay consistent: 10x orders over the 10x
+      // fact rows, each copy's orders owned by that copy's customers
+      df.withColumn("o_orderkey", col("o_orderkey") * copies + col("c"))
+        .withColumn("o_custkey", col("o_custkey") * copies + col("c"))
         .drop("c")
     }
     inflate("customer") { df =>

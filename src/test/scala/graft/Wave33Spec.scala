@@ -91,7 +91,12 @@ class Wave33Spec extends AnyFunSuite {
     val rows = try SparkEntry.queries("q_pack_bestfit")(spark, sf)
         .collect()
       finally CacheScope.release()
-    assert(rows.length == 8) // one row per shard (doc_id % 8)
+    // one row per FIXED-SIZE 512-doc shard — the bounded-state design
+    val nShards = Tables(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.expr("doc_id div 512"))
+      .distinct().count()
+    assert(rows.length == nShards && nShards >= 1)
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") <= 512, r))
     val nDocs = Tables(spark, sf, "documents").count()
     assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
     rows.foreach { r =>
