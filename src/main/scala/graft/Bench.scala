@@ -100,7 +100,8 @@ object Bench {
     "q_sample_coreset",        // sqrt-allocation cluster-balanced coreset (r12)
     "q_pack_bestfit",          // per-shard best-fit-decreasing HOF fold (r12)
     "q_join_nearest_custom",   // native NEAREST as-of merge (r12)
-    "q_graph_katz")            // 3 mat-vec walk passes, integral Katz (r12)
+    "q_graph_katz",            // 3 mat-vec walk passes, integral Katz (r12)
+    "q_text_mattr")            // in-scan 25-token moving-window TTR (r12)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

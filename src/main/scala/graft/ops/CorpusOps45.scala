@@ -163,10 +163,45 @@ object CorpusOps45 {
       .orderBy(col("shard"))
   }
 
+  /** MATTR — moving-average type-token ratio (Covington & McFall,
+    * JQL 2010): the length-independent lexical-diversity standard.
+    * Plain TTR shrinks with document length (Zipf), so cross-length
+    * comparisons lie; MATTR slides a fixed 25-token window and
+    * averages the per-window type counts — every window contributes
+    * the same denominator regardless of document length. Per source:
+    * docs measured (≥ 25 tokens), window count, and MATTR in permille
+    * (Σ types · 1000 div (windows · 25), exact floor arithmetic; the
+    * per-window type count is an integer, so no floats anywhere).
+    *
+    * Scale: per-doc windows are a higher-order expression INSIDE the
+    * scan (O(len·w) per doc, w = 25 fixed) — no explode of the
+    * window×token stream, no shuffle wider than |sources|. */
+  val qTextMattr: Q = (s, dir) => {
+    val W = 25
+    val docs = Tables(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= W)
+      .select(col("source"),
+        (size(col("t")) - (W - 1)).cast("long").as("n_windows"),
+        expr(s"""aggregate(sequence(1, size(t) - ${W - 1}),
+             CAST(0 AS BIGINT), (acc, i) ->
+               acc + size(array_distinct(slice(t, i, $W))))""")
+          .as("types_sum"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_windows")).as("windows"),
+        sum(col("types_sum")).as("types_sum"))
+      .select(col("source"), col("n_docs"), col("windows"),
+        expr(s"types_sum * 1000 div (windows * $W)")
+          .as("mattr_permille"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_eval_lc_winrate" -> qEvalLcWinrate,
     "q_vocab_overlap" -> qVocabOverlap,
-    "q_pack_bestfit" -> qPackBestfit)
+    "q_pack_bestfit" -> qPackBestfit,
+    "q_text_mattr" -> qTextMattr)
 
   val oracle: Map[String, String] = Map(
     "q_eval_lc_winrate" -> s"""
@@ -247,6 +282,20 @@ object CorpusOps45 {
         (t.total_len + 1023) // 1024 AS contig_lower_bound
       FROM tots t JOIN final f USING (shard)
       ORDER BY t.shard""",
+    "q_text_mattr" -> """
+      WITH docs AS (
+        SELECT source, string_split(text, ' ') AS t FROM documents),
+      per AS (
+        SELECT source,
+          CAST(len(t) - 24 AS BIGINT) AS n_windows,
+          CAST(list_sum(list_transform(range(1, len(t) - 23),
+            i -> len(list_distinct(t[i:i+24])))) AS BIGINT) AS types_sum
+        FROM docs WHERE len(t) >= 25)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_windows) AS BIGINT) AS windows,
+        CAST(sum(types_sum) AS BIGINT) * 1000
+          // (CAST(sum(n_windows) AS BIGINT) * 25) AS mattr_permille
+      FROM per GROUP BY source ORDER BY source""",
     "q_vocab_overlap" -> """
       WITH counts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
                       FROM (SELECT source, unnest(string_split(text, ' '))

@@ -111,6 +111,19 @@ class Wave33Spec extends AnyFunSuite {
     }
   }
 
+  test("mattr: bounded by window arithmetic, all sources measured") {
+    val rows = try SparkEntry.queries("q_text_mattr")(spark, sf)
+        .collect()
+      finally CacheScope.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("mattr_permille")
+      // each 25-token window holds between 1 and 25 types
+      assert(m >= 40 && m <= 1000, r)
+      assert(r.getAs[Long]("windows") >= r.getAs[Long]("n_docs"), r)
+    }
+  }
+
   test("vocab overlap: full upper triangle, jaccard bounded and exact") {
     val rows = try SparkEntry.queries("q_vocab_overlap")(spark, sf)
         .collect()
