@@ -287,6 +287,36 @@ object Graft {
       seed = Some((_: DataFrame) => sd))
   }
 
+  /** Truncated Katz centrality (Katz, Psychometrika 1953) over an
+    * arbitrary directed (`src`, `dst`) edge frame — the q_graph_katz
+    * walk counter with β and the truncation depth exposed (the query
+    * hard-codes β = 1/8, depth = 3): K(v) = Σ_{i=1..depth} βⁱ ·
+    * walks_i(v) with β = 1/`invBeta`, reported as the EXACT integer
+    * `katz_scaled` = K(v) · invBeta^depth = Σ invBeta^(depth−i) ·
+    * walks_i(v) — the common-denominator trick keeps the whole
+    * computation in the integer ring (no division at all). Returns
+    * (`node`, `katz_scaled`). Pass both edge directions for an
+    * undirected graph.
+    *
+    * Scale: each of the `depth` sparse mat-vec passes costs one
+    * PageRank iteration — walk vectors broadcast map-side by default;
+    * `shuffleJoin = true` hash-partitions edges on src ONCE and every
+    * walk join becomes a co-partitioned shuffled-hash join (the
+    * pagerankCore discipline; bit-identical, pinned in GraftApiSpec
+    * on both paths). */
+  def katzCentrality(edges: DataFrame, src: String, dst: String,
+      invBeta: Int = 8, depth: Int = 3,
+      shuffleJoin: Boolean = false): DataFrame = {
+    require(invBeta >= 2, "invBeta must be >= 2 (beta = 1/invBeta)")
+    require(depth >= 1 && depth <= 12, "depth must be in [1, 12]")
+    require(BigInt(invBeta).pow(depth) <= BigInt(Long.MaxValue >> 20),
+      s"invBeta^depth = ${BigInt(invBeta).pow(depth)} leaves no " +
+        "headroom for exact long walk sums")
+    graft.ops.GraphOps.katzCore(
+      edges.select(col(src).as("src"), col(dst).as("dst")),
+      invBeta, depth, shuffleJoin)
+  }
+
   /** Winnowing document-fingerprint near-dup pairs (Schleimer,
     * Wilkerson, Aiken SIGMOD 2003 — MOSS): hash every `k`-token gram,
     * keep the leftmost minimum of each `w`-wide window, report pairs

@@ -25,8 +25,9 @@ object CorpusOps39 {
     * join — the corpus collapses to (source, score) counts, a
     * per-source running cumulative over the bounded score axis, and
     * one counts×cumulative join on the score key. */
-  private def winsMatrix(s: SparkSession, dir: String): DataFrame = {
-    val sc = CorpusOps10.scored(s, dir)
+  private def winsMatrix(s: SparkSession, dir: String,
+      scored: DataFrame): DataFrame = {
+    val sc = scored
       .join(Tables(s, dir, "documents").select(col("doc_id"), col("source")),
         Seq("doc_id"))
     val g = graft.CacheScope.track(
@@ -62,8 +63,16 @@ object CorpusOps39 {
     * Scale: after [[winsMatrix]] everything operates on the
     * |sources|² pair matrix — constant-size; each MM step is two
     * broadcast joins and one aggregate. */
-  val qEvalBradleyTerry: Q = (s, dir) => {
-    val wins = graft.CacheScope.track(winsMatrix(s, dir).persist())
+  val qEvalBradleyTerry: Q = (s, dir) =>
+    btBoard(s, dir, CorpusOps10.scored(s, dir))
+
+  /** Full BT leaderboard from a caller-supplied scored frame — lets
+    * `q_eval_rating_agreement` share ONE classifier scan across its
+    * Elo and BT chains (see CorpusOps43). */
+  private[ops] def btBoard(s: SparkSession, dir: String,
+      scored: DataFrame): DataFrame = {
+    val wins = graft.CacheScope.track(
+      winsMatrix(s, dir, scored).persist())
     val srcs = wins.select(col("i").as("source")).distinct()
     val pairs0 = srcs.select(col("source").as("i"))
       .crossJoin(srcs.select(col("source").as("j")))

@@ -27,8 +27,9 @@ object CorpusOps43 {
     * deterministic "match day" axis; means compare by integer
     * cross-multiplication (tot_a·n_b vs tot_b·n_a), never a float. */
   private def eloGames(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val sc = CorpusOps10.scored(s, dir)
+      dir: String, scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sc = scored
       .join(Tables(s, dir, "documents")
         .select(col("doc_id"), col("source")), Seq("doc_id"))
     val rounds = sc
@@ -96,8 +97,17 @@ object CorpusOps43 {
       .select(col("e.key").as("player"), col("e.value").as("rating"))
   }
 
-  val qEvalElo: Q = (s, dir) => {
-    val games = graft.CacheScope.track(eloGames(s, dir).persist())
+  val qEvalElo: Q = (s, dir) =>
+    eloBoard(s, dir, CorpusOps10.scored(s, dir))
+
+  /** Full Elo board from a caller-supplied scored frame — lets
+    * [[qEvalRatingAgreement]] share ONE classifier scan between the
+    * Elo and Bradley-Terry chains (the only per-doc work at scale;
+    * r12 ran it twice). */
+  private[ops] def eloBoard(s: org.apache.spark.sql.SparkSession,
+      dir: String, scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val games = graft.CacheScope.track(eloGames(s, dir, scored).persist())
     val srcs = Tables(s, dir, "documents")
       .select(col("source").as("player")).distinct()
     val ratings = eloFold(
@@ -129,8 +139,14 @@ object CorpusOps43 {
     * Scale: both inputs are |sources|-row leaderboards; the pair scan
     * is |sources|²-bounded column arithmetic. */
   val qEvalRatingAgreement: Q = (s, dir) => {
-    val elo = qEvalElo(s, dir).select(col("source"), col("rating"))
-    val bt = CorpusOps39.qEvalBradleyTerry(s, dir)
+    // ONE shared classifier scan: the per-doc scored stage is the only
+    // work that grows with the corpus — persist it once and feed BOTH
+    // the online-Elo and batch-BT chains from the same InMemoryRelation
+    // (r12 scanned twice; the downstreams are dimension-bounded).
+    val scored = graft.CacheScope.track(
+      CorpusOps10.scored(s, dir).persist())
+    val elo = eloBoard(s, dir, scored).select(col("source"), col("rating"))
+    val bt = CorpusOps39.btBoard(s, dir, scored)
       .select(col("source"), col("strength_micro"))
     val per = elo.join(bt, Seq("source"))
     val p = per.as("a").join(per.as("b"),

@@ -42,6 +42,12 @@ object CorpusOps44 {
           .otherwise(0L).as("ok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"), sum(col("ok")).as("c"))
+    // n < k guard: the falling-factorial denominator n·(n-1)···(n-k+1)
+    // contains a zero factor, so the unguarded form silently NULLs.
+    // Contract: with fewer than k attempts every k-subset is the whole
+    // pool, so pass@k = 1 ⟺ any attempt passed, else 0 (the c = 0
+    // numerator path already yields 0 via the greatest() clamp, but
+    // only the explicit CASE keeps the denominator off the zero).
     def passK(k: Int): String = {
       val num = (0 until k)
         .map(i => s"CAST(greatest(n - c - $i, 0) AS DECIMAL(38,0))")
@@ -49,7 +55,8 @@ object CorpusOps44 {
       val den = (0 until k)
         .map(i => s"CAST(n - $i AS DECIMAL(38,0))")
         .mkString(" * ")
-      s"CAST(1000 - (1000 * $num) div ($den) AS BIGINT)"
+      s"CAST(CASE WHEN n < $k THEN (CASE WHEN c > 0 THEN 1000 ELSE 0 END)" +
+        s" ELSE 1000 - (1000 * $num) div ($den) END AS BIGINT)"
     }
     agg.select(col("source"), col("n"), col("c"),
         expr(passK(1)).as("pass1_permille"),
@@ -103,7 +110,9 @@ object CorpusOps44 {
     val den = (0 until k)
       .map(i => s"CAST(n - $i AS HUGEINT)")
       .mkString(" * ")
-    s"CAST(1000 - (1000 * $num) // ($den) AS BIGINT)"
+    // n < k guard mirrors the Spark expression exactly (see qEvalPassAtK)
+    s"CAST(CASE WHEN n < $k THEN (CASE WHEN c > 0 THEN 1000 ELSE 0 END)" +
+      s" ELSE 1000 - (1000 * $num) // ($den) END AS BIGINT)"
   }
 
   val oracle: Map[String, String] = Map(

@@ -201,12 +201,34 @@ object GraphOps {
     * rises with volume). Orienting each edge low→high (degree, node)
     * makes every wedge count once and caps out-degree at ~sqrt(2|E|),
     * so the wedge join is O(|E|^1.5) worst case, not O(|V|·d_max²).
-    * The oriented edge list is tiny after the prune — it broadcasts to
-    * both the wedge self-join and the closing-edge probe; at a scale
-    * where it doesn't, both joins are shuffle equi-joins co-partitioned
-    * on the shared key, and the census still never materializes
-    * open wedges beyond the join stream. */
+    * The oriented edge list is tiny after the prune — on the default
+    * path it broadcasts to both the wedge self-join and the
+    * closing-edge probe. At a scale where it doesn't (the prune keeps
+    * |E'| proportional to corpus size once the support threshold is
+    * held fixed), set `spark.graft.triangles.shuffleJoin=true`: every
+    * broadcast hint becomes a shuffled-hash equi-join co-partitioned
+    * on the shared key (wedges on u, closing probe on (u, v)), and
+    * the census still never materializes open wedges beyond the join
+    * stream. Counts are exact integers, so the two paths are
+    * bit-identical (pinned in GraphSpec; PlanSpec asserts no
+    * data-scaling BroadcastExchange on the scale path). */
   val qGraphTriangles: Q = (s, dir) => {
+    val shuffle = s.conf.getOption("spark.graft.triangles.shuffleJoin")
+      .contains("true")
+    trianglesResult(s, dir, shuffle)
+  }
+
+  /** Triangle-census frame; `shuffleJoin` selects the scale path (see
+    * [[qGraphTriangles]]). Package-visible so the spec can pin
+    * broadcast/shuffle bit-identity. */
+  private[graft] def trianglesResult(s: org.apache.spark.sql.SparkSession,
+      dir: String, shuffleJoin: Boolean): org.apache.spark.sql.DataFrame = {
+    // On the scale path the small side of each join rides a
+    // shuffled-hash hint instead of a broadcast: the |V|-sized degree
+    // table and the pruned |E'| oriented edge list never collect at
+    // the driver, only hash-exchange on their join key.
+    def small(df: org.apache.spark.sql.DataFrame) =
+      if (shuffleJoin) df.hint("shuffle_hash") else broadcast(df)
     // e0 is the only |lineitem|-sized stage and feeds und (twice), deg,
     // the oriented join and the summary count — persist or the
     // self-join re-runs ~5x (the q_graph_pagerank lesson).
@@ -219,17 +241,17 @@ object GraphOps {
     // uses, or closing edges whose degree order disagrees with node-id
     // order are never probed (undercounts ~50%, caught in r8 review)
     val o = graft.CacheScope.track(und
-      .join(broadcast(deg.as("du")), col("u") === col("du.n"))
-      .join(broadcast(deg.as("dv")), col("v") === col("dv.n"))
+      .join(small(deg.as("du")), col("u") === col("du.n"))
+      .join(small(deg.as("dv")), col("v") === col("dv.n"))
       .filter(struct(col("du.d"), col("u")) < struct(col("dv.d"), col("v")))
       .select(col("u"), col("v"), col("dv.d").as("dv"))
       .persist(StorageLevel.MEMORY_AND_DISK))
     val tri = o.as("w1")
-      .join(broadcast(o.as("w2")),
+      .join(small(o.as("w2")),
         col("w1.u") === col("w2.u") &&
           (struct(col("w1.dv"), col("w1.v")) <
             struct(col("w2.dv"), col("w2.v"))))
-      .join(broadcast(o.as("e")),
+      .join(small(o.as("e")),
         col("e.u") === col("w1.v") && col("e.v") === col("w2.v"))
       .select(col("w1.u").as("a"), col("w1.v").as("b"), col("w2.v").as("c"))
     val perNode = tri
@@ -468,13 +490,32 @@ object GraphOps {
     * bit-identical (GraphSpec pin). */
   private[graft] def katzWalks(s: org.apache.spark.sql.SparkSession,
       dir: String, shuffleJoin: Boolean): org.apache.spark.sql.DataFrame = {
-    val edges0 = supplierCustomerEdges(s, dir)
+    val walks =
+      katzWalkTables(supplierCustomerEdges(s, dir), 3, shuffleJoin)
+    walks(0).select(col("node"), col("w").as("w1"))
+      .join(walks(1).select(col("node"), col("w").as("w2")), Seq("node"))
+      .join(walks(2).select(col("node"), col("w").as("w3")), Seq("node"))
+      .select(col("node"), col("w1"), col("w2"), col("w3"),
+        (col("w1") * 64 + col("w2") * 8 + col("w3")).as("katz_x512"))
+      .orderBy(col("katz_x512").desc, col("node")).limit(20)
+  }
+
+  /** The `depth` sparse mat-vec walk-count passes behind
+    * [[katzWalks]] and the public `Graft.katzCentrality`: element i
+    * (1-based length-i walks) is w_i(v) = Σ_{u→v} w_{i-1}(u), seeded
+    * w₀ = 1 at every source node. `shuffleJoin` = the pagerankCore
+    * scale discipline (edges hash-partitioned on src once, walk
+    * vectors shuffled-hash-joined instead of broadcast); integer
+    * sums only, so the paths are bit-identical. */
+  private[graft] def katzWalkTables(
+      edges0: org.apache.spark.sql.DataFrame, depth: Int,
+      shuffleJoin: Boolean): Seq[org.apache.spark.sql.DataFrame] = {
     val edges = graft.CacheScope.track(
       (if (shuffleJoin) edges0.repartition(col("src")) else edges0)
         .persist(StorageLevel.MEMORY_AND_DISK))
     var w = edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1L).as("w"))
-    val walks = (1 to 3).map { _ =>
+    (1 to depth).map { _ =>
       val joined = if (shuffleJoin)
         edges.join(w.hint("shuffle_hash"), col("src") === col("node"))
       else edges.join(broadcast(w), col("src") === col("node"))
@@ -485,12 +526,24 @@ object GraphOps {
         .persist(StorageLevel.MEMORY_AND_DISK))
       w
     }
-    walks(0).select(col("node"), col("w").as("w1"))
-      .join(walks(1).select(col("node"), col("w").as("w2")), Seq("node"))
-      .join(walks(2).select(col("node"), col("w").as("w3")), Seq("node"))
-      .select(col("node"), col("w1"), col("w2"), col("w3"),
-        (col("w1") * 64 + col("w2") * 8 + col("w3")).as("katz_x512"))
-      .orderBy(col("katz_x512").desc, col("node")).limit(20)
+  }
+
+  /** Generalized truncated Katz: K(v)·invBeta^depth =
+    * Σ_{i=1..depth} invBeta^(depth−i) · walks_i(v) — the β = 1/invBeta
+    * attenuation with the common-denominator trick of [[qGraphKatz]],
+    * so the result never leaves the integer ring. A node reachable by
+    * SOME walk lengths but not others still gets exact credit for the
+    * walks it has (outer union-aggregate, not the presentation inner
+    * join of the fixed-depth query). Returns (node, katz_scaled). */
+  private[graft] def katzCore(edges0: org.apache.spark.sql.DataFrame,
+      invBeta: Int, depth: Int, shuffleJoin: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val walks = katzWalkTables(edges0, depth, shuffleJoin)
+    walks.zipWithIndex.map { case (wi, i) =>
+        val scale = BigInt(invBeta).pow(depth - (i + 1)).toLong
+        wi.select(col("node"), (col("w") * scale).as("kpart"))
+      }.reduce(_ unionByName _)
+      .groupBy(col("node")).agg(sum(col("kpart")).as("katz_scaled"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -43,29 +43,46 @@ object GraphOps2 {
     *
     * Scale: identical discipline to q_graph_triangles — the one
     * |lineitem|-sized stage partial-aggregates before the support
-    * prune; the oriented edge list is tiny and broadcasts to the
-    * wedge join and the closing probe; per-node credit is an explode
-    * of the triangle set (|tri| rows, not |V|²). */
+    * prune; on the default path the oriented edge list broadcasts to
+    * the wedge join and the closing probe, and
+    * `spark.graft.clustering.shuffleJoin=true` flips every one of
+    * those hints to a shuffled-hash equi-join co-partitioned on the
+    * shared key (the pagerankCore scale discipline — bit-identity
+    * pinned in GraphSpec, no data-scaling BroadcastExchange asserted
+    * in PlanSpec); per-node credit is an explode of the triangle set
+    * (|tri| rows, not |V|²). */
   val qGraphClustering: Q = (s, dir) => {
+    val shuffle = s.conf.getOption("spark.graft.clustering.shuffleJoin")
+      .contains("true")
+    clusteringResult(s, dir, shuffle)
+  }
+
+  /** Clustering-coefficient frame; `shuffleJoin` selects the scale
+    * path (see [[qGraphClustering]]). Package-visible for the
+    * GraphSpec bit-identity pin. */
+  private[graft] def clusteringResult(s: org.apache.spark.sql.SparkSession,
+      dir: String, shuffleJoin: Boolean): DataFrame = {
+    def small(df: DataFrame) =
+      if (shuffleJoin) df.hint("shuffle_hash") else broadcast(df)
     val e0 = graft.CacheScope.track(weightedEdges(s, dir)
       .select(col("u"), col("v")).persist(StorageLevel.MEMORY_AND_DISK))
     val und = e0.union(e0.select(col("v"), col("u")))
     val deg = graft.CacheScope.track(
       und.groupBy(col("u").as("n")).agg(count(lit(1)).as("d")).persist())
     // orient each edge low→high (degree, node): every wedge counts once
-    val o = und.join(broadcast(deg), col("u") === col("n")).drop("n")
+    val o = und.join(small(deg), col("u") === col("n")).drop("n")
       .withColumnRenamed("d", "du")
-      .join(broadcast(deg), col("v") === col("n")).drop("n")
+      .join(small(deg), col("v") === col("n")).drop("n")
       .withColumnRenamed("d", "dv")
       .filter(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"), col("dv"))
-    val tri = o.as("w1").join(broadcast(o.as("w2")),
+    val tri = o.as("w1").join(small(o.as("w2")),
         col("w1.u") === col("w2.u") &&
           (col("w1.dv") < col("w2.dv") ||
             (col("w1.dv") === col("w2.dv") && col("w1.v") < col("w2.v"))))
       .select(col("w1.u").as("a"), col("w1.v").as("b"), col("w2.v").as("c"))
-      .join(broadcast(o.select(col("u"), col("v"))),
+      .join(small(o.select(col("u"), col("v"))),
         col("b") === col("u") && col("c") === col("v"), "left_semi")
     val perNode = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))

@@ -29,6 +29,24 @@ object Similarity {
   private val JvmTag: String =
     java.util.UUID.randomUUID().toString.take(8)
 
+  /** Register a per-JVM scratch dir for deletion at JVM exit: the
+    * UUID-tagged index paths are write-once-per-JVM, so without this
+    * every verify/bench run would leave an orphan parquet dir under
+    * java.io.tmpdir forever. One hook per distinct path. */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def scratchDir(path: String): String = {
+    if (scratchDirs.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rec(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rec))
+          f.delete(): Unit
+        }
+        rec(new java.io.File(path))
+      }))
+    path
+  }
+
   /** Quantized embedding: array<long> of round(x * 1e6) — the shared
     * contract lives in [[EmbQuant]] (ops package object). */
   private def quantized(s: SparkSession, dir: String): DataFrame =
@@ -398,9 +416,9 @@ object Similarity {
     // merge plan is reading.
     val dirKey = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    val basePath = new java.io.File(
+    val basePath = scratchDir(new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft_ivf_base_${dirKey}_$JvmTag").toString
+      s"graft_ivf_base_${dirKey}_$JvmTag").toString)
     cellState(assign(emb.filter(col("vec_id") % 10 =!= 0)))
       .write.mode("overwrite").parquet(basePath)
     val stored = s.read.parquet(basePath)

@@ -218,7 +218,8 @@ case class AsOfJoinExec(
           // ties go backward. Each side gates on its own tolerance.
           val fwdOk = pending != null &&
             keyOrd.compare(pendingKey, lKey) == 0 &&
-            pendingTime.getLong(0) - lTime.getLong(0) <= tol
+            (toleranceUs.isEmpty ||
+              pendingTime.getLong(0) - lTime.getLong(0) <= tol)
           val pickBack = fresh && (!fwdOk ||
             lTime.getLong(0) - lastMatchTime.getLong(0) <=
               pendingTime.getLong(0) - lTime.getLong(0))

@@ -206,7 +206,7 @@ object AvroIO {
       } finally writer.close() // closes the stream too
     }
 
-    df.rdd.foreachPartition { rows =>
+    try df.rdd.foreachPartition { rows =>
       if (rows.hasNext) {
         val schema = new Schema.Parser().parse(avroJson)
         val tc = org.apache.spark.TaskContext.get()
@@ -221,7 +221,11 @@ object AvroIO {
         if (fsys.exists(fin) || !fsys.rename(tmp, fin))
           fsys.delete(tmp, false)
       }
-    }
+    } finally
+      // the action is complete — release the broadcast's blocks on the
+      // driver and every executor (a long-lived session writing many
+      // Avro files would otherwise accumulate one broadcast per call)
+      confBc.destroy()
     // empty-frame round trip: guarantee at least one (schema-only)
     // container so read() recovers the schema and returns 0 rows
     if (fs.globStatus(new Path(out, "*.avro")).isEmpty)
@@ -231,10 +235,21 @@ object AvroIO {
 
   // ---- read: one task per container file ----
 
+  /** One Hadoop-conf broadcast per SparkContext for the READ path:
+    * the returned DataFrame is lazy, so a per-call broadcast could
+    * never be destroyed safely — sharing one broadcast caps the
+    * driver/executor block count at 1 regardless of how many Avro
+    * reads a session performs. (Safe because the library treats the
+    * Hadoop conf as immutable after session start.) */
+  private val readConfBc = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext,
+    org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]]()
+
   def read(spark: SparkSession, path: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val confBc = spark.sparkContext
-      .broadcast(new SerializableHadoopConf(conf))
+    val confBc = readConfBc.computeIfAbsent(spark.sparkContext,
+      sc => sc.broadcast(new SerializableHadoopConf(
+        sc.hadoopConfiguration)))
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val files = fs.globStatus(new Path(root, "*.avro"))

@@ -236,6 +236,34 @@ class GraftApiSpec extends AnyFunSuite {
       s"seed $otherSeed did not receive restart mass: $moved")
   }
 
+  test("katzCentrality facade == library katz on both join paths") {
+    // at the query's operating point (invBeta = 8, depth = 3) the
+    // facade's katz_scaled must reproduce katzWalks' katz_x512 for
+    // every presented top-20 node, on BOTH join paths
+    val lib = try graft.ops.GraphOps.katzWalks(spark, sf,
+        shuffleJoin = false)
+        .select(col("node"), col("katz_x512")).collect().toSeq
+      finally CacheScope.release()
+    assert(lib.nonEmpty)
+    for (shuffle <- Seq(false, true)) {
+      val api = try Graft.katzCentrality(scEdges, "a", "b",
+          invBeta = 8, depth = 3, shuffleJoin = shuffle).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        finally CacheScope.release()
+      lib.foreach { r =>
+        assert(api(r.getString(0)) == r.getLong(1),
+          s"node ${r.getString(0)} diverges (shuffleJoin=$shuffle)")
+      }
+    }
+    // the exposed depth knob: depth = 1 is exactly indegree (w1)
+    val d1 = try Graft.katzCentrality(scEdges, "a", "b", depth = 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      finally CacheScope.release()
+    val indeg = scEdges.groupBy(col("b")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d1 == indeg, "depth = 1 katz must equal indegree")
+  }
+
   test("winnowPairs facade == declared q_dedup_winnow at (5, 4)") {
     val docs = Tables(spark, sf, "documents")
     val api = try Graft.winnowPairs(docs, "doc_id", "text")

@@ -124,6 +124,72 @@ class GraphSpec extends AnyFunSuite {
       s"broadcast/shuffle Katz diverge: ${b.take(3)} vs ${sh.take(3)}")
   }
 
+  test("triangles broadcast and shuffle-join paths are bit-identical") {
+    // Exact integer census — the conf-gated shuffled-hash path must
+    // reproduce every row (summary AND top list) of the broadcast path.
+    val dir = "/root/testdata/sf0.01"
+    def result(shuffle: Boolean) = try
+      ops.GraphOps.trianglesResult(spark, dir, shuffle).collect().toSeq
+    finally CacheScope.release()
+    val b = result(shuffle = false)
+    val sh = result(shuffle = true)
+    assert(b.nonEmpty && b == sh,
+      s"broadcast/shuffle triangles diverge: ${b.take(3)} vs ${sh.take(3)}")
+    // and the conf gate actually routes the public query
+    spark.conf.set("spark.graft.triangles.shuffleJoin", "true")
+    try {
+      val viaConf = SparkEntry.queries("q_graph_triangles")(spark, dir)
+        .collect().toSeq
+      assert(viaConf == b)
+    } finally {
+      spark.conf.unset("spark.graft.triangles.shuffleJoin")
+      CacheScope.release()
+    }
+  }
+
+  test("clustering broadcast and shuffle-join paths are bit-identical") {
+    val dir = "/root/testdata/sf0.01"
+    def result(shuffle: Boolean) = try
+      ops.GraphOps2.clusteringResult(spark, dir, shuffle).collect().toSeq
+    finally CacheScope.release()
+    val b = result(shuffle = false)
+    val sh = result(shuffle = true)
+    assert(b.nonEmpty && b == sh,
+      s"broadcast/shuffle clustering diverge: ${b.take(3)} vs ${sh.take(3)}")
+    spark.conf.set("spark.graft.clustering.shuffleJoin", "true")
+    try {
+      val viaConf = SparkEntry.queries("q_graph_clustering")(spark, dir)
+        .collect().toSeq
+      assert(viaConf == b)
+    } finally {
+      spark.conf.unset("spark.graft.clustering.shuffleJoin")
+      CacheScope.release()
+    }
+  }
+
+  test("hits broadcast and shuffle-join paths are bit-identical") {
+    // Integer micro-unit authority scores: the co-partitioned path
+    // (edges hash-partitioned on sup once, auth/hub vectors
+    // shuffled-hash-joined) must replay the broadcast trajectory.
+    val dir = "/root/testdata/sf0.01"
+    def result(shuffle: Boolean) = try
+      ops.CorpusOps22.hitsResult(spark, dir, shuffle).collect().toSeq
+    finally CacheScope.release()
+    val b = result(shuffle = false)
+    val sh = result(shuffle = true)
+    assert(b.nonEmpty && b == sh,
+      s"broadcast/shuffle HITS diverge: ${b.take(3)} vs ${sh.take(3)}")
+    spark.conf.set("spark.graft.hits.shuffleJoin", "true")
+    try {
+      val viaConf = SparkEntry.queries("q_graph_hits")(spark, dir)
+        .collect().toSeq
+      assert(viaConf == b)
+    } finally {
+      spark.conf.unset("spark.graft.hits.shuffleJoin")
+      CacheScope.release()
+    }
+  }
+
   test("k-core broadcast and shuffle-semi paths are bit-identical") {
     // Pure integer set filtering — the co-partitioned shuffle path must
     // reproduce the broadcast path exactly, rounds and top list included.
