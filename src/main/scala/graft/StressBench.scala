@@ -63,7 +63,35 @@ object StressBench {
     // the as-of merge cost class, bestfit folds per shard (8 rows of
     // packed state), coreset is the assignment scan + tiny windows
     "q_graph_katz", "q_join_nearest_custom", "q_pack_bestfit",
-    "q_sample_coreset")
+    "q_sample_coreset",
+    // r14 additions (r13 verdict item 2): the rating-agreement pair —
+    // BOTH scan-sharing paths, so the shareScan default is a measured
+    // 10× decision, not an asserted one — the remaining r12 batch
+    // (ppr_topic/autopick/pass@k/distinct_n/vocab/mattr, expected
+    // ~classifier-scan / gram-scan linear), and the three conf-gated
+    // graph scale paths (expect the same sublinear class as their
+    // broadcast twins — the point is measuring, not asserting)
+    "q_eval_rating_agreement", "q_eval_rating_agreement+noshare",
+    "q_graph_ppr_topic", "q_dedup_lsh_autopick", "q_eval_pass_at_k",
+    "q_text_distinct_n", "q_vocab_overlap", "q_text_mattr",
+    "q_graph_hits", "q_graph_hits+shuffle",
+    "q_graph_triangles", "q_graph_triangles+shuffle",
+    "q_graph_clustering+shuffle",
+    "q_sim_ivf_rebalance")
+
+  /** Conf-gated variants: bench label → (base query key, conf
+    * key=value set for the run). Lets the harness measure a scale
+    * path against its default twin in the same batch. */
+  val confVariants: Map[String, (String, String)] = Map(
+    "q_graph_hits+shuffle" ->
+      ("q_graph_hits", "spark.graft.hits.shuffleJoin=true"),
+    "q_graph_triangles+shuffle" ->
+      ("q_graph_triangles", "spark.graft.triangles.shuffleJoin=true"),
+    "q_graph_clustering+shuffle" ->
+      ("q_graph_clustering", "spark.graft.clustering.shuffleJoin=true"),
+    "q_eval_rating_agreement+noshare" ->
+      ("q_eval_rating_agreement",
+        "spark.graft.ratingAgreement.shareScan=false"))
 
   def build(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {
@@ -151,15 +179,21 @@ object StressBench {
     spark.range(1000).selectExpr("sum(id)").collect() // warmup
 
     def time(name: String, dir: String): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir)
-          .write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val a = once(); val b = once()
-      CacheScope.release()
-      math.min(a, b)
+      val (base, conf) = confVariants.get(name)
+        .map { case (b, kv) => (b, Some(kv.split("=", 2))) }
+        .getOrElse((name, None))
+      conf.foreach { case Array(k, v) => spark.conf.set(k, v) }
+      try {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(base)(spark, dir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val a = once(); val b = once()
+        CacheScope.release()
+        math.min(a, b)
+      } finally conf.foreach { case Array(k, _) => spark.conf.unset(k) }
     }
     // SPARK_GRAFT_STRESS_ONLY=a,b narrows a rerun after a targeted fix
     val selected = sys.env.get("SPARK_GRAFT_STRESS_ONLY") match {

@@ -295,8 +295,16 @@ object Graft {
     * `katz_scaled` = K(v) · invBeta^depth = Σ invBeta^(depth−i) ·
     * walks_i(v) — the common-denominator trick keeps the whole
     * computation in the integer ring (no division at all). Returns
-    * (`node`, `katz_scaled`). Pass both edge directions for an
-    * undirected graph.
+    * (`node`, `katz_scaled` DECIMAL(38,0)). Pass both edge directions
+    * for an undirected graph.
+    *
+    * Exactness bounds: per-length walk counts w_i(v) are accumulated
+    * as Long — the graph must keep every per-node count of length-i
+    * walks below 2^63 (violated only by extremely dense deep
+    * truncations; at depth d the count is bounded by d_max^d). The
+    * scaled sum Σ invBeta^(depth−i)·w_i(v) is carried in
+    * DECIMAL(38,0), exact to 10^38, and RAISES on overflow instead of
+    * wrapping (ADVICE r13).
     *
     * Scale: each of the `depth` sparse mat-vec passes costs one
     * PageRank iteration — walk vectors broadcast map-side by default;
@@ -309,9 +317,11 @@ object Graft {
       shuffleJoin: Boolean = false): DataFrame = {
     require(invBeta >= 2, "invBeta must be >= 2 (beta = 1/invBeta)")
     require(depth >= 1 && depth <= 12, "depth must be in [1, 12]")
-    require(BigInt(invBeta).pow(depth) <= BigInt(Long.MaxValue >> 20),
-      s"invBeta^depth = ${BigInt(invBeta).pow(depth)} leaves no " +
-        "headroom for exact long walk sums")
+    // scale factors are Long literals; the product headroom itself now
+    // lives in DECIMAL(38,0), so only the factor must fit a Long
+    require(BigInt(invBeta).pow(depth) <= BigInt(Long.MaxValue),
+      s"invBeta^depth = ${BigInt(invBeta).pow(depth)} does not fit " +
+        "a Long scale factor")
     graft.ops.GraphOps.katzCore(
       edges.select(col(src).as("src"), col(dst).as("dst")),
       invBeta, depth, shuffleJoin)

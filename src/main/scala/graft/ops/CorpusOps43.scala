@@ -139,12 +139,31 @@ object CorpusOps43 {
     * Scale: both inputs are |sources|-row leaderboards; the pair scan
     * is |sources|²-bounded column arithmetic. */
   val qEvalRatingAgreement: Q = (s, dir) => {
+    val share = s.conf.getOption("spark.graft.ratingAgreement.shareScan")
+      .map(_ == "true")
+      .getOrElse(true)
+    ratingAgreementResult(s, dir, share)
+  }
+
+  /** Agreement frame; `shareScan` selects whether the classifier scan
+    * persists once and feeds both chains (the 100-TB shape) or each
+    * chain plans its own scored subtree (identical subtrees — within
+    * the one action Spark's ReuseExchange dedupes the shuffles, so at
+    * bench scale the un-shared plan can win by skipping the
+    * InMemoryRelation materialization barrier). Package-visible so
+    * the probe/StressBench can measure BOTH paths; the conf default
+    * is the measured winner at 10× data (see SURVEY §2.N r14). */
+  private[graft] def ratingAgreementResult(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      shareScan: Boolean): org.apache.spark.sql.DataFrame = {
     // ONE shared classifier scan: the per-doc scored stage is the only
     // work that grows with the corpus — persist it once and feed BOTH
     // the online-Elo and batch-BT chains from the same InMemoryRelation
     // (r12 scanned twice; the downstreams are dimension-bounded).
-    val scored = graft.CacheScope.track(
-      CorpusOps10.scored(s, dir).persist())
+    val scored =
+      if (shareScan)
+        graft.CacheScope.track(CorpusOps10.scored(s, dir).persist())
+      else CorpusOps10.scored(s, dir)
     val elo = eloBoard(s, dir, scored).select(col("source"), col("rating"))
     val bt = CorpusOps39.btBoard(s, dir, scored)
       .select(col("source"), col("strength_micro"))

@@ -42,27 +42,31 @@ object CorpusOps44 {
           .otherwise(0L).as("ok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"), sum(col("ok")).as("c"))
-    // n < k guard: the falling-factorial denominator n·(n-1)···(n-k+1)
-    // contains a zero factor, so the unguarded form silently NULLs.
-    // Contract: with fewer than k attempts every k-subset is the whole
-    // pool, so pass@k = 1 ⟺ any attempt passed, else 0 (the c = 0
-    // numerator path already yields 0 via the greatest() clamp, but
-    // only the explicit CASE keeps the denominator off the zero).
-    def passK(k: Int): String = {
-      val num = (0 until k)
-        .map(i => s"CAST(greatest(n - c - $i, 0) AS DECIMAL(38,0))")
-        .mkString(" * ")
-      val den = (0 until k)
-        .map(i => s"CAST(n - $i AS DECIMAL(38,0))")
-        .mkString(" * ")
-      s"CAST(CASE WHEN n < $k THEN (CASE WHEN c > 0 THEN 1000 ELSE 0 END)" +
-        s" ELSE 1000 - (1000 * $num) div ($den) END AS BIGINT)"
-    }
     agg.select(col("source"), col("n"), col("c"),
-        expr(passK(1)).as("pass1_permille"),
-        expr(passK(2)).as("pass2_permille"),
-        expr(passK(5)).as("pass5_permille"))
+        expr(passKExpr(1)).as("pass1_permille"),
+        expr(passKExpr(2)).as("pass2_permille"),
+        expr(passKExpr(5)).as("pass5_permille"))
       .orderBy(col("source"))
+  }
+
+  /** pass@k permille over columns `n` (attempts) and `c` (passes).
+    * n < k guard: the falling-factorial denominator n·(n-1)···(n-k+1)
+    * contains a zero factor, so the unguarded form silently NULLs.
+    * Contract: with fewer than k attempts every k-subset is the whole
+    * pool, so pass@k = 1 ⟺ any attempt passed, else 0 (the c = 0
+    * numerator path already yields 0 via the greatest() clamp, but
+    * only the explicit CASE keeps the denominator off the zero).
+    * Package-visible so the n < k fixture spec can exercise the guard
+    * directly (the corpus pools all hold ≥ 25 attempts). */
+  private[graft] def passKExpr(k: Int): String = {
+    val num = (0 until k)
+      .map(i => s"CAST(greatest(n - c - $i, 0) AS DECIMAL(38,0))")
+      .mkString(" * ")
+    val den = (0 until k)
+      .map(i => s"CAST(n - $i AS DECIMAL(38,0))")
+      .mkString(" * ")
+    s"CAST(CASE WHEN n < $k THEN (CASE WHEN c > 0 THEN 1000 ELSE 0 END)" +
+      s" ELSE 1000 - (1000 * $num) div ($den) END AS BIGINT)"
   }
 
   /** Distinct-n lexical diversity per source (Li et al., "A

@@ -155,13 +155,38 @@ object Dedup {
       .collect()(0).getLong(0)
 
   /** MinHash + LSH near-dup candidates: 32-perm signatures via the custom
-    * TypedImperativeAggregate, 16 bands x 2 rows, candidates from the band
-    * equi-join, ranked by estimated Jaccard (signature agreement).
+    * TypedImperativeAggregate, candidates from the band equi-join,
+    * ranked by estimated Jaccard (signature agreement). The deployed
+    * operating point is PICKED-BY-POLICY, not hard-coded: with
+    * `spark.graft.minhash.autoBanding=true` the (bands, rows) pair
+    * comes from the [[qDedupLshAutopick]] policy over the measured
+    * sweep (one 1-row scalar action); the default stays the robust
+    * 16×2 J≈0.5 point (990‰ closed-form collision odds — see the
+    * autopick doc) so the DuckDB oracle replay and tri-SF hashes hold.
     * Oracle: replays banding over the dumped signature arrays (the one
-    * semantic difference — Spark buckets on xxhash64(band pair), the
-    * oracle on the pair itself — only diverges on a 64-bit hash
+    * semantic difference — Spark buckets on xxhash64(band tuple), the
+    * oracle on the tuple itself — only diverges on a 64-bit hash
     * collision). */
   val qDedupMinhash: Q = (s, dir) => {
+    val auto = s.conf.getOption("spark.graft.minhash.autoBanding")
+      .contains("true")
+    val (b, r) =
+      if (auto) {
+        val pick = qDedupLshAutopick(s, dir)
+          .select(col("bands"), col("rows_per_band")).collect()(0)
+        (pick.getLong(0).toInt, pick.getLong(1).toInt)
+      } else (16, 2)
+    minhashPairs(s, dir, b, r)
+  }
+
+  /** The [[qDedupMinhash]] pipeline at an explicit (bands, rows)
+    * operating point (b·r must divide the 32-perm signature).
+    * Package-visible so the autopick-wiring spec can pin the
+    * conf-gated path against the policy's point directly. */
+  private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String, b: Int, r: Int): org.apache.spark.sql.DataFrame = {
+    require(b * r <= 32 && b >= 1 && r >= 1,
+      s"banding ($b, $r) exceeds the 32-perm signature")
     GraftFunctions.register(s)
     // same 3-gram shingles as the exact-Jaccard baseline: single-token
     // sets are near-identical across this small-vocab corpus, so only
@@ -191,11 +216,13 @@ object Dedup {
     // overwrite window against a concurrent oracle reader. coalesce(1):
     // one 32-long array per doc is kilobytes at any test SF.
     dumpSigs(s, dir, sigs)
+    // at (16, 2) this generates byte-for-byte the historical band
+    // expression, so the default path's hashes are unchanged
+    val els = (1 to r)
+      .map(j => s"element_at(sig, bi * $r + $j)").mkString(", ")
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
-        """transform(sequence(0, 15),
-           b -> xxhash64(element_at(sig, b * 2 + 1),
-                         element_at(sig, b * 2 + 2)))""")))
+        s"transform(sequence(0, ${b - 1}), bi -> xxhash64($els))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bh")
     val cand = bands.as("a").join(bands.as("b"),

@@ -539,11 +539,27 @@ object GraphOps {
       invBeta: Int, depth: Int, shuffleJoin: Boolean)
       : org.apache.spark.sql.DataFrame = {
     val walks = katzWalkTables(edges0, depth, shuffleJoin)
+    // the scaled products and their sum are carried in DECIMAL(38,0)
+    // (the pass@k falling-factorial pattern): walks_i(v) on a dense
+    // graph easily exceeds the 2^20 headroom a pure-Long product would
+    // leave, and a Long sum would WRAP silently. Decimal stays exact to
+    // 10^38, and the isNull check below turns a genuine 38-digit
+    // overflow into a raised error instead of a silent null (ADVICE
+    // r13). The per-length walk counts themselves remain exact Longs —
+    // the documented bound is w_i(v) < 2^63, see katzCentrality.
     walks.zipWithIndex.map { case (wi, i) =>
         val scale = BigInt(invBeta).pow(depth - (i + 1)).toLong
-        wi.select(col("node"), (col("w") * scale).as("kpart"))
+        wi.select(col("node"),
+          (col("w").cast("decimal(38,0)") * lit(scale)).as("kpart"))
       }.reduce(_ unionByName _)
-      .groupBy(col("node")).agg(sum(col("kpart")).as("katz_scaled"))
+      .groupBy(col("node"))
+      .agg(sum(col("kpart")).cast("decimal(38,0)").as("k0"))
+      .select(col("node"),
+        when(col("k0").isNotNull, col("k0"))
+          .otherwise(expr(
+            "raise_error('katzCentrality: katz_scaled exceeded " +
+              "DECIMAL(38,0)')").cast("decimal(38,0)"))
+          .as("katz_scaled"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -76,6 +76,8 @@ case class AsOfJoinNode(
     t.dataType == org.apache.spark.sql.types.TimestampType ||
       t.dataType == org.apache.spark.sql.types.LongType),
     "as-of tolerance needs long-backed time columns (timestamp or long)")
+  require(toleranceUs.forall(_ >= 0),
+    s"as-of tolerance must be non-negative: $toleranceUs")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -149,6 +151,16 @@ case class AsOfJoinExec(
       // (times are long-backed by the node's require)
       val tol = toleranceUs.getOrElse(Long.MaxValue)
 
+      // A match's TRUE time distance is non-negative and bounded by the
+      // full long span (< 2^64), so the wrapped two's-complement
+      // difference re-read as UNSIGNED is exact for every timestamp
+      // pair — a signed `diff <= tol` misjudges spans past 2^63 (e.g.
+      // left near Long.MinValue, right near Long.MaxValue wraps
+      // negative and passes a tiny tolerance). tol >= 0 is required at
+      // construction, so unsigned compare against it is also exact.
+      def within(diff: Long): Boolean =
+        java.lang.Long.compareUnsigned(diff, tol) <= 0
+
       def loadPending(): Unit =
         if (pending == null && rIter.hasNext) {
           val r = rIter.next()
@@ -181,7 +193,7 @@ case class AsOfJoinExec(
           val matched = pending != null &&
             keyOrd.compare(pendingKey, lKey) == 0 &&
             (toleranceUs.isEmpty ||
-              pendingTime.getLong(0) - lTime.getLong(0) <= tol)
+              within(pendingTime.getLong(0) - lTime.getLong(0)))
           toUnsafe(joined(l, if (matched) pending else nullRight))
         }
       } else lIter.map { l =>
@@ -208,21 +220,28 @@ case class AsOfJoinExec(
         }
         val fresh = lastMatch != null &&
           (toleranceUs.isEmpty ||
-            lTime.getLong(0) - lastMatchTime.getLong(0) <= tol)
+            within(lTime.getLong(0) - lastMatchTime.getLong(0)))
         if (!nearest) {
           toUnsafe(joined(l, if (fresh) lastMatch else nullRight))
         } else {
           // NEAREST: the un-consumed lookahead (strictly after lTime —
           // same-time rows were consumed into lastMatch) competes with
           // the backward candidate on exact microsecond distance;
-          // ties go backward. Each side gates on its own tolerance.
+          // ties go backward. Each side gates on its own tolerance,
+          // and both the gates and the back-vs-forward comparison use
+          // UNSIGNED distance (see `within`): the isEmpty
+          // short-circuit states the no-tolerance contract ("any
+          // forward candidate qualifies") without a subtraction, and
+          // pickBack stays exact even when one side's span exceeds
+          // 2^63 µs (AsOfJoinSpec pins the extreme-timestamp case).
           val fwdOk = pending != null &&
             keyOrd.compare(pendingKey, lKey) == 0 &&
             (toleranceUs.isEmpty ||
-              pendingTime.getLong(0) - lTime.getLong(0) <= tol)
+              within(pendingTime.getLong(0) - lTime.getLong(0)))
           val pickBack = fresh && (!fwdOk ||
-            lTime.getLong(0) - lastMatchTime.getLong(0) <=
-              pendingTime.getLong(0) - lTime.getLong(0))
+            java.lang.Long.compareUnsigned(
+              lTime.getLong(0) - lastMatchTime.getLong(0),
+              pendingTime.getLong(0) - lTime.getLong(0)) <= 0)
           toUnsafe(joined(l,
             if (pickBack) lastMatch
             else if (fwdOk) pending

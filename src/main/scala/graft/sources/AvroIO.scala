@@ -144,9 +144,9 @@ object AvroIO {
     case (bb: ByteBuffer, d: DecimalType) =>
       val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
       new JBigDecimal(new BigInteger(arr), d.scale)
+    // GenericData.Array implements java.util.List, so one case covers
+    // both the generic reader's and the specific reader's array shapes
     case (l: java.util.List[_], ArrayType(e, _)) =>
-      l.asScala.map(x => toSparkValue(x, e)).toSeq
-    case (l: GenericData.Array[_], ArrayType(e, _)) =>
       l.asScala.map(x => toSparkValue(x, e)).toSeq
     case (other, _) => other
   }
@@ -240,16 +240,30 @@ object AvroIO {
     * never be destroyed safely — sharing one broadcast caps the
     * driver/executor block count at 1 regardless of how many Avro
     * reads a session performs. (Safe because the library treats the
-    * Hadoop conf as immutable after session start.) */
+    * Hadoop conf as immutable after session start.) The map entry is
+    * evicted when the owning application ends, so a JVM that cycles
+    * SparkSessions never strongly retains a stopped context or its
+    * broadcast (ADVICE r13). */
   private val readConfBc = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.SparkContext,
     org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]]()
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val confBc = readConfBc.computeIfAbsent(spark.sparkContext,
-      sc => sc.broadcast(new SerializableHadoopConf(
-        sc.hadoopConfiguration)))
+    val confBc = readConfBc.computeIfAbsent(spark.sparkContext, sc => {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler
+              .SparkListenerApplicationEnd): Unit = {
+          // destroy() is best-effort: the stopping context frees the
+          // blocks itself — the point is releasing the map's strong
+          // reference to the dead SparkContext
+          Option(readConfBc.remove(sc)).foreach(b =>
+            try b.destroy() catch { case _: Exception => () })
+        }
+      })
+      sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+    })
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val files = fs.globStatus(new Path(root, "*.avro"))

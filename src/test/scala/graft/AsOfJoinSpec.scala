@@ -249,6 +249,41 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest at extreme timestamps: unsigned distance, no wrap (no tol)") {
+    // ADVICE r13: the no-tolerance nearest path had no test with
+    // extreme long times. True time distances live in [0, 2^64), so
+    // the operator compares the wrapped difference UNSIGNED; a signed
+    // comparison wraps negative once a span passes 2^63 and picks the
+    // FARTHER side / passes a tiny tolerance it should fail.
+    import spark.implicits._
+    val MIN = Long.MinValue; val MAX = Long.MaxValue
+    // key 1: only a forward candidate, span ~2^64 (subtraction wraps)
+    // key 2: back at MIN+5 (dist 2^63-15 fits signed), fwd at MAX-5
+    //        (dist 2^63+4 wraps) — backward is truly closer
+    val left = Seq((1L, MIN + 10L, 100L), (2L, -10L, 200L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, MAX - 10L, 901L),
+        (2L, MIN + 5L, 902L), (2L, MAX - 5L, 903L))
+      .toDF("rk", "rt", "rid")
+    val got = api.Graft.asofJoin(left, right, Seq("k"), Seq("rk"),
+        "t", "rt", Seq("rid"), nearest = true)
+      .orderBy(col("lid")).select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // BigInt ground truth: k=1 dist(903-side) n/a, only 901 matches;
+    // k=2 back dist = -10-(MIN+5) = 2^63-15 < fwd dist = (MAX-5)+10
+    assert(got == Seq((100L, 901L), (200L, 902L)), got.toString)
+    // tolerance gate at the same extremes: a tiny tolerance must
+    // reject the ~2^64 forward span (the wrapped signed diff is -21,
+    // which a signed gate would wrongly accept)
+    val gated = api.Graft.asofJoin(
+        Seq((1L, MIN + 10L, 100L)).toDF("k", "t", "lid"), right,
+        Seq("k"), Seq("rk"), "t", "rt", Seq("rid"),
+        toleranceUs = Some(5L), nearest = true)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("rid")))).toSeq
+    assert(gated == Seq((100L, None)), gated.toString)
+  }
+
   test("forward+nearest is rejected at node construction") {
     import spark.implicits._
     val d = Seq((1L, 1L, 1L)).toDF("k", "t", "id")

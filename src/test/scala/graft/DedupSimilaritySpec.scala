@@ -332,4 +332,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("IVF rebalance: conservation + monotone hottest cell per round") {
+    // r12 item 6 done-criteria: Σn and Σidsum conserved across every
+    // scheduler round, and the hottest cell never grows — strictly
+    // shrinking whenever a round actually split (cell count grew).
+    val sts = try ops.Similarity.rebalanceStates(spark, sf).map { f =>
+        val cells = f.groupBy(col("cid"), col("path"))
+          .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("ids"))
+          .collect()
+        (cells.map(_.getLong(2)).sum, cells.map(_.getLong(3)).sum,
+          cells.map(_.getLong(2)).max, cells.length)
+      } finally CacheScope.release()
+    assert(sts.size == 4) // merged state + 3 rounds
+    assert(sts.map(_._1).distinct.size == 1, s"vector count drifted: $sts")
+    assert(sts.map(_._2).distinct.size == 1, s"idsum drifted: $sts")
+    sts.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 <= a._3, s"hottest cell grew: $a -> $b")
+      if (b._4 > a._4) assert(b._3 < a._3,
+        s"split round did not shrink the hottest cell: $a -> $b")
+      case _ => ()
+    }
+    // the fixture's trigger (1100 permille) fires at least once
+    assert(sts.last._4 > sts.head._4, "no split happened on the fixture")
+  }
+
+  test("minhash autoBanding: both paths pinned at their operating point") {
+    // r12 item 8: the deployed banding is picked-by-policy. On the
+    // fixture every sweep point measures full recall, so the policy
+    // picks the cheapest qualifier (8, 4) — pin the pick, then pin
+    // that the conf-gated query banding EQUALS the explicit pipeline
+    // at that point, and that the default path stays the 16×2 the
+    // oracle replays.
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("da"), col("db")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pick = try SparkEntry.queries("q_dedup_lsh_autopick")(spark, sf)
+        .collect()(0)
+      finally CacheScope.release()
+    assert((pick.getAs[Long]("bands"), pick.getAs[Long]("rows_per_band"))
+      == ((8L, 4L)), s"fixture policy pick moved: $pick")
+    val auto =
+      try {
+        spark.conf.set("spark.graft.minhash.autoBanding", "true")
+        pairs(SparkEntry.queries("q_dedup_minhash")(spark, sf))
+      } finally {
+        spark.conf.unset("spark.graft.minhash.autoBanding")
+        CacheScope.release()
+      }
+    val at84 = try pairs(ops.Dedup.minhashPairs(spark, sf, 8, 4))
+      finally CacheScope.release()
+    assert(auto == at84, "conf-gated path != explicit (8, 4) pipeline")
+    val deflt = try pairs(SparkEntry.queries("q_dedup_minhash")(spark, sf))
+      finally CacheScope.release()
+    val at162 = try pairs(ops.Dedup.minhashPairs(spark, sf, 16, 2))
+      finally CacheScope.release()
+    assert(deflt == at162, "default path != explicit (16, 2) pipeline")
+    // the fixture's high-Jaccard planted dups are caught either way
+    assert((at84 intersect at162).nonEmpty)
+  }
 }

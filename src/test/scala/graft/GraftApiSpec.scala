@@ -246,9 +246,13 @@ class GraftApiSpec extends AnyFunSuite {
       finally CacheScope.release()
     assert(lib.nonEmpty)
     for (shuffle <- Seq(false, true)) {
+      // katz_scaled is DECIMAL(38,0) (ADVICE r13 headroom fix);
+      // longValueExact throws if a value ever stops fitting — which
+      // would itself be a regression at this fixture scale
       val api = try Graft.katzCentrality(scEdges, "a", "b",
           invBeta = 8, depth = 3, shuffleJoin = shuffle).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+          .map(r => r.getString(0) ->
+            r.getDecimal(1).toBigInteger.longValueExact()).toMap
         finally CacheScope.release()
       lib.foreach { r =>
         assert(api(r.getString(0)) == r.getLong(1),
@@ -257,7 +261,8 @@ class GraftApiSpec extends AnyFunSuite {
     }
     // the exposed depth knob: depth = 1 is exactly indegree (w1)
     val d1 = try Graft.katzCentrality(scEdges, "a", "b", depth = 1)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .collect().map(r => r.getString(0) ->
+          r.getDecimal(1).toBigInteger.longValueExact()).toMap
       finally CacheScope.release()
     val indeg = scEdges.groupBy(col("b")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -407,6 +407,72 @@ class PlanSpec extends AnyFunSuite {
     } finally CacheScope.release()
   }
 
+  /** Hash-join key lines of every BroadcastHashJoin in a formatted
+    * plan — the shared probe of the three graph scale-path pins below
+    * (same discipline as the pagerank/ppr/k-core tests above). */
+  private def bhjKeys(p: String): Seq[String] =
+    p.split("\\n\\(\\d+\\) ").toSeq
+      .filter(_.startsWith("BroadcastHashJoin"))
+      .flatMap(_.linesIterator.filter(_.contains("keys")))
+
+  test("triangles shuffle path: deg/oriented-edge joins never broadcast") {
+    // Scale path (the support-pruned edge set grows with the corpus):
+    // the |V|-sized degree table and the |E'| oriented edge list must
+    // reach the wedge self-join and the closing-edge probe as
+    // co-partitioned shuffled-hash joins; the only broadcasts allowed
+    // are inside the edge build (lineitem pair join on l_orderkey).
+    val p = ops.GraphOps.trianglesResult(spark, sf, shuffleJoin = true)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    try {
+      assert("ShuffledHashJoin".r.findAllIn(p).size >= 4,
+        s"deg/wedge/closing joins not shuffled-hash:\n$p")
+      val bad = bhjKeys(p).filter(l =>
+        l.contains("u#") || l.contains("v#") || l.contains("n#"))
+      assert(bad.isEmpty,
+        s"deg/edge state still broadcasts on the scale path:\n$bad")
+    } finally CacheScope.release()
+  }
+
+  test("clustering shuffle path: deg/oriented-edge joins never broadcast") {
+    // Same contract as the triangles pin: on the conf-gated scale path
+    // no node- or edge-keyed state may ride a BroadcastExchange (the
+    // 1-row global-transitivity crossJoin is a BNLJ, not a BHJ).
+    val p = ops.GraphOps2.clusteringResult(spark, sf, shuffleJoin = true)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    try {
+      assert("ShuffledHashJoin".r.findAllIn(p).size >= 4,
+        s"deg/wedge/closing joins not shuffled-hash:\n$p")
+      val bad = bhjKeys(p).filter(l =>
+        l.contains("u#") || l.contains("v#") || l.contains("n#") ||
+          l.contains("b#") || l.contains("c#"))
+      assert(bad.isEmpty,
+        s"deg/edge state still broadcasts on the scale path:\n$bad")
+    } finally CacheScope.release()
+  }
+
+  test("hits shuffle path: auth/hub vector joins never broadcast") {
+    // Scale path: BOTH graph axes (suppliers, customers) grow with the
+    // data, so the per-round authority/hub vectors must shuffled-hash
+    // join the sup-partitioned edge stream; only the edge build
+    // (l_orderkey/o_orderkey) may broadcast, and the per-round max is
+    // a 1-row BNLJ crossJoin.
+    val p = ops.CorpusOps22.hitsResult(spark, sf, shuffleJoin = true)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    try {
+      assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+        s"auth/hub joins not shuffled-hash:\n$p")
+      val bad = bhjKeys(p).filter(l =>
+        l.contains("sup#") || l.contains("c#"))
+      assert(bad.isEmpty,
+        s"auth/hub vectors still broadcast on the scale path:\n$bad")
+      assert(p.contains("InMemoryTableScan"),
+        s"pre-partitioned edges not cached:\n$p")
+    } finally CacheScope.release()
+  }
+
   test("k-core rounds: survivor sets broadcast, induced edges cached") {
     val p = plan("q_graph_kcore")
     // each peeling round's two endpoint filters ride broadcasts of the

@@ -69,4 +69,34 @@ class Wave32Spec extends AnyFunSuite {
         s"hard top-1 beats free top-1 for qid $q")
     }
   }
+
+  test("pass@k n < k guard: 1000 iff any pass, 0 iff none (ADVICE r13)") {
+    // The corpus pools all hold >= 25 attempts, so the r13 guard was
+    // unexercised. Fixture: pools smaller than k on every contract
+    // branch — c > 0 (=> 1000), c = 0 (=> 0) — plus n = k boundary
+    // rows where the falling factorial must still be exact.
+    import spark.implicits._
+    val fx = Seq(
+      ("a", 3L, 2L),  // n < 5: some pass  -> pass5 = 1000
+      ("b", 3L, 0L),  // n < 5: none pass  -> pass5 = 0
+      ("c", 1L, 1L),  // n < 2: pass2 = 1000; pass1 = exact 1000
+      ("d", 1L, 0L),  // n < 2: pass2 = 0;    pass1 = exact 0
+      ("e", 5L, 1L),  // n = 5 boundary: 1000 - C(4,5)... = 1000 (c>=1
+                      //   kills the numerator's last factor: 1000-0)
+      ("f", 5L, 0L))  // n = 5, c = 0: exact 0
+      .toDF("source", "n", "c")
+    val got = fx.select(col("source"),
+        expr(ops.CorpusOps44.passKExpr(1)).as("p1"),
+        expr(ops.CorpusOps44.passKExpr(2)).as("p2"),
+        expr(ops.CorpusOps44.passKExpr(5)).as("p5"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // hand-computed: pass@k = 1000 - 1000*C(n-c,k)/C(n,k) (floor div)
+    assert(got("a") == (667L, 1000L, 1000L), got("a").toString) // 1-1/3
+    assert(got("b") == (0L, 0L, 0L))
+    assert(got("c") == (1000L, 1000L, 1000L))
+    assert(got("d") == (0L, 0L, 0L))
+    assert(got("e") == (200L, 400L, 1000L)) // 1-4/5, 1-C(4,2)/C(5,2)=1-600
+    assert(got("f") == (0L, 0L, 0L))
+  }
 }
