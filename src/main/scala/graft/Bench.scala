@@ -102,7 +102,10 @@ object Bench {
     "q_join_nearest_custom",   // native NEAREST as-of merge (r12)
     "q_graph_katz",            // 3 mat-vec walk passes, integral Katz (r12)
     "q_text_mattr",            // in-scan 25-token moving-window TTR (r12)
-    "q_sim_ivf_rebalance")     // delta-merge + split-until-balanced loop (r14)
+    "q_sim_ivf_rebalance",     // delta-merge + split-until-balanced loop (r14)
+    "q_eval_best_of_n",        // unbiased best-of-n order statistics (r14)
+    "q_sim_margin_mine",       // cell-blocked margin-criterion mining (r14)
+    "q_bpe_train")             // 6-round BPE merge-table training loop (r14)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

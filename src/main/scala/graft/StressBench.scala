@@ -71,13 +71,14 @@ object StressBench {
     // ~classifier-scan / gram-scan linear), and the three conf-gated
     // graph scale paths (expect the same sublinear class as their
     // broadcast twins — the point is measuring, not asserting)
-    "q_eval_rating_agreement", "q_eval_rating_agreement+noshare",
+    "q_eval_rating_agreement", "q_eval_rating_agreement+share",
     "q_graph_ppr_topic", "q_dedup_lsh_autopick", "q_eval_pass_at_k",
     "q_text_distinct_n", "q_vocab_overlap", "q_text_mattr",
     "q_graph_hits", "q_graph_hits+shuffle",
     "q_graph_triangles", "q_graph_triangles+shuffle",
     "q_graph_clustering+shuffle",
-    "q_sim_ivf_rebalance")
+    "q_sim_ivf_rebalance", "q_eval_best_of_n", "q_sim_margin_mine",
+    "q_bpe_train")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale
@@ -89,9 +90,9 @@ object StressBench {
       ("q_graph_triangles", "spark.graft.triangles.shuffleJoin=true"),
     "q_graph_clustering+shuffle" ->
       ("q_graph_clustering", "spark.graft.clustering.shuffleJoin=true"),
-    "q_eval_rating_agreement+noshare" ->
+    "q_eval_rating_agreement+share" ->
       ("q_eval_rating_agreement",
-        "spark.graft.ratingAgreement.shareScan=false"))
+        "spark.graft.ratingAgreement.shareScan=true"))
 
   def build(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {

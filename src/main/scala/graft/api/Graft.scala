@@ -101,16 +101,23 @@ object Graft {
 
   /** MinHash-LSH near-duplicate candidate pairs over a text column:
     * 3-token shingles → xxhash64 → a 32-hash MinHash sketch
-    * ([[graft.functions.MinHashAgg]]) → 16 bands × 2 rows; a pair
-    * collides when any band agrees, and the returned
+    * ([[graft.functions.MinHashAgg]]) → `bands` × `rows` LSH banding
+    * (bands·rows ≤ 32; default 16 × 2, the robust J ≈ 0.5 point); a
+    * pair collides when any band agrees, and the returned
     * `est_jaccard_permille` is the sketch agreement rate. Never
     * enumerates all pairs — the band equi-join is the only pair
-    * generator (Broder 1997; Leskovec-Rajaraman-Ullman ch. 3).
+    * generator (Broder 1997; Leskovec-Rajaraman-Ullman ch. 3). Pick
+    * the operating point from a measured sweep (the
+    * q_dedup_lsh_autopick policy) rather than by feel: more bands of
+    * fewer rows move the collision S-curve left (recall ↑, candidate
+    * volume ↑).
     *
     * @param threshold drop pairs whose estimate falls below this
     *                  (permille). 0 keeps every banded candidate. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Int = 0): DataFrame = {
+      threshold: Int = 0, bands: Int = 16, rows: Int = 2): DataFrame = {
+    require(bands * rows <= 32 && bands >= 1 && rows >= 1,
+      s"banding ($bands, $rows) exceeds the 32-perm signature")
     GraftFunctions.register(docs.sparkSession)
     val sh = docs
       .select(col(idCol).as("__id"), split(col(textCol), " ").as("t"))
@@ -126,13 +133,15 @@ object Graft {
       .groupBy(col("__id"))
       .agg(expr("minhash32(th)").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bands = sigs.select(col("__id"),
+    // generated per (bands, rows); at (16, 2) this is byte-for-byte
+    // the historical expression, so default-point results are stable
+    val els = (1 to rows)
+      .map(j => s"element_at(sig, bi * $rows + $j)").mkString(", ")
+    val bandsDf = sigs.select(col("__id"),
       posexplode(expr(
-        """transform(sequence(0, 15),
-           b -> xxhash64(element_at(sig, b * 2 + 1),
-                         element_at(sig, b * 2 + 2)))""")))
+        s"transform(sequence(0, ${bands - 1}), bi -> xxhash64($els))")))
       .select(col("__id"), col("pos").as("band"), col("col").as("bh"))
-    val cand = bands.as("a").join(bands.as("b"),
+    val cand = bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
@@ -339,6 +348,7 @@ object Graft {
     graft.ops.Dedup.winnowPairs(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), k, w)
 
+
   /** Online Elo ratings over an ordered game stream — the q_eval_elo
     * fold, generalized: `games` rows are processed in (`ordCol`,
     * `iCol`, `jCol`) order; `sPermilleCol` is side i's score in
@@ -360,6 +370,72 @@ object Graft {
     val players = g.select(col("i").as("player"))
       .union(g.select(col("j").as("player"))).distinct()
     graft.ops.CorpusOps43.eloFold(g, players)
+  }
+
+  /** Unbiased pass@k (Chen et al. 2021, the HumanEval estimator) over
+    * a per-pool attempts frame: `nCol` = attempts, `cCol` = passes;
+    * one `pass<k>_permille` column per requested k, exact
+    * falling-factorial arithmetic in DECIMAL(38,0) with the n < k
+    * contract (every k-subset is the whole pool: 1000 iff any pass).
+    * Appends to the input row — the pool grain is whatever the caller
+    * aggregated to. */
+  def passAtK(pools: DataFrame, nCol: String, cCol: String,
+      ks: Seq[Int] = Seq(1, 2, 5)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1: $ks")
+    val base = pools
+      .withColumn("__pk_n", col(nCol).cast("long"))
+      .withColumn("__pk_c", col(cCol).cast("long"))
+    ks.foldLeft(base) { (df, k) =>
+        df.withColumn(s"pass${k}_permille",
+          expr(graft.ops.CorpusOps44.passKExpr(k, "__pk_n", "__pk_c")))
+      }
+      .drop("__pk_n", "__pk_c")
+  }
+
+  /** Unbiased best-of-n score estimation (the WebGPT/BoN
+    * rejection-sampling value): per group, E[max score among a
+    * uniform n-subset] = Σᵢ score₍ᵢ₎ · C(i−1, n−1) / C(m, n) over the
+    * ascending order statistics; groups smaller than n take the group
+    * max (every n-subset is the whole pool). Returns one row per
+    * group: the group columns, `m`, and `bo<n>` per requested n
+    * (floor division, exact integer arithmetic — scores must be
+    * integer-typed, e.g. milli units). n ≤ 8 keeps every binomial
+    * weight ≤ C(m,7) exactly representable alongside 10⁶-unit scores
+    * for pools into the millions.
+    *
+    * Scale: one window per group (never global) + one aggregate. */
+  def bestOfN(scored: DataFrame, groupCols: Seq[String],
+      scoreCol: String, ns: Seq[Int] = Seq(1, 2, 4),
+      tieCol: Option[String] = None): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8),
+      s"ns must be in [1, 8]: $ns")
+    val gs = groupCols.map(col)
+    val ord: Seq[Column] =
+      col(scoreCol).asc +: tieCol.map(col(_).asc).toSeq
+    val w = Window.partitionBy(gs: _*).orderBy(ord: _*)
+    val ranked = scored
+      .select((gs :+ col(scoreCol).cast("long").as("sc") :+
+        row_number().over(w).cast("long").as("i")).toIndexedSeq: _*)
+    // numerator Σ sc·C(i−1, n−1) per n; C over consecutive ints stays
+    // exact under the staged floor divisions
+    def weight(n: Int): String = {
+      val num = (1 until n).map(j => s"(i - $j)").mkString(" * ")
+      if (n == 1) "1" else s"($num) div ${(1 until n).product}"
+    }
+    val aggs =
+      count(lit(1)).as("m") +: max(col("sc")).as("mx") +:
+        ns.map(n => sum(col("sc") * expr(weight(n))).as(s"s$n"))
+    def combDen(n: Int): String = {
+      val num = (0 until n).map(j => s"(m - $j)").mkString(" * ")
+      s"(($num) div ${(1 to n).product})"
+    }
+    ns.foldLeft(ranked.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)) {
+        (df, n) =>
+          df.withColumn(s"bo$n",
+            when(col("m") >= n, expr(s"s$n div ${combDen(n)}"))
+              .otherwise(col("mx")))
+      }
+      .select(gs ++ Seq(col("m")) ++ ns.map(n => col(s"bo$n")): _*)
   }
 
   /** Scale-safe global ntile: the bucket-offset decomposition of

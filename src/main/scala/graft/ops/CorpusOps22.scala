@@ -83,30 +83,48 @@ object CorpusOps22 {
     *
     * Scale: edge list partial-aggregates once; each half-iteration is
     * one endpoint-keyed shuffle; the round max is a 1-row broadcast.
-    * On the default path the per-round authority/hub vectors
+    * On the small-graph path the per-round authority/hub vectors
     * broadcast into the edge stream map-side — but BOTH axes scale
     * with the corpus (suppliers and customers are data, not
-    * dimensions), so at a graph where they outgrow the broadcast set
-    * `spark.graft.hits.shuffleJoin=true`: edges hash-partition on
-    * `sup` ONCE (persisted) and each auth/hub join becomes a
-    * shuffled-hash join where only the |V|-sized vector side moves —
-    * the pagerankCore discipline. Integer micro-units throughout, so
-    * the two paths are bit-identical (pinned in GraphSpec). */
-  val qGraphHits: Q = (s, dir) => {
-    val shuffle = s.conf.getOption("spark.graft.hits.shuffleJoin")
-      .contains("true")
-    hitsResult(s, dir, shuffle)
-  }
+    * dimensions), so the path is AUTO-gated on the aggregated edge
+    * cardinality (`spark.graft.graph.broadcastEdgeLimit`): past it,
+    * edges hash-partition on `sup` ONCE (persisted) and each
+    * auth/hub join becomes a shuffled-hash join where only the
+    * |V|-sized vector side moves — the pagerankCore discipline.
+    * `spark.graft.hits.shuffleJoin=true|false` overrides the gate.
+    * Integer micro-units throughout, so the two paths are
+    * bit-identical (pinned in GraphSpec). */
+  val qGraphHits: Q = (s, dir) =>
+    s.conf.getOption("spark.graft.hits.shuffleJoin") match {
+      case Some(v) => hitsResult(s, dir, v == "true")
+      case None =>
+        // AUTO: both HITS axes are data (586k aggregated (c, sup)
+        // pairs at sf0.1 already), so the gate reads the aggregated
+        // edge cardinality from the persisted cache — past
+        // spark.graft.graph.broadcastEdgeLimit the vector joins go
+        // shuffled-hash. Measured (StressBench r14): at sf0.1 the
+        // shuffle path wins OUTRIGHT, 3.06 s vs 4.58 s at 1× and
+        // 5.04 s vs 6.79 s at 10× — the auto gate picks it there.
+        val e0 = graft.CacheScope.track(hitsEdges(s, dir).persist())
+        hitsFrom(e0, e0.count() > GraphOps.edgeLimit(s))
+    }
 
-  /** HITS authority frame; `shuffleJoin` selects the scale path (see
-    * [[qGraphHits]]). Package-visible for the GraphSpec pin. */
-  private[graft] def hitsResult(s: org.apache.spark.sql.SparkSession,
-      dir: String, shuffleJoin: Boolean): org.apache.spark.sql.DataFrame = {
-    val edges0 = Tables(s, dir, "lineitem")
+  private def hitsEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "lineitem")
       .join(Tables(s, dir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
       .agg(count(lit(1)).as("w"))
+
+  /** HITS authority frame; `shuffleJoin` selects the scale path (see
+    * [[qGraphHits]]). Package-visible for the GraphSpec pin. */
+  private[graft] def hitsResult(s: org.apache.spark.sql.SparkSession,
+      dir: String, shuffleJoin: Boolean): org.apache.spark.sql.DataFrame =
+    hitsFrom(hitsEdges(s, dir), shuffleJoin)
+
+  private def hitsFrom(edges0: org.apache.spark.sql.DataFrame,
+      shuffleJoin: Boolean): org.apache.spark.sql.DataFrame = {
     // scale path: pay ONE |E| shuffle up front — the sup partitioning
     // feeds auth1's aggregate, the hub1 join and the final deg rollup
     // with zero further |E| exchanges; only the c-keyed auth2 join

@@ -141,18 +141,24 @@ object CorpusOps43 {
   val qEvalRatingAgreement: Q = (s, dir) => {
     val share = s.conf.getOption("spark.graft.ratingAgreement.shareScan")
       .map(_ == "true")
-      .getOrElse(true)
+      .getOrElse(false)
     ratingAgreementResult(s, dir, share)
   }
 
   /** Agreement frame; `shareScan` selects whether the classifier scan
-    * persists once and feeds both chains (the 100-TB shape) or each
-    * chain plans its own scored subtree (identical subtrees — within
-    * the one action Spark's ReuseExchange dedupes the shuffles, so at
-    * bench scale the un-shared plan can win by skipping the
-    * InMemoryRelation materialization barrier). Package-visible so
-    * the probe/StressBench can measure BOTH paths; the conf default
-    * is the measured winner at 10× data (see SURVEY §2.N r14). */
+    * persists once and feeds both chains, or each chain plans its own
+    * scored subtree. MEASURED (StressBench r14, both paths, same
+    * batch): un-shared wins at 1× (2.18 s vs 3.13 s at sf0.1) AND at
+    * 10× data (2.35 s vs 2.67 s) — the two chains' identical scored
+    * subtrees already share work through exchange reuse inside the
+    * single action, so the persist only adds an InMemoryRelation
+    * materialization barrier (r13 shipped the share un-measured and
+    * regressed the query 1.4×; this is the r14 re-measurement the
+    * done-criteria required). Default = un-shared, the measured
+    * winner at both scales; the conf keeps the persisted path
+    * available for a caller running the chains as SEPARATE actions,
+    * where exchange reuse cannot apply and the share is the only way
+    * to avoid a second corpus scan. */
   private[graft] def ratingAgreementResult(
       s: org.apache.spark.sql.SparkSession, dir: String,
       shareScan: Boolean): org.apache.spark.sql.DataFrame = {

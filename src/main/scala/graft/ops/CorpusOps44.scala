@@ -58,15 +58,16 @@ object CorpusOps44 {
     * only the explicit CASE keeps the denominator off the zero).
     * Package-visible so the n < k fixture spec can exercise the guard
     * directly (the corpus pools all hold ≥ 25 attempts). */
-  private[graft] def passKExpr(k: Int): String = {
+  private[graft] def passKExpr(k: Int, n: String = "n",
+      c: String = "c"): String = {
     val num = (0 until k)
-      .map(i => s"CAST(greatest(n - c - $i, 0) AS DECIMAL(38,0))")
+      .map(i => s"CAST(greatest($n - $c - $i, 0) AS DECIMAL(38,0))")
       .mkString(" * ")
     val den = (0 until k)
-      .map(i => s"CAST(n - $i AS DECIMAL(38,0))")
+      .map(i => s"CAST($n - $i AS DECIMAL(38,0))")
       .mkString(" * ")
-    s"CAST(CASE WHEN n < $k THEN (CASE WHEN c > 0 THEN 1000 ELSE 0 END)" +
-      s" ELSE 1000 - (1000 * $num) div ($den) END AS BIGINT)"
+    s"CAST(CASE WHEN $n < $k THEN (CASE WHEN $c > 0 THEN 1000 ELSE 0" +
+      s" END) ELSE 1000 - (1000 * $num) div ($den) END AS BIGINT)"
   }
 
   /** Distinct-n lexical diversity per source (Li et al., "A
@@ -103,8 +104,56 @@ object CorpusOps44 {
       .orderBy(col("source"))
   }
 
+  /** Unbiased best-of-n score estimation (the WebGPT/BoN discipline —
+    * Nakano et al. 2021 appendix; Stiennon et al. 2020): for each
+    * candidate pool, E[max score among a uniform n-subset] has the
+    * closed form Σᵢ score₍ᵢ₎ · C(i−1, n−1) / C(m, n) over the
+    * ascending order statistics — the rejection-sampling value a
+    * preference pipeline reads before paying for n samples per
+    * prompt. Pools = up to 16 docs per (source, doc_id div 320)
+    * window (dense per-source 16-pools under the fixture's
+    * round-robin source assignment); n ∈ {1, 2, 4}; pools smaller
+    * than n take the pool max (every n-subset is the whole pool —
+    * the pass@k n < k contract). All arithmetic exact: the binomial
+    * weights are tiny (C(15, 3) = 455), per-group sums fit Long with
+    * 10⁵× headroom, floor division only at the two declared points.
+    *
+    * Scale: one classifier scan; the order-statistic window runs per
+    * 16-row pool (never global); the rollup is |sources| rows. */
+  val qEvalBestOfN: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sc = CorpusOps10.scored(s, dir)
+      .join(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), expr("doc_id div 320").as("grp"),
+        col("score_milli").as("sc"), col("doc_id"))
+    val w = Window.partitionBy(col("source"), col("grp"))
+      .orderBy(col("sc"), col("doc_id"))
+    val g = sc.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"), col("grp"))
+      .agg(count(lit(1)).as("m"), max(col("sc")).as("mx"),
+        sum(col("sc")).as("s1"),
+        sum(col("sc") * (col("i") - 1)).as("s2"),
+        sum(col("sc") *
+          expr("(i-1) * (i-2) * (i-3) div 6")).as("s4"))
+    val e = g.select(col("source"), col("m"),
+      expr("s1 div m").as("e1"),
+      when(col("m") >= 2, expr("s2 div (m * (m-1) div 2)"))
+        .otherwise(col("mx")).as("e2"),
+      when(col("m") >= 4,
+          expr("s4 div (m * (m-1) * (m-2) * (m-3) div 24)"))
+        .otherwise(col("mx")).as("e4"))
+    e.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("m")).as("attempts"),
+        expr("sum(e1) div count(1)").as("bo1_milli"),
+        expr("sum(e2) div count(1)").as("bo2_milli"),
+        expr("sum(e4) div count(1)").as("bo4_milli"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_eval_pass_at_k" -> qEvalPassAtK,
+    "q_eval_best_of_n" -> qEvalBestOfN,
     "q_text_distinct_n" -> qTextDistinctN)
 
   private def passKSql(k: Int): String = {
@@ -120,6 +169,36 @@ object CorpusOps44 {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_eval_best_of_n" -> s"""
+      WITH scored AS MATERIALIZED (${CorpusOps10.scoredSql}),
+      sc AS (SELECT d.source, d.doc_id // 320 AS grp,
+               s.score_milli AS sc, d.doc_id
+             FROM scored s JOIN documents d USING (doc_id)),
+      rk AS (SELECT source, grp, sc,
+               CAST(row_number() OVER (PARTITION BY source, grp
+                 ORDER BY sc, doc_id) AS BIGINT) AS i
+             FROM sc),
+      g AS (SELECT source, grp, CAST(count(*) AS BIGINT) AS m,
+              CAST(max(sc) AS BIGINT) AS mx,
+              CAST(sum(sc) AS BIGINT) AS s1,
+              CAST(sum(sc * (i - 1)) AS BIGINT) AS s2,
+              CAST(sum(sc * ((i-1) * (i-2) * (i-3) // 6)) AS BIGINT)
+                AS s4
+            FROM rk GROUP BY 1, 2),
+      e AS (SELECT source, m,
+              s1 // m AS e1,
+              CASE WHEN m >= 2 THEN s2 // (m * (m-1) // 2)
+                   ELSE mx END AS e2,
+              CASE WHEN m >= 4
+                   THEN s4 // (m * (m-1) * (m-2) * (m-3) // 24)
+                   ELSE mx END AS e4
+            FROM g)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(sum(m) AS BIGINT) AS attempts,
+        CAST(sum(e1) // count(*) AS BIGINT) AS bo1_milli,
+        CAST(sum(e2) // count(*) AS BIGINT) AS bo2_milli,
+        CAST(sum(e4) // count(*) AS BIGINT) AS bo4_milli
+      FROM e GROUP BY source ORDER BY source""",
     "q_eval_pass_at_k" -> s"""
       WITH scored AS (${CorpusOps10.scoredSql}),
       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,

@@ -35,8 +35,15 @@ object Dedup {
       .orderBy(col("canonical_id"))
   }
 
-  private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    Tables(s, dir, "documents")
+  private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) =
+    shingledDocs(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")))
+
+  /** Distinct word-3-gram shingles of a (doc_id, text) frame — the
+    * frame-based core behind [[shingled]] and `Graft.minhashPairs`. */
+  private[graft] def shingledDocs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"),
         explode(array_distinct(when(size(col("t")) >= 3,
@@ -45,7 +52,6 @@ object Dedup {
                                  element_at(t, i + 1),
                                  element_at(t, i + 2)))"""))
           .otherwise(array()))).as("g"))
-  }
 
   /** Document-frequency cap for the shingle inverted index: a shingle
     * shared by more than this many documents is non-discriminative
@@ -185,8 +191,6 @@ object Dedup {
     * conf-gated path against the policy's point directly. */
   private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String, b: Int, r: Int): org.apache.spark.sql.DataFrame = {
-    require(b * r <= 32 && b >= 1 && r >= 1,
-      s"banding ($b, $r) exceeds the 32-perm signature")
     GraftFunctions.register(s)
     // same 3-gram shingles as the exact-Jaccard baseline: single-token
     // sets are near-identical across this small-vocab corpus, so only
@@ -216,6 +220,16 @@ object Dedup {
     // overwrite window against a concurrent oracle reader. coalesce(1):
     // one 32-long array per doc is kilobytes at any test SF.
     dumpSigs(s, dir, sigs)
+    bandPairs(sigs, b, r)
+  }
+
+  /** LSH banding + signature-agreement ranking over a persisted
+    * 32-perm signature frame (doc_id, sig) — shared by the declared
+    * query and the `Graft.minhashPairs` facade. */
+  private[graft] def bandPairs(sigs: org.apache.spark.sql.DataFrame,
+      b: Int, r: Int): org.apache.spark.sql.DataFrame = {
+    require(b * r <= 32 && b >= 1 && r >= 1,
+      s"banding ($b, $r) exceeds the 32-perm signature")
     // at (16, 2) this generates byte-for-byte the historical band
     // expression, so the default path's hashes are unchanged
     val els = (1 to r)

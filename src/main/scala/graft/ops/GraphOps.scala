@@ -201,39 +201,69 @@ object GraphOps {
     * rises with volume). Orienting each edge low→high (degree, node)
     * makes every wedge count once and caps out-degree at ~sqrt(2|E|),
     * so the wedge join is O(|E|^1.5) worst case, not O(|V|·d_max²).
-    * The oriented edge list is tiny after the prune — on the default
-    * path it broadcasts to both the wedge self-join and the
-    * closing-edge probe. At a scale where it doesn't (the prune keeps
-    * |E'| proportional to corpus size once the support threshold is
-    * held fixed), set `spark.graft.triangles.shuffleJoin=true`: every
-    * broadcast hint becomes a shuffled-hash equi-join co-partitioned
-    * on the shared key (wedges on u, closing probe on (u, v)), and
-    * the census still never materializes open wedges beyond the join
-    * stream. Counts are exact integers, so the two paths are
-    * bit-identical (pinned in GraphSpec; PlanSpec asserts no
+    * The broadcast↔shuffle choice is AUTO by default: the pruned edge
+    * count does NOT stay proportional to corpus size once the part
+    * catalog is fixed (co-purchase pairs densify quadratically — the
+    * 10× stress corpus measured 335× the edges and sent the forced-
+    * broadcast census superlinear, 13×), so the operator reads the
+    * cardinality of its own persisted edge cache and flips every
+    * broadcast hint to a shuffled-hash equi-join co-partitioned on
+    * the shared key (wedges on u, closing probe on (u, v)) past
+    * `spark.graft.graph.broadcastEdgeLimit` (default 100k; measured
+    * crossover is between 3.5k and 1.2M edges — StressBench r14:
+    * broadcast 0.85 s vs shuffle 2.28 s at 3.5k, 11.1 s vs 5.2 s at
+    * 1.2M). `spark.graft.triangles.shuffleJoin=true|false` overrides
+    * the gate outright. Counts are exact integers, so the two paths
+    * are bit-identical (pinned in GraphSpec; PlanSpec asserts no
     * data-scaling BroadcastExchange on the scale path). */
-  val qGraphTriangles: Q = (s, dir) => {
-    val shuffle = s.conf.getOption("spark.graft.triangles.shuffleJoin")
-      .contains("true")
-    trianglesResult(s, dir, shuffle)
-  }
+  val qGraphTriangles: Q = (s, dir) =>
+    s.conf.getOption("spark.graft.triangles.shuffleJoin") match {
+      case Some(v) => trianglesResult(s, dir, v == "true")
+      case None =>
+        // AUTO (conf unset): pick the path from the MEASURED pruned
+        // edge count — the prune does NOT keep |E'| proportional to
+        // corpus size once the part catalog is fixed (10× lineitem
+        // over the same parts densified 3 573 → 1 196 000 edges, and
+        // the forced-broadcast census went 0.85 → 11.1 s, 13× —
+        // StressBench r14 — while the shuffle path held 2.3×). The
+        // count is a bounded scalar on the ALREADY-persisted edge
+        // cache that every downstream stage reuses.
+        val e0 = graft.CacheScope.track(
+          copurchaseEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK))
+        trianglesFrom(e0, e0.count() > edgeLimit(s))
+    }
+
+  /** Explicit-threshold knob for the AUTO broadcast↔shuffle gates of
+    * the triangle/clustering/HITS family: edge frames above this
+    * cardinality take the co-partitioned shuffled-hash path. The
+    * default sits between the sf0.1 fixture (3.5k pruned edges,
+    * broadcast wins 0.85 s vs 2.28 s) and the 10× stress corpus
+    * (1.2M edges, shuffle wins 5.2 s vs 11.1 s). */
+  private[ops] def edgeLimit(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption("spark.graft.graph.broadcastEdgeLimit")
+      .map(_.toLong).getOrElse(100000L)
 
   /** Triangle-census frame; `shuffleJoin` selects the scale path (see
     * [[qGraphTriangles]]). Package-visible so the spec can pin
     * broadcast/shuffle bit-identity. */
   private[graft] def trianglesResult(s: org.apache.spark.sql.SparkSession,
       dir: String, shuffleJoin: Boolean): org.apache.spark.sql.DataFrame = {
+    // e0 is the only |lineitem|-sized stage and feeds und (twice), deg,
+    // the oriented join and the summary count — persist or the
+    // self-join re-runs ~5x (the q_graph_pagerank lesson).
+    val e0 = graft.CacheScope.track(
+      copurchaseEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK))
+    trianglesFrom(e0, shuffleJoin)
+  }
+
+  private def trianglesFrom(e0: org.apache.spark.sql.DataFrame,
+      shuffleJoin: Boolean): org.apache.spark.sql.DataFrame = {
     // On the scale path the small side of each join rides a
     // shuffled-hash hint instead of a broadcast: the |V|-sized degree
     // table and the pruned |E'| oriented edge list never collect at
     // the driver, only hash-exchange on their join key.
     def small(df: org.apache.spark.sql.DataFrame) =
       if (shuffleJoin) df.hint("shuffle_hash") else broadcast(df)
-    // e0 is the only |lineitem|-sized stage and feeds und (twice), deg,
-    // the oriented join and the summary count — persist or the
-    // self-join re-runs ~5x (the q_graph_pagerank lesson).
-    val e0 = graft.CacheScope.track(
-      copurchaseEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK))
     val und = e0.union(e0.select(col("v"), col("u")))
     val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
     // the oriented edge keeps the DESTINATION's (degree, node) key: the

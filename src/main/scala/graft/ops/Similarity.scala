@@ -572,7 +572,20 @@ object Similarity {
     * (index 0) and after each of the 3 scheduler rounds — the loop
     * behind [[qSimIvfRebalance]], package-visible so the spec can pin
     * conservation and monotone max-cell decrease ROUND BY ROUND, not
-    * just end-to-end. */
+    * just end-to-end.
+    *
+    * The scheduler decisions (hottest cell, its trigger, the 2 seed
+    * vectors) are BOUNDED scalar actions collected at the driver —
+    * the q_dedup_components discipline — and each round's rewrite is
+    * then one broadcast-gated pass over the assignment, so the plan
+    * lineage grows LINEARLY in rounds. The first cut expressed the
+    * conditional split as pure dataflow (1-row broadcast gates); that
+    * referenced `av` 3× per round, and because InMemoryRelation nodes
+    * carry their cached child plan, the plan DESCRIPTION (which Spark
+    * renders per execution) grew as 3^rounds — measured 21.7 s at
+    * sf0.1, ~all of it driver-side tree printing, and an explain()
+    * on the final frame allocated multi-GB strings. Execution was
+    * never the problem; the plan object was. */
   private[graft] def rebalanceStates(s: SparkSession, dir: String)
       : Seq[DataFrame] = {
     val K = 16
@@ -600,43 +613,132 @@ object Similarity {
         .unionByName(assign(emb.filter(col("vec_id") % 10 === 0)))
         .withColumn("path", lit(0L))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val tot = av.agg(count(lit(1)).as("tot"))
+    val tot = av.count() // 1-row scalar; also materializes the cache
     val states = scala.collection.mutable.Buffer(av)
     for (_ <- 1 to rounds) {
-      val state = av.groupBy(col("cid"), col("path"))
+      val hot = av.groupBy(col("cid"), col("path"))
         .agg(count(lit(1)).as("n"))
-      val hot = state.orderBy(col("n").desc, col("cid"), col("path"))
-        .limit(1)
-        .crossJoin(broadcast(tot))
-        .select(col("cid").as("hot_cid"), col("path").as("hot_path"),
-          (col("n") * K * 1000 > lit(threshold) * col("tot"))
-            .as("dosplit"))
-      val members = av
-        .join(broadcast(hot), col("cid") === col("hot_cid") &&
-          col("path") === col("hot_path") && col("dosplit"))
+        .orderBy(col("n").desc, col("cid"), col("path")).limit(1)
+        .collect()(0)
+      val (hcid, hpath, hn) =
+        (hot.getLong(0), hot.getLong(1), hot.getLong(2))
+      // a cell of 1 cannot split; only reachable when tot < K·1000/thr
+      val memberIds = av
+        .filter(col("cid") === hcid && col("path") === hpath)
         .select(col("vec_id"))
-        .join(emb, Seq("vec_id"))
-      val two = members.orderBy(col("vec_id")).limit(2)
-      val seeds = two
-        .crossJoin(broadcast(two.agg(min(col("vec_id")).as("mn"))))
-        .select(when(col("vec_id") === col("mn"), 1L).otherwise(2L)
-            .as("sub"),
-          col("q").as("sq"), col("n2").as("sn2"))
-      val reassigned = members.crossJoin(broadcast(seeds))
-        .select(col("vec_id"), col("sub"),
-          (col("n2") + col("sn2") - lit(2L) * dotq(col("q"), col("sq")))
-            .as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("sub"), struct(col("d2"), col("sub"))).as("sub"))
-      av = graft.CacheScope.track(av
-        .join(reassigned, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cid"),
-          when(col("sub").isNotNull, col("path") * 3 + col("sub"))
-            .otherwise(col("path")).as("path"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val seeds =
+        if (hn * K * 1000 > threshold * tot && hn >= 2)
+          emb.join(memberIds.hint("broadcast"), Seq("vec_id"))
+            .orderBy(col("vec_id")).limit(2)
+            .select(col("vec_id"), col("q"), col("n2")).collect()
+        else Array.empty[org.apache.spark.sql.Row]
+      if (seeds.length == 2) {
+        // exact int64 d² against each seed; ties to sub 1 (the lower
+        // seed id — the min_by struct discipline of qSimIvfSplit)
+        def d2(sr: org.apache.spark.sql.Row) =
+          col("n2") + lit(sr.getLong(2)) -
+            lit(2L) * dotq(col("q"), typedLit(sr.getSeq[Long](1)))
+        val sub = when(d2(seeds(0)) <= d2(seeds(1)), 1L).otherwise(2L)
+        val reassigned = emb
+          .join(memberIds.hint("broadcast"), Seq("vec_id"))
+          .select(col("vec_id"), sub.as("sub"))
+        av = graft.CacheScope.track(av
+          .join(reassigned.hint("broadcast"), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cid"),
+            when(col("sub").isNotNull, col("path") * 3 + col("sub"))
+              .otherwise(col("path")).as("path"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
       states += av
     }
     states.toSeq
+  }
+
+  /** Margin-criterion candidate-pair mining (Artetxe & Schwenk, ACL
+    * 2019 — the LASER/CCMatrix bitext-mining score): a raw cosine
+    * threshold over-selects in dense neighborhoods and under-selects
+    * in sparse ones, so each candidate pair is scored RELATIVE to its
+    * endpoints' own neighborhoods — margin(x, y) = 2·cos(x, y) /
+    * (avgNN₄(x) + avgNN₄(y)), ratio mode — and a query keeps its
+    * top-1 cross-label match above margin 1.05. Labels stand in for
+    * the language axis: mining pairs across labels is exactly the
+    * cross-lingual alignment harvest a parallel-corpus pipeline runs
+    * at web scale.
+    *
+    * Determinism: dots and norms are exact int64 on the
+    * micro-quantized components; cos/margin are IEEE doubles from
+    * identical expression trees in both engines, with the 4-NN sum
+    * parenthesized in rank order (((c1+c2)+c3)+c4) so the summation
+    * order is pinned; ties break on the candidate id.
+    *
+    * Scale: candidates are blocked by the frozen-centroid IVF cell
+    * (same-cell pairs only — the standard ANN-margin approximation;
+    * the knn stats and the pair stream share ONE cell-keyed self-join,
+    * never all-pairs), and the per-query top-1 is a bounded window. */
+  val qSimMarginMine: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val K = 16
+    val emb = graft.CacheScope.track(withNorm(quantized(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cents = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    val assigned = emb
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dotq(col("q"), col("cq")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+    val side = assigned.join(emb, Seq("vec_id"))
+    // ONE cell-keyed self-join feeds BOTH the knn stats and the
+    // cross-label candidate stream
+    val pairs = graft.CacheScope.track(side.as("a")
+      .join(side.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        (dotq(col("a.q"), col("b.q")).cast("double") /
+          (sqrt(col("a.n2").cast("double")) *
+            sqrt(col("b.n2").cast("double")))).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val w = Window.partitionBy(col("x"))
+      .orderBy(col("cos").desc, col("y"))
+    val knn = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 4)
+      .groupBy(col("x"))
+      .agg(max(when(col("rk") === 1, col("cos"))).as("c1"),
+        max(when(col("rk") === 2, col("cos"))).as("c2"),
+        max(when(col("rk") === 3, col("cos"))).as("c3"),
+        max(when(col("rk") === 4, col("cos"))).as("c4"),
+        count(lit(1)).as("m"))
+      .select(col("x"),
+        ((coalesce(col("c1"), lit(0.0)) + coalesce(col("c2"), lit(0.0)))
+          + coalesce(col("c3"), lit(0.0)))
+          .plus(coalesce(col("c4"), lit(0.0)))
+          .divide(col("m").cast("double")).as("a"))
+    val lab = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val scored = pairs
+      .join(lab.select(col("vec_id").as("x"), col("label").as("label_x")),
+        Seq("x"))
+      .join(lab.select(col("vec_id").as("y"), col("label").as("label_y")),
+        Seq("y"))
+      .filter(col("label_x") =!= col("label_y"))
+      .join(knn.select(col("x"), col("a").as("ax")), Seq("x"))
+      .join(knn.select(col("x").as("y"), col("a").as("ay")), Seq("y"))
+      .select(col("x"), col("y"), col("label_x"), col("label_y"),
+        (lit(2.0) * col("cos") / (col("ax") + col("ay"))).as("margin"))
+    val wb = Window.partitionBy(col("x"))
+      .orderBy(col("margin").desc, col("y"))
+    scored.withColumn("rk", row_number().over(wb))
+      .filter(col("rk") === 1 && col("margin") > 1.05)
+      .select(col("x").as("vec_id"), col("y").as("match_id"),
+        col("label_x"), col("label_y"),
+        expr("CAST(round(margin * 1000000) AS BIGINT)")
+          .as("margin_micro"))
+      .orderBy(col("vec_id"))
   }
 
   /** IVF-PQ with ADC (asymmetric distance computation) — the two
@@ -1194,6 +1296,7 @@ object Similarity {
     "q_sim_ivf_delta" -> qSimIvfDelta,
     "q_sim_ivf_split" -> qSimIvfSplit,
     "q_sim_ivf_rebalance" -> qSimIvfRebalance,
+    "q_sim_margin_mine" -> qSimMarginMine,
     "q_sim_ivfpq" -> qSimIvfPq,
     "q_sim_kmeans_step" -> qSimKmeansStep,
     "q_dedup_semantic" -> qDedupSemantic)
@@ -1747,6 +1850,67 @@ object Similarity {
         CAST(count(*) AS BIGINT) * 16 * 1000 // (SELECT tot FROM tot)
           AS share_permille
       FROM av3 GROUP BY cid, path ORDER BY cid, path""",
+    "q_sim_margin_mine" -> s"""
+      WITH e AS MATERIALIZED ($quantSql),
+      n AS MATERIALIZED (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      cd AS (SELECT a.vec_id, b.vec_id AS cid,
+               CAST(sum(a.v * b.v) AS BIGINT) AS dot
+             FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+             GROUP BY 1, 2),
+      assigned AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+          SELECT cd.vec_id, cid, CAST(dot AS DOUBLE) /
+            (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+            AS ccos
+          FROM cd JOIN n nv ON cd.vec_id = nv.vec_id
+                  JOIN n nc ON cid = nc.vec_id)
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, cid) = 1),
+      pairs AS MATERIALIZED (
+        SELECT dd.x, dd.y, CAST(dd.dot AS DOUBLE) /
+          (sqrt(CAST(nx.n2 AS DOUBLE)) * sqrt(CAST(ny.n2 AS DOUBLE)))
+          AS cos
+        FROM (SELECT ea.vec_id AS x, ab.vec_id AS y,
+                CAST(sum(ea.v * eb.v) AS BIGINT) AS dot
+              FROM e ea JOIN assigned aa ON ea.vec_id = aa.vec_id
+                JOIN assigned ab ON ab.cid = aa.cid
+                  AND ab.vec_id <> ea.vec_id
+                JOIN e eb ON eb.vec_id = ab.vec_id AND eb.i = ea.i
+              GROUP BY 1, 2) dd
+        JOIN n nx ON nx.vec_id = dd.x JOIN n ny ON ny.vec_id = dd.y),
+      knn AS MATERIALIZED (
+        SELECT x, c1, coalesce(c2, 0.0) AS c2, coalesce(c3, 0.0) AS c3,
+          coalesce(c4, 0.0) AS c4,
+          CAST(1 + (c2 IS NOT NULL)::INT + (c3 IS NOT NULL)::INT +
+            (c4 IS NOT NULL)::INT AS BIGINT) AS m
+        FROM (
+          SELECT x,
+            max(CASE WHEN rk = 1 THEN cos END) AS c1,
+            max(CASE WHEN rk = 2 THEN cos END) AS c2,
+            max(CASE WHEN rk = 3 THEN cos END) AS c3,
+            max(CASE WHEN rk = 4 THEN cos END) AS c4
+          FROM (SELECT x, cos, row_number() OVER (PARTITION BY x
+                  ORDER BY cos DESC, y) AS rk FROM pairs) r
+          WHERE rk <= 4 GROUP BY x)
+        WHERE c1 IS NOT NULL),
+      scored AS (
+        SELECT p.x, p.y, lx.label AS label_x, ly.label AS label_y,
+          (2.0 * p.cos) /
+            ((((kx.c1 + kx.c2) + kx.c3) + kx.c4) / CAST(kx.m AS DOUBLE)
+             + (((ky.c1 + ky.c2) + ky.c3) + ky.c4) / CAST(ky.m AS DOUBLE))
+            AS margin
+        FROM pairs p
+        JOIN lab lx ON lx.vec_id = p.x JOIN lab ly ON ly.vec_id = p.y
+        JOIN knn kx ON kx.x = p.x JOIN knn ky ON ky.x = p.y
+        WHERE lx.label <> ly.label),
+      best AS (SELECT x, y, label_x, label_y, margin FROM scored
+               QUALIFY row_number() OVER (PARTITION BY x
+                 ORDER BY margin DESC, y) = 1)
+      SELECT x AS vec_id, y AS match_id, label_x, label_y,
+        CAST(round(margin * 1000000) AS BIGINT) AS margin_micro
+      FROM best WHERE margin > 1.05 ORDER BY vec_id""",
     "q_sim_ivfpq" -> ivfPqSqlAt(nprobe = 4, m = 4),
     "q_sim_kmeans_step" -> s"""
       WITH e AS ($quantSql),

@@ -253,6 +253,42 @@ object TextAnalysis {
       .orderBy(col("pair"))
   }
 
+  /** Full BPE tokenizer TRAINING loop (Sennrich, Haddow, Birch, ACL
+    * 2016) — the composition q_bpe_merge_step is one iteration of:
+    * 6 rounds of pick-best-pair → apply-merge over the weighted
+    * word-frequency dictionary, emitting the learned merge table
+    * (round, merge, cnt-at-pick) — the artifact a tokenizer ships.
+    * The per-round winner is a 1-row scalar driver action and the
+    * merge applies as a map-side literal rewrite (the rebalance
+    * discipline: state is referenced ONCE per round, so the plan
+    * lineage — and its per-execution description — stays linear in
+    * rounds; a broadcast-gated dataflow loop here would nest
+    * InMemoryRelations combinatorially, see q_sim_ivf_rebalance).
+    *
+    * Scale: the corpus collapses to the |V|-row dictionary in ONE
+    * scan; every round after that is dictionary-sized (pair fan-out
+    * |V|·len, map-side partial agg, TakeOrdered(1)). 100 TB of text
+    * never re-enters the loop. */
+  val qBpeTrain: Q = (s, dir) => {
+    val K = 6
+    var dict = graft.CacheScope.track(symbolizedDict(s, dir)
+      .select(col("freq"), col("sym"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val merges = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
+    for (r <- 1 to K) {
+      val best = pairCounts(dict)
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()(0)
+      val (mg, cnt) = (best.getString(0), best.getLong(1))
+      merges += ((r.toLong, mg, cnt))
+      dict = graft.CacheScope.track(dict
+        .withColumn("sym",
+          replace(col("sym"), lit(mg), lit(mg.replace(" ", ""))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    import s.implicits._
+    merges.toSeq.toDF("round", "merge", "cnt").orderBy(col("round"))
+  }
+
   /** PMI collocation mining (Church & Hanks 1990, "Word association
     * norms, mutual information, and lexicography"): rank adjacent word
     * pairs by pointwise mutual information, log2(c_xy * N / (c_x * c_y)),
@@ -300,6 +336,7 @@ object TextAnalysis {
     "q_text_collocations" -> qTextCollocations,
     "q_bpe_pair_count" -> qBpePairCount,
     "q_bpe_merge_step" -> qBpeMergeStep,
+    "q_bpe_train" -> qBpeTrain,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_langid" -> qTextLangId,
     "q_text_quality" -> qTextQuality,
@@ -314,6 +351,27 @@ object TextAnalysis {
 
   private def hitsSql(words: Seq[String]): String =
     s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(words)}))) AS INT)"
+
+  /** One unrolled BPE training round for the q_bpe_train oracle:
+    * reads d{r−1}, emits p{r} (pair counts), b{r} (the picked merge)
+    * and d{r} (post-merge dictionary). MATERIALIZED is load-bearing —
+    * inlined, DuckDB re-evaluates the whole round chain per consumer
+    * (the q_sim_ivf_rebalance lesson). */
+  private def bpeRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""
+      p$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                SELECT freq, a[i] || ' ' || a[i + 1] AS pair
+                FROM (SELECT freq, string_split(sym, ' ') AS a
+                      FROM d$p) t,
+                     unnest(range(1, len(a))) u(i)) x GROUP BY pair),
+      b$r AS (SELECT pair AS merge, cnt FROM p$r
+              ORDER BY cnt DESC, pair LIMIT 1),
+      d$r AS MATERIALIZED (
+        SELECT freq, replace(sym, (SELECT merge FROM b$r),
+          replace((SELECT merge FROM b$r), ' ', '')) AS sym
+        FROM d$p)"""
+  }
 
   val oracle: Map[String, String] = Map(
     "q_tok_fertility" -> """
@@ -364,6 +422,19 @@ object TextAnalysis {
             FROM pairs GROUP BY 1),
       t AS (SELECT * FROM c ORDER BY cnt DESC, pair LIMIT 20)
       SELECT pair, cnt FROM t ORDER BY pair""",
+    "q_bpe_train" -> s"""
+      WITH d0 AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS freq,
+          regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS sym
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents) t
+        GROUP BY word),
+      ${(1 to 6).map(bpeRoundSql).mkString(",")}
+      SELECT round, merge, cnt FROM (
+        ${(1 to 6).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, merge, cnt FROM b$r")
+          .mkString(" UNION ALL ")})
+      ORDER BY round""",
     "q_bpe_merge_step" -> """
       WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
                  FROM documents),

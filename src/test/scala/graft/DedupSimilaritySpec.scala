@@ -348,9 +348,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sts.map(_._1).distinct.size == 1, s"vector count drifted: $sts")
     assert(sts.map(_._2).distinct.size == 1, s"idsum drifted: $sts")
     sts.sliding(2).foreach { case Seq(a, b) =>
+      // global max is non-increasing; a split round adds exactly one
+      // cell (strict max decrease would be wrong: another cell can TIE
+      // the split cell's size — sf0.001 round 3 does exactly that)
       assert(b._3 <= a._3, s"hottest cell grew: $a -> $b")
-      if (b._4 > a._4) assert(b._3 < a._3,
-        s"split round did not shrink the hottest cell: $a -> $b")
+      if (b._4 != a._4) assert(b._4 == a._4 + 1,
+        s"split round changed cell count by != 1: $a -> $b")
       case _ => ()
     }
     // the fixture's trigger (1100 permille) fires at least once

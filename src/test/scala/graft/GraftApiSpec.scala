@@ -279,4 +279,74 @@ class GraftApiSpec extends AnyFunSuite {
       finally CacheScope.release()
     assert(api == declared)
   }
+
+  test("passAtK and bestOfN facades == the declared eval queries") {
+    // passAtK over the declared query's own (n, c) pools must
+    // reproduce its pass columns exactly
+    val declaredPk = try SparkEntry.queries("q_eval_pass_at_k")(spark, sf)
+        .collect().toSeq
+      finally CacheScope.release()
+    import spark.implicits._
+    val pools = declaredPk.map(r => (r.getString(0),
+        r.getAs[Long]("n"), r.getAs[Long]("c")))
+      .toDF("source", "n", "c")
+    val viaApi = Graft.passAtK(pools, "n", "c", Seq(1, 2, 5))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("pass1_permille"), r.getAs[Long]("pass2_permille"),
+          r.getAs[Long]("pass5_permille"))).toMap
+    declaredPk.foreach { r =>
+      assert(viaApi(r.getString(0)) ==
+        ((r.getAs[Long]("pass1_permille"), r.getAs[Long]("pass2_permille"),
+          r.getAs[Long]("pass5_permille"))), s"pass@k diverges at $r")
+    }
+    // bestOfN over the declared query's own pools, rolled up the same
+    // way, must reproduce bo1/bo2/bo4
+    val sc = ops.CorpusOps10.scored(spark, sf)
+      .join(Tables(spark, sf, "documents")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), expr("doc_id div 320").as("grp"),
+        col("score_milli"), col("doc_id"))
+    val api = Graft.bestOfN(sc, Seq("source", "grp"), "score_milli",
+        Seq(1, 2, 4), tieCol = Some("doc_id"))
+      .groupBy(col("source"))
+      .agg(expr("sum(bo1) div count(1)").as("bo1_milli"),
+        expr("sum(bo2) div count(1)").as("bo2_milli"),
+        expr("sum(bo4) div count(1)").as("bo4_milli"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val declaredBo = try SparkEntry.queries("q_eval_best_of_n")(spark, sf)
+        .collect().toSeq
+      finally CacheScope.release()
+    assert(declaredBo.nonEmpty)
+    declaredBo.foreach { r =>
+      assert(api(r.getString(0)) ==
+        ((r.getAs[Long]("bo1_milli"), r.getAs[Long]("bo2_milli"),
+          r.getAs[Long]("bo4_milli"))), s"bestOfN diverges at $r")
+    }
+  }
+
+  test("minhashPairs facade banding knob == declared pipeline pair sets") {
+    // est_jacc >= 0.2 (declared, double) and est_jaccard_permille >=
+    // 200 (facade, floor) agree exactly: both mean >= 7 of 32 hashes
+    def pairSet(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables(spark, sf, "documents")
+    val api = try pairSet(Graft.minhashPairs(docs, "doc_id", "text",
+        threshold = 200).collect().toSeq)
+      finally CacheScope.release()
+    val declared = try pairSet(
+        SparkEntry.queries("q_dedup_minhash")(spark, sf).collect().toSeq)
+      finally CacheScope.release()
+    assert(api.nonEmpty && api == declared,
+      s"facade ${api.size} pairs != declared ${declared.size}")
+    // the new banding knob: (8, 4) == the parameterized pipeline the
+    // autopick wiring deploys
+    val api84 = try pairSet(Graft.minhashPairs(docs, "doc_id", "text",
+        threshold = 200, bands = 8, rows = 4).collect().toSeq)
+      finally CacheScope.release()
+    val lib84 = try pairSet(ops.Dedup.minhashPairs(spark, sf, 8, 4)
+        .collect().toSeq)
+      finally CacheScope.release()
+    assert(api84 == lib84)
+  }
 }

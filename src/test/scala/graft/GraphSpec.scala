@@ -190,6 +190,30 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("auto gate: edge cardinality flips the graph family to shuffle") {
+    // With the path conf UNSET the gate reads the persisted edge
+    // cache's cardinality (StressBench r14 found the forced-broadcast
+    // census goes 13× superlinear once the co-purchase graph
+    // densifies). Force the crossover down to 1 edge: the public
+    // queries must plan shuffled-hash joins.
+    spark.conf.set("spark.graft.graph.broadcastEdgeLimit", "1")
+    try {
+      for (name <- Seq("q_graph_triangles", "q_graph_clustering",
+          "q_graph_hits")) {
+        val p = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString(
+              "formatted"))
+        assert(p.contains("ShuffledHashJoin"),
+          s"$name ignored the auto gate:\n$p")
+        CacheScope.release()
+      }
+    } finally {
+      spark.conf.unset("spark.graft.graph.broadcastEdgeLimit")
+      CacheScope.release()
+    }
+  }
+
   test("k-core broadcast and shuffle-semi paths are bit-identical") {
     // Pure integer set filtering — the co-partitioned shuffle path must
     // reproduce the broadcast path exactly, rounds and top list included.
