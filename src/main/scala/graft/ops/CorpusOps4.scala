@@ -82,6 +82,89 @@ object CorpusOps4 {
       .orderBy(col("doc_id"))
   }
 
+  /** RHO-loss data selection (Mindermann et al., ICML 2022 —
+    * "Prioritized Training on Points that are Learnable, Worth
+    * Learning, and Not Yet Learnt"): rank candidates by EXCESS loss,
+    * L_current(x) − L_holdout(x), and keep the top slice per source —
+    * points the current model still finds hard (worth learning) that
+    * a trusted-data reference model finds easy (learnable, not
+    * noise). Both losses here are add-one bigram-LM NLLs in exact
+    * integer micro-bits (the q_text_perplexity discipline): the
+    * "current model" proxy is the LM of the WHOLE raw pool, the
+    * holdout is the trusted-slice (src0) LM. Per source: pool size,
+    * the top-⌈10%⌉ selection, and the selected-vs-all mean per-bigram
+    * excess — positive spread = the selector is finding
+    * underrepresented-but-clean text, the RHO signature.
+    *
+    * Scale: ONE bigram stream feeds both LM builds and the scoring
+    * pass; both LM tables are vocab²-bounded (reference by the
+    * trusted slice, pool by the corpus vocabulary) and broadcast —
+    * past broadcast size the joins degrade to shuffles on w1 without
+    * plan-shape change; per-doc scores partial-aggregate; the only
+    * sort is the per-source selection window (swap in the
+    * ScaleWindows bucketed ranks if one source dominates a 100 TB
+    * pool). */
+  val qSelectRho: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val bg = graft.CacheScope.track(docs
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("source"),
+        explode(when(size(col("t")) >= 2,
+          expr("""transform(sequence(1, size(t) - 1),
+                  i -> struct(element_at(t, i) as w1,
+                              element_at(t, i + 1) as w2))"""))
+          .otherwise(array())).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val c12r = bg.filter(col("source") === "src0")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12r"))
+    val c1r = c12r.groupBy(col("w1")).agg(sum(col("c12r")).as("c1r"))
+    val vr = docs.filter(col("source") === "src0")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vr"))
+    val c12g = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12g"))
+    val c1g = c12g.groupBy(col("w1")).agg(sum(col("c12g")).as("c1g"))
+    val vg = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vg"))
+    val perDoc = bg.filter(col("source") =!= "src0")
+      .join(broadcast(c12r), Seq("w1", "w2"), "left")
+      .join(broadcast(c1r), Seq("w1"), "left")
+      .join(broadcast(c12g), Seq("w1", "w2"), "left")
+      .join(broadcast(c1g), Seq("w1"), "left")
+      .crossJoin(broadcast(vr)).crossJoin(broadcast(vg))
+      .withColumn("ref_micro", expr(
+        """cast(round(log2(coalesce(c1r, 0) + vr) * 1e6) as bigint)
+           - cast(round(log2(coalesce(c12r, 0) + 1) * 1e6) as bigint)"""))
+      .withColumn("cur_micro", expr(
+        """cast(round(log2(coalesce(c1g, 0) + vg) * 1e6) as bigint)
+           - cast(round(log2(coalesce(c12g, 0) + 1) * 1e6) as bigint)"""))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("nb"),
+        sum(col("cur_micro") - col("ref_micro")).as("excess_micro"))
+      .withColumn("exc_pb_micro", expr("excess_micro div nb"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("exc_pb_micro").desc, col("doc_id"))
+    val wn = Window.partitionBy(col("source"))
+    perDoc
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      // top-⌈10%⌉ per source: rk <= ceil(n/10) = (n+9) div 10
+      .withColumn("sel",
+        when(col("rk") <= expr("(n + 9) div 10"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("sel")).as("n_sel"),
+        expr("sum(if(sel = 1, exc_pb_micro, 0)) div sum(sel)")
+          .as("sel_avg_excess_micro"),
+        expr("sum(exc_pb_micro) div count(1)")
+          .as("all_avg_excess_micro"),
+        max(when(col("sel") === 0, col("exc_pb_micro")))
+          .as("cut_next_excess_micro"))
+      .orderBy(col("source"))
+  }
+
   /** Sharded-Bloom ingest pre-filter: the corpus's distinct 3-gram
     * shingles populate a blocked Bloom filter (512 blocks x 4 words x
     * 62 usable bits, k = 3 md5-derived positions; bit 62+ unused so no
@@ -287,11 +370,59 @@ object CorpusOps4 {
 
   val queries: Map[String, Q] = Map(
     "q_text_perplexity" -> qTextPerplexity,
+    "q_select_rho" -> qSelectRho,
     "q_mix_temperature" -> qMixTemperature,
     "q_pipeline_funnel" -> qPipelineFunnel,
     "q_dedup_bloom" -> qDedupBloom)
 
   val oracle: Map[String, String] = Map(
+    "q_select_rho" -> """
+      WITH toks AS MATERIALIZED (
+        SELECT doc_id, source, string_split(text, ' ') AS t
+        FROM documents),
+      bg AS MATERIALIZED (
+        SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT *, unnest(range(1, len(t))) AS i FROM toks)),
+      c12r AS (SELECT w1, w2, count(*) AS c12r FROM bg
+               WHERE source = 'src0' GROUP BY 1, 2),
+      c1r AS (SELECT w1, count(*) AS c1r FROM bg
+              WHERE source = 'src0' GROUP BY 1),
+      vr AS (SELECT count(DISTINCT u.tok) AS vr
+             FROM (SELECT unnest(t) AS tok FROM toks
+                   WHERE source = 'src0') u),
+      c12g AS (SELECT w1, w2, count(*) AS c12g FROM bg GROUP BY 1, 2),
+      c1g AS (SELECT w1, count(*) AS c1g FROM bg GROUP BY 1),
+      vg AS (SELECT count(DISTINCT u.tok) AS vg
+             FROM (SELECT unnest(t) AS tok FROM toks) u),
+      sc AS (SELECT doc_id, any_value(source) AS source,
+               CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(
+                 (CAST(round(log2(coalesce(c1g, 0) + vg) * 1e6) AS BIGINT)
+                  - CAST(round(log2(coalesce(c12g, 0) + 1) * 1e6) AS BIGINT))
+                 - (CAST(round(log2(coalesce(c1r, 0) + vr) * 1e6) AS BIGINT)
+                  - CAST(round(log2(coalesce(c12r, 0) + 1) * 1e6) AS BIGINT)))
+                 AS BIGINT) AS excess_micro
+             FROM bg LEFT JOIN c12r USING (w1, w2)
+               LEFT JOIN c1r USING (w1)
+               LEFT JOIN c12g USING (w1, w2) LEFT JOIN c1g USING (w1)
+               CROSS JOIN vr CROSS JOIN vg
+             WHERE source <> 'src0' GROUP BY doc_id),
+      pd AS (SELECT doc_id, source, excess_micro // nb AS exc,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY excess_micro // nb DESC, doc_id) AS BIGINT)
+                 AS rk,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+             FROM sc),
+      sel AS (SELECT *, CASE WHEN rk <= (n + 9) // 10 THEN 1 ELSE 0 END
+                AS sel FROM pd)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(sel) AS BIGINT) AS n_sel,
+        CAST(sum(CASE WHEN sel = 1 THEN exc ELSE 0 END) // sum(sel)
+          AS BIGINT) AS sel_avg_excess_micro,
+        CAST(sum(exc) // count(*) AS BIGINT) AS all_avg_excess_micro,
+        CAST(max(CASE WHEN sel = 0 THEN exc END) AS BIGINT)
+          AS cut_next_excess_micro
+      FROM sel GROUP BY source ORDER BY source""",
     "q_pipeline_funnel" -> """
       WITH d AS (
         SELECT doc_id, lang, string_split(text, ' ') AS a,
