@@ -438,6 +438,47 @@ object Graft {
       .select(gs ++ Seq(col("m")) ++ ns.map(n => col(s"bo$n")): _*)
   }
 
+  /** Full BPE tokenizer training (Sennrich et al., ACL 2016) over a
+    * space-tokenized text column: `merges` rounds of
+    * pick-best-adjacent-pair → merge over the frequency-weighted word
+    * dictionary, returning the learned merge table (`round`, `merge`,
+    * `cnt` at pick) — the artifact a tokenizer ships. Ties break
+    * lexicographically on the pair.
+    *
+    * Scale: the corpus collapses to the |V|-row dictionary in ONE
+    * scan; each round is dictionary-sized (the per-round winner is a
+    * bounded scalar driver action and the merge applies as a map-side
+    * literal rewrite, keeping the plan linear in rounds). */
+  def bpeTrain(docs: DataFrame, textCol: String,
+      merges: Int = 6): DataFrame = {
+    require(merges >= 1 && merges <= 64,
+      s"merges must be in [1, 64]: $merges")
+    graft.ops.TextAnalysis.bpeMerges(
+      graft.ops.TextAnalysis.symbolizedDocs(
+        docs.select(col(textCol).as("text"))), merges)
+  }
+
+  /** Margin-criterion candidate-pair mining (Artetxe & Schwenk, ACL
+    * 2019 — the LASER/CCMatrix bitext-mining score) over an
+    * embedding frame: margin(x, y) = 2·cos(x, y) /
+    * (avgNN₄(x) + avgNN₄(y)) over IVF-cell-blocked candidates, top-1
+    * CROSS-label match per query above margin 1.05. `labelCol` is the
+    * language/domain axis; the 16 lowest-id vectors seed the frozen
+    * coarse quantizer (the library's IVF convention), so ids must
+    * start at the corpus's stable prefix. Returns (`vec_id`,
+    * `match_id`, `label_x`, `label_y`, `margin_micro`). */
+  def marginMine(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    val q = embs.select(col(idCol).as("vec_id"),
+        col(labelCol).as("label"),
+        expr(s"""transform($vecCol, x ->
+            CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
+          .as("q"))
+      .withColumn("n2", call_function("dotq", col("q"), col("q")))
+    graft.ops.Similarity.marginMineFrom(q)
+  }
+
   /** Scale-safe global ntile: the bucket-offset decomposition of
     * [[graft.ops.ScaleWindows]] — no single-partition sort at any
     * size. `bucket` must be coarse and monotone (same direction as

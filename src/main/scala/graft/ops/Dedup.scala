@@ -40,7 +40,7 @@ object Dedup {
       .select(col("doc_id"), col("text")))
 
   /** Distinct word-3-gram shingles of a (doc_id, text) frame — the
-    * frame-based core behind [[shingled]] and `Graft.minhashPairs`. */
+    * frame-based core behind [[shingled]]. */
   private[graft] def shingledDocs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     docs

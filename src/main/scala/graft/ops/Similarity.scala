@@ -675,10 +675,17 @@ object Similarity {
     * (same-cell pairs only — the standard ANN-margin approximation;
     * the knn stats and the pair stream share ONE cell-keyed self-join,
     * never all-pairs), and the per-query top-1 is a bounded window. */
-  val qSimMarginMine: Q = (s, dir) => {
+  val qSimMarginMine: Q = (s, dir) =>
+    marginMineFrom(withNorm(quantized(s, dir)))
+
+  /** The mining pipeline behind [[qSimMarginMine]] and
+    * `Graft.marginMine`: `emb0` = (vec_id, label, q, n2) with q
+    * micro-quantized int64 components. */
+  private[graft] def marginMineFrom(emb0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val K = 16
-    val emb = graft.CacheScope.track(withNorm(quantized(s, dir))
+    val emb = graft.CacheScope.track(emb0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cents = emb.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("q").as("cq"),
@@ -693,12 +700,14 @@ object Similarity {
       .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
     val side = assigned.join(emb, Seq("vec_id"))
     // ONE cell-keyed self-join feeds BOTH the knn stats and the
-    // cross-label candidate stream
+    // cross-label candidate stream (labels ride along — no second
+    // label join against the source table)
     val pairs = graft.CacheScope.track(side.as("a")
       .join(side.as("b"),
         col("a.cid") === col("b.cid") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        col("a.label").as("label_x"), col("b.label").as("label_y"),
         (dotq(col("a.q"), col("b.q")).cast("double") /
           (sqrt(col("a.n2").cast("double")) *
             sqrt(col("b.n2").cast("double")))).as("cos"))
@@ -718,13 +727,7 @@ object Similarity {
           + coalesce(col("c3"), lit(0.0)))
           .plus(coalesce(col("c4"), lit(0.0)))
           .divide(col("m").cast("double")).as("a"))
-    val lab = graft.Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"))
     val scored = pairs
-      .join(lab.select(col("vec_id").as("x"), col("label").as("label_x")),
-        Seq("x"))
-      .join(lab.select(col("vec_id").as("y"), col("label").as("label_y")),
-        Seq("y"))
       .filter(col("label_x") =!= col("label_y"))
       .join(knn.select(col("x"), col("a").as("ax")), Seq("x"))
       .join(knn.select(col("x").as("y"), col("a").as("ay")), Seq("y"))

@@ -204,7 +204,14 @@ object TextAnalysis {
     * space-separated characters plus the `</w>` end-of-word marker. */
   private def symbolizedDict(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    Tables(s, dir, "documents")
+    symbolizedDocs(Tables(s, dir, "documents").select(col("text")))
+
+  /** Frame-based symbolization core (a `text` column of
+    * space-separated tokens) — shared by the declared BPE queries and
+    * `Graft.bpeTrain`. */
+  private[graft] def symbolizedDocs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("sym",
@@ -269,13 +276,18 @@ object TextAnalysis {
     * scan; every round after that is dictionary-sized (pair fan-out
     * |V|·len, map-side partial agg, TakeOrdered(1)). 100 TB of text
     * never re-enters the loop. */
-  val qBpeTrain: Q = (s, dir) => {
-    val K = 6
-    var dict = graft.CacheScope.track(symbolizedDict(s, dir)
+  val qBpeTrain: Q = (s, dir) => bpeMerges(symbolizedDict(s, dir), 6)
+
+  /** The training loop behind [[qBpeTrain]] and `Graft.bpeTrain`:
+    * `k` rounds over a symbolized (freq, sym) dictionary. */
+  private[graft] def bpeMerges(dict0: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val s = dict0.sparkSession
+    var dict = graft.CacheScope.track(dict0
       .select(col("freq"), col("sym"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val merges = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
-    for (r <- 1 to K) {
+    for (r <- 1 to k) {
       val best = pairCounts(dict)
         .orderBy(col("cnt").desc, col("pair")).limit(1).collect()(0)
       val (mg, cnt) = (best.getString(0), best.getLong(1))

@@ -325,6 +325,24 @@ class GraftApiSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain and marginMine facades == the declared queries") {
+    val api = try Graft.bpeTrain(
+        Tables(spark, sf, "documents"), "text").collect().toSeq
+      finally CacheScope.release()
+    val declared = try SparkEntry.queries("q_bpe_train")(spark, sf)
+        .collect().toSeq
+      finally CacheScope.release()
+    assert(api.nonEmpty && api == declared)
+    val apiMine = try Graft.marginMine(Tables(spark, sf, "embeddings"),
+        "vec_id", "embedding", "label").collect().toSeq
+      finally CacheScope.release()
+    val declaredMine = try
+        SparkEntry.queries("q_sim_margin_mine")(spark, sf)
+          .collect().toSeq
+      finally CacheScope.release()
+    assert(apiMine.nonEmpty && apiMine == declaredMine)
+  }
+
   test("minhashPairs facade banding knob == declared pipeline pair sets") {
     // est_jacc >= 0.2 (declared, double) and est_jaccard_permille >=
     // 200 (facade, floor) agree exactly: both mean >= 7 of 32 hashes
