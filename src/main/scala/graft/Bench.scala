@@ -106,7 +106,8 @@ object Bench {
     "q_eval_best_of_n",        // unbiased best-of-n order statistics (r14)
     "q_sim_margin_mine",       // cell-blocked margin-criterion mining (r14)
     "q_bpe_train",             // 6-round BPE merge-table training loop (r14)
-    "q_select_rho")            // RHO excess-loss data selection (r14)
+    "q_select_rho",            // RHO excess-loss data selection (r14)
+    "q_bpe_apply")             // merge-table application + fertility (r14)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

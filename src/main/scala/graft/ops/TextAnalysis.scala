@@ -301,6 +301,41 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "merge", "cnt").orderBy(col("round"))
   }
 
+  /** BPE tokenizer APPLICATION + fertility report — the consumer of
+    * [[qBpeTrain]]'s merge table (train → apply → measure, the full
+    * tokenizer lifecycle): the 6 learned merges (a bounded scalar
+    * driver read) compose into ONE chained map-side `replace`
+    * projection over the word dictionary, and the per-source fertility
+    * — BPE tokens per word, the sentencepiece "pieces per word" health
+    * metric a multilingual corpus tracks per language/source — rolls
+    * up from vocab-sized joins, never a corpus re-scan: per source,
+    * Σ freq_s(w)·symlen(w) over the dictionary.
+    *
+    * Scale: the corpus is touched ONCE to build (source, word, freq);
+    * everything downstream is vocabulary-sized. Fertility is exact
+    * milli units (floor div). */
+  val qBpeApply: Q = (s, dir) => {
+    val merges = bpeMerges(symbolizedDict(s, dir), 6)
+      .orderBy(col("round")).collect().map(_.getString(1))
+    val symAfter = merges.foldLeft(col("sym")) { (c, mg) =>
+      replace(c, lit(mg), lit(mg.replace(" ", "")))
+    }
+    val symlen = symbolizedDict(s, dir)
+      .select(col("word"),
+        size(split(symAfter, " ")).cast("long").as("toks"))
+    val ws = Tables(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("freq_s"))
+    ws.join(symlen, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("freq_s")).as("n_words"),
+        sum(col("freq_s") * col("toks")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        expr("n_bpe_tokens * 1000 div n_words").as("bpe_per_word_milli"))
+      .orderBy(col("source"))
+  }
+
   /** PMI collocation mining (Church & Hanks 1990, "Word association
     * norms, mutual information, and lexicography"): rank adjacent word
     * pairs by pointwise mutual information, log2(c_xy * N / (c_x * c_y)),
@@ -349,6 +384,7 @@ object TextAnalysis {
     "q_bpe_pair_count" -> qBpePairCount,
     "q_bpe_merge_step" -> qBpeMergeStep,
     "q_bpe_train" -> qBpeTrain,
+    "q_bpe_apply" -> qBpeApply,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_langid" -> qTextLangId,
     "q_text_quality" -> qTextQuality,
@@ -380,10 +416,22 @@ object TextAnalysis {
       b$r AS (SELECT pair AS merge, cnt FROM p$r
               ORDER BY cnt DESC, pair LIMIT 1),
       d$r AS MATERIALIZED (
-        SELECT freq, replace(sym, (SELECT merge FROM b$r),
+        SELECT word, freq, replace(sym, (SELECT merge FROM b$r),
           replace((SELECT merge FROM b$r), ' ', '')) AS sym
         FROM d$p)"""
   }
+
+  /** The shared 6-round BPE training CTE chain (d0 … d6, b1 … b6) —
+    * the q_bpe_train oracle reads the merge table off b1…b6, the
+    * q_bpe_apply oracle reads post-merge symbol lengths off d6. */
+  private def bpeChainSql: String = s"""
+      d0 AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq,
+          regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS sym
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents) t
+        GROUP BY word),
+      ${(1 to 6).map(bpeRoundSql).mkString(",")}"""
 
   val oracle: Map[String, String] = Map(
     "q_tok_fertility" -> """
@@ -435,18 +483,28 @@ object TextAnalysis {
       t AS (SELECT * FROM c ORDER BY cnt DESC, pair LIMIT 20)
       SELECT pair, cnt FROM t ORDER BY pair""",
     "q_bpe_train" -> s"""
-      WITH d0 AS MATERIALIZED (
-        SELECT CAST(count(*) AS BIGINT) AS freq,
-          regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS sym
-        FROM (SELECT unnest(string_split(text, ' ')) AS word
-              FROM documents) t
-        GROUP BY word),
-      ${(1 to 6).map(bpeRoundSql).mkString(",")}
+      WITH $bpeChainSql
       SELECT round, merge, cnt FROM (
         ${(1 to 6).map(r =>
           s"SELECT CAST($r AS BIGINT) AS round, merge, cnt FROM b$r")
           .mkString(" UNION ALL ")})
       ORDER BY round""",
+    "q_bpe_apply" -> s"""
+      WITH $bpeChainSql,
+      sl AS (SELECT word,
+               CAST(len(string_split(sym, ' ')) AS BIGINT) AS toks
+             FROM d6),
+      ws AS (SELECT source, word, CAST(count(*) AS BIGINT) AS freq_s
+             FROM (SELECT source,
+                     unnest(string_split(text, ' ')) AS word
+                   FROM documents) t
+             GROUP BY 1, 2)
+      SELECT source, CAST(sum(freq_s) AS BIGINT) AS n_words,
+        CAST(sum(freq_s * toks) AS BIGINT) AS n_bpe_tokens,
+        CAST(sum(freq_s * toks) * 1000 // sum(freq_s) AS BIGINT)
+          AS bpe_per_word_milli
+      FROM ws JOIN sl USING (word)
+      GROUP BY source ORDER BY source""",
     "q_bpe_merge_step" -> """
       WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
                  FROM documents),

@@ -288,4 +288,65 @@ class PropertySpec extends AnyFunSuite {
     // at the boundary it still computes (one long run vs one char)
     assert(DamerauLev.dist("a" * 3, "") == 3)
   }
+
+  test("passAtK laws on generated pools: bounds, monotone in k, exacts") {
+    // pass@k is a probability in [0, 1000] permille, non-decreasing in
+    // k (more samples can only help), exactly 0 when c = 0 and exactly
+    // 1000 when c > n - k (every k-subset must contain a pass)
+    val poolGen = Gen.listOfN(60,
+      Gen.choose(1L, 40L).flatMap(n =>
+        Gen.choose(0L, n).map(c => (n, c))))
+    for (s <- seeds) {
+      val pools = sample(poolGen, s).zipWithIndex
+        .map { case ((n, c), i) => (i.toLong, n, c) }
+        .toDF("id", "n", "c")
+      val rows = api.Graft.passAtK(pools, "n", "c", Seq(1, 3, 7))
+        .collect()
+      rows.foreach { r =>
+        val (n, c) = (r.getAs[Long]("n"), r.getAs[Long]("c"))
+        val ks = Seq(r.getAs[Long]("pass1_permille"),
+          r.getAs[Long]("pass3_permille"), r.getAs[Long]("pass7_permille"))
+        assert(ks.forall(v => v >= 0 && v <= 1000), s"seed $s: $r")
+        assert(ks == ks.sorted, s"seed $s not monotone in k: $r")
+        if (c == 0) assert(ks.forall(_ == 0L), s"seed $s: $r")
+        Seq(1, 3, 7).zip(ks).foreach { case (k, v) =>
+          // with at least one pass AND fewer fails than k, every
+          // k-subset must contain a pass (c = 0 stays 0 at any k)
+          if (c > 0 && c > n - k) assert(v == 1000L, s"seed $s k=$k: $r")
+        }
+      }
+    }
+  }
+
+  test("bestOfN laws on generated pools: bo1 = floor mean, monotone, <= max") {
+    val poolGen = Gen.listOfN(150,
+      Gen.zip(Gen.choose(0, 11), Gen.choose(0L, 2000000L)))
+    for (s <- seeds) {
+      val rows = sample(poolGen, s).zipWithIndex
+        .map { case ((g, v), i) => (g.toLong, v, i.toLong) }
+      val df = rows.toDF("g", "score", "id")
+      val got = api.Graft.bestOfN(df, Seq("g"), "score", Seq(1, 2, 4),
+          tieCol = Some("id"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val vs = rs.map(_._2)
+        val (m, bo1, bo2, bo4) = got(g)
+        assert(m == vs.size)
+        assert(bo1 == vs.sum / vs.size, s"seed $s g=$g")
+        assert(bo1 <= bo2 && bo2 <= bo4, s"seed $s g=$g not monotone")
+        assert(bo4 <= vs.max, s"seed $s g=$g exceeds max")
+        if (m >= 4) {
+          // brute-force E[max of 4-subset] numerator over all C(m,4)
+          val sorted = vs.sorted
+          val num = sorted.zipWithIndex.map { case (v, i0) =>
+            val i = i0 + 1L
+            BigInt(v) * (BigInt(i - 1) * (i - 2) * (i - 3) / 6)
+          }.sum
+          val den = BigInt(m) * (m - 1) * (m - 2) * (m - 3) / 24
+          assert(BigInt(bo4) == num / den, s"seed $s g=$g brute 4-subset")
+        }
+      }
+    }
+  }
 }
