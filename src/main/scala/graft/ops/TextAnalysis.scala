@@ -315,18 +315,26 @@ object TextAnalysis {
     * everything downstream is vocabulary-sized. Fertility is exact
     * milli units (floor div). */
   val qBpeApply: Q = (s, dir) => {
-    val merges = bpeMerges(symbolizedDict(s, dir), 6)
+    // ONE corpus scan: the per-source word frequencies are the finest
+    // grain, and the global training dictionary is their rollup
+    val ws = graft.CacheScope.track(Tables(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("freq_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dict0 = graft.CacheScope.track(ws
+      .groupBy(col("word")).agg(sum(col("freq_s")).as("freq"))
+      .withColumn("sym",
+        concat(regexp_replace(col("word"), "(.)", "$1 "), lit("</w>")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val merges = bpeMerges(dict0, 6)
       .orderBy(col("round")).collect().map(_.getString(1))
     val symAfter = merges.foldLeft(col("sym")) { (c, mg) =>
       replace(c, lit(mg), lit(mg.replace(" ", "")))
     }
-    val symlen = symbolizedDict(s, dir)
+    val symlen = dict0
       .select(col("word"),
         size(split(symAfter, " ")).cast("long").as("toks"))
-    val ws = Tables(s, dir, "documents")
-      .select(col("source"), explode(split(col("text"), " ")).as("word"))
-      .groupBy(col("source"), col("word"))
-      .agg(count(lit(1)).as("freq_s"))
     ws.join(symlen, Seq("word"))
       .groupBy(col("source"))
       .agg(sum(col("freq_s")).as("n_words"),
