@@ -671,6 +671,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming IVF delta-merge (foreachBatch) == batch cell state") {
+    // The index-maintenance family's streaming twin (q_sim_ivf_delta's
+    // shape as a live ingest): vector micro-batches assign to the
+    // FROZEN coarse quantizer map-side and append (cid, n, idsum)
+    // partials; rollup-on-read equals the batch assignment over the
+    // full corpus — the same append-only-delta + rollup discipline as
+    // the streaming MV test, applied to ANN posting state. Exact
+    // integer micro-quantized cosine, so stream == batch bit-for-bit.
+    graft.functions.GraftFunctions.register(spark)
+    val srcDir = Files.createTempDirectory("ivf_stream").toFile
+    srcDir.deleteOnExit()
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val stateDir = Files.createTempDirectory("ivf_state").toFile
+    stateDir.deleteOnExit()
+    def quantize(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), expr(
+        """transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
+        .as("q"))
+      .withColumn("n2", call_function("dotq", col("q"), col("q")))
+    def assign(vecs: org.apache.spark.sql.DataFrame,
+        cents: org.apache.spark.sql.DataFrame) = vecs
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (call_function("dotq", col("q"), col("cq")).cast("double") /
+          (sqrt(col("n2").cast("double")) *
+            sqrt(col("cn2").cast("double")))).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+    // the frozen quantizer is a stored artifact: built ONCE from the
+    // static corpus, captured by the foreachBatch closure
+    val full = quantize(spark.read.parquet(srcDir.getAbsolutePath))
+    val cents = full.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    var batches = 0
+    val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        assign(quantize(df), cents)
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("d_n"), sum(col("vec_id")).as("d_idsum"))
+          .write.mode("append").parquet(stateDir.getAbsolutePath)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val got = spark.read.parquet(stateDir.getAbsolutePath)
+      .groupBy(col("cid"))
+      .agg(sum(col("d_n")).as("n"), sum(col("d_idsum")).as("idsum"))
+      .orderBy(col("cid")).collect().toSeq
+    val want = assign(full, cents)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("idsum"))
+      .orderBy(col("cid")).collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"streamed cell state diverges: ${got.take(3)} vs ${want.take(3)}")
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
     val df = streamedEvents
       .withWatermark("ts", "1 hour")
