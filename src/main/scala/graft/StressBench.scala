@@ -78,7 +78,8 @@ object StressBench {
     "q_graph_triangles", "q_graph_triangles+shuffle",
     "q_graph_clustering+shuffle",
     "q_sim_ivf_rebalance", "q_eval_best_of_n", "q_sim_margin_mine",
-    "q_bpe_train", "q_select_rho", "q_bpe_apply")
+    "q_bpe_train", "q_select_rho", "q_bpe_apply",
+    "q_dedup_minhash_tuned")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

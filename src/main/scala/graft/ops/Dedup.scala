@@ -185,6 +185,21 @@ object Dedup {
     minhashPairs(s, dir, b, r)
   }
 
+  /** The POLICY-TUNED deployment of [[qDedupMinhash]] as a declared,
+    * value-oracled query (the end-to-end autopick wiring, r12 item 8
+    * closed at full strength): run the measured banding sweep, apply
+    * the declared pick policy, and band the deployed pipeline at the
+    * chosen (b, r) — the oracle recomputes the pick from ITS OWN
+    * sweep replay and checks the pair set at whatever point policy
+    * chose, so a drifted pick OR a drifted banding both fail the
+    * value gate. (q_dedup_minhash stays at the fixed robust 16×2 —
+    * the two queries together document tune-time vs deploy-time.) */
+  val qDedupMinhashTuned: Q = (s, dir) => {
+    val pick = qDedupLshAutopick(s, dir)
+      .select(col("bands"), col("rows_per_band")).collect()(0)
+    minhashPairs(s, dir, pick.getLong(0).toInt, pick.getLong(1).toInt)
+  }
+
   /** The [[qDedupMinhash]] pipeline at an explicit (bands, rows)
     * operating point (b·r must divide the 32-perm signature).
     * Package-visible so the autopick-wiring spec can pin the
@@ -787,6 +802,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_minhash_tuned" -> qDedupMinhashTuned,
     "q_dedup_lsh_sweep" -> qDedupLshSweep,
     "q_dedup_lsh_autopick" -> qDedupLshAutopick,
     "q_dedup_winnow" -> qDedupWinnow,
@@ -865,24 +881,64 @@ object Dedup {
   // 1-indexed 32-slot signature, mirroring the Spark banding exactly.
   // A def (reads MinhashSigDump); also embedded as a CTE body by the
   // recall-table oracle.
+  /** The dumped-signature scan shared by every minhash replay oracle
+    * (fingerprint-partitioned — see [[MinhashSigDump]]). */
+  private def sigDumpSql: String = s"""
+      SELECT doc_id, sig
+      FROM read_parquet('$MinhashSigDump/*/*.parquet',
+                        hive_partitioning = true)
+      WHERE k = (SELECT bit_xor(CAST('0x' ||
+          substr(md5(text), 1, 15) AS BIGINT))
+        FROM documents)"""
+
+  /** "some band of the (b, r) banding agrees" over two dumped
+    * signature lists aliased a/b. */
+  private def bandMatchSql(b: Int, r: Int): String = {
+    val eqs = (1 to r)
+      .map(j => s"a.sig[bi * $r + $j] = b.sig[bi * $r + $j]")
+      .mkString(" AND ")
+    s"len(list_filter(range(0, $b), bi -> $eqs)) > 0"
+  }
+
   private def minhashOracleSql: String = s"""
-      WITH s AS (SELECT doc_id, sig
-                 FROM read_parquet('$MinhashSigDump/*/*.parquet',
-                                   hive_partitioning = true)
-                 WHERE k = (SELECT bit_xor(CAST('0x' ||
-                     substr(md5(text), 1, 15) AS BIGINT))
-                   FROM documents)),
+      WITH s AS ($sigDumpSql),
       c AS (
         SELECT a.doc_id AS da, b.doc_id AS db,
           CAST(list_sum(list_transform(range(1, 33),
             i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
             AS DOUBLE) / 32.0 AS est_jacc,
-          len(list_filter(range(0, 16),
-            bi -> a.sig[bi * 2 + 1] = b.sig[bi * 2 + 1]
-              AND a.sig[bi * 2 + 2] = b.sig[bi * 2 + 2])) AS bands
+          ${bandMatchSql(16, 2)} AS hit
         FROM s a JOIN s b ON a.doc_id < b.doc_id)
       SELECT da, db, est_jacc FROM c
-      WHERE bands > 0 AND est_jacc >= 0.2
+      WHERE hit AND est_jacc >= 0.2
+      ORDER BY da, db"""
+
+  /** Tuned-deployment replay: recompute the policy pick from the
+    * sweep replay, then band-check the dumped signatures at the
+    * CHOSEN point (CASE over the three sweep configurations). */
+  private def minhashTunedOracleSql: String = s"""
+      WITH s AS ($sigDumpSql),
+      pick AS (
+        SELECT bands FROM ($lshSweepSql) sweep
+        ORDER BY
+          CASE WHEN recall_permille >= 900 THEN 1 ELSE 0 END DESC,
+          CASE WHEN recall_permille >= 900 THEN n_candidates
+               ELSE 1000000000 - recall_permille END,
+          bands DESC
+        LIMIT 1),
+      c AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+          CAST(list_sum(list_transform(range(1, 33),
+            i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+            AS DOUBLE) / 32.0 AS est_jacc,
+          CASE WHEN (SELECT bands FROM pick) = 32
+                 THEN ${bandMatchSql(32, 1)}
+               WHEN (SELECT bands FROM pick) = 16
+                 THEN ${bandMatchSql(16, 2)}
+               ELSE ${bandMatchSql(8, 4)} END AS hit
+        FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      SELECT da, db, est_jacc FROM c
+      WHERE hit AND est_jacc >= 0.2
       ORDER BY da, db"""
 
   private def lshTheory(b: Int, r: Int): Long =
@@ -950,6 +1006,7 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql,
+    "q_dedup_minhash_tuned" -> minhashTunedOracleSql,
     "q_dedup_lsh_sweep" -> lshSweepSql,
     "q_dedup_lsh_autopick" -> s"""
       SELECT bands, rows_per_band, theory_permille_at_500, n_candidates,
