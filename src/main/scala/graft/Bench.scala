@@ -107,7 +107,11 @@ object Bench {
     "q_sim_margin_mine",       // cell-blocked margin-criterion mining (r14)
     "q_bpe_train",             // 6-round BPE merge-table training loop (r14)
     "q_select_rho",            // RHO excess-loss data selection (r14)
-    "q_bpe_apply")             // merge-table application + fertility (r14)
+    "q_bpe_apply",             // merge-table application + fertility (r14)
+    "q_dedup_substring",       // exact-substring duplication profile (r15)
+    "q_sim_kcenter",           // greedy farthest-point k-center seed (r15)
+    "q_text_kneser_ney",       // interpolated KN bigram LM scoring (r15)
+    "q_eval_retrieval_recall") // label-supervised recall@10 eval (r15)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

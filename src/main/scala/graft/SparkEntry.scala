@@ -77,6 +77,7 @@ object SparkEntry {
     (CorpusOps43.queries, CorpusOps43.oracle),
     (CorpusOps44.queries, CorpusOps44.oracle),
     (CorpusOps45.queries, CorpusOps45.oracle),
+    (CorpusOps46.queries, CorpusOps46.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

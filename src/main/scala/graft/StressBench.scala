@@ -79,7 +79,23 @@ object StressBench {
     "q_graph_clustering+shuffle",
     "q_sim_ivf_rebalance", "q_eval_best_of_n", "q_sim_margin_mine",
     "q_bpe_train", "q_select_rho", "q_bpe_apply",
-    "q_dedup_minhash_tuned")
+    "q_dedup_minhash_tuned",
+    // r15 additions: the three new measured-cardinality gate paths
+    // against their default twins (member joins, LM tables), the IVF
+    // cell-count knob at 64 on the margin-mine pair stream (its 4.65x
+    // r14 factor is cell-size-driven — more cells = smaller blocks),
+    // and the fixed-vs-tuned minhash pair in ONE batch (r14 item 8:
+    // tune-time vs deploy-time cost was documented from separate runs)
+    "q_dedup_minhash",
+    "q_sim_ivf_rebalance+shuffle", "q_sim_margin_mine+cells64",
+    "q_text_perplexity", "q_text_perplexity+shuffle",
+    "q_select_rho+shuffle",
+    // r15 new surface, stressed the round it ships: substring-dedup
+    // (expect ~linear: one gram per token, df>=2 semi-join), k-center
+    // (k corpus scans, ~linear), KN (the perplexity LM-join class),
+    // retrieval recall (bounded query broadcast, ~linear candidates)
+    "q_dedup_substring", "q_sim_kcenter", "q_text_kneser_ney",
+    "q_eval_retrieval_recall")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale
@@ -93,7 +109,15 @@ object StressBench {
       ("q_graph_clustering", "spark.graft.clustering.shuffleJoin=true"),
     "q_eval_rating_agreement+share" ->
       ("q_eval_rating_agreement",
-        "spark.graft.ratingAgreement.shareScan=true"))
+        "spark.graft.ratingAgreement.shareScan=true"),
+    "q_sim_ivf_rebalance+shuffle" ->
+      ("q_sim_ivf_rebalance", "spark.graft.ivf.broadcastMemberLimit=0"),
+    "q_sim_margin_mine+cells64" ->
+      ("q_sim_margin_mine", "spark.graft.ivf.cells=64"),
+    "q_text_perplexity+shuffle" ->
+      ("q_text_perplexity", "spark.graft.lm.broadcastTypeLimit=0"),
+    "q_select_rho+shuffle" ->
+      ("q_select_rho", "spark.graft.lm.broadcastTypeLimit=0"))
 
   def build(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {

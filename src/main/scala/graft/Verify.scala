@@ -29,6 +29,20 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Oracle-incompatible confs fail FAST (ADVICE r14): these knobs
+    // change query OUTPUT (the policy-picked banding, a different IVF
+    // cell count) while the DuckDB oracles replay the fixed defaults,
+    // so a verify run with one set would red-flag queries that never
+    // drifted. Plan-shape knobs (shuffleJoin/shareScan/broadcast
+    // limits) stay legal — those paths are bit-identical by contract.
+    Seq("spark.graft.minhash.autoBanding", "spark.graft.ivf.cells")
+      .foreach { k =>
+        require(spark.conf.getOption(k).isEmpty,
+          s"$k is set: this conf changes query output away from the " +
+            "fixed-default DuckDB oracles (q_dedup_minhash_tuned / " +
+            "the IVF family verify the policy-picked points). Unset " +
+            "it for verification runs.")
+      }
     FixtureCheck.warn(spark, sfDir) // one readable line per drifted column
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

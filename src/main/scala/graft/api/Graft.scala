@@ -116,8 +116,11 @@ object Graft {
     *                  (permille). 0 keeps every banded candidate. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Int = 0, bands: Int = 16, rows: Int = 2): DataFrame = {
-    require(bands * rows <= 32 && bands >= 1 && rows >= 1,
-      s"banding ($bands, $rows) exceeds the 32-perm signature")
+    require(bands * rows <= 32 && bands >= 1 && rows >= 1 &&
+        32 % (bands * rows) == 0,
+      s"banding ($bands, $rows): bands*rows must divide the 32-perm " +
+        "signature (a non-divisor would silently band only a prefix " +
+        "of the permutations while est_jaccard still uses all 32)")
     GraftFunctions.register(docs.sparkSession)
     val sh = docs
       .select(col(idCol).as("__id"), split(col(textCol), " ").as("t"))
@@ -399,9 +402,10 @@ object Graft {
     * max (every n-subset is the whole pool). Returns one row per
     * group: the group columns, `m`, and `bo<n>` per requested n
     * (floor division, exact integer arithmetic — scores must be
-    * integer-typed, e.g. milli units). n ≤ 8 keeps every binomial
-    * weight ≤ C(m,7) exactly representable alongside 10⁶-unit scores
-    * for pools into the millions.
+    * integer-typed, e.g. milli units). The order-statistic numerator
+    * rides DECIMAL(38,0) (exact to 10³⁸ — 10⁶-unit scores with n ≤ 8
+    * stay exact for pools into the millions and far beyond), and a
+    * genuine 38-digit overflow RAISES instead of wrapping.
     *
     * Scale: one window per group (never global) + one aggregate. */
   def bestOfN(scored: DataFrame, groupCols: Seq[String],
@@ -416,23 +420,38 @@ object Graft {
     val ranked = scored
       .select((gs :+ col(scoreCol).cast("long").as("sc") :+
         row_number().over(w).cast("long").as("i")).toIndexedSeq: _*)
-    // numerator Σ sc·C(i−1, n−1) per n; C over consecutive ints stays
-    // exact under the staged floor divisions
-    def weight(n: Int): String = {
-      val num = (1 until n).map(j => s"(i - $j)").mkString(" * ")
-      if (n == 1) "1" else s"($num) div ${(1 until n).product}"
-    }
+    // Σ sc·C(i−1, n−1) / C(m, n) ≡ n · Σ sc·ff(i−1, n−1) / ff(m, n)
+    // (ff = falling factorial; the two factorials cancel), carried in
+    // DECIMAL(38,0) end to end — the pass@k/katzCore discipline. The
+    // old Long arithmetic wrapped silently: the weight product
+    // (i−1)···(i−n+1) alone tops a Long near m ≈ 2.6e9 for n = 8, and
+    // with 10⁶-unit scores the summed numerator wraps near m ≈ 2.5e3
+    // for n = 4 — exactly the "pools into the millions" this doc
+    // promises (ADVICE r14). A genuine 38-digit overflow now RAISES
+    // instead of wrapping. The single terminal div floors the same
+    // rational the old staged-exact-division form did, so in-range
+    // results are bit-unchanged.
+    def ff(base: String, k: Int): String =
+      (0 until k).map(j => s"CAST(($base) - $j AS DECIMAL(38,0))")
+        .mkString(" * ")
+    def numer(n: Int): String =
+      if (n == 1) "CAST(sc AS DECIMAL(38,0))"
+      else s"CAST(sc AS DECIMAL(38,0)) * ${ff("i - 1", n - 1)}"
     val aggs =
       count(lit(1)).as("m") +: max(col("sc")).as("mx") +:
-        ns.map(n => sum(col("sc") * expr(weight(n))).as(s"s$n"))
-    def combDen(n: Int): String = {
-      val num = (0 until n).map(j => s"(m - $j)").mkString(" * ")
-      s"(($num) div ${(1 to n).product})"
-    }
+        ns.map(n =>
+          sum(expr(numer(n))).cast("decimal(38,0)").as(s"s$n"))
     ns.foldLeft(ranked.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)) {
         (df, n) =>
+          val bo = expr(
+            s"CAST((CAST($n AS DECIMAL(38,0)) * s$n) div " +
+              s"(${ff("m", n)}) AS BIGINT)")
           df.withColumn(s"bo$n",
-            when(col("m") >= n, expr(s"s$n div ${combDen(n)}"))
+            when(col("m") >= n,
+              when(col(s"s$n").isNotNull && bo.isNotNull, bo)
+                .otherwise(expr(
+                  "raise_error('bestOfN: numerator exceeded " +
+                    "DECIMAL(38,0)')").cast("long")))
               .otherwise(col("mx")))
       }
       .select(gs ++ Seq(col("m")) ++ ns.map(n => col(s"bo$n")): _*)
@@ -456,6 +475,85 @@ object Graft {
     graft.ops.TextAnalysis.bpeMerges(
       graft.ops.TextAnalysis.symbolizedDocs(
         docs.select(col(textCol).as("text"))), merges)
+  }
+
+  /** Apply a learned BPE merge table (the `merge` column of
+    * [[bpeTrain]]'s output, in round order) to a corpus — the
+    * tokenizer DEPLOYMENT step: returns the tokenized dictionary
+    * (`word`, `freq`, `sym` — `sym` is the space-separated BPE
+    * segmentation with the `</w>` end-of-word marker). Merges apply
+    * as ONE chained boundary-anchored map-side rewrite over the
+    * |V|-row dictionary; 100 TB of text is touched once, to build
+    * the word frequencies. */
+  def bpeApply(docs: DataFrame, textCol: String,
+      merges: Seq[String]): DataFrame = {
+    require(merges.nonEmpty && merges.forall(_.contains(" ")),
+      "merges must be 'X Y' pair strings from bpeTrain, in round order")
+    graft.ops.TextAnalysis.applyMerges(
+      graft.ops.TextAnalysis.symbolizedDocs(
+        docs.select(col(textCol).as("text"))), merges)
+  }
+
+  /** Per-group BPE fertility (tokens per word, milli units — the
+    * sentencepiece "pieces per word" health metric a multilingual
+    * pipeline tracks per language/source) after applying a learned
+    * merge table: returns (`groupCol`, `n_words`, `n_bpe_tokens`,
+    * `bpe_per_word_milli`). One corpus scan builds the per-group word
+    * frequencies; everything downstream is vocabulary-sized. */
+  def bpeFertility(docs: DataFrame, textCol: String, groupCol: String,
+      merges: Seq[String]): DataFrame = {
+    require(merges.nonEmpty && merges.forall(_.contains(" ")),
+      "merges must be 'X Y' pair strings from bpeTrain, in round order")
+    val ws = docs
+      .select(col(groupCol).as("__grp"),
+        explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("__grp"), col("word"))
+      .agg(count(lit(1)).as("freq_s"))
+    val dict0 = ws
+      .groupBy(col("word")).agg(sum(col("freq_s")).as("freq"))
+      .withColumn("sym",
+        concat(regexp_replace(col("word"), "(.)", "$1 "), lit("</w>")))
+    graft.ops.TextAnalysis.fertilityFrom(ws, dict0, merges, "__grp")
+      .withColumnRenamed("__grp", groupCol)
+  }
+
+  /** IVF index maintenance loop (the q_sim_ivf_rebalance composition
+    * — delta-merge then split-until-balanced): assign every vector to
+    * the `spark.graft.ivf.cells` lowest-id seed vectors (the
+    * library's frozen-centroid IVF convention), then run up to
+    * `rounds` scheduler rounds, each splitting the hottest (cid,
+    * path) cell ONLY IF its share exceeds `thresholdPermille`
+    * (n·K·1000 > threshold·total), re-assigning that one cell's
+    * members between its two lowest-id seed vectors by exact int64
+    * squared distance (child paths 3·path + {1, 2}). Returns the
+    * (vec_id, cid, path) assignment after the initial assign (index
+    * 0) and after each round — the per-round states a maintenance
+    * scheduler inspects.
+    *
+    * Scale: scheduler decisions are BOUNDED scalar driver actions
+    * (hottest cell 1 row, 2 seed vectors), so the plan stays linear
+    * in rounds; the hot-cell member joins ride the measured-size
+    * broadcast↔shuffle gate (`spark.graft.ivf.broadcastMemberLimit`). */
+  def ivfRebalance(embs: DataFrame, idCol: String, vecCol: String,
+      rounds: Int = 3, thresholdPermille: Long = 1100L)
+      : Seq[DataFrame] = {
+    require(rounds >= 1 && rounds <= 16, s"rounds out of range: $rounds")
+    require(thresholdPermille >= 1000L,
+      s"thresholdPermille must be >= 1000 (balanced): $thresholdPermille")
+    val s = embs.sparkSession
+    GraftFunctions.register(s)
+    val k = graft.ops.Similarity.ivfCells(s)
+    val emb = graft.CacheScope.track(embs
+      .select(col(idCol).as("vec_id"),
+        expr(s"""transform($vecCol, x ->
+            CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
+          .as("q"))
+      .withColumn("n2", call_function("dotq", col("q"), col("q")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val av0 = graft.ops.Similarity.assignCells(emb, emb, k)
+      .withColumn("path", lit(0L))
+    graft.ops.Similarity.rebalanceRounds(s, emb, av0, k, rounds,
+      thresholdPermille)
   }
 
   /** Margin-criterion candidate-pair mining (Artetxe & Schwenk, ACL

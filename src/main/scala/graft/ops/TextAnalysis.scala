@@ -217,6 +217,37 @@ object TextAnalysis {
       .withColumn("sym",
         concat(regexp_replace(col("word"), "(.)", "$1 "), lit("</w>")))
 
+  /** Boundary-ANCHORED BPE merge application (ADVICE r14): a plain
+    * substring `replace(sym, "X Y", "XY")` matches ACROSS symbol
+    * boundaries once multi-char symbols exist (round 2+) — pair
+    * "h e" fires inside "th e", minting a symbol ("the") no merge
+    * ever created, deviating from Sennrich's algorithm. Regex
+    * lookaround can't anchor it cross-engine (DuckDB's RE2 has no
+    * lookbehind), so the anchor is structural: double every
+    * separator space and pad the ends, so each symbol owns a
+    * non-shared boundary space on each side; the pattern
+    * `" X  Y "` then matches ONLY whole adjacent symbols, and the
+    * replacement `" XY "` restores the doubled invariant for
+    * neighbouring matches (left-to-right non-overlap = BPE's greedy
+    * merge order, so "a a a" → "aa a" exactly). Collapse + trim
+    * returns the canonical single-space form. `replace`/`trim`
+    * semantics are identical in Spark and DuckDB, so the oracle
+    * mirrors this verbatim (see [[anchoredMergeSql]]). */
+  private[graft] def anchoredMerge(sym: Column, mg: Column): Column =
+    trim(replace(
+      replace(
+        concat(lit(" "), replace(sym, lit(" "), lit("  ")), lit(" ")),
+        concat(lit(" "), replace(mg, lit(" "), lit("  ")), lit(" ")),
+        concat(lit(" "), replace(mg, lit(" "), lit("")), lit(" "))),
+      lit("  "), lit(" ")))
+
+  /** DuckDB mirror of [[anchoredMerge]]: `sym` / `mg` are SQL
+    * fragments (a column or a scalar subquery). */
+  private def anchoredMergeSql(sym: String, mg: String): String =
+    s"""trim(replace(replace(' ' || replace($sym, ' ', '  ') || ' ',
+        ' ' || replace($mg, ' ', '  ') || ' ',
+        ' ' || replace($mg, ' ', '') || ' '), '  ', ' '))"""
+
   /** Frequency-weighted adjacent-symbol pair counts over a `(freq,
     * sym)` frame — the statistics both BPE queries share. */
   private def pairCounts(df: org.apache.spark.sql.DataFrame) = df
@@ -236,8 +267,9 @@ object TextAnalysis {
   /** One full BPE merge iteration (the loop body of tokenizer
     * training): symbolize the dictionary (chars + `</w>`), pick the
     * best-scoring adjacent pair, apply the merge to every word's
-    * symbol string (left-to-right non-overlapping `replace`, identical
-    * in both engines), and recount — emitting the applied merge with
+    * symbol string (boundary-anchored left-to-right `replace` — see
+    * [[anchoredMerge]] — identical in both engines), and recount —
+    * emitting the applied merge with
     * the post-merge top-20 pair table. Iterating this step IS BPE
     * training; `q_bpe_pair_count` is its cold-start statistics pass.
     *
@@ -251,8 +283,7 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair")).limit(1)
       .select(col("pair").as("merge"))
     val merged = dict.crossJoin(broadcast(best))
-      .withColumn("sym",
-        expr("replace(sym, merge, replace(merge, ' ', ''))"))
+      .withColumn("sym", anchoredMerge(col("sym"), col("merge")))
     pairCounts(merged.select(col("freq"), col("sym"), col("merge")))
       .crossJoin(broadcast(best))
       .orderBy(col("cnt").desc, col("pair")).limit(20)
@@ -293,8 +324,7 @@ object TextAnalysis {
       val (mg, cnt) = (best.getString(0), best.getLong(1))
       merges += ((r.toLong, mg, cnt))
       dict = graft.CacheScope.track(dict
-        .withColumn("sym",
-          replace(col("sym"), lit(mg), lit(mg.replace(" ", ""))))
+        .withColumn("sym", anchoredMerge(col("sym"), lit(mg)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
     import s.implicits._
@@ -329,20 +359,39 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val merges = bpeMerges(dict0, 6)
       .orderBy(col("round")).collect().map(_.getString(1))
+    fertilityFrom(ws, dict0, merges.toSeq, "source")
+  }
+
+  /** Post-merge fertility rollup over a (grp, word, freq_s) frame and
+    * its symbolized dictionary — shared by [[qBpeApply]] and
+    * `Graft.bpeFertility`. The merge table composes into ONE chained
+    * boundary-anchored map-side rewrite; everything is
+    * vocabulary-sized. */
+  private[graft] def fertilityFrom(ws: org.apache.spark.sql.DataFrame,
+      dict0: org.apache.spark.sql.DataFrame, merges: Seq[String],
+      grp: String): org.apache.spark.sql.DataFrame = {
     val symAfter = merges.foldLeft(col("sym")) { (c, mg) =>
-      replace(c, lit(mg), lit(mg.replace(" ", "")))
+      anchoredMerge(c, lit(mg))
     }
     val symlen = dict0
       .select(col("word"),
         size(split(symAfter, " ")).cast("long").as("toks"))
     ws.join(symlen, Seq("word"))
-      .groupBy(col("source"))
+      .groupBy(col(grp))
       .agg(sum(col("freq_s")).as("n_words"),
         sum(col("freq_s") * col("toks")).as("n_bpe_tokens"))
-      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+      .select(col(grp), col("n_words"), col("n_bpe_tokens"),
         expr("n_bpe_tokens * 1000 div n_words").as("bpe_per_word_milli"))
-      .orderBy(col("source"))
+      .orderBy(col(grp))
   }
+
+  /** Apply a learned merge table to a symbolized `(word, freq, sym)`
+    * dictionary — the tokenized dictionary a deployment ships. Shared
+    * by `Graft.bpeApply`. */
+  private[graft] def applyMerges(dict: org.apache.spark.sql.DataFrame,
+      merges: Seq[String]): org.apache.spark.sql.DataFrame =
+    dict.withColumn("sym",
+      merges.foldLeft(col("sym")) { (c, mg) => anchoredMerge(c, lit(mg)) })
 
   /** PMI collocation mining (Church & Hanks 1990, "Word association
     * norms, mutual information, and lexicography"): rank adjacent word
@@ -424,8 +473,8 @@ object TextAnalysis {
       b$r AS (SELECT pair AS merge, cnt FROM p$r
               ORDER BY cnt DESC, pair LIMIT 1),
       d$r AS MATERIALIZED (
-        SELECT word, freq, replace(sym, (SELECT merge FROM b$r),
-          replace((SELECT merge FROM b$r), ' ', '')) AS sym
+        SELECT word, freq,
+          ${anchoredMergeSql("sym", s"(SELECT merge FROM b$r)")} AS sym
         FROM d$p)"""
   }
 
@@ -527,7 +576,10 @@ object TextAnalysis {
       best AS (SELECT pair AS merge FROM p0
                ORDER BY cnt DESC, pair LIMIT 1),
       m AS (SELECT freq,
-              replace(sym, best.merge, replace(best.merge, ' ', '')) AS sym,
+              trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+                ' ' || replace(best.merge, ' ', '  ') || ' ',
+                ' ' || replace(best.merge, ' ', '') || ' '),
+                '  ', ' ')) AS sym,
               best.merge
             FROM d CROSS JOIN best),
       p1 AS (SELECT merge, a[i] || ' ' || a[i + 1] AS pair,

@@ -834,4 +834,60 @@ class PlanSpec extends AnyFunSuite {
     assert(unpartitionedWindows("q_weighted_median").isEmpty)
     assert(unpartitionedWindows("q_robust_mad").isEmpty)
   }
+
+  test("ivf rebalance gated path: member joins never broadcast") {
+    // Scale path (VERDICT r14 item 1): a trigger-eligible hot cell is
+    // ~7% of the corpus, so past spark.graft.ivf.broadcastMemberLimit
+    // the member-id and reassignment joins must reach the plan as
+    // co-partitioned shuffled-hash equi-joins on vec_id; the only
+    // broadcasts allowed are the K-row centroid cross join and other
+    // bounded frames — nothing keyed on vec_id. Environment care, both
+    // learned the hard way this round: (a) conf toggles ride an
+    // isolated newSession() — suites run in parallel on ONE shared
+    // session, and a global set/unset races other suites' reads;
+    // (b) the pin runs on a DISTINCT input (vec_id < 480 via the
+    // facade): the shared CacheManager substitutes any cached frame
+    // whose canonicalized plan matches (sameResult STRIPS hints), so
+    // a concurrent suite's default-path rebalance cache would replace
+    // the gated build wholesale and this test would read the cached
+    // BROADCAST plan — values identical, plan assertion poisoned.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.ivf.broadcastMemberLimit", "0")
+    try {
+      val emb = Tables(s2, sf, "embeddings").filter(col("vec_id") < 480)
+      val last = api.Graft.ivfRebalance(emb, "vec_id", "embedding",
+        rounds = 3, thresholdPermille = 1000L).last
+      val p = last.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+        s"member joins not shuffled-hash on the gated path:\n$p")
+      val bad = bhjKeys(p).filter(_.contains("vec_id#"))
+      assert(bad.isEmpty,
+        s"member state still broadcasts on the gated path:\n$bad")
+    } finally CacheScope.release()
+  }
+
+  test("lm-table gated path: bigram LM joins never broadcast") {
+    // Scale path (VERDICT r14 item 3): bigram TYPE counts grow with
+    // the corpus (Heaps' law), so past spark.graft.lm.broadcastTypeLimit
+    // the c12/c1 LM joins must be co-partitioned shuffled-hash joins on
+    // the bigram key; the 1-row vocab frames stay BNLJ cross joins.
+    // Isolated newSession() — see the rebalance pin above.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.lm.broadcastTypeLimit", "0")
+    Seq("q_text_perplexity", "q_select_rho", "q_text_kneser_ney")
+      .foreach { q =>
+        try {
+          val p = SparkEntry.queries(q)(s2, sf).queryExecution
+            .explainString(org.apache.spark.sql.execution.ExplainMode
+              .fromString("formatted"))
+          assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+            s"$q LM joins not shuffled-hash on the gated path:\n$p")
+          val bad = bhjKeys(p).filter(l =>
+            l.contains("w1#") || l.contains("w2#"))
+          assert(bad.isEmpty,
+            s"$q LM tables still broadcast on the gated path:\n$bad")
+        } finally CacheScope.release()
+      }
+  }
 }
