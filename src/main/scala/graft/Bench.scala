@@ -111,7 +111,11 @@ object Bench {
     "q_dedup_substring",       // exact-substring duplication profile (r15)
     "q_sim_kcenter",           // greedy farthest-point k-center seed (r15)
     "q_text_kneser_ney",       // interpolated KN bigram LM scoring (r15)
-    "q_eval_retrieval_recall") // label-supervised recall@10 eval (r15)
+    "q_eval_retrieval_recall", // label-supervised recall@10 eval (r15)
+    "q_eval_mrr",              // first-hit reciprocal rank eval (r15)
+    "q_text_gopher_rules",     // Gopher A1.1 quality-rule battery (r15)
+    "q_eval_ndcg",             // position-discounted retrieval gain (r15)
+    "q_sample_aes")            // A-ES weighted one-pass sample (r15)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

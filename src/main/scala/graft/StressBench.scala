@@ -95,7 +95,8 @@ object StressBench {
     // (k corpus scans, ~linear), KN (the perplexity LM-join class),
     // retrieval recall (bounded query broadcast, ~linear candidates)
     "q_dedup_substring", "q_sim_kcenter", "q_text_kneser_ney",
-    "q_eval_retrieval_recall")
+    "q_eval_retrieval_recall", "q_eval_mrr", "q_text_gopher_rules",
+    "q_eval_ndcg", "q_sample_aes")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

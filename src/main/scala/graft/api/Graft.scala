@@ -556,6 +556,108 @@ object Graft {
       thresholdPermille)
   }
 
+  /** Exact-substring duplication profile (Lee et al., ACL 2022 — the
+    * ExactSubstr criterion): per document, the token positions covered
+    * by any `L`-token window occurring ≥ 2 times corpus-wide
+    * (self-repetition included). Returns (`idCol`, `n_tokens`,
+    * `dup_tokens`, `dup_permille`) — the decision table a span-cut
+    * step consumes. Windows hash to fixed-width 60-bit keys; the ≥2
+    * filter and position semi-join co-partition on the hash (never
+    * broadcast — duplicated-gram volume grows with the corpus). */
+  def substringDupProfile(docs: DataFrame, idCol: String,
+      textCol: String, L: Int = 8): DataFrame = {
+    require(L >= 2 && L <= 64, s"L out of range: $L")
+    graft.ops.CorpusOps46.substringProfileFrom(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), L)
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** Greedy k-center seeding (Gonzalez 1985 farthest-point, the
+    * 2-approximation that seeds k-means++/coreset/IVF-retrain
+    * pipelines): seed = lowest id, then k − 1 rounds of take-the-
+    * farthest by exact int64 d² (ties to the lower id). Returns
+    * (`round`, `center_id`, `radius_d2`) — radius is the max-min d²
+    * BEFORE that center joined, a non-increasing coverage curve.
+    * Each round is one map-side rewrite against the collected center
+    * vector: k corpus scans total, no joins after the seed fetch. */
+  def kcenterInit(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2 && k <= 256, s"k out of range: $k")
+    GraftFunctions.register(embs.sparkSession)
+    graft.ops.CorpusOps46.kcenterFrom(
+      embs.select(col(idCol).as("vec_id"),
+          expr(s"""transform($vecCol, x ->
+              CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
+            .as("q"))
+        .withColumn("n2", call_function("dotq", col("q"), col("q"))),
+      k)
+  }
+
+  private def labeledQuant(embs: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    GraftFunctions.register(embs.sparkSession) // dotq used downstream
+    embs.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      expr(s"""transform($vecCol, x ->
+          CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
+        .as("q"))
+  }
+
+  /** Label-supervised retrieval recall@10 (the BEIR/MTEB-shape eval a
+    * pipeline runs on an embedding model before trusting its ANN
+    * index): 50 lowest-id queries, brute-force cosine top-10 (self
+    * excluded), hit = shared label; per label Σhits / Σmin(10,
+    * |label|−1) in permille. Candidates stream in one pass. */
+  def retrievalRecall(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame =
+    graft.ops.CorpusOps46.retrievalRecallFrom(
+      labeledQuant(embs, idCol, vecCol, labelCol))
+
+  /** Mean reciprocal rank @10 on the same labeled retrieval task as
+    * [[retrievalRecall]] — rewards putting ONE relevant item early.
+    * Exact micro units (1e6 div first-hit rank, 0 when no hit). */
+  def retrievalMrr(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame =
+    graft.ops.CorpusOps46.mrrFrom(
+      labeledQuant(embs, idCol, vecCol, labelCol))
+
+  /** nDCG@10 on the same labeled retrieval task as
+    * [[retrievalRecall]] — position-discounted gain with fixed
+    * integer rank weights round(1e6/log2(rank+1)); ideal DCG packs
+    * the attainable hits first. Exact integer arithmetic. */
+  def retrievalNdcg(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame =
+    graft.ops.CorpusOps46.ndcgFrom(
+      labeledQuant(embs, idCol, vecCol, labelCol))
+
+  /** Weighted reservoir sample, algorithm A-ES (Efraimidis &
+    * Spirakis 2006): one pass, global top-`k` by the key
+    * ln(u)/weight with u derived from a content hash — a
+    * deterministic weighted sample with inclusion probability ∝
+    * `weightCol` (must be a positive integer column). Returns the
+    * sampled rows as (`idCol`, `weightCol`, `key_nano`). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int = 50): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k out of range: $k")
+    graft.ops.CorpusOps46.reservoirFrom(
+      df.select(col(idCol).as("doc_id"), lit("").as("source"),
+        col(weightCol).cast("long").as("w")), k)
+      .select(col("doc_id").as(idCol), col("w").as(weightCol),
+        col("key_nano"))
+  }
+
+  /** Gopher/MassiveText quality-rule battery (Rae et al. 2021,
+    * Appendix A1.1): per `groupCol`, pass counts for the ≥50-words,
+    * mean-word-length-[3,10], ≥2-stopwords, and ≥80%-alphabetic-words
+    * rules plus their conjunction — the filter-attrition table read
+    * before switching the battery on. One corpus scan, per-doc HOF
+    * arithmetic, |groups| output rows. */
+  def gopherRules(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.CorpusOps46.gopherRulesFrom(
+      docs.select(col(groupCol).as("__grp"),
+        col(textCol).as("text")), "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
   /** Margin-criterion candidate-pair mining (Artetxe & Schwenk, ACL
     * 2019 — the LASER/CCMatrix bitext-mining score) over an
     * embedding frame: margin(x, y) = 2·cos(x, y) /

@@ -9,10 +9,11 @@ import graft.Tables
   * ExactSubstr criterion), greedy k-center seeding (Gonzalez 1985 —
   * the farthest-point init k-means++/coreset pipelines start from),
   * interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
-  * KenLM smoothing CCNet-style filters upgrade to from add-one), and
-  * a label-supervised retrieval recall@k eval (the BEIR-style check a
-  * pipeline runs on an embedding model before trusting its ANN
-  * index).
+  * KenLM smoothing CCNet-style filters upgrade to from add-one), a
+  * label-supervised retrieval recall@k eval with its MRR twin (the
+  * BEIR-style checks a pipeline runs on an embedding model before
+  * trusting its ANN index), and the Gopher/MassiveText quality-rule
+  * battery (Rae et al. 2021 Appendix A1.1).
   *
   * Determinism contract: exact int64/DECIMAL(38,0) arithmetic with
   * floor division at declared points; IEEE doubles only from
@@ -42,11 +43,17 @@ object CorpusOps46 {
     * with the corpus); the coverage window partitions by doc_id. A
     * 64-bit-hash collision can mark a false duplicate at ~2⁻⁶⁰ rate —
     * the q_dedup_minhash banding caveat, documented not hidden. */
-  val qDedupSubstring: Q = (s, dir) => {
+  val qDedupSubstring: Q = (s, dir) =>
+    substringProfileFrom(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")), 8)
+
+  /** The profile pipeline behind [[qDedupSubstring]] and
+    * `Graft.substringDupProfile`: `docs` = (doc_id, text). */
+  private[graft] def substringProfileFrom(
+      docs: org.apache.spark.sql.DataFrame, L: Int)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val L = 8
-    val toks = Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
     val g = graft.CacheScope.track(toks
       .filter(size(col("t")) >= L)
       .select(col("doc_id"), explode(expr(
@@ -92,11 +99,17 @@ object CorpusOps46 {
     * scalar scheduler discipline: 1-row argmax collect + 1-row vector
     * fetch per round, plan linear in rounds, no joins at all after
     * the seed scan). k scans of the corpus total. */
-  val qSimKcenter: Q = (s, dir) => {
-    val k = 8
-    val emb = graft.CacheScope.track(EmbQuant.quantized(s, dir)
+  val qSimKcenter: Q = (s, dir) =>
+    kcenterFrom(EmbQuant.quantized(s, dir)
       .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
-      .select(col("vec_id"), col("q"), col("n2"))
+      .select(col("vec_id"), col("q"), col("n2")), 8)
+
+  /** The seeding loop behind [[qSimKcenter]] and `Graft.kcenterInit`:
+    * `emb0` = (vec_id, q, n2), q micro-quantized int64. */
+  private[graft] def kcenterFrom(emb0: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val s = emb0.sparkSession
+    val emb = graft.CacheScope.track(emb0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def d2To(vec: Seq[Long], vn2: Long) =
       col("n2") + lit(vn2) -
@@ -219,9 +232,37 @@ object CorpusOps46 {
     * pass, no candidate-side shuffle — the q_sim_topk baseline
     * shape); per-query top-10 is a bounded window; the class-size
     * normalizer is a |labels|-row broadcast. */
-  val qEvalRetrievalRecall: Q = (s, dir) => {
+  val qEvalRetrievalRecall: Q = (s, dir) =>
+    retrievalRecallFrom(EmbQuant.quantized(s, dir))
+
+  /** The recall pipeline behind [[qEvalRetrievalRecall]] and
+    * `Graft.retrievalRecall`: `emb0` = (vec_id, label, q). */
+  private[graft] def retrievalRecallFrom(
+      emb0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val per = topkLabeledFrom(emb0)
+      .groupBy(col("qid"), col("ql"))
+      .agg(sum(when(col("ql") === col("cl"), 1L).otherwise(0L))
+        .as("qhits"))
+    val cls = emb0.groupBy(col("label")).agg(count(lit(1)).as("nlab"))
+    per.join(broadcast(cls), per("ql") === cls("label"))
+      .groupBy(col("ql"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("qhits")).as("hits"),
+        sum(least(lit(10L), col("nlab") - 1)).as("den"))
+      .select(col("ql").cast("long").as("label"), col("n_queries"),
+        col("hits"), expr("hits * 1000 div den")
+          .as("recall_at10_permille"))
+      .orderBy(col("label"))
+  }
+
+  /** Labeled brute-force top-10 stream shared by
+    * [[qEvalRetrievalRecall]] and [[qEvalMrr]]: one persisted
+    * quantized scan, bounded query broadcast, per-query window.
+    * `emb0` = (vec_id, label, q). */
+  private def topkLabeledFrom(emb0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = graft.CacheScope.track(EmbQuant.quantized(s, dir)
+    val emb = graft.CacheScope.track(emb0
       .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val queries = emb.filter(col("vec_id") < 50)
@@ -236,27 +277,192 @@ object CorpusOps46 {
             sqrt(col("qn2").cast("double")))).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid"))
-    val per = sc.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
+    sc.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+  }
+
+  /** Mean reciprocal rank @10 on the same labeled retrieval task as
+    * [[qEvalRetrievalRecall]] (the second standard retrieval metric —
+    * MRR rewards putting ONE relevant item early, recall rewards
+    * finding them all; a pipeline reads both before trusting an
+    * embedding model): per query, rr = 1/rank of the FIRST same-label
+    * neighbor in the cosine top-10 (0 if none), reported per label as
+    * the floored mean of exact micro units (1e6 div rank — both
+    * engines floor the same integers).
+    *
+    * Scale: identical to the recall eval — one candidate pass, no
+    * candidate shuffle, bounded windows. */
+  val qEvalMrr: Q = (s, dir) =>
+    mrrFrom(EmbQuant.quantized(s, dir))
+
+  /** The MRR pipeline behind [[qEvalMrr]] and `Graft.retrievalMrr`:
+    * `emb0` = (vec_id, label, q). */
+  private[graft] def mrrFrom(emb0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val firstHit = topkLabeledFrom(emb0)
+      .filter(col("ql") === col("cl"))
       .groupBy(col("qid"), col("ql"))
-      .agg(sum(when(col("ql") === col("cl"), 1L).otherwise(0L))
-        .as("qhits"))
-    val cls = emb.groupBy(col("label")).agg(count(lit(1)).as("nlab"))
-    per.join(broadcast(cls), per("ql") === cls("label"))
+      .agg(min(col("rk")).cast("long").as("frank"))
+    val allq = emb0.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("label").as("ql"))
+    allq.join(firstHit, Seq("qid", "ql"), "left")
+      .select(col("ql"),
+        coalesce(expr("1000000 div frank"), lit(0L)).as("rr_micro"))
       .groupBy(col("ql"))
-      .agg(count(lit(1)).as("n_queries"), sum(col("qhits")).as("hits"),
-        sum(least(lit(10L), col("nlab") - 1)).as("den"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("rr_micro")).as("rr_sum"))
       .select(col("ql").cast("long").as("label"), col("n_queries"),
-        col("hits"), expr("hits * 1000 div den")
-          .as("recall_at10_permille"))
+        expr("rr_sum div n_queries").as("mrr_at10_micro"))
       .orderBy(col("label"))
   }
+
+  /** Gopher/MassiveText quality-rule battery (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", Appendix A1.1 — the named rule set web-scale
+    * text pipelines implement verbatim): per document, the four rules
+    * the fixture can discriminate — (1) ≥ 50 words, (2) mean word
+    * length in [3, 10] (exact milli: 1000·chars/words via
+    * cross-multiplication, no division), (3) ≥ 2 stopword hits (the
+    * en/fr/de/es profile union — the "contains common words" rule),
+    * (4) ≥ 80% of words contain an alphabetic character. Reports per
+    * source the per-rule pass counts and the conjunction — the
+    * filter-attrition table a pipeline owner reads before switching
+    * the battery on.
+    *
+    * Scale: one corpus scan, per-doc HOF arithmetic (codegen'd, no
+    * shuffle before the |sources| rollup). */
+  val qTextGopherRules: Q = (s, dir) =>
+    gopherRulesFrom(
+      Tables(s, dir, "documents").select(col("source"), col("text")),
+      "source")
+
+  /** The rule battery behind [[qTextGopherRules]] and
+    * `Graft.gopherRules`: `docs` = (grp, text). */
+  private[graft] def gopherRulesFrom(docs: org.apache.spark.sql.DataFrame,
+      grp: String): org.apache.spark.sql.DataFrame = {
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is",
+      "le", "la", "et", "de", "les", "un",
+      "der", "die", "und", "das", "ein", "ist",
+      "el", "los", "y", "que", "en")
+    val stopList = stops.map(w => s"'$w'").mkString(", ")
+    docs
+      .select(col(grp), split(col("text"), " ").as("t"))
+      .select(col(grp),
+        size(col("t")).cast("long").as("nw"),
+        expr("""CAST(aggregate(t, 0, (a, w) -> a + length(w))
+                AS BIGINT)""").as("nchars"),
+        expr(s"size(filter(t, w -> w IN ($stopList)))").cast("long")
+          .as("stophits"),
+        expr("size(filter(t, w -> w rlike '[a-zA-Z]'))").cast("long")
+          .as("alphaw"))
+      .select(col(grp),
+        when(col("nw") >= 50, 1L).otherwise(0L).as("r_minwords"),
+        // 3 <= chars/words <= 10 by cross-multiplication
+        when(col("nchars") >= col("nw") * 3 &&
+          col("nchars") <= col("nw") * 10, 1L).otherwise(0L)
+          .as("r_wordlen"),
+        when(col("stophits") >= 2, 1L).otherwise(0L).as("r_stopwords"),
+        when(col("alphaw") * 1000 >= col("nw") * 800, 1L).otherwise(0L)
+          .as("r_alpha"))
+      .withColumn("r_all",
+        col("r_minwords") * col("r_wordlen") *
+          col("r_stopwords") * col("r_alpha"))
+      .groupBy(col(grp))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r_minwords")).as("pass_minwords"),
+        sum(col("r_wordlen")).as("pass_wordlen"),
+        sum(col("r_stopwords")).as("pass_stopwords"),
+        sum(col("r_alpha")).as("pass_alpha"),
+        sum(col("r_all")).as("pass_all"))
+      .orderBy(col(grp))
+  }
+
+  /** Per-rank DCG weights round(1e6 / log2(rank + 1)) for ranks 1..10
+    * and their prefix sums — fixed integer LITERALS in both engines
+    * (computed once here, embedded in the SQL), so nDCG needs no
+    * runtime log. */
+  private[graft] val dcgW: Seq[Long] = (1 to 10).map(i =>
+    math.round(1e6 / (math.log(i + 1) / math.log(2))))
+  private val dcgPs: Seq[Long] = dcgW.scanLeft(0L)(_ + _).tail
+
+  /** nDCG@10 on the labeled retrieval task — the third standard
+    * retrieval metric next to [[qEvalRetrievalRecall]] and
+    * [[qEvalMrr]] (position-discounted gain): per query, DCG = Σ over
+    * same-label hits of round(1e6/log2(rank+1)); the ideal DCG packs
+    * the attainable hits (min(10, |label|−1)) into the top ranks.
+    * Per label: Σ DCG · 1000 div Σ IDCG (micro units cancel). The
+    * rank weights are fixed integer literals in BOTH engines, so the
+    * whole metric is exact integer arithmetic over the shared top-10
+    * stream. */
+  val qEvalNdcg: Q = (s, dir) =>
+    ndcgFrom(EmbQuant.quantized(s, dir))
+
+  /** The nDCG pipeline behind [[qEvalNdcg]] and `Graft.retrievalNdcg`:
+    * `emb0` = (vec_id, label, q). */
+  private[graft] def ndcgFrom(emb0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wArr = dcgW.mkString("array(CAST(", " AS BIGINT), CAST(",
+      " AS BIGINT))")
+    val psArr = dcgPs.mkString("array(CAST(", " AS BIGINT), CAST(",
+      " AS BIGINT))")
+    val dcg = topkLabeledFrom(emb0)
+      .groupBy(col("qid"), col("ql"))
+      .agg(sum(when(col("ql") === col("cl"),
+        expr(s"element_at($wArr, rk)")).otherwise(0L)).as("dcg_micro"))
+    val cls = emb0.groupBy(col("label")).agg(count(lit(1)).as("nlab"))
+    dcg.join(broadcast(cls), dcg("ql") === cls("label"))
+      .groupBy(col("ql"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("dcg_micro")).as("dcgs"),
+        sum(expr(s"element_at($psArr, " +
+          "CAST(least(10, nlab - 1) AS INT))")).as("idcgs"))
+      .select(col("ql").cast("long").as("label"), col("n_queries"),
+        expr("dcgs * 1000 div idcgs").as("ndcg_at10_permille"))
+      .orderBy(col("label"))
+  }
+
+  /** Weighted reservoir sampling, algorithm A-ES (Efraimidis &
+    * Spirakis, IPL 2006 — the one-pass weighted-sample primitive a
+    * mixture pipeline uses to draw a budgeted subset with probability
+    * ∝ utility weight): each row ranks by key = u^(1/w) — computed as
+    * ln(u)/w, monotone-equivalent — and the global top-k IS the
+    * sample. Weight here = document length (any positive utility
+    * column works; the facade takes it as a parameter). u derives
+    * from the 60-bit md5 bridge ((h mod 999999 + 1)/1e6 — identical
+    * integers, hence identical IEEE doubles, in both engines); keys
+    * are fixed-point nano units, ties break on doc_id.
+    *
+    * Scale: one scan + a top-k (TakeOrdered — never a global sort);
+    * deterministic "randomness" from content hashes, the same
+    * discipline as the corpus's md5 resampling grid. */
+  val qSampleAes: Q = (s, dir) =>
+    reservoirFrom(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("w")), 50)
+
+  /** The A-ES pipeline behind [[qSampleAes]] and
+    * `Graft.weightedSample`: `docs` = (doc_id, source, w), w > 0. */
+  private[graft] def reservoirFrom(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), " +
+          "16, 10) AS BIGINT)"))
+      .withColumn("key_nano", expr(
+        "CAST(round(ln((h % 999999 + 1) / 1000000.0) / w * 1e9) " +
+          "AS BIGINT)"))
+      .orderBy(col("key_nano").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("source"), col("w"), col("key_nano"))
+      .orderBy(col("doc_id"))
 
   val queries: Map[String, Q] = Map(
     "q_dedup_substring" -> qDedupSubstring,
     "q_sim_kcenter" -> qSimKcenter,
     "q_text_kneser_ney" -> qTextKneserNey,
-    "q_eval_retrieval_recall" -> qEvalRetrievalRecall)
+    "q_eval_retrieval_recall" -> qEvalRetrievalRecall,
+    "q_eval_mrr" -> qEvalMrr,
+    "q_eval_ndcg" -> qEvalNdcg,
+    "q_sample_aes" -> qSampleAes,
+    "q_text_gopher_rules" -> qTextGopherRules)
 
   /** [[graft.ops.Similarity.quantSql]] with the label carried — the
     * retrieval-recall oracle needs it for relevance. */
@@ -367,6 +573,114 @@ object CorpusOps46 {
         CAST(sum(bits_micro) // count(*) AS BIGINT)
           AS bits_per_bigram_micro
       FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_gopher_rules" -> """
+      WITH t AS (SELECT source, string_split(text, ' ') AS a
+                 FROM documents),
+      d AS (SELECT source,
+              CAST(len(a) AS BIGINT) AS nw,
+              CAST(list_sum(list_transform(a, w -> length(w)))
+                AS BIGINT) AS nchars,
+              CAST(len(list_filter(a, w -> w IN ('the','a','and','of',
+                'to','in','is','le','la','et','de','les','un','der',
+                'die','und','das','ein','ist','el','los','y','que',
+                'en'))) AS BIGINT) AS stophits,
+              CAST(len(list_filter(a, w ->
+                regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alphaw
+            FROM t),
+      r AS (SELECT source,
+              CASE WHEN nw >= 50 THEN 1 ELSE 0 END AS r_minwords,
+              CASE WHEN nchars >= nw * 3 AND nchars <= nw * 10
+                   THEN 1 ELSE 0 END AS r_wordlen,
+              CASE WHEN stophits >= 2 THEN 1 ELSE 0 END AS r_stopwords,
+              CASE WHEN alphaw * 1000 >= nw * 800
+                   THEN 1 ELSE 0 END AS r_alpha
+            FROM d)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(r_minwords) AS BIGINT) AS pass_minwords,
+        CAST(sum(r_wordlen) AS BIGINT) AS pass_wordlen,
+        CAST(sum(r_stopwords) AS BIGINT) AS pass_stopwords,
+        CAST(sum(r_alpha) AS BIGINT) AS pass_alpha,
+        CAST(sum(r_minwords * r_wordlen * r_stopwords * r_alpha)
+          AS BIGINT) AS pass_all
+      FROM r GROUP BY source ORDER BY source""",
+    "q_eval_mrr" -> s"""
+      WITH e AS MATERIALIZED ($quantLabelSql),
+      n AS MATERIALIZED (SELECT vec_id,
+             CAST(sum(v * v) AS BIGINT) AS n2,
+             CAST(min(label) AS BIGINT) AS label
+           FROM e GROUP BY 1),
+      dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 CAST(sum(a.v * b.v) AS BIGINT) AS dot
+               FROM e a JOIN e b ON a.vec_id < 50
+                 AND b.vec_id <> a.vec_id AND a.i = b.i
+               GROUP BY 1, 2),
+      sc AS (SELECT d.qid, d.cid,
+               CAST(d.dot AS DOUBLE) /
+                 (sqrt(CAST(nc.n2 AS DOUBLE)) *
+                  sqrt(CAST(nq.n2 AS DOUBLE))) AS cos,
+               nq.label AS ql, nc.label AS cl
+             FROM dots d
+             JOIN n nq ON d.qid = nq.vec_id
+             JOIN n nc ON d.cid = nc.vec_id),
+      topk AS (SELECT * FROM (SELECT *, row_number() OVER (
+                 PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+               FROM sc) WHERE rk <= 10),
+      fh AS (SELECT qid, ql, CAST(min(rk) AS BIGINT) AS frank
+             FROM topk WHERE ql = cl GROUP BY 1, 2),
+      allq AS (SELECT vec_id AS qid, label AS ql FROM n
+               WHERE vec_id < 50),
+      rr AS (SELECT a.ql, coalesce(1000000 // fh.frank, 0) AS rr_micro
+             FROM allq a LEFT JOIN fh ON a.qid = fh.qid
+               AND a.ql = fh.ql)
+      SELECT ql AS label, CAST(count(*) AS BIGINT) AS n_queries,
+        CAST(sum(rr_micro) // count(*) AS BIGINT) AS mrr_at10_micro
+      FROM rr GROUP BY 1 ORDER BY 1""",
+    "q_eval_ndcg" -> s"""
+      WITH e AS MATERIALIZED ($quantLabelSql),
+      n AS MATERIALIZED (SELECT vec_id,
+             CAST(sum(v * v) AS BIGINT) AS n2,
+             CAST(min(label) AS BIGINT) AS label
+           FROM e GROUP BY 1),
+      dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 CAST(sum(a.v * b.v) AS BIGINT) AS dot
+               FROM e a JOIN e b ON a.vec_id < 50
+                 AND b.vec_id <> a.vec_id AND a.i = b.i
+               GROUP BY 1, 2),
+      sc AS (SELECT d.qid, d.cid,
+               CAST(d.dot AS DOUBLE) /
+                 (sqrt(CAST(nc.n2 AS DOUBLE)) *
+                  sqrt(CAST(nq.n2 AS DOUBLE))) AS cos,
+               nq.label AS ql, nc.label AS cl
+             FROM dots d
+             JOIN n nq ON d.qid = nq.vec_id
+             JOIN n nc ON d.cid = nc.vec_id),
+      topk AS (SELECT * FROM (SELECT *, row_number() OVER (
+                 PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+               FROM sc) WHERE rk <= 10),
+      dcg AS (SELECT qid, ql,
+                CAST(sum(CASE WHEN ql = cl
+                  THEN ([${dcgW.mkString(", ")}])[rk]
+                  ELSE 0 END) AS BIGINT) AS dcg_micro
+              FROM topk GROUP BY 1, 2),
+      cls AS (SELECT label, CAST(count(*) AS BIGINT) AS nlab
+              FROM n GROUP BY 1)
+      SELECT d.ql AS label, CAST(count(*) AS BIGINT) AS n_queries,
+        CAST(sum(d.dcg_micro) * 1000 //
+          sum(([${dcgPs.mkString(", ")}])[least(10, c.nlab - 1)])
+          AS BIGINT) AS ndcg_at10_permille
+      FROM dcg d JOIN cls c ON d.ql = c.label
+      GROUP BY 1 ORDER BY 1""",
+    "q_sample_aes" -> """
+      WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                1, 15) AS BIGINT) AS h
+            FROM documents),
+      k AS (SELECT doc_id, source, w,
+              CAST(round(ln((h % 999999 + 1) / 1000000.0) / w * 1e9)
+                AS BIGINT) AS key_nano
+            FROM d),
+      t AS (SELECT * FROM k ORDER BY key_nano DESC, doc_id LIMIT 50)
+      SELECT doc_id, source, w, key_nano FROM t ORDER BY doc_id""",
     "q_eval_retrieval_recall" -> s"""
       WITH e AS MATERIALIZED ($quantLabelSql),
       n AS MATERIALIZED (SELECT vec_id,

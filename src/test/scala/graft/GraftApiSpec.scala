@@ -367,4 +367,59 @@ class GraftApiSpec extends AnyFunSuite {
       finally CacheScope.release()
     assert(api84 == lib84)
   }
+
+  test("wave-35 facades == the declared queries") {
+    val docs = Tables(spark, sf, "documents")
+    val embs = Tables(spark, sf, "embeddings")
+    def run(q: String): Seq[org.apache.spark.sql.Row] =
+      try SparkEntry.queries(q)(spark, sf).collect().toSeq
+      finally CacheScope.release()
+    val sub = try Graft.substringDupProfile(docs, "doc_id", "text")
+        .collect().toSeq
+      finally CacheScope.release()
+    assert(sub.nonEmpty && sub == run("q_dedup_substring"))
+    val kc = try Graft.kcenterInit(embs, "vec_id", "embedding")
+        .collect().toSeq
+      finally CacheScope.release()
+    assert(kc.size == 8 && kc == run("q_sim_kcenter"))
+    val rec = try Graft.retrievalRecall(embs, "vec_id", "embedding",
+        "label").collect().toSeq
+      finally CacheScope.release()
+    assert(rec.nonEmpty && rec == run("q_eval_retrieval_recall"))
+    val mrr = try Graft.retrievalMrr(embs, "vec_id", "embedding",
+        "label").collect().toSeq
+      finally CacheScope.release()
+    assert(mrr.nonEmpty && mrr == run("q_eval_mrr"))
+    val gr = try Graft.gopherRules(docs, "text", "source")
+        .collect().toSeq
+      finally CacheScope.release()
+    assert(gr.nonEmpty && gr == run("q_text_gopher_rules"))
+    val ndcg = try Graft.retrievalNdcg(embs, "vec_id", "embedding",
+        "label").collect().toSeq
+      finally CacheScope.release()
+    assert(ndcg.nonEmpty && ndcg == run("q_eval_ndcg"))
+    // weightedSample drops the source column the declared query keeps
+    val ws = try Graft.weightedSample(docs
+          .select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      finally CacheScope.release()
+    val declaredWs = run("q_sample_aes")
+      .map(r => (r.getLong(0), r.getAs[Long]("w"),
+        r.getAs[Long]("key_nano")))
+    assert(ws.nonEmpty && ws == declaredWs)
+  }
+
+  test("kcenterInit k knob: k=4 picks the prefix of the k=8 curve") {
+    // greedy selection is prefix-stable: the first 4 centers (and
+    // radii) of an 8-center run ARE the 4-center run
+    val embs = Tables(spark, sf, "embeddings")
+    val k8 = try Graft.kcenterInit(embs, "vec_id", "embedding", k = 8)
+        .collect().toSeq
+      finally CacheScope.release()
+    val k4 = try Graft.kcenterInit(embs, "vec_id", "embedding", k = 4)
+        .collect().toSeq
+      finally CacheScope.release()
+    assert(k4 == k8.take(4))
+  }
 }

@@ -736,6 +736,71 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed cell state diverges: ${got.take(3)} vs ${want.take(3)}")
   }
 
+  test("streaming substring-dup ingest (foreachBatch) == batch profile") {
+    // q_dedup_substring's shape as a live ingest: document
+    // micro-batches append their 8-token gram POSTINGS (doc_id, pos,
+    // 60-bit hash) — the inverted index as an append-only stored
+    // artifact; rollup-on-read (occurrences ≥ 2 → per-doc interval
+    // union) equals the batch profile over the full corpus
+    // bit-for-bit. The postings write is per-batch map-side work —
+    // the same append-only-delta + rollup discipline as the IVF twin
+    // above, applied to exact-substring dedup state.
+    import org.apache.spark.sql.expressions.Window
+    val srcDir = Files.createTempDirectory("sub_stream").toFile
+    srcDir.deleteOnExit()
+    Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val postDir = Files.createTempDirectory("sub_postings").toFile
+    postDir.deleteOnExit()
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 7),
+            i -> struct(CAST(i AS BIGINT) AS pos,
+                        CAST(conv(substring(md5(concat_ws(' ',
+                          slice(t, i, 8))), 1, 15), 16, 10) AS BIGINT)
+                          AS h))""")).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h"))
+    var batches = 0
+    val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        grams(df).write.mode("append").parquet(postDir.getAbsolutePath)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val post = spark.read.parquet(postDir.getAbsolutePath)
+    val dup = post.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = post.join(dup, Seq("h"), "left_semi")
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(least(lit(8L),
+        coalesce(col("nxt") - col("pos"), lit(8L)))).as("dup"))
+    val got = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_permille", expr("dup_tokens * 1000 div n_tokens"))
+      .orderBy(col("doc_id")).collect().toSeq
+    val want = try
+        SparkEntry.queries("q_dedup_substring")(spark, sf)
+          .collect().toSeq
+      finally CacheScope.release()
+    assert(got.nonEmpty && got == want,
+      s"streamed substring profile diverges: ${got.take(3)} vs ${want.take(3)}")
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
     val df = streamedEvents
       .withWatermark("ts", "1 hour")
