@@ -115,7 +115,9 @@ object Bench {
     "q_eval_mrr",              // first-hit reciprocal rank eval (r15)
     "q_text_gopher_rules",     // Gopher A1.1 quality-rule battery (r15)
     "q_eval_ndcg",             // position-discounted retrieval gain (r15)
-    "q_sample_aes")            // A-ES weighted one-pass sample (r15)
+    "q_sample_aes",            // A-ES weighted one-pass sample (r15)
+    "q_dedup_substring_cut",   // keep-first span-cut shrink estimate (r15)
+    "q_sim_ivf_cells_sweep")   // cells-knob recall/cost frontier (r15)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -96,7 +96,8 @@ object StressBench {
     // retrieval recall (bounded query broadcast, ~linear candidates)
     "q_dedup_substring", "q_sim_kcenter", "q_text_kneser_ney",
     "q_eval_retrieval_recall", "q_eval_mrr", "q_text_gopher_rules",
-    "q_eval_ndcg", "q_sample_aes")
+    "q_eval_ndcg", "q_sample_aes",
+    "q_dedup_substring_cut", "q_sim_ivf_cells_sweep")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -122,16 +122,25 @@ object CorpusOps46 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val picks = scala.collection.mutable
       .Buffer[(Long, Long, Long)]((0L, seed.getLong(0), 0L))
-    for (r <- 1 until k) {
+    var exhausted = false
+    for (r <- 1 until k if !exhausted) {
       val top = md.orderBy(col("md").desc, col("vec_id")).limit(1)
         .select(col("vec_id"), col("md"), col("q"), col("n2"))
         .collect()(0)
-      picks += ((r.toLong, top.getLong(0), top.getLong(1)))
-      md = graft.CacheScope.track(md
-        .select(col("vec_id"), col("q"), col("n2"),
-          least(col("md"),
-            d2To(top.getSeq[Long](2), top.getLong(3))).as("md"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // max-min distance 0 = every remaining point coincides with a
+      // chosen center (k exceeds the distinct-point count): stop
+      // instead of emitting duplicate zero-radius centers — the
+      // Gonzalez contract is "k centers OR the whole point set"
+      // (edge pinned in Wave35Spec)
+      if (top.getLong(1) == 0L) exhausted = true
+      else {
+        picks += ((r.toLong, top.getLong(0), top.getLong(1)))
+        md = graft.CacheScope.track(md
+          .select(col("vec_id"), col("q"), col("n2"),
+            least(col("md"),
+              d2To(top.getSeq[Long](2), top.getLong(3))).as("md"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
     }
     import s.implicits._
     picks.toSeq.toDF("round", "center_id", "radius_d2")
@@ -448,14 +457,150 @@ object CorpusOps46 {
         "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), " +
           "16, 10) AS BIGINT)"))
       .withColumn("key_nano", expr(
-        "CAST(round(ln((h % 999999 + 1) / 1000000.0) / w * 1e9) " +
-          "AS BIGINT)"))
+        // w <= 0 would silently invert/blow up the A-ES key (ln(u)/w
+        // flips sign at negative weights, divides by zero at 0) and
+        // return a wrong sample — raise instead (the katz/bestOfN
+        // overflow-guard discipline)
+        "CASE WHEN w <= 0 THEN CAST(raise_error(" +
+          "'weightedSample: weights must be positive') AS BIGINT) " +
+          "ELSE CAST(round(ln((h % 999999 + 1) / 1000000.0) / w * 1e9) " +
+          "AS BIGINT) END"))
       .orderBy(col("key_nano").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), col("source"), col("w"), col("key_nano"))
       .orderBy(col("doc_id"))
 
+  /** The DESTRUCTIVE half of the Lee et al. 2022 exact-substring
+    * pass: [[qDedupSubstring]] profiles what IS duplicated; this
+    * query reports what a keep-first span cut would REMOVE — for
+    * every ≥2-occurrence 8-token window, all occurrences except the
+    * globally first (ordered by doc_id, pos) mark their positions for
+    * cutting; per source, the interval-union cut-token count and
+    * permille — the corpus-shrinkage estimate an owner signs off on
+    * BEFORE running a destructive dedup.
+    *
+    * Scale: the same one-gram-per-token stream as the profile; the
+    * occurrence rank is a window per gram hash (co-partitioned on h,
+    * never broadcast); the cut coverage windows per doc. */
+  val qDedupSubstringCut: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val L = 8
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+    val g = toks
+      .filter(size(col("t")) >= L)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(t) - ${L - 1}),
+            i -> struct(CAST(i AS BIGINT) AS pos,
+                        CAST(conv(substring(md5(concat_ws(' ',
+                          slice(t, i, $L))), 1, 15), 16, 10) AS BIGINT)
+                          AS h))""")).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h"))
+    val wh = Window.partitionBy(col("h"))
+    val occ = g
+      .withColumn("orank", row_number().over(
+        wh.orderBy(col("doc_id"), col("pos"))))
+      .withColumn("c", count(lit(1)).over(wh))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = occ.filter(col("c") >= 2 && col("orank") >= 2)
+      .withColumn("nxt", lead(col("pos"), 1).over(wd))
+      .groupBy(col("doc_id"))
+      .agg(sum(least(lit(L.toLong),
+        coalesce(col("nxt") - col("pos"), lit(L.toLong)))).as("cut"))
+    toks.select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("nt"))
+      .join(cov, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
+        sum(coalesce(col("cut"), lit(0L))).as("cut_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("cut_tokens"),
+        expr("cut_tokens * 1000 div total_tokens").as("cut_permille"))
+      .orderBy(col("source"))
+  }
+
+  /** The recall/cost frontier of the `spark.graft.ivf.cells` knob as
+    * an ORACLED query — the tuning table a deployment reads before
+    * setting the IVF family's one production scale dial (r14 verdict
+    * item 2's measurement, promoted to data): for K ∈ {8, 16, 32}
+    * coarse cells (lowest-K-id seeding, the library convention) and
+    * nprobe = 4, each of the 50 query vectors scans its probed cells'
+    * members; recall@10 = fraction of the brute-force cosine top-10
+    * found among the candidates. More cells = fewer candidates
+    * scanned (cost ↓) at some recall — the frontier quantifies the
+    * margin-mine/SemDeDup blocking tradeoff exactly.
+    *
+    * Scale: per K, the centroid table is K rows (broadcast); the
+    * candidate stream is the posting-list equi-join on cid
+    * (co-partitioned); the brute-force truth is the bounded
+    * 50-query one-pass scan shared with the retrieval evals. */
+  val qSimIvfCellsSweep: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.CacheScope.track(EmbQuant.quantized(s, dir)
+      .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
+      .select(col("vec_id"), col("q"), col("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val true10 = graft.CacheScope.track(topkFrom(emb).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rows = Seq(8, 16, 32).map { k =>
+      val cents = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("q").as("cq"),
+          col("n2").as("cn2"))
+      def scored(vecs: org.apache.spark.sql.DataFrame) = vecs
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          (EmbQuant.dotq(col("q"), col("cq")).cast("double") /
+            (sqrt(col("n2").cast("double")) *
+              sqrt(col("cn2").cast("double")))).as("ccos"))
+      val wv = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val asg = scored(emb)
+        .withColumn("rk", row_number().over(wv)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"))
+      val probes = scored(emb.filter(col("vec_id") < 50))
+        .withColumn("rk", row_number().over(wv)).filter(col("rk") <= 4)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val cand = probes.join(asg, Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid2"))
+      val hits = true10.join(cand,
+          true10("qid") === cand("qid") && true10("cid") === cand("cid2"))
+        .agg(count(lit(1)).as("hits"))
+      cand.agg(countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("candidates"))
+        .crossJoin(broadcast(hits))
+        .select(lit(k.toLong).as("cells"), col("n_queries"),
+          col("candidates"),
+          expr("hits * 1000 div (10 * n_queries)")
+            .as("recall_at10_permille"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("cells"))
+  }
+
+  /** Label-free brute-force cosine top-10 per query vector (vec_id <
+    * 50, self excluded) — the ground truth [[qSimIvfCellsSweep]]
+    * measures recall against. `emb` = (vec_id, q, n2). */
+  private def topkFrom(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("n2").as("qn2"))
+    val sc = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        (EmbQuant.dotq(col("q"), col("qq")).cast("double") /
+          (sqrt(col("n2").cast("double")) *
+            sqrt(col("qn2").cast("double")))).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    sc.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("qid"), col("cid"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_substring" -> qDedupSubstring,
+    "q_dedup_substring_cut" -> qDedupSubstringCut,
+    "q_sim_ivf_cells_sweep" -> qSimIvfCellsSweep,
     "q_sim_kcenter" -> qSimKcenter,
     "q_text_kneser_ney" -> qTextKneserNey,
     "q_eval_retrieval_recall" -> qEvalRetrievalRecall,
@@ -463,6 +608,48 @@ object CorpusOps46 {
     "q_eval_ndcg" -> qEvalNdcg,
     "q_sample_aes" -> qSampleAes,
     "q_text_gopher_rules" -> qTextGopherRules)
+
+  /** One K-block of the q_sim_ivf_cells_sweep oracle: K-cell coarse
+    * assignment + nprobe=4 probes + posting-list candidates + recall
+    * vs the shared true10 truth, emitting row$K. The max_by
+    * (ccos, −cid) tie-break mirrors as row_number (ccos DESC, cid). */
+  private def cellsSweepBlockSql(k: Int): String = s"""
+      cents$k AS (SELECT vec_id AS cid, i, v FROM e WHERE vec_id < $k),
+      cn$k AS (SELECT cid, CAST(sum(v*v) AS BIGINT) AS cn2
+               FROM cents$k GROUP BY 1),
+      asg$k AS (SELECT vec_id, cid FROM (
+          SELECT a.vec_id, c.cid,
+            row_number() OVER (PARTITION BY a.vec_id ORDER BY
+              CAST(sum(a.v * c.v) AS BIGINT) /
+                (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+              DESC, c.cid) AS rk
+          FROM e a JOIN cents$k c ON a.i = c.i
+          JOIN n ON a.vec_id = n.vec_id JOIN cn$k cn ON c.cid = cn.cid
+          GROUP BY a.vec_id, c.cid, n.n2, cn.cn2) WHERE rk = 1),
+      probes$k AS (SELECT vec_id AS qid, cid FROM (
+          SELECT a.vec_id, c.cid,
+            row_number() OVER (PARTITION BY a.vec_id ORDER BY
+              CAST(sum(a.v * c.v) AS BIGINT) /
+                (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+              DESC, c.cid) AS rk
+          FROM e a JOIN cents$k c ON a.i = c.i
+          JOIN n ON a.vec_id = n.vec_id JOIN cn$k cn ON c.cid = cn.cid
+          WHERE a.vec_id < 50
+          GROUP BY a.vec_id, c.cid, n.n2, cn.cn2) WHERE rk <= 4),
+      cand$k AS (SELECT p.qid, a.vec_id AS cid2 FROM probes$k p
+                 JOIN asg$k a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+      hit$k AS (SELECT t.qid, count(*) AS hits FROM true10 t
+                JOIN cand$k c ON t.qid = c.qid AND t.cid = c.cid2
+                GROUP BY 1),
+      vol$k AS (SELECT qid, CAST(count(*) AS BIGINT) AS nc
+                FROM cand$k GROUP BY 1),
+      row$k AS (SELECT CAST($k AS BIGINT) AS cells,
+          CAST((SELECT count(DISTINCT qid) FROM cand$k) AS BIGINT)
+            AS n_queries,
+          CAST((SELECT sum(nc) FROM vol$k) AS BIGINT) AS candidates,
+          CAST((SELECT coalesce(sum(hits), 0) FROM hit$k) * 1000 //
+            (10 * (SELECT count(DISTINCT qid) FROM cand$k)) AS BIGINT)
+            AS recall_at10_permille)"""
 
   /** [[graft.ops.Similarity.quantSql]] with the label carried — the
     * retrieval-recall oracle needs it for relevance. */
@@ -573,6 +760,56 @@ object CorpusOps46 {
         CAST(sum(bits_micro) // count(*) AS BIGINT)
           AS bits_per_bigram_micro
       FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "q_dedup_substring_cut" -> """
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS a
+                    FROM documents),
+      g AS (SELECT doc_id, i AS pos,
+              CAST('0x' || substring(md5(
+                list_aggr(a[i:i+7], 'string_agg', ' ')), 1, 15)
+                AS BIGINT) AS h
+            FROM (SELECT *, unnest(range(1, len(a) - 6)) AS i FROM toks)
+            WHERE len(a) >= 8),
+      occ AS (SELECT doc_id, pos,
+                row_number() OVER (PARTITION BY h
+                  ORDER BY doc_id, pos) AS orank,
+                count(*) OVER (PARTITION BY h) AS c
+              FROM g),
+      cutp AS (SELECT doc_id, pos,
+                 lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+               FROM occ WHERE c >= 2 AND orank >= 2),
+      cov AS (SELECT doc_id,
+                CAST(sum(least(8, coalesce(nxt - pos, 8))) AS BIGINT)
+                  AS cut
+              FROM cutp GROUP BY doc_id),
+      n AS (SELECT doc_id, source, CAST(len(a) AS BIGINT) AS nt
+            FROM toks)
+      SELECT n.source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n.nt) AS BIGINT) AS total_tokens,
+        CAST(sum(coalesce(cov.cut, 0)) AS BIGINT) AS cut_tokens,
+        CAST(sum(coalesce(cov.cut, 0)) * 1000 // sum(n.nt) AS BIGINT)
+          AS cut_permille
+      FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id
+      GROUP BY 1 ORDER BY 1""",
+    "q_sim_ivf_cells_sweep" -> s"""
+      WITH e AS MATERIALIZED (${graft.ops.Similarity.quantSql}),
+      n AS MATERIALIZED (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS n2
+                         FROM e GROUP BY 1),
+      dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 CAST(sum(a.v * b.v) AS BIGINT) AS dot
+               FROM e a JOIN e b ON a.vec_id < 50
+                 AND b.vec_id <> a.vec_id AND a.i = b.i
+               GROUP BY 1, 2),
+      true10 AS MATERIALIZED (SELECT qid, cid FROM (
+          SELECT d.qid, d.cid, row_number() OVER (PARTITION BY d.qid
+            ORDER BY CAST(d.dot AS DOUBLE) /
+              (sqrt(CAST(nc.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE)))
+              DESC, d.cid) AS rk
+          FROM dots d
+          JOIN n nq ON d.qid = nq.vec_id
+          JOIN n nc ON d.cid = nc.vec_id) WHERE rk <= 10),
+      ${Seq(8, 16, 32).map(cellsSweepBlockSql).mkString(",")}
+      SELECT * FROM row8 UNION ALL SELECT * FROM row16
+      UNION ALL SELECT * FROM row32 ORDER BY cells""",
     "q_text_gopher_rules" -> """
       WITH t AS (SELECT source, string_split(text, ' ') AS a
                  FROM documents),

@@ -235,6 +235,64 @@ class Wave35Spec extends AnyFunSuite {
       "KN scores collapse onto add-one — wrong smoothing?")
   }
 
+  test("k-center stops at point-set exhaustion instead of duplicating") {
+    // k > distinct points: after every point is a center the max-min
+    // distance is 0 and the greedy argmax would re-pick an existing
+    // center with radius 0 forever — the loop must stop ("k centers
+    // OR the whole point set")
+    val three = Tables(spark, sf, "embeddings").filter(col("vec_id") < 3)
+    val rows = try api.Graft.kcenterInit(three, "vec_id", "embedding",
+        k = 8).collect().toSeq
+      finally CacheScope.release()
+    assert(rows.size == 3, s"expected 3 centers, got ${rows.size}")
+    assert(rows.map(_.getLong(1)).toSet == Set(0L, 1L, 2L))
+    assert(rows.drop(1).forall(_.getLong(2) > 0L),
+      "a duplicate zero-radius center was emitted")
+  }
+
+  test("weightedSample raises on non-positive weights") {
+    import spark.implicits._
+    val bad = Seq((1L, 10L), (2L, 0L)).toDF("id", "wt")
+    val e = intercept[Exception] {
+      api.Graft.weightedSample(bad, "id", "wt").collect()
+    }
+    assert(e.getMessage.contains("weights must be positive") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("weights must be positive"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("substring cut <= profile coverage, and respects keep-first") {
+    // every cut position is by definition a duplicated position, so
+    // per-corpus cut tokens can never exceed profiled dup tokens; and
+    // a corpus with duplicates must cut SOMETHING while keeping the
+    // first occurrences (cut < dup strictly here: each dup gram keeps
+    // one occurrence)
+    val dup = try SparkEntry.queries("q_dedup_substring")(spark, sf)
+        .agg(sum(col("dup_tokens"))).collect()(0).getLong(0)
+      finally CacheScope.release()
+    val cut = try SparkEntry.queries("q_dedup_substring_cut")(spark, sf)
+        .agg(sum(col("cut_tokens"))).collect()(0).getLong(0)
+      finally CacheScope.release()
+    assert(cut > 0L, "fixture has dups but nothing would be cut")
+    assert(cut < dup, s"cut $cut !< dup $dup — keep-first violated")
+  }
+
+  test("ivf cells frontier: more cells = fewer candidates scanned") {
+    val rows = try
+        SparkEntry.queries("q_sim_ivf_cells_sweep")(spark, sf)
+          .orderBy(col("cells")).collect().toSeq
+      finally CacheScope.release()
+    assert(rows.map(_.getLong(0)) == Seq(8L, 16L, 32L))
+    val cands = rows.map(_.getLong(2))
+    cands.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"candidate volume not shrinking with cells: $cands")
+      case _ => () }
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0L && r.getLong(3) <= 1000L, r)
+    }
+  }
+
   test("rebalance plan description stays linear in rounds (r14 item 6)") {
     // the first pure-dataflow cut referenced the state frame 3x per
     // round; InMemoryRelation embeds its cached child plan, so the
