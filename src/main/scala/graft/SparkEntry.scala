@@ -78,6 +78,7 @@ object SparkEntry {
     (CorpusOps44.queries, CorpusOps44.oracle),
     (CorpusOps45.queries, CorpusOps45.oracle),
     (CorpusOps46.queries, CorpusOps46.oracle),
+    (CorpusOps47.queries, CorpusOps47.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -347,34 +347,8 @@ object CorpusOps46 {
   /** The rule battery behind [[qTextGopherRules]] and
     * `Graft.gopherRules`: `docs` = (grp, text). */
   private[graft] def gopherRulesFrom(docs: org.apache.spark.sql.DataFrame,
-      grp: String): org.apache.spark.sql.DataFrame = {
-    val stops = Seq("the", "a", "and", "of", "to", "in", "is",
-      "le", "la", "et", "de", "les", "un",
-      "der", "die", "und", "das", "ein", "ist",
-      "el", "los", "y", "que", "en")
-    val stopList = stops.map(w => s"'$w'").mkString(", ")
-    docs
-      .select(col(grp), split(col("text"), " ").as("t"))
-      .select(col(grp),
-        size(col("t")).cast("long").as("nw"),
-        expr("""CAST(aggregate(t, 0, (a, w) -> a + length(w))
-                AS BIGINT)""").as("nchars"),
-        expr(s"size(filter(t, w -> w IN ($stopList)))").cast("long")
-          .as("stophits"),
-        expr("size(filter(t, w -> w rlike '[a-zA-Z]'))").cast("long")
-          .as("alphaw"))
-      .select(col(grp),
-        when(col("nw") >= 50, 1L).otherwise(0L).as("r_minwords"),
-        // 3 <= chars/words <= 10 by cross-multiplication
-        when(col("nchars") >= col("nw") * 3 &&
-          col("nchars") <= col("nw") * 10, 1L).otherwise(0L)
-          .as("r_wordlen"),
-        when(col("stophits") >= 2, 1L).otherwise(0L).as("r_stopwords"),
-        when(col("alphaw") * 1000 >= col("nw") * 800, 1L).otherwise(0L)
-          .as("r_alpha"))
-      .withColumn("r_all",
-        col("r_minwords") * col("r_wordlen") *
-          col("r_stopwords") * col("r_alpha"))
+      grp: String): org.apache.spark.sql.DataFrame =
+    gopherFlagged(docs, Seq(grp))
       .groupBy(col(grp))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("r_minwords")).as("pass_minwords"),
@@ -383,6 +357,43 @@ object CorpusOps46 {
         sum(col("r_alpha")).as("pass_alpha"),
         sum(col("r_all")).as("pass_all"))
       .orderBy(col(grp))
+
+  /** The per-document rule flags behind [[gopherRulesFrom]] and the
+    * r15 attrition waterfall (CorpusOps47): evaluates the four Gopher
+    * A1.1 rules on a frame carrying `text`, returning the `keep`
+    * pass-through columns plus `nw` (whitespace-token count) and the
+    * five 0/1 flag columns. One map-side scan, no shuffle — callers
+    * aggregate. */
+  private[graft] def gopherFlagged(docs: org.apache.spark.sql.DataFrame,
+      keep: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is",
+      "le", "la", "et", "de", "les", "un",
+      "der", "die", "und", "das", "ein", "ist",
+      "el", "los", "y", "que", "en")
+    val stopList = stops.map(w => s"'$w'").mkString(", ")
+    val keepC = keep.map(col)
+    docs
+      .select(keepC :+ split(col("text"), " ").as("t"): _*)
+      .select(keepC ++ Seq(
+        size(col("t")).cast("long").as("nw"),
+        expr("""CAST(aggregate(t, 0, (a, w) -> a + length(w))
+                AS BIGINT)""").as("nchars"),
+        expr(s"size(filter(t, w -> w IN ($stopList)))").cast("long")
+          .as("stophits"),
+        expr("size(filter(t, w -> w rlike '[a-zA-Z]'))").cast("long")
+          .as("alphaw")): _*)
+      .select(keepC ++ Seq(col("nw"),
+        when(col("nw") >= 50, 1L).otherwise(0L).as("r_minwords"),
+        // 3 <= chars/words <= 10 by cross-multiplication
+        when(col("nchars") >= col("nw") * 3 &&
+          col("nchars") <= col("nw") * 10, 1L).otherwise(0L)
+          .as("r_wordlen"),
+        when(col("stophits") >= 2, 1L).otherwise(0L).as("r_stopwords"),
+        when(col("alphaw") * 1000 >= col("nw") * 800, 1L).otherwise(0L)
+          .as("r_alpha")): _*)
+      .withColumn("r_all",
+        col("r_minwords") * col("r_wordlen") *
+          col("r_stopwords") * col("r_alpha"))
   }
 
   /** Per-rank DCG weights round(1e6 / log2(rank + 1)) for ranks 1..10

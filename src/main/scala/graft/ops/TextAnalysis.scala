@@ -15,7 +15,7 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  private[graft] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
     "fr" -> Seq("le", "la", "et", "de", "les", "un"),
     "de" -> Seq("der", "die", "und", "das", "ein", "ist"),
