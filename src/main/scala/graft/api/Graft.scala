@@ -726,4 +726,60 @@ object Graft {
       .withColumn("n2", call_function("dotq", col("q"), col("q")))
     graft.ops.Similarity.semanticDedupImpl(emb, threshold, nprobe)
   }
+
+  /** Full k-means (Lloyd) training loop: seed centroids from the `k`
+    * lowest ids, then `rounds` rounds of assign-by-cosine → recompute
+    * FLOORED-MEAN centroids (corpus-invariant component magnitudes —
+    * the multi-round-safe variant of the single step's integer-sum
+    * centroid). Returns the per-round census (`round`, `cid`, `n`,
+    * `moved`, `min_vec`). Each round is one corpus scan against a
+    * k-row broadcast literal; the plan stays linear in rounds. */
+  def kmeansTrain(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, rounds: Int = 3): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k out of range: $k")
+    require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
+    GraftFunctions.register(embs.sparkSession)
+    graft.ops.CorpusOps47.kmeansTrainFrom(
+      embs.select(col(idCol).cast("long").as("vec_id"),
+        expr(s"""transform($vecCol, x ->
+            CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
+          .as("q")), k, rounds)
+  }
+
+  /** Soft deduplication: weight every exact-duplicate copy by
+    * 1/cluster-size instead of deleting it. Returns per group
+    * (`n_docs`, `dup_docs`, `raw_tokens`, `eff_tokens_milli`) — the
+    * raw-vs-effective token-mass mixture table a sampler consumes.
+    * The cluster-size table grows with the corpus, so the join back
+    * is co-partitioned on the fingerprint, never broadcast; effective
+    * mass is summed in DECIMAL(38,0). */
+  def softdedupWeights(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.CorpusOps47.softdedupFrom(
+      docs.select(col(groupCol).as("__grp"), col(textCol).as("text")),
+      "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
+  /** The staged filter→dedup attrition waterfall: stage 0 = raw,
+    * stage 1 = passes all four Gopher A1.1 rules, stage 2 = stage-1
+    * survivors after exact-dup removal keeping the lowest id per md5
+    * cluster. Returns (`stage`, `groupCol`, `n_docs`, `n_tokens`).
+    * One persisted per-doc flags scan feeds all three stages. */
+  def attritionWaterfall(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String): DataFrame =
+    graft.ops.CorpusOps47.attritionFrom(
+      docs.select(col(idCol).as("doc_id"), col(groupCol).as("__grp"),
+        col(textCol).as("text")), "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
+  /** Quality-threshold attrition sweep: docs and tokens kept at
+    * integer quality-score thresholds 0, 100, …, 900 (the
+    * q_text_quality axes in exact milli-units with the same 5/3/1/1
+    * weights). One corpus scan to a ≤10-row score-bucket histogram;
+    * the sweep is a literal-frame join against it, never a corpus
+    * fan-out. Monotone non-increasing in the threshold. */
+  def qualityThresholdSweep(docs: DataFrame, textCol: String)
+      : DataFrame =
+    graft.ops.CorpusOps47.thresholdSweepFrom(
+      docs.select(col(textCol).as("text")))
 }

@@ -187,7 +187,8 @@ object CorpusOps47 {
     * q_text_perplexity discipline), and split each language into
     * head/middle/tail at the perplexity terciles. The cut here is
     * VALUE-GRANULAR: the tercile boundaries are the smallest
-    * milli-bits-per-bigram values whose cumulative doc count reaches
+    * per-bigram rates (`rate_nbits` = nll_micro · 1000 div n_bigrams,
+    * nano-bits per bigram) whose cumulative doc count reaches
     * 1/3 and 2/3, and equal rates always share a bucket — the
     * deterministic (and shuffle-order-free) variant of ntile's
     * arbitrary tie splitting.
@@ -196,7 +197,7 @@ object CorpusOps47 {
     * measured-cardinality gate exactly like q_text_perplexity (bigram
     * TYPES grow with the corpus — Heaps' law). The tercile cut needs
     * NO per-language global sort: rates are integers in a bounded
-    * range, so the cut points come from a (lang, mbits) HISTOGRAM —
+    * range, so the cut points come from a (lang, rate_nbits) HISTOGRAM —
     * |langs| × |distinct rates| rows, window over the tiny frame,
     * |langs|-row broadcast back. Languages absent from the trusted
     * slice have no LM and are unscorable (inner join, declared). */
@@ -238,29 +239,29 @@ object CorpusOps47 {
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("bits_micro")).as("nll_micro"),
         count(lit(1)).as("nb"))
-      .withColumn("mbits", expr("nll_micro * 1000 div nb"))
+      .withColumn("rate_nbits", expr("nll_micro * 1000 div nb"))
     val scored = graft.CacheScope.track(sc
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // value-granular tercile cut points from the small rate histogram
-    val hw = Window.partitionBy(col("lang")).orderBy(col("mbits"))
-    val hist = scored.groupBy(col("lang"), col("mbits"))
+    val hw = Window.partitionBy(col("lang")).orderBy(col("rate_nbits"))
+    val hist = scored.groupBy(col("lang"), col("rate_nbits"))
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(hw))
       .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("lang"))))
     val cuts = hist.groupBy(col("lang"))
-      .agg(min(when(col("cum") * 3 >= col("tot"), col("mbits")))
+      .agg(min(when(col("cum") * 3 >= col("tot"), col("rate_nbits")))
         .as("cut1"),
-        min(when(col("cum") * 3 >= col("tot") * 2, col("mbits")))
+        min(when(col("cum") * 3 >= col("tot") * 2, col("rate_nbits")))
           .as("cut2"))
     scored.join(broadcast(cuts), Seq("lang"))
       .withColumn("bucket",
-        when(col("mbits") <= col("cut1"), "head")
-          .when(col("mbits") <= col("cut2"), "middle")
+        when(col("rate_nbits") <= col("cut1"), "head")
+          .when(col("rate_nbits") <= col("cut2"), "middle")
           .otherwise("tail"))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bigrams"),
-        min(col("mbits")).as("min_mbits"),
-        max(col("mbits")).as("max_mbits"))
+        min(col("rate_nbits")).as("min_rate_nbits"),
+        max(col("rate_nbits")).as("max_rate_nbits"))
       .orderBy(col("lang"), col("bucket"))
   }
 
@@ -605,24 +606,24 @@ object CorpusOps47 {
                      LEFT JOIN c1 USING (lang, w1)
                      JOIN v ON bg.lang = v.lang
              WHERE source <> 'src0' GROUP BY 1, 2),
-      r AS MATERIALIZED (SELECT *, nll_micro * 1000 // nb AS mbits
+      r AS MATERIALIZED (SELECT *, nll_micro * 1000 // nb AS rate_nbits
                          FROM sc),
-      hist AS (SELECT lang, mbits, count(*) AS c FROM r GROUP BY 1, 2),
-      cum AS (SELECT lang, mbits,
-                sum(c) OVER (PARTITION BY lang ORDER BY mbits) AS cum,
+      hist AS (SELECT lang, rate_nbits, count(*) AS c FROM r GROUP BY 1, 2),
+      cum AS (SELECT lang, rate_nbits,
+                sum(c) OVER (PARTITION BY lang ORDER BY rate_nbits) AS cum,
                 sum(c) OVER (PARTITION BY lang) AS tot
               FROM hist),
       cuts AS (SELECT lang,
-                 min(CASE WHEN cum * 3 >= tot THEN mbits END) AS cut1,
-                 min(CASE WHEN cum * 3 >= tot * 2 THEN mbits END) AS cut2
+                 min(CASE WHEN cum * 3 >= tot THEN rate_nbits END) AS cut1,
+                 min(CASE WHEN cum * 3 >= tot * 2 THEN rate_nbits END) AS cut2
                FROM cum GROUP BY lang)
       SELECT r.lang AS lang,
-        CASE WHEN mbits <= cut1 THEN 'head'
-             WHEN mbits <= cut2 THEN 'middle'
+        CASE WHEN rate_nbits <= cut1 THEN 'head'
+             WHEN rate_nbits <= cut2 THEN 'middle'
              ELSE 'tail' END AS bucket,
         count(*) AS n_docs, CAST(sum(nb) AS BIGINT) AS n_bigrams,
-        CAST(min(mbits) AS BIGINT) AS min_mbits,
-        CAST(max(mbits) AS BIGINT) AS max_mbits
+        CAST(min(rate_nbits) AS BIGINT) AS min_rate_nbits,
+        CAST(max(rate_nbits) AS BIGINT) AS max_rate_nbits
       FROM r JOIN cuts ON r.lang = cuts.lang
       GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_mix_softdedup" -> """

@@ -410,6 +410,44 @@ class GraftApiSpec extends AnyFunSuite {
     assert(ws.nonEmpty && ws == declaredWs)
   }
 
+  test("wave-36 facades == the declared queries") {
+    val docs = Tables(spark, sf, "documents")
+    val embs = Tables(spark, sf, "embeddings")
+    def run(q: String): Seq[org.apache.spark.sql.Row] =
+      try SparkEntry.queries(q)(spark, sf).collect().toSeq
+      finally CacheScope.release()
+    val km = try Graft.kmeansTrain(embs, "vec_id", "embedding")
+        .collect().toSeq
+      finally CacheScope.release()
+    assert(km.nonEmpty && km == run("q_sim_kmeans_train"))
+    val sd = try Graft.softdedupWeights(docs, "text", "source")
+        .collect().toSeq
+      finally CacheScope.release()
+    assert(sd.nonEmpty && sd == run("q_mix_softdedup"))
+    val aw = try Graft.attritionWaterfall(docs, "doc_id", "text",
+        "source").collect().toSeq
+      finally CacheScope.release()
+    assert(aw.nonEmpty && aw == run("q_pipeline_attrition"))
+    val ts = try Graft.qualityThresholdSweep(docs, "text")
+        .collect().toSeq
+      finally CacheScope.release()
+    assert(ts.size == 10 && ts == run("q_select_threshold_sweep"))
+  }
+
+  test("kmeansTrain rounds knob: rounds=1 is the prefix of rounds=3") {
+    // each round's census depends only on the persisted base + the
+    // collected centroids of the PREVIOUS round — a shorter run is a
+    // prefix of a longer one
+    val embs = Tables(spark, sf, "embeddings")
+    val r3 = try Graft.kmeansTrain(embs, "vec_id", "embedding",
+        rounds = 3).collect().toSeq
+      finally CacheScope.release()
+    val r1 = try Graft.kmeansTrain(embs, "vec_id", "embedding",
+        rounds = 1).collect().toSeq
+      finally CacheScope.release()
+    assert(r1 == r3.filter(_.getLong(0) <= 1L))
+  }
+
   test("kcenterInit k knob: k=4 picks the prefix of the k=8 curve") {
     // greedy selection is prefix-stable: the first 4 centers (and
     // radii) of an 8-center run ARE the 4-center run
