@@ -117,7 +117,18 @@ object Bench {
     "q_eval_ndcg",             // position-discounted retrieval gain (r15)
     "q_sample_aes",            // A-ES weighted one-pass sample (r15)
     "q_dedup_substring_cut",   // keep-first span-cut shrink estimate (r15)
-    "q_sim_ivf_cells_sweep")   // cells-knob recall/cost frontier (r15)
+    "q_sim_ivf_cells_sweep",   // cells-knob recall/cost frontier (r15)
+    "q_sim_kmeans_train",      // 3-round Lloyd census loop (r15 w36)
+    "q_text_ccnet_cut",        // per-language perplexity terciles (r15 w36)
+    "q_mix_softdedup",         // inverse-cluster-size reweighting (r15 w36)
+    "q_pipeline_attrition",    // filter->dedup waterfall (r15 w36)
+    "q_emb_rp",                // JL sign projection + distortion audit (r15 w36)
+    "q_select_threshold_sweep",// quality-cut attrition sweep (r15 w36)
+    "q_dedup_dup_spectrum",    // multi-width duplication spectrum (r15 w36)
+    "q_sim_ivf_retrain_audit", // seed-vs-trained quantizer balance (r15 w37)
+    "q_sample_neyman",         // Neyman stratified allocation (r15 w37)
+    "q_mix_epoch_plan",        // repetition-value epoch plan (r15 w37)
+    "q_mix_temperature_sweep") // IEEE-exact tau-ladder mixture sweep (r15 w37)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

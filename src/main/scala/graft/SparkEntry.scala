@@ -79,6 +79,7 @@ object SparkEntry {
     (CorpusOps45.queries, CorpusOps45.oracle),
     (CorpusOps46.queries, CorpusOps46.oracle),
     (CorpusOps47.queries, CorpusOps47.oracle),
+    (CorpusOps48.queries, CorpusOps48.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

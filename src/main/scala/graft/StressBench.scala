@@ -97,7 +97,21 @@ object StressBench {
     "q_dedup_substring", "q_sim_kcenter", "q_text_kneser_ney",
     "q_eval_retrieval_recall", "q_eval_mrr", "q_text_gopher_rules",
     "q_eval_ndcg", "q_sample_aes",
-    "q_dedup_substring_cut", "q_sim_ivf_cells_sweep")
+    "q_dedup_substring_cut", "q_sim_ivf_cells_sweep",
+    // r15 wave 36, stressed the round it ships: kmeans_train is 4
+    // broadcast-literal corpus scans (~linear), ccnet_cut the
+    // perplexity LM class + a tiny histogram, softdedup one
+    // co-partitioned fp join, attrition one flags scan + survivor
+    // shuffle, emb_rp a bounded-pair audit (~flat), the sweep one
+    // scan to a 10-row histogram, the spectrum 3 substring passes
+    "q_sim_kmeans_train", "q_text_ccnet_cut", "q_mix_softdedup",
+    "q_pipeline_attrition", "q_emb_rp", "q_select_threshold_sweep",
+    "q_dedup_dup_spectrum",
+    // r15 wave 37: retrain audit = the training loop + a tiny census
+    // rollup (expect the kmeans class), the other three are one
+    // |sources|-row scan each (expect scale-flat-to-linear)
+    "q_sim_ivf_retrain_audit", "q_sample_neyman", "q_mix_epoch_plan",
+    "q_mix_temperature_sweep")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

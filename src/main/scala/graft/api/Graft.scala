@@ -782,4 +782,20 @@ object Graft {
       : DataFrame =
     graft.ops.CorpusOps47.thresholdSweepFrom(
       docs.select(col(textCol).as("text")))
+
+  /** Neyman optimal stratified allocation (Neyman 1934): split a
+    * sampling `budget` across strata proportional to N_h · S_h
+    * (stratum size × std-dev of `valueCol`), integerized by floor +
+    * largest-remainder apportionment (deterministic: remainder desc,
+    * stratum asc). Returns (`groupCol`, `n_docs`, `sd_milli`, `w`,
+    * `alloc`) with Σ alloc = budget exactly. One scan to a
+    * |strata|-row frame; the windows run on that frame only. */
+  def neymanAllocation(obs: DataFrame, valueCol: String,
+      groupCol: String, budget: Long = 100L): DataFrame = {
+    require(budget >= 1, s"budget out of range: $budget")
+    graft.ops.CorpusOps48.neymanFrom(
+      obs.select(col(groupCol).as("__grp"),
+        col(valueCol).cast("long").as("ntok")), "__grp", budget)
+      .withColumnRenamed("__grp", groupCol)
+  }
 }

@@ -134,7 +134,7 @@ object CorpusOps47 {
     * centroid CTE c{r} (floored means of a{r−1} for r ≥ 1), norm +
     * score + assignment a{r}. MATERIALIZED keeps DuckDB from
     * re-evaluating shared rounds per consumer. */
-  private def kmRoundSql(r: Int): String = {
+  private[ops] def kmRoundSql(r: Int): String = {
     val cent =
       if (r == 0)
         s"""c0 AS MATERIALIZED (SELECT vec_id AS cid, i, v AS cv

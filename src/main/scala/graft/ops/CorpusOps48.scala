@@ -1,0 +1,247 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus operators, r15 wave 37 (SURVEY.md §2.M): the retrained-vs-
+  * seed IVF quantizer balance audit (the consumer of the wave-36
+  * Lloyd loop), Neyman optimal stratified allocation (Neyman JRSS
+  * 1934), the data-constrained repetition-value plan (the
+  * Muennighoff et al. 2023 epochs question in a declared
+  * geometric-half-decay form), and the sampling-temperature sweep
+  * over the IEEE-exact τ ladder {1, ½, ¼}.
+  *
+  * Determinism contract: exact int64 arithmetic; IEEE doubles only
+  * as single correctly-rounded ops (sqrt — never pow, whose libm
+  * results differ across engines) scaled to integers BEFORE any
+  * cross-row sum; largest-remainder apportionment with deterministic
+  * tie-breaks.
+  */
+object CorpusOps48 {
+
+  /** Retrained-vs-seed coarse-quantizer balance audit — the consumer
+    * of [[CorpusOps47.qSimKmeansTrain]]'s census: cell-size spread of
+    * the lowest-id seed quantizer (round 0) against the 3-round-
+    * trained one (round 3). `imbalance_permille` = max_cell · n_cells
+    * · 1000 div total (1000 = perfectly balanced) — the number that
+    * predicts hot-cell rebalance frequency and same-cell pair-stream
+    * cost for the whole IVF family (every cell-blocked operator is
+    * O(Σ cell²), so the trained quantizer's lower spread is a direct
+    * pair-stream saving).
+    *
+    * Scale: inherits the training loop's shape (K-row broadcast
+    * literals, K-bounded collects); the audit itself aggregates the
+    * ≤2K-row census. */
+  val qSimIvfRetrainAudit: Q = (s, dir) =>
+    CorpusOps47.kmeansTrainFrom(
+      EmbQuant.quantized(s, dir).select(col("vec_id"), col("q")),
+      Similarity.ivfCells(s), rounds = 3)
+      .filter(col("round").isin(0L, 3L))
+      .select(when(col("round") === 0L, "seed").otherwise("trained")
+        .as("quantizer"), col("n"))
+      .groupBy(col("quantizer"))
+      .agg(count(lit(1)).as("n_cells"), max(col("n")).as("max_cell"),
+        min(col("n")).as("min_cell"), sum(col("n")).as("total"))
+      .withColumn("imbalance_permille",
+        expr("max_cell * n_cells * 1000 div total"))
+      .orderBy(col("quantizer"))
+
+  /** Neyman optimal stratified allocation (Neyman, "On the two
+    * different aspects of the representative method", JRSS 1934): a
+    * 100-doc sampling budget split across sources proportional to
+    * N_h · S_h (stratum size × token-count standard deviation) — the
+    * allocation that minimizes estimator variance for a fixed budget,
+    * the stratified-sampling upgrade every corpus-stats job should
+    * run instead of proportional allocation. Integer allocations via
+    * floor + largest-remainder apportionment (remainder desc, source
+    * asc — deterministic).
+    *
+    * Determinism: S_h is one correctly-rounded IEEE sqrt of the exact
+    * integer variance numerator (N·Σx² − (Σx)², nonneg) divided by N,
+    * scaled to milli BEFORE any cross-source arithmetic; everything
+    * after is exact int64. Zero-variance strata get weight 0
+    * (declared; an all-constant corpus has no Neyman allocation).
+    *
+    * Scale: one corpus scan partial-aggregates to |sources| rows;
+    * the apportionment windows run on that dictionary-sized frame. */
+  val qSampleNeyman: Q = (s, dir) =>
+    neymanFrom(Tables(s, dir, "documents")
+      .select(col("source").as("grp"),
+        size(split(col("text"), " ")).cast("long").as("ntok")),
+      "grp", 100L)
+      .withColumnRenamed("grp", "source")
+
+  /** The allocation behind [[qSampleNeyman]] and
+    * `Graft.neymanAllocation`: `obs` = (grp, ntok). */
+  private[graft] def neymanFrom(obs: DataFrame, grp: String,
+      budget: Long): DataFrame = {
+    val stats = obs
+      .groupBy(col(grp))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sx"),
+        sum(col("ntok") * col("ntok")).as("sxx"))
+      .withColumn("sd_milli", expr(
+        """cast(round(sqrt(cast(n_docs * sxx - sx * sx as double))
+           / cast(n_docs as double) * 1000) as bigint)"""))
+      .withColumn("w", col("n_docs") * col("sd_milli"))
+    val tot = stats.agg(sum(col("w")).as("tw"))
+    val alloc = stats.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * w) div tw"))
+      .withColumn("rem", expr(s"($budget * w) % tw"))
+    val short = alloc
+      .agg((lit(budget) - sum(col("base"))).as("leftover"))
+    // the apportionment windows run on the |groups|-row frame only
+    alloc.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col(grp))))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L))
+      .select(col(grp), col("n_docs"), col("sd_milli"), col("w"),
+        col("alloc"))
+      .orderBy(col(grp))
+  }
+
+  /** Data-constrained repetition-value plan (the Muennighoff et al.
+    * 2023 "Scaling Data-Constrained Language Models" question — how
+    * much is the R-th epoch over the same tokens worth?) in a
+    * DECLARED geometric-half-decay form: the R-th pass contributes
+    * (1/2)^(R−1) of a fresh-token pass, so R epochs of U tokens are
+    * worth U · (2 − 2^(1−R)) effective tokens — exact in milli as
+    * factor = 2000 − (2000 div (1 << R)), all integer. Emits per
+    * (source, R ∈ 1..4) the effective mass and the MARGINAL value of
+    * the R-th epoch — the diminishing-returns table an epoch planner
+    * reads against a compute budget. The paper fits the decay rate
+    * r*; the half-decay constant here is the declared fixture
+    * stand-in (the table's SHAPE is the operator).
+    *
+    * Scale: one corpus scan to |sources| rows, then a 4× literal
+    * fan-out of that dictionary-sized frame. */
+  val qMixEpochPlan: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy(col("source"))
+      .agg(sum(col("ntok")).as("raw_tokens"))
+      .select(col("source"), col("raw_tokens"),
+        explode(expr("sequence(1, 4)")).as("repeats"))
+      .withColumn("marginal_milli",
+        expr("raw_tokens * (2000 div shiftleft(1, repeats))"))
+      .withColumn("eff_tokens_milli",
+        expr("raw_tokens * (2000 - 2000 div shiftleft(1, repeats))"))
+      .select(col("source"), col("repeats").cast("long").as("repeats"),
+        col("raw_tokens"), col("eff_tokens_milli"), col("marginal_milli"))
+      .orderBy(col("source"), col("repeats"))
+
+  /** Sampling-temperature sweep over the IEEE-EXACT τ ladder
+    * {1, ½, ¼} (the q_mix_temperature operator promoted to a planning
+    * table): per-source share s ∝ n_docs^τ and a 2000-doc allocation
+    * at each temperature — the flatness-vs-fidelity frontier a
+    * multilingual/multi-domain mixture designer reads before picking
+    * τ (Gopher/PaLM-style mixtures). τ is restricted to powers of ½
+    * where n^τ is a chain of correctly-rounded IEEE sqrts — `pow`
+    * is NOT correctly rounded and differs across libm
+    * implementations, so an arbitrary-τ sweep could not be
+    * value-oracled.
+    *
+    * Scale: one corpus scan to |sources| rows; the sweep is a 3×
+    * literal fan-out of that frame. */
+  val qMixTemperatureSweep: Q = (s, dir) => {
+    val budget = 2000L
+    val stats = Tables(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        explode(expr("array(1000, 500, 250)")).as("tau_milli"))
+      .withColumn("s_micro", expr(
+        """cast(round(CASE tau_milli
+             WHEN 1000 THEN cast(n_docs as double)
+             WHEN 500 THEN sqrt(cast(n_docs as double))
+             ELSE sqrt(sqrt(cast(n_docs as double))) END * 1e6)
+           as bigint)"""))
+    val tot = stats.groupBy(col("tau_milli"))
+      .agg(sum(col("s_micro")).as("tot_micro"))
+    stats.join(broadcast(tot), Seq("tau_milli"))
+      .withColumn("alloc_docs",
+        expr(s"($budget * s_micro) div tot_micro"))
+      .select(col("tau_milli").cast("long").as("tau_milli"),
+        col("source"), col("n_docs"), col("s_micro"), col("alloc_docs"))
+      .orderBy(col("tau_milli"), col("source"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sim_ivf_retrain_audit" -> qSimIvfRetrainAudit,
+    "q_sample_neyman" -> qSampleNeyman,
+    "q_mix_epoch_plan" -> qMixEpochPlan,
+    "q_mix_temperature_sweep" -> qMixTemperatureSweep)
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_ivf_retrain_audit" -> s"""
+      WITH e AS MATERIALIZED (${Similarity.quantSql}),
+      n AS MATERIALIZED (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+                         FROM e GROUP BY vec_id),
+      ${(0 to 3).map(CorpusOps47.kmRoundSql).mkString(",\n")},
+      census AS (
+        SELECT 'seed' AS quantizer, cid, count(*) AS n
+        FROM a0 GROUP BY cid
+        UNION ALL
+        SELECT 'trained', cid, count(*) FROM a3 GROUP BY cid)
+      SELECT quantizer, count(*) AS n_cells,
+        CAST(max(n) AS BIGINT) AS max_cell,
+        CAST(min(n) AS BIGINT) AS min_cell,
+        CAST(sum(n) AS BIGINT) AS total,
+        CAST(max(n) * count(*) * 1000 // sum(n) AS BIGINT)
+          AS imbalance_permille
+      FROM census GROUP BY quantizer ORDER BY quantizer""",
+    "q_sample_neyman" -> """
+      WITH st AS (SELECT source, count(*) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sx,
+          CAST(sum(len(string_split(text, ' ')) *
+                   len(string_split(text, ' '))) AS BIGINT) AS sxx
+        FROM documents GROUP BY source),
+      sd AS (SELECT source, n_docs,
+               CAST(round(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))
+                 / CAST(n_docs AS DOUBLE) * 1000) AS BIGINT) AS sd_milli
+             FROM st),
+      w AS (SELECT *, n_docs * sd_milli AS w FROM sd),
+      tw AS (SELECT sum(w) AS tw FROM w),
+      alloc AS (SELECT w.*, (100 * w) // tw AS base, (100 * w) % tw
+                  AS rem
+                FROM w CROSS JOIN tw),
+      lo AS (SELECT 100 - sum(base) AS leftover FROM alloc)
+      SELECT source, n_docs, sd_milli, CAST(w AS BIGINT) AS w,
+        CAST(base + (CASE WHEN row_number() OVER
+            (ORDER BY rem DESC, source) <= (SELECT leftover FROM lo)
+          THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+      FROM alloc ORDER BY source""",
+    "q_mix_epoch_plan" -> """
+      WITH st AS (SELECT source,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+            AS raw_tokens
+        FROM documents GROUP BY source)
+      SELECT source, CAST(r AS BIGINT) AS repeats, raw_tokens,
+        CAST(raw_tokens * (2000 - 2000 // (1 << r)) AS BIGINT)
+          AS eff_tokens_milli,
+        CAST(raw_tokens * (2000 // (1 << r)) AS BIGINT)
+          AS marginal_milli
+      FROM st, unnest(range(1, 5)) t(r)
+      ORDER BY source, repeats""",
+    "q_mix_temperature_sweep" -> """
+      WITH st AS (SELECT source, count(*) AS n_docs
+                  FROM documents GROUP BY source),
+      sw AS (SELECT source, n_docs, tau_milli,
+               CAST(round(CASE tau_milli
+                   WHEN 1000 THEN CAST(n_docs AS DOUBLE)
+                   WHEN 500 THEN sqrt(CAST(n_docs AS DOUBLE))
+                   ELSE sqrt(sqrt(CAST(n_docs AS DOUBLE))) END * 1e6)
+                 AS BIGINT) AS s_micro
+             FROM st, unnest([1000, 500, 250]) t(tau_milli)),
+      tot AS (SELECT tau_milli, sum(s_micro) AS tot_micro
+              FROM sw GROUP BY tau_milli)
+      SELECT CAST(sw.tau_milli AS BIGINT) AS tau_milli, source, n_docs,
+        s_micro, CAST((2000 * s_micro) // tot_micro AS BIGINT)
+          AS alloc_docs
+      FROM sw JOIN tot ON sw.tau_milli = tot.tau_milli
+      ORDER BY tau_milli, source""")
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r15 wave 37: the retrained-quantizer balance audit, Neyman
+  * stratified allocation, the repetition-value plan, and the
+  * temperature sweep — invariants the value oracle can't state
+  * (apportionment exactness, diminishing returns, ladder flatness). */
+class Wave37Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(q: String): Seq[org.apache.spark.sql.Row] =
+    try ops.CorpusOps48.queries(q)(spark, sf).collect().toSeq
+    finally CacheScope.release()
+
+  test("retrain audit: both quantizers census the whole corpus") {
+    val rows = run("q_sim_ivf_retrain_audit")
+    assert(rows.map(_.getString(0)) == Seq("seed", "trained"))
+    val tot = rows.map(_.getAs[Long]("total")).distinct
+    assert(tot.size == 1 && tot.head > 0, tot)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cells") <= 16)
+      assert(r.getAs[Long]("max_cell") >= r.getAs[Long]("min_cell"))
+      assert(r.getAs[Long]("min_cell") >= 1)
+      // max >= mean always: imbalance is bounded below by balanced
+      assert(r.getAs[Long]("imbalance_permille") >= 1000)
+    }
+  }
+
+  test("neyman allocation sums to the budget exactly, any budget") {
+    val rows = run("q_sample_neyman")
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 100L)
+    assert(rows.forall(_.getAs[Long]("alloc") >= 0))
+    // an odd budget exercises the largest-remainder top-up
+    val docs = Tables(spark, sf, "documents")
+    val odd = try api.Graft.neymanAllocation(
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).as("v"), col("source")),
+        "v", "source", budget = 37L).collect().toSeq
+      finally CacheScope.release()
+    assert(odd.map(_.getAs[Long]("alloc")).sum == 37L)
+    // facade at the declared budget == the declared query
+    val f = try api.Graft.neymanAllocation(
+        docs.select(size(split(col("text"), " ")).as("v"),
+          col("source")), "v", "source").collect().toSeq
+      finally CacheScope.release()
+    assert(f == rows)
+  }
+
+  test("epoch plan: diminishing returns with exact halving marginals") {
+    val rows = run("q_mix_epoch_plan")
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val by = rs.sortBy(_.getAs[Long]("repeats"))
+      assert(by.map(_.getAs[Long]("repeats")) == Seq(1L, 2L, 3L, 4L))
+      val eff = by.map(_.getAs[Long]("eff_tokens_milli"))
+      val marg = by.map(_.getAs[Long]("marginal_milli"))
+      val u = by.head.getAs[Long]("raw_tokens")
+      assert(eff.head == u * 1000, s"$src first epoch is full value")
+      // eff is the running sum of marginals; marginals halve exactly
+      assert(eff.sliding(2).zip(marg.tail.iterator).forall {
+        case (Seq(a, b), m) => b == a + m
+      }, src)
+      assert(marg.sliding(2).forall { case Seq(a, b) => a == 2 * b },
+        s"$src $marg")
+    }
+  }
+
+  test("temperature sweep: lower tau flattens the allocation spread") {
+    val rows = run("q_mix_temperature_sweep")
+    val byTau = rows.groupBy(_.getAs[Long]("tau_milli"))
+    assert(byTau.keySet == Set(1000L, 500L, 250L))
+    val n = byTau(1000L).size
+    byTau.foreach { case (tau, rs) =>
+      val total = rs.map(_.getAs[Long]("alloc_docs")).sum
+      assert(total <= 2000 && total > 2000 - n, s"tau $tau total $total")
+    }
+    // tau = 1 is the identity share
+    byTau(1000L).foreach(r =>
+      assert(r.getAs[Long]("s_micro") ==
+        r.getAs[Long]("n_docs") * 1000000L))
+    // spread (max - min alloc) is non-increasing as tau drops
+    def spread(tau: Long): Long = {
+      val a = byTau(tau).map(_.getAs[Long]("alloc_docs"))
+      a.max - a.min
+    }
+    assert(spread(1000L) >= spread(500L) && spread(500L) >= spread(250L),
+      Seq(spread(1000L), spread(500L), spread(250L)))
+  }
+}
