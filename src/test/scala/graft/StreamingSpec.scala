@@ -801,6 +801,57 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed substring profile diverges: ${got.take(3)} vs ${want.take(3)}")
   }
 
+  test("streaming soft-dedup ingest (foreachBatch) == batch weights") {
+    // q_mix_softdedup's shape as a live ingest: micro-batches append
+    // their (source, fp, ntok) FINGERPRINT rows — per-batch map-side
+    // work only, no cross-batch state — and rollup-on-read (cluster
+    // sizes over the full appended log → inverse-size weights) equals
+    // the batch mixture table bit-for-bit. Same append-only-delta +
+    // rollup discipline as the substring twin above: the expensive
+    // global state (cluster sizes) is never maintained incrementally,
+    // it is a query over the cheap appended artifact.
+    val srcDir = Files.createTempDirectory("sd_stream").toFile
+    srcDir.deleteOnExit()
+    Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val fpDir = Files.createTempDirectory("sd_fps").toFile
+    fpDir.deleteOnExit()
+    var batches = 0
+    val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        df.select(col("source"), md5(col("text")).as("fp"),
+            size(split(col("text"), " ")).cast("long").as("ntok"))
+          .write.mode("append").parquet(fpDir.getAbsolutePath)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val log = spark.read.parquet(fpDir.getAbsolutePath)
+    val cl = log.groupBy(col("fp")).agg(count(lit(1)).as("copies"))
+    val got = log.join(cl, Seq("fp"))
+      .withColumn("w_micro", expr("1000000 div copies"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(col("ntok")).as("raw_tokens"),
+        expr("""CAST(sum(CAST(ntok * w_micro AS DECIMAL(38, 0)))
+                DIV 1000 AS BIGINT)""").as("eff_tokens_milli"))
+      .orderBy(col("source")).collect().toSeq
+    val want = try
+        SparkEntry.queries("q_mix_softdedup")(spark, sf)
+          .collect().toSeq
+      finally CacheScope.release()
+    assert(got.nonEmpty && got == want,
+      s"streamed soft-dedup weights diverge: ${got.take(3)} vs ${want.take(3)}")
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
     val df = streamedEvents
       .withWatermark("ts", "1 hour")
