@@ -128,7 +128,9 @@ object Bench {
     "q_sim_ivf_retrain_audit", // seed-vs-trained quantizer balance (r15 w37)
     "q_sample_neyman",         // Neyman stratified allocation (r15 w37)
     "q_mix_epoch_plan",        // repetition-value epoch plan (r15 w37)
-    "q_mix_temperature_sweep") // IEEE-exact tau-ladder mixture sweep (r15 w37)
+    "q_mix_temperature_sweep", // IEEE-exact tau-ladder mixture sweep (r15 w37)
+    "q_dedup_threshold_sweep", // exact-ratio jaccard blast-radius sweep (r15 w38)
+    "q_graph_degree_dist")     // power-of-two degree histogram (r15 w38)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

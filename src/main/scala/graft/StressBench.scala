@@ -111,7 +111,12 @@ object StressBench {
     // rollup (expect the kmeans class), the other three are one
     // |sources|-row scan each (expect scale-flat-to-linear)
     "q_sim_ivf_retrain_audit", "q_sample_neyman", "q_mix_epoch_plan",
-    "q_mix_temperature_sweep")
+    "q_mix_temperature_sweep",
+    // r15 wave 38: the threshold sweep rides the persisted jaccard
+    // pair stream (expect the jaccard class), degree dist the pruned
+    // edge frame (expect the densification class — edges grow 335x
+    // under the fixed part catalog, the gate batch's known shape)
+    "q_dedup_threshold_sweep", "q_graph_degree_dist")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -461,10 +461,15 @@ object CorpusOps47 {
         size(array_distinct(col("t"))).cast("long").as("uniq"),
         expr(s"size(filter(t, w -> w IN ($stopList)))").cast("long")
           .as("stop"))
+      // greatest(_, 1) guards the degenerate empty-doc case the SAME
+      // way in both engines (Spark div-by-zero nulls, DuckDB errors —
+      // a silent cross-engine divergence otherwise); no fixture doc
+      // is empty, so shipped values are unchanged
       .withColumn("score_milli", expr(
-        """(5 * (uniq * 1000 div ntok) + 3 * (stop * 1000 div ntok)
-           + (1000 - punct * 1000 div nc)
-           + (1000 - digits * 1000 div nc)) div 10"""))
+        """(5 * (uniq * 1000 div greatest(ntok, 1))
+           + 3 * (stop * 1000 div greatest(ntok, 1))
+           + (1000 - punct * 1000 div greatest(nc, 1))
+           + (1000 - digits * 1000 div greatest(nc, 1))) div 10"""))
       .withColumn("b", least(expr("score_milli div 100"), lit(9L)))
       .groupBy(col("b"))
       .agg(count(lit(1)).as("d"), sum(col("ntok")).as("tk"))
@@ -706,9 +711,11 @@ object CorpusOps47 {
                 AS BIGINT) AS stop
             FROM d),
       sc AS (SELECT ntok,
-               (5 * (uniq * 1000 // ntok) + 3 * (stop * 1000 // ntok)
-                + (1000 - punct * 1000 // nc)
-                + (1000 - digits * 1000 // nc)) // 10 AS score_milli
+               (5 * (uniq * 1000 // greatest(ntok, 1))
+                + 3 * (stop * 1000 // greatest(ntok, 1))
+                + (1000 - punct * 1000 // greatest(nc, 1))
+                + (1000 - digits * 1000 // greatest(nc, 1))) // 10
+                 AS score_milli
              FROM m),
       bk AS (SELECT least(score_milli // 100, 9) AS b,
                count(*) AS d, CAST(sum(ntok) AS BIGINT) AS tk

@@ -170,11 +170,70 @@ object CorpusOps48 {
       .orderBy(col("tau_milli"), col("source"))
   }
 
+  /** Jaccard-threshold dedup sweep — "how aggressive is the dedup at
+    * each θ": candidate pairs from the df-capped shingle inverted
+    * index (the q_dedup_jaccard stream), thresholded at θ ∈ {0.2,
+    * 0.5, 0.8} by EXACT cross-multiplication (i · 1000 ≥ θ‰ · union —
+    * never the rounded double the presentation query emits), emitting
+    * pairs and distinct docs affected per θ — the
+    * blast-radius-vs-strictness table an owner reads before fixing
+    * the production threshold.
+    *
+    * Scale: ONE pass of the inverted-index pair stream (persisted by
+    * its builder) serves all three thresholds; the sweep explodes the
+    * BOUNDED pair stream 3×, never the corpus. Monotone non-increasing
+    * in θ by construction (spec-pinned). */
+  val qDedupThresholdSweep: Q = (s, dir) => {
+    val ps = Dedup.jaccardPairStream(s, dir)
+      .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
+        explode(expr("array(200, 500, 800)")).as("theta_permille"))
+      .filter(col("i") * 1000 >=
+        col("theta_permille") * (col("na") + col("nb") - col("i")))
+    val pairs = ps.groupBy(col("theta_permille"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docs = ps.select(col("theta_permille"),
+        explode(array(col("da"), col("db"))).as("d"))
+      .groupBy(col("theta_permille"))
+      .agg(countDistinct(col("d")).as("n_docs"))
+    pairs.join(docs, Seq("theta_permille"))
+      .select(col("theta_permille").cast("long").as("theta_permille"),
+        col("n_pairs"), col("n_docs"))
+      .orderBy(col("theta_permille"))
+  }
+
+  /** Degree distribution of the part co-purchase graph — the graph
+    * datacard's first figure: undirected degrees histogrammed in
+    * power-of-two buckets (bucket = floor(log2 deg), computed EXACTLY
+    * as binary-string length − 1 in both engines — no floating log
+    * near a power boundary). The heavy-tail shape decides every
+    * downstream join strategy: a fat top bucket is the skew that
+    * makes broadcast rank-joins and wedge fan-outs blow up (the
+    * measured densification that motivated the graph family's
+    * broadcastEdgeLimit gate).
+    *
+    * Scale: edges arrive support-pruned and aggregated; the degree
+    * agg is co-partitioned on the node; the histogram is ≤64 rows. */
+  val qGraphDegreeDist: Q = (s, dir) => {
+    val e = GraphOps.copurchaseEdges(s, dir)
+    e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .withColumn("deg_bucket",
+        (length(expr("conv(cast(deg as string), 10, 2)")) - 1)
+          .cast("long"))
+      .groupBy(col("deg_bucket"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"), sum(col("deg")).as("deg_mass"))
+      .orderBy(col("deg_bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_ivf_retrain_audit" -> qSimIvfRetrainAudit,
     "q_sample_neyman" -> qSampleNeyman,
     "q_mix_epoch_plan" -> qMixEpochPlan,
-    "q_mix_temperature_sweep" -> qMixTemperatureSweep)
+    "q_mix_temperature_sweep" -> qMixTemperatureSweep,
+    "q_dedup_threshold_sweep" -> qDedupThresholdSweep,
+    "q_graph_degree_dist" -> qGraphDegreeDist)
 
   val oracle: Map[String, String] = Map(
     "q_sim_ivf_retrain_audit" -> s"""
@@ -243,5 +302,36 @@ object CorpusOps48 {
         s_micro, CAST((2000 * s_micro) // tot_micro AS BIGINT)
           AS alloc_docs
       FROM sw JOIN tot ON sw.tau_milli = tot.tau_milli
-      ORDER BY tau_milli, source""")
+      ORDER BY tau_milli, source""",
+    "q_dedup_threshold_sweep" -> s"""
+      WITH ps AS MATERIALIZED (${Dedup.jaccardStreamSql}),
+      cand AS (SELECT t.theta, ps.da, ps.db FROM ps,
+                 unnest([200, 500, 800]) t(theta)
+               WHERE ps.i * 1000 >= t.theta * (ps.na + ps.nb - ps.i)),
+      pairs AS (SELECT theta, count(*) AS n_pairs FROM cand
+                GROUP BY theta),
+      docs AS (SELECT theta, count(DISTINCT d) AS n_docs
+               FROM (SELECT theta, unnest([da, db]) AS d FROM cand) u
+               GROUP BY theta)
+      SELECT CAST(pairs.theta AS BIGINT) AS theta_permille,
+        pairs.n_pairs, CAST(docs.n_docs AS BIGINT) AS n_docs
+      FROM pairs JOIN docs ON pairs.theta = docs.theta
+      ORDER BY theta_permille""",
+    "q_graph_degree_dist" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e
+                UNION ALL SELECT v FROM e) n GROUP BY node),
+      b AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS deg_bucket,
+              deg
+            FROM deg)
+      SELECT deg_bucket, count(*) AS n_nodes,
+        CAST(min(deg) AS BIGINT) AS min_deg,
+        CAST(max(deg) AS BIGINT) AS max_deg,
+        CAST(sum(deg) AS BIGINT) AS deg_mass
+      FROM b GROUP BY deg_bucket ORDER BY deg_bucket""")
 }

@@ -79,7 +79,20 @@ object Dedup {
     * iterative join nothing — the same inherited-orderBy tax the
     * simhash pair scan shed in r4). */
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession,
-                           dir: String): org.apache.spark.sql.DataFrame = {
+                           dir: String): org.apache.spark.sql.DataFrame =
+    jaccardPairStream(s, dir)
+      .select(col("da"), col("db"),
+        (col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double")).as("jacc"))
+      .filter(col("jacc") >= 0.2)
+
+  /** The INTEGER pair stream behind [[jaccardPairs]] and the r15
+    * threshold sweep (CorpusOps48): (da, db, i, na, nb) — intersection
+    * and set sizes before any ratio, so consumers can threshold by
+    * exact cross-multiplication instead of a rounded double. */
+  private[graft] def jaccardPairStream(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     // persist the hashed shingle stream: it feeds the hot-list agg, the
     // per-doc sizes agg, and both self-join sides — without it the
     // token-explode + concat_ws subtree (the CPU-heaviest part of the
@@ -115,10 +128,7 @@ object Dedup {
     inter
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .select(col("da"), col("db"),
-        (col("i").cast("double") /
-          (col("na") + col("nb") - col("i")).cast("double")).as("jacc"))
-      .filter(col("jacc") >= 0.2)
+      .select(col("da"), col("db"), col("i"), col("na"), col("nb"))
   }
 
   /** Where [[qDedupMinhash]] dumps its signature frame so the DuckDB
@@ -841,7 +851,10 @@ object Dedup {
 
   /** Exact word-3-gram Jaccard pair SQL (the [[qDedupJaccard]] oracle),
     * also embedded by the recall-table oracle as a CTE body. */
-  private val jaccardOracleSql = """
+  /** The integer pair stream (da, db, i, na, nb) — DuckDB twin of
+    * [[jaccardPairStream]], shared by the q_dedup_jaccard oracle and
+    * the r15 threshold-sweep oracle (CorpusOps48). */
+  private[ops] val jaccardStreamSql = """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                     FROM documents),
       sh0 AS (SELECT DISTINCT doc_id,
@@ -854,12 +867,17 @@ object Dedup {
                 FROM sh a JOIN sh b
                   ON a.g = b.g AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
-      SELECT da, db,
-        CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jacc
+      SELECT da, db, i, sa.n AS na, sb.n AS nb
       FROM inter
       JOIN sizes sa ON da = sa.doc_id
-      JOIN sizes sb ON db = sb.doc_id
-      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2
+      JOIN sizes sb ON db = sb.doc_id"""
+
+  private val jaccardOracleSql = s"""
+      WITH ps AS ($jaccardStreamSql)
+      SELECT da, db,
+        CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jacc
+      FROM ps
+      WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.2
       ORDER BY da, db"""
 
   private val simhashSql = """

@@ -172,7 +172,7 @@ object GraphOps {
     * peeling. The lineitem self-join partial-aggregates on (u, v)
     * BEFORE the support filter — the market-basket prune that bounds
     * edge density at any corpus size. */
-  private[ops] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     // distinct first: a part listed twice in one order must not count
     // as two co-orders (same edge definition as qBasketPairs)

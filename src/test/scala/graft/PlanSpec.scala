@@ -779,7 +779,10 @@ class PlanSpec extends AnyFunSuite {
     // so a new row-scale global window fails the suite instead of
     // hiding in log noise (VERDICT r10 item 7; q_ts_concurrency's
     // windows run over the per-day aggregate, CorpusOps12).
-    val allowed = Set("q_ts_concurrency")
+    // q_sample_neyman: the largest-remainder apportionment rank runs
+    // on the |sources|-row aggregate — dimension-bounded by contract
+    // (the second clause below still enforces the Aggregate child)
+    val allowed = Set("q_ts_concurrency", "q_sample_neyman")
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for (name <- Bench.headline) {
       val lp = SparkEntry.queries(name)(spark, sf)

@@ -66,6 +66,35 @@ class Wave37Spec extends AnyFunSuite {
     }
   }
 
+  test("jaccard threshold sweep is monotone non-increasing in theta") {
+    val rows = run("q_dedup_threshold_sweep")
+      .sortBy(_.getAs[Long]("theta_permille"))
+    assert(rows.map(_.getAs[Long]("theta_permille")) ==
+      Seq(200L, 500L, 800L))
+    Seq("n_pairs", "n_docs").foreach { c =>
+      val v = rows.map(_.getAs[Long](c))
+      assert(v(0) >= v(1) && v(1) >= v(2), s"$c $v")
+    }
+    // a pair touches exactly two docs; distinct docs never exceed 2x
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") <=
+      2 * r.getAs[Long]("n_pairs"), r.toString))
+  }
+
+  test("degree distribution: buckets partition nodes, mass = 2|E|") {
+    val rows = run("q_graph_degree_dist")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("deg_bucket")
+      val lo = r.getAs[Long]("min_deg")
+      val hi = r.getAs[Long]("max_deg")
+      // bucket = floor(log2 deg): every degree sits in [2^b, 2^(b+1))
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)), r.toString)
+    }
+    val mass = rows.map(_.getAs[Long]("deg_mass")).sum
+    val edges = try ops.GraphOps.copurchaseEdges(spark, sf).count()
+      finally CacheScope.release()
+    assert(mass == 2 * edges, s"mass $mass vs 2x$edges")
+  }
+
   test("temperature sweep: lower tau flattens the allocation spread") {
     val rows = run("q_mix_temperature_sweep")
     val byTau = rows.groupBy(_.getAs[Long]("tau_milli"))
