@@ -116,7 +116,10 @@ object StressBench {
     // pair stream (expect the jaccard class), degree dist the pruned
     // edge frame (expect the densification class — edges grow 335x
     // under the fixed part catalog, the gate batch's known shape)
-    "q_dedup_threshold_sweep", "q_graph_degree_dist")
+    "q_dedup_threshold_sweep", "q_graph_degree_dist",
+    // r15 wave 39: the audit runs all three blockers + the truth
+    // semi-joins in one query (expect the max of its parts' classes)
+    "q_dedup_blocking_audit")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -227,13 +227,61 @@ object CorpusOps48 {
       .orderBy(col("deg_bucket"))
   }
 
+  /** Blocking-strategy audit — "pick your candidate generator": the
+    * three fully-oracled near-dup blockers this library ships (the
+    * df-capped word-3-gram shingle inverted index of q_dedup_jaccard,
+    * the 4×15-bit pigeonhole SimHash block join of
+    * q_dedup_simhash_pairs, and the window-min winnowing fingerprints
+    * of q_dedup_winnow) measured against ONE truth: exact Jaccard
+    * ≥ 0.2 decided by integer cross-multiplication over the shingle
+    * pair stream. Per blocker: candidates generated, true pairs
+    * caught, precision and recall in exact permille — the
+    * cost-vs-coverage table that picks the production blocker before
+    * anyone runs a corpus-size join.
+    *
+    * Scale: each blocker is its own shipped pipeline (inverted-index
+    * joins, never all-pairs); the audit joins candidate streams
+    * against the persisted truth on (da, db) — pair-stream-sized,
+    * co-partitioned. Truth here is blocker-relative by construction
+    * (a jacc ≥ 0.2 pair always shares a kept shingle unless the df
+    * cap removed every shared shingle — the q_dedup_jaccard
+    * declaration). */
+  val qDedupBlockingAudit: Q = (s, dir) => {
+    val truth = graft.CacheScope.track(
+      Dedup.jaccardPairStream(s, dir)
+        .filter(col("i") * 1000 >=
+          lit(200) * (col("na") + col("nb") - col("i")))
+        .select(col("da"), col("db"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tt = truth.agg(count(lit(1)).as("truth_total"))
+    def audit(name: String, cand: DataFrame): DataFrame = {
+      val c = cand.select(col("da"), col("db"))
+      c.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(c.join(truth, Seq("da", "db"), "left_semi")
+          .agg(count(lit(1)).as("n_true")))
+        .crossJoin(tt)
+        .select(lit(name).as("blocker"), col("n_candidates"),
+          col("n_true"), col("truth_total"),
+          expr("n_true * 1000 div n_candidates")
+            .as("precision_permille"),
+          expr("n_true * 1000 div truth_total").as("recall_permille"))
+    }
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    audit("shingle_index", Dedup.jaccardPairStream(s, dir))
+      .unionAll(audit("simhash_block", Dedup.qDedupSimhashPairs(s, dir)))
+      .unionAll(audit("winnow_fp", Dedup.winnowPairs(docs)))
+      .orderBy(col("blocker"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_ivf_retrain_audit" -> qSimIvfRetrainAudit,
     "q_sample_neyman" -> qSampleNeyman,
     "q_mix_epoch_plan" -> qMixEpochPlan,
     "q_mix_temperature_sweep" -> qMixTemperatureSweep,
     "q_dedup_threshold_sweep" -> qDedupThresholdSweep,
-    "q_graph_degree_dist" -> qGraphDegreeDist)
+    "q_graph_degree_dist" -> qGraphDegreeDist,
+    "q_dedup_blocking_audit" -> qDedupBlockingAudit)
 
   val oracle: Map[String, String] = Map(
     "q_sim_ivf_retrain_audit" -> s"""
@@ -333,5 +381,36 @@ object CorpusOps48 {
         CAST(min(deg) AS BIGINT) AS min_deg,
         CAST(max(deg) AS BIGINT) AS max_deg,
         CAST(sum(deg) AS BIGINT) AS deg_mass
-      FROM b GROUP BY deg_bucket ORDER BY deg_bucket""")
+      FROM b GROUP BY deg_bucket ORDER BY deg_bucket""",
+    "q_dedup_blocking_audit" -> s"""
+      WITH ps AS MATERIALIZED (${Dedup.jaccardStreamSql}),
+      truth AS MATERIALIZED (
+        SELECT da, db FROM ps WHERE i * 1000 >= 200 * (na + nb - i)),
+      tt AS (SELECT count(*) AS truth_total FROM truth),
+      shing AS (SELECT da, db FROM ps),
+      simp AS MATERIALIZED (${Dedup.simhashPairsOracleSql}),
+      winp AS MATERIALIZED (${Dedup.winnowOracleSql}),
+      rows_ AS (
+        SELECT 'shingle_index' AS blocker,
+          (SELECT count(*) FROM shing) AS n_candidates,
+          (SELECT count(*) FROM shing s JOIN truth t
+             ON s.da = t.da AND s.db = t.db) AS n_true
+        UNION ALL
+        SELECT 'simhash_block',
+          (SELECT count(*) FROM simp),
+          (SELECT count(*) FROM simp s JOIN truth t
+             ON s.da = t.da AND s.db = t.db)
+        UNION ALL
+        SELECT 'winnow_fp',
+          (SELECT count(*) FROM winp),
+          (SELECT count(*) FROM winp s JOIN truth t
+             ON s.da = t.da AND s.db = t.db))
+      SELECT blocker, CAST(n_candidates AS BIGINT) AS n_candidates,
+        CAST(n_true AS BIGINT) AS n_true,
+        CAST(tt.truth_total AS BIGINT) AS truth_total,
+        CAST(n_true * 1000 // n_candidates AS BIGINT)
+          AS precision_permille,
+        CAST(n_true * 1000 // tt.truth_total AS BIGINT)
+          AS recall_permille
+      FROM rows_ CROSS JOIN tt ORDER BY blocker""")
 }

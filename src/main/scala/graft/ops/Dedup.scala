@@ -880,6 +880,32 @@ object Dedup {
       WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.2
       ORDER BY da, db"""
 
+  /** DuckDB twin of [[qDedupWinnow]] — shared by its own oracle entry
+    * and the r15 blocking-audit oracle (CorpusOps48). */
+  private[ops] val winnowOracleSql: String = """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      g AS (SELECT doc_id, i AS pos,
+              CAST('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' ||
+                t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]), 1, 15)
+                AS BIGINT) AS h
+            FROM (SELECT *, unnest(range(1, len(t) - 3)) AS i FROM toks)),
+      ng AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      ws AS (SELECT g.doc_id, g.pos AS w0 FROM g JOIN ng USING (doc_id)
+             WHERE g.pos <= greatest(ng.n - 3, 1)),
+      wmin AS (SELECT ws.doc_id, ws.w0, min(g.h) AS mh
+               FROM ws JOIN g ON g.doc_id = ws.doc_id
+                 AND g.pos BETWEEN ws.w0 AND ws.w0 + 3
+               GROUP BY 1, 2),
+      fps AS (SELECT DISTINCT doc_id, mh AS h FROM wmin),
+      cold AS (SELECT doc_id, h FROM fps WHERE h IN
+                 (SELECT h FROM fps GROUP BY h HAVING count(*) <= 50))
+      SELECT a.doc_id AS da, b.doc_id AS db,
+        CAST(count(*) AS BIGINT) AS shared_fp
+      FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY da, db"""
+
   private val simhashSql = """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                    FROM documents),
@@ -893,6 +919,16 @@ object Dedup {
         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
                       ELSE 0 END) AS BIGINT) AS simhash
       FROM b GROUP BY doc_id"""
+
+  /** DuckDB twin of [[qDedupSimhashPairs]] — shared by its own oracle
+    * entry and the r15 blocking-audit oracle (CorpusOps48). */
+  private[ops] val simhashPairsOracleSql: String = s"""
+      WITH sh AS ($simhashSql)
+      SELECT a.doc_id AS da, b.doc_id AS db,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+      ORDER BY da, db"""
 
   // replay oracle: reads the signature arrays the query itself dumped
   // (see MinhashSigDump) and re-derives band candidacy + agreement —
@@ -1039,29 +1075,7 @@ object Dedup {
              ELSE 1000000000 - recall_permille END,
         bands DESC
       LIMIT 1""",
-    "q_dedup_winnow" -> """
-      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                    FROM documents WHERE len(string_split(text, ' ')) >= 5),
-      g AS (SELECT doc_id, i AS pos,
-              CAST('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' ||
-                t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]), 1, 15)
-                AS BIGINT) AS h
-            FROM (SELECT *, unnest(range(1, len(t) - 3)) AS i FROM toks)),
-      ng AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-      ws AS (SELECT g.doc_id, g.pos AS w0 FROM g JOIN ng USING (doc_id)
-             WHERE g.pos <= greatest(ng.n - 3, 1)),
-      wmin AS (SELECT ws.doc_id, ws.w0, min(g.h) AS mh
-               FROM ws JOIN g ON g.doc_id = ws.doc_id
-                 AND g.pos BETWEEN ws.w0 AND ws.w0 + 3
-               GROUP BY 1, 2),
-      fps AS (SELECT DISTINCT doc_id, mh AS h FROM wmin),
-      cold AS (SELECT doc_id, h FROM fps WHERE h IN
-                 (SELECT h FROM fps GROUP BY h HAVING count(*) <= 50))
-      SELECT a.doc_id AS da, b.doc_id AS db,
-        CAST(count(*) AS BIGINT) AS shared_fp
-      FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING count(*) >= 2
-      ORDER BY da, db""",
+    "q_dedup_winnow" -> winnowOracleSql,
     // sketch-quality confusion table: both sides reuse the exact oracle
     // texts above/below as nested-WITH CTE bodies, so the recall numbers
     // are derived from the SAME pair definitions the pair queries verify
@@ -1128,13 +1142,7 @@ object Dedup {
       FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
     "q_dedup_jaccard" -> jaccardOracleSql,
     "q_dedup_simhash" -> (simhashSql + " ORDER BY doc_id"),
-    "q_dedup_simhash_pairs" -> s"""
-      WITH sh AS ($simhashSql)
-      SELECT a.doc_id AS da, b.doc_id AS db,
-        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
-      ORDER BY da, db""",
+    "q_dedup_simhash_pairs" -> simhashPairsOracleSql,
     "q_dedup_incremental" -> s"""
       WITH sh AS ($simhashSql)
       SELECT n.doc_id AS new_id, o.doc_id AS old_id,

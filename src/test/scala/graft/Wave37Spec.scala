@@ -95,6 +95,24 @@ class Wave37Spec extends AnyFunSuite {
     assert(mass == 2 * edges, s"mass $mass vs 2x$edges")
   }
 
+  test("blocking audit: shingle truth is lossless, bounds hold") {
+    val rows = run("q_dedup_blocking_audit")
+    assert(rows.map(_.getString(0)) ==
+      Seq("shingle_index", "simhash_block", "winnow_fp"))
+    val tt = rows.map(_.getAs[Long]("truth_total")).distinct
+    assert(tt.size == 1 && tt.head > 0)
+    rows.foreach { r =>
+      val (c, t) = (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_true"))
+      assert(t <= c && t <= tt.head, r.toString)
+      assert(r.getAs[Long]("precision_permille") <= 1000)
+      assert(r.getAs[Long]("recall_permille") <= 1000)
+    }
+    // truth is DEFINED over the shingle stream, so its recall is total
+    val sh = rows.find(_.getString(0) == "shingle_index").get
+    assert(sh.getAs[Long]("recall_permille") == 1000L)
+    assert(sh.getAs[Long]("n_true") == tt.head)
+  }
+
   test("temperature sweep: lower tau flattens the allocation spread") {
     val rows = run("q_mix_temperature_sweep")
     val byTau = rows.groupBy(_.getAs[Long]("tau_milli"))
