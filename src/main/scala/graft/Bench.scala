@@ -131,7 +131,8 @@ object Bench {
     "q_mix_temperature_sweep", // IEEE-exact tau-ladder mixture sweep (r15 w37)
     "q_dedup_threshold_sweep", // exact-ratio jaccard blast-radius sweep (r15 w38)
     "q_graph_degree_dist",     // power-of-two degree histogram (r15 w38)
-    "q_dedup_blocking_audit")  // 3-blocker precision/recall audit (r15 w39)
+    "q_dedup_blocking_audit",  // 3-blocker precision/recall audit (r15 w39)
+    "q_bpe_vocab_curve")       // vocab-size compression ROI ladder (r15 w40)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -119,7 +119,10 @@ object StressBench {
     "q_dedup_threshold_sweep", "q_graph_degree_dist",
     // r15 wave 39: the audit runs all three blockers + the truth
     // semi-joins in one query (expect the max of its parts' classes)
-    "q_dedup_blocking_audit")
+    "q_dedup_blocking_audit",
+    // r15 wave 40: the train loop + 4 dictionary-sized rollups
+    // (expect the bpe_train class — dictionary-bound after one scan)
+    "q_bpe_vocab_curve")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -385,6 +385,41 @@ object TextAnalysis {
       .orderBy(col(grp))
   }
 
+  /** BPE vocab-size ROI curve (r15 w40) — the "is a bigger vocabulary
+    * worth it" table a tokenizer owner reads before fixing |V|: after
+    * m ∈ {0, 2, 4, 6} of the 6 learned merges, the distinct symbol
+    * count (the vocabulary axis), the corpus-total BPE token count,
+    * and tokens-per-word in exact milli. Each merge adds one symbol
+    * and removes token mass; the curve's flattening marginal is the
+    * stopping signal (compression ROI per added symbol — the Sennrich
+    * 2016 economy rendered as data).
+    *
+    * Scale: the q_bpe_train shape — the corpus collapses to the
+    * |V|-row dictionary in ONE scan, the 6-round loop is
+    * dictionary-sized with 1-row scalar picks, and each curve point
+    * is a rollup of a map-side re-merge of that dictionary. Token
+    * totals and symbol counts are exact integers. */
+  val qBpeVocabCurve: Q = (s, dir) => {
+    val dict0 = graft.CacheScope.track(symbolizedDict(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val merges = bpeMerges(dict0, 6)
+      .orderBy(col("round")).collect().map(_.getString(1)).toSeq
+    Seq(0, 2, 4, 6).map { m =>
+      val d = applyMerges(dict0, merges.take(m))
+      val toks = d.select(col("freq"),
+        split(col("sym"), " ").as("a"))
+      val totals = toks.agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * size(col("a"))).as("total_tokens"))
+      val syms = toks.select(explode(col("a")).as("sm"))
+        .agg(countDistinct(col("sm")).as("n_symbols"))
+      totals.crossJoin(syms)
+        .select(lit(m.toLong).as("n_merges"), col("n_symbols"),
+          col("total_tokens"),
+          expr("total_tokens * 1000 div n_words")
+            .as("tokens_per_word_milli"))
+    }.reduce(_ unionAll _).orderBy(col("n_merges"))
+  }
+
   /** Apply a learned merge table to a symbolized `(word, freq, sym)`
     * dictionary — the tokenized dictionary a deployment ships. Shared
     * by `Graft.bpeApply`. */
@@ -442,6 +477,7 @@ object TextAnalysis {
     "q_bpe_merge_step" -> qBpeMergeStep,
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_apply" -> qBpeApply,
+    "q_bpe_vocab_curve" -> qBpeVocabCurve,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_langid" -> qTextLangId,
     "q_text_quality" -> qTextQuality,
@@ -562,6 +598,23 @@ object TextAnalysis {
           AS bpe_per_word_milli
       FROM ws JOIN sl USING (word)
       GROUP BY source ORDER BY source""",
+    "q_bpe_vocab_curve" -> s"""
+      WITH $bpeChainSql,
+      ${Seq(0, 2, 4, 6).map(m => s"""
+      t$m AS (SELECT CAST($m AS BIGINT) AS n_merges,
+                (SELECT count(DISTINCT sm) FROM (
+                   SELECT unnest(string_split(sym, ' ')) AS sm
+                   FROM d$m) u) AS n_symbols,
+                CAST(sum(freq * len(string_split(sym, ' '))) AS BIGINT)
+                  AS total_tokens,
+                CAST(sum(freq * len(string_split(sym, ' '))) * 1000
+                  // sum(freq) AS BIGINT) AS tokens_per_word_milli
+              FROM d$m)""").mkString(",")}
+      SELECT n_merges, CAST(n_symbols AS BIGINT) AS n_symbols,
+        total_tokens, tokens_per_word_milli FROM (
+        SELECT * FROM t0 UNION ALL SELECT * FROM t2
+        UNION ALL SELECT * FROM t4 UNION ALL SELECT * FROM t6)
+      ORDER BY n_merges""",
     "q_bpe_merge_step" -> """
       WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
                  FROM documents),

@@ -113,6 +113,21 @@ class Wave37Spec extends AnyFunSuite {
     assert(sh.getAs[Long]("n_true") == tt.head)
   }
 
+  test("bpe vocab curve: compression improves monotonically with merges") {
+    val rows = try ops.TextAnalysis.queries("q_bpe_vocab_curve")(
+        spark, sf).collect().toSeq
+      finally CacheScope.release()
+    val by = rows.sortBy(_.getAs[Long]("n_merges"))
+    assert(by.map(_.getAs[Long]("n_merges")) == Seq(0L, 2L, 4L, 6L))
+    val toks = by.map(_.getAs[Long]("total_tokens"))
+    val tpw = by.map(_.getAs[Long]("tokens_per_word_milli"))
+    assert(toks.sliding(2).forall(p => p(1) < p(0)), toks)
+    assert(tpw.sliding(2).forall(p => p(1) <= p(0)), tpw)
+    // merges only ever ADD symbol types on this corpus shape
+    val syms = by.map(_.getAs[Long]("n_symbols"))
+    assert(syms.sliding(2).forall(p => p(1) >= p(0)), syms)
+  }
+
   test("temperature sweep: lower tau flattens the allocation spread") {
     val rows = run("q_mix_temperature_sweep")
     val byTau = rows.groupBy(_.getAs[Long]("tau_milli"))
