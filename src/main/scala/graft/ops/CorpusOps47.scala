@@ -82,15 +82,19 @@ object CorpusOps47 {
       .select(col("vec_id"), col("q")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
 
+    // assignments are NARROW (vec_id, cid) — the vector column never
+    // rides the cached round state (a 100 TB corpus would otherwise
+    // pin rounds × |corpus| × d of vector bytes); the centroid update
+    // re-joins the one persisted vector frame instead
     def assignTo(cents: DataFrame): DataFrame =
       emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("q"), col("cid"),
+        .select(col("vec_id"), col("cid"),
           (EmbQuant.dotq(col("q"), col("cq")).cast("double") /
             (sqrt(col("n2").cast("double")) *
               sqrt(col("cn2").cast("double")))).as("ccos"))
         .groupBy(col("vec_id"))
         .agg(max_by(col("cid"), struct(col("ccos"), -col("cid")))
-          .as("cid"), first(col("q")).as("q"))
+          .as("cid"))
 
     var cents = centFrame(seeds)
     var prev: DataFrame = null
@@ -99,7 +103,7 @@ object CorpusOps47 {
       val a = graft.CacheScope.track(assignTo(cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val base = if (r == 0) a else prev
-      parts += a.select(col("vec_id"), col("cid"))
+      parts += a
         .join(base.select(col("vec_id"), col("cid").as("pcid")), "vec_id")
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"),
@@ -109,9 +113,12 @@ object CorpusOps47 {
         .select(lit(r.toLong).as("round"), col("cid"), col("n"),
           col("moved"), col("min_vec"))
       if (r < rounds) {
-        // floored-mean centroid update: K×d partial-agg rows, then a
-        // K-bounded collect so the next round's plan is base+literal
-        val next = a.select(col("cid"), posexplode(col("q")))
+        // floored-mean centroid update: join the narrow assignment
+        // back to the ONE persisted vector frame, posexplode to K×d
+        // partial-agg rows, then a K-bounded collect so the next
+        // round's plan is base+literal
+        val next = a.join(emb.select(col("vec_id"), col("q")), "vec_id")
+          .select(col("cid"), posexplode(col("q")))
           .groupBy(col("cid"), col("pos"))
           .agg(sum(col("col")).as("sm"), count(lit(1)).as("cnt"))
           .withColumn("cv", expr("(sm - pmod(sm, cnt)) div cnt"))

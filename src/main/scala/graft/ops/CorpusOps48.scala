@@ -247,9 +247,13 @@ object CorpusOps48 {
     * cap removed every shared shingle — the q_dedup_jaccard
     * declaration). */
   val qDedupBlockingAudit: Q = (s, dir) => {
+    // ONE pair-stream build serves both the truth and the shingle
+    // candidate row — a second jaccardPairStream call would re-run
+    // (and re-persist) the whole gram pipeline
+    val ps = graft.CacheScope.track(Dedup.jaccardPairStream(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val truth = graft.CacheScope.track(
-      Dedup.jaccardPairStream(s, dir)
-        .filter(col("i") * 1000 >=
+      ps.filter(col("i") * 1000 >=
           lit(200) * (col("na") + col("nb") - col("i")))
         .select(col("da"), col("db"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -268,7 +272,7 @@ object CorpusOps48 {
     }
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"))
-    audit("shingle_index", Dedup.jaccardPairStream(s, dir))
+    audit("shingle_index", ps)
       .unionAll(audit("simhash_block", Dedup.qDedupSimhashPairs(s, dir)))
       .unionAll(audit("winnow_fp", Dedup.winnowPairs(docs)))
       .orderBy(col("blocker"))
