@@ -122,7 +122,10 @@ object StressBench {
     "q_dedup_blocking_audit",
     // r15 wave 40: the train loop + 4 dictionary-sized rollups
     // (expect the bpe_train class — dictionary-bound after one scan)
-    "q_bpe_vocab_curve")
+    "q_bpe_vocab_curve",
+    // r15 wave 41: base CC + a delta-edge-sized contracted merge
+    // (expect under the full-components class — that is the point)
+    "q_dedup_cc_delta")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -278,6 +278,74 @@ object CorpusOps48 {
       .orderBy(col("blocker"))
   }
 
+  /** Incremental connected-components maintenance (r15 w41) — the
+    * nightly-ingest answer to "what did this batch do to the dedup
+    * state": docs with doc_id % 10 == 0 are the arriving DELTA (the
+    * q_dedup_incremental split), the rest are the standing BASE.
+    * Base components are computed once; the delta then merges through
+    * a CONTRACTED graph whose super-nodes are base-cluster labels —
+    * the batch never re-runs CC over the base edge set. Per final
+    * component touched by the delta: members, new docs, and how many
+    * standing base clusters the batch BRIDGED (the blast-radius
+    * column an operator reviews before accepting the merge).
+    *
+    * Correctness is the interesting part: min-label CC on the
+    * contracted graph provably equals full-graph CC (a base label IS
+    * its cluster's min id, and min over a merged component is the min
+    * of its parts), and the DuckDB oracle computes components the
+    * FULL-graph way — so the value gate itself proves
+    * incremental ≡ recompute, not just self-consistency.
+    *
+    * Scale: the contracted graph is |delta edges|-sized — the whole
+    * point of incremental maintenance; base CC runs on the base-only
+    * pair stream (one persisted stream feeds both slices); the
+    * iterative cores reuse componentsOf's checkpoint discipline. */
+  val qDedupCcDelta: Q = (s, dir) => {
+    val pairs = graft.CacheScope.track(
+      Dedup.jaccardPairs(s, dir).select(col("da"), col("db"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val isB = (c: org.apache.spark.sql.Column) => c % 10 =!= 0
+    val baseCC = graft.CacheScope.track(
+      Dedup.componentsOf(pairs.filter(isB(col("da")) && isB(col("db"))))
+        .withColumnRenamed("l", "lb")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val deltaPairs = pairs
+      .filter(col("da") % 10 === 0 || col("db") % 10 === 0)
+    // contract: base endpoints ride their base-cluster label (their
+    // own id when base-edge-less), delta endpoints ride themselves
+    def contract(side: String) = {
+      val bc = baseCC.select(col("v").as(side), col("lb").as(s"lb_$side"))
+      (df: DataFrame) => df.join(bc, Seq(side), "left")
+        .withColumn(s"c_$side",
+          when(col(side) % 10 === 0, col(side))
+            .otherwise(coalesce(col(s"lb_$side"), col(side))))
+    }
+    val de = contract("db")(contract("da")(deltaPairs))
+      .select(col("c_da").as("da"), col("c_db").as("db"))
+      .filter(col("da") =!= col("db"))
+    val superCC = Dedup.componentsOf(de)
+      .withColumnRenamed("v", "sn").withColumnRenamed("l", "ls")
+    // every edge-bearing doc's final label: its (contracted) node's
+    // super-label, or the node itself when the delta never touched it
+    val nodes = pairs.select(col("da").as("v"))
+      .unionAll(pairs.select(col("db").as("v"))).distinct()
+    val members = nodes
+      .join(baseCC, Seq("v"), "left")
+      .withColumn("sn",
+        when(col("v") % 10 === 0, col("v"))
+          .otherwise(coalesce(col("lb"), col("v"))))
+      .join(superCC, Seq("sn"), "left")
+      .withColumn("component", coalesce(col("ls"), col("sn")))
+      .withColumn("lbase", when(col("v") % 10 === 0, lit(null))
+        .otherwise(coalesce(col("lb"), col("v"))))
+    members.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("v") % 10 === 0, 1L).otherwise(0L)).as("n_new"),
+        countDistinct(col("lbase")).as("n_base_clusters"))
+      .filter(col("n_new") >= 1)
+      .orderBy(col("component"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_ivf_retrain_audit" -> qSimIvfRetrainAudit,
     "q_sample_neyman" -> qSampleNeyman,
@@ -285,7 +353,8 @@ object CorpusOps48 {
     "q_mix_temperature_sweep" -> qMixTemperatureSweep,
     "q_dedup_threshold_sweep" -> qDedupThresholdSweep,
     "q_graph_degree_dist" -> qGraphDegreeDist,
-    "q_dedup_blocking_audit" -> qDedupBlockingAudit)
+    "q_dedup_blocking_audit" -> qDedupBlockingAudit,
+    "q_dedup_cc_delta" -> qDedupCcDelta)
 
   val oracle: Map[String, String] = Map(
     "q_sim_ivf_retrain_audit" -> s"""
@@ -416,5 +485,30 @@ object CorpusOps48 {
           AS precision_permille,
         CAST(n_true * 1000 // tt.truth_total AS BIGINT)
           AS recall_permille
-      FROM rows_ CROSS JOIN tt ORDER BY blocker""")
+      FROM rows_ CROSS JOIN tt ORDER BY blocker""",
+    // the oracle deliberately computes components the FULL-graph way
+    // (transitive closure over all edges) while the Spark side merges
+    // the delta through the contracted base-cluster graph — the hash
+    // gate therefore proves incremental == recompute every run
+    "q_dedup_cc_delta" -> (Dedup.componentsCte + """,
+      comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v),
+      bedges AS (SELECT src, dst FROM edges
+                 WHERE src % 10 <> 0 AND dst % 10 <> 0),
+      bverts AS (SELECT DISTINCT src AS v FROM bedges),
+      breach AS (SELECT v, v AS l FROM bverts
+                 UNION
+                 SELECT e.dst, r.l FROM breach r
+                 JOIN bedges e ON e.src = r.v),
+      bcomp AS (SELECT v, min(l) AS lb FROM breach GROUP BY v),
+      mem AS (SELECT comp.v, comp.component,
+                CASE WHEN comp.v % 10 = 0 THEN NULL
+                     ELSE coalesce(bcomp.lb, comp.v) END AS lbase
+              FROM comp LEFT JOIN bcomp ON comp.v = bcomp.v)
+      SELECT component, count(*) AS n_docs,
+        CAST(sum(CASE WHEN v % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new,
+        CAST(count(DISTINCT lbase) AS BIGINT) AS n_base_clusters
+      FROM mem GROUP BY component
+      HAVING sum(CASE WHEN v % 10 = 0 THEN 1 ELSE 0 END) >= 1
+      ORDER BY component"""))
 }

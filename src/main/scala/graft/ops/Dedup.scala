@@ -78,7 +78,7 @@ object Dedup {
     * must NOT inherit it: the range exchange + global sort buys the
     * iterative join nothing — the same inherited-orderBy tax the
     * simhash pair scan shed in r4). */
-  private def jaccardPairs(s: org.apache.spark.sql.SparkSession,
+  private[graft] def jaccardPairs(s: org.apache.spark.sql.SparkSession,
                            dir: String): org.apache.spark.sql.DataFrame =
     jaccardPairStream(s, dir)
       .select(col("da"), col("db"),

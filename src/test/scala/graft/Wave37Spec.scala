@@ -128,6 +128,32 @@ class Wave37Spec extends AnyFunSuite {
     assert(syms.sliding(2).forall(p => p(1) >= p(0)), syms)
   }
 
+  test("cc delta: incremental contraction == full recompute labels") {
+    // the oracle already proves this cross-engine; pin it in-engine
+    // too: rebuild the report from the FULL componentsOf labels and
+    // compare row-for-row
+    val pairs = ops.Dedup.jaccardPairs(spark, sf)
+      .select(col("da"), col("db"))
+    val full = ops.Dedup.componentsOf(pairs)
+    val baseCC = ops.Dedup.componentsOf(
+      pairs.filter(col("da") % 10 =!= 0 && col("db") % 10 =!= 0))
+      .withColumnRenamed("l", "lb")
+    val want = try full.join(baseCC, Seq("v"), "left")
+        .select(col("v"), col("l").as("component"),
+          when(col("v") % 10 === 0, lit(null))
+            .otherwise(coalesce(col("lb"), col("v"))).as("lbase"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("v") % 10 === 0, 1L).otherwise(0L)).as("n_new"),
+          countDistinct(col("lbase")).as("n_base_clusters"))
+        .filter(col("n_new") >= 1)
+        .orderBy(col("component")).collect().toSeq
+      finally CacheScope.release()
+    val got = run("q_dedup_cc_delta")
+    assert(got.nonEmpty && got == want,
+      s"incremental diverges: ${got.take(3)} vs ${want.take(3)}")
+  }
+
   test("temperature sweep: lower tau flattens the allocation spread") {
     val rows = run("q_mix_temperature_sweep")
     val byTau = rows.groupBy(_.getAs[Long]("tau_milli"))
