@@ -878,7 +878,8 @@ class PlanSpec extends AnyFunSuite {
     // Isolated newSession() — see the rebalance pin above.
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.lm.broadcastTypeLimit", "0")
-    Seq("q_text_perplexity", "q_select_rho", "q_text_kneser_ney")
+    Seq("q_text_perplexity", "q_select_rho", "q_text_kneser_ney",
+      "q_text_ccnet_cut")
       .foreach { q =>
         try {
           val p = SparkEntry.queries(q)(s2, sf).queryExecution
@@ -892,5 +893,22 @@ class PlanSpec extends AnyFunSuite {
             s"$q LM tables still broadcast on the gated path:\n$bad")
         } finally CacheScope.release()
       }
+  }
+
+  test("threshold sweep scans documents once (histogram, no fan-out)") {
+    // the sweep must be ONE corpus scan to a <=10-row bucket histogram
+    // joined against a literal threshold frame — a naive 10x explode
+    // of the corpus (or a scan per threshold) shows up as multiple
+    // parquet scans or a corpus-side join
+    val p = plan("q_select_threshold_sweep")
+    // one Location line per scan detail block (the tree + detail both
+    // say "Scan parquet", so a node-name count double-counts)
+    val scans = p.linesIterator.count(_.contains("Location: InMemory"))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$p")
+  }
+
+  test("blocking audit: no cartesian anywhere across the 3 blockers") {
+    val p = plan("q_dedup_blocking_audit")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 }
