@@ -798,4 +798,19 @@ object Graft {
         col(valueCol).cast("long").as("ntok")), "__grp", budget)
       .withColumnRenamed("__grp", groupCol)
   }
+
+  /** Incremental connected-components maintenance: merge a delta
+    * batch into standing base components through the CONTRACTED
+    * base-cluster graph — the batch never re-runs CC over the base
+    * edge set, and min-label contraction provably equals a full
+    * recompute. `pairs` = undirected (aCol, bCol) edges over numeric
+    * ids; `isNew` maps a node-id column to the is-delta predicate.
+    * Returns per delta-touched component (`component` = min member
+    * id): `n_docs`, `n_new`, and `n_base_clusters` — how many
+    * standing clusters the batch bridged. */
+  def componentsDelta(pairs: DataFrame, aCol: String, bCol: String,
+      isNew: Column => Column): DataFrame =
+    graft.ops.CorpusOps48.ccDeltaFrom(
+      pairs.select(col(aCol).cast("long").as("da"),
+        col(bCol).cast("long").as("db")), isNew)
 }

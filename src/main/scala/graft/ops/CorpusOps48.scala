@@ -300,24 +300,32 @@ object CorpusOps48 {
     * point of incremental maintenance; base CC runs on the base-only
     * pair stream (one persisted stream feeds both slices); the
     * iterative cores reuse componentsOf's checkpoint discipline. */
-  val qDedupCcDelta: Q = (s, dir) => {
-    val pairs = graft.CacheScope.track(
-      Dedup.jaccardPairs(s, dir).select(col("da"), col("db"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val isB = (c: org.apache.spark.sql.Column) => c % 10 =!= 0
+  val qDedupCcDelta: Q = (s, dir) =>
+    ccDeltaFrom(Dedup.jaccardPairs(s, dir).select(col("da"), col("db")),
+      _ % 10 === 0)
+
+  /** The contraction merge behind [[qDedupCcDelta]] and
+    * `Graft.componentsDelta`: `pairs0` = (da, db) undirected edges;
+    * `newP` maps a node-id column to the is-delta predicate. */
+  private[graft] def ccDeltaFrom(pairs0: DataFrame,
+      newP: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val pairs = graft.CacheScope.track(pairs0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val baseCC = graft.CacheScope.track(
-      Dedup.componentsOf(pairs.filter(isB(col("da")) && isB(col("db"))))
+      Dedup.componentsOf(
+        pairs.filter(!newP(col("da")) && !newP(col("db"))))
         .withColumnRenamed("l", "lb")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val deltaPairs = pairs
-      .filter(col("da") % 10 === 0 || col("db") % 10 === 0)
+      .filter(newP(col("da")) || newP(col("db")))
     // contract: base endpoints ride their base-cluster label (their
     // own id when base-edge-less), delta endpoints ride themselves
     def contract(side: String) = {
       val bc = baseCC.select(col("v").as(side), col("lb").as(s"lb_$side"))
       (df: DataFrame) => df.join(bc, Seq(side), "left")
         .withColumn(s"c_$side",
-          when(col(side) % 10 === 0, col(side))
+          when(newP(col(side)), col(side))
             .otherwise(coalesce(col(s"lb_$side"), col(side))))
     }
     val de = contract("db")(contract("da")(deltaPairs))
@@ -332,15 +340,15 @@ object CorpusOps48 {
     val members = nodes
       .join(baseCC, Seq("v"), "left")
       .withColumn("sn",
-        when(col("v") % 10 === 0, col("v"))
+        when(newP(col("v")), col("v"))
           .otherwise(coalesce(col("lb"), col("v"))))
       .join(superCC, Seq("sn"), "left")
       .withColumn("component", coalesce(col("ls"), col("sn")))
-      .withColumn("lbase", when(col("v") % 10 === 0, lit(null))
+      .withColumn("lbase", when(newP(col("v")), lit(null))
         .otherwise(coalesce(col("lb"), col("v"))))
     members.groupBy(col("component"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("v") % 10 === 0, 1L).otherwise(0L)).as("n_new"),
+        sum(when(newP(col("v")), 1L).otherwise(0L)).as("n_new"),
         countDistinct(col("lbase")).as("n_base_clusters"))
       .filter(col("n_new") >= 1)
       .orderBy(col("component"))

@@ -434,6 +434,18 @@ class GraftApiSpec extends AnyFunSuite {
     assert(ts.size == 10 && ts == run("q_select_threshold_sweep"))
   }
 
+  test("componentsDelta facade == the declared cc-delta query") {
+    val pairs = ops.Dedup.jaccardPairs(spark, sf)
+      .select(col("da"), col("db"))
+    val f = try Graft.componentsDelta(pairs, "da", "db", _ % 10 === 0)
+        .collect().toSeq
+      finally CacheScope.release()
+    val d = try SparkEntry.queries("q_dedup_cc_delta")(spark, sf)
+        .collect().toSeq
+      finally CacheScope.release()
+    assert(f.nonEmpty && f == d)
+  }
+
   test("kmeansTrain rounds knob: rounds=1 is the prefix of rounds=3") {
     // each round's census depends only on the persisted base + the
     // collected centroids of the PREVIOUS round — a shorter run is a
