@@ -87,8 +87,15 @@ object CorpusOps48 {
            / cast(n_docs as double) * 1000) as bigint)"""))
       .withColumn("w", col("n_docs") * col("sd_milli"))
     val tot = stats.agg(sum(col("w")).as("tw"))
+    // an all-zero-variance input has NO Neyman allocation — fail
+    // loudly (the katz/passAtK raise_error discipline) instead of
+    // returning a silent null column; the fixture never trips this,
+    // and DuckDB's own //0 error is the oracle-side twin
     val alloc = stats.crossJoin(broadcast(tot))
-      .withColumn("base", expr(s"($budget * w) div tw"))
+      .withColumn("base", expr(s"""CASE WHEN tw > 0
+        THEN ($budget * w) div tw
+        ELSE raise_error('neyman: every stratum has zero variance — no allocation exists')
+        END"""))
       .withColumn("rem", expr(s"($budget * w) % tw"))
     val short = alloc
       .agg((lit(budget) - sum(col("base"))).as("leftover"))

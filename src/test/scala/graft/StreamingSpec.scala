@@ -852,6 +852,47 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed soft-dedup weights diverge: ${got.take(3)} vs ${want.take(3)}")
   }
 
+  test("streaming cc-delta ingest (foreachBatch) == batch merge report") {
+    // q_dedup_cc_delta's shape as a live ingest: edge micro-batches
+    // append their (da, db) near-dup pairs — per-batch map-side work,
+    // no cross-batch state — and rollup-on-read runs the contraction
+    // merge over the full appended edge log, equal to the batch
+    // report bit-for-bit. The standing base components are computed
+    // from the log's base slice at read time, the same
+    // append-only-delta + rollup discipline as the soft-dedup twin.
+    val srcDir = Files.createTempDirectory("cc_stream").toFile
+    srcDir.deleteOnExit()
+    ops.Dedup.jaccardPairs(spark, sf).select(col("da"), col("db"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    CacheScope.release()
+    val edgeDir = Files.createTempDirectory("cc_edges").toFile
+    edgeDir.deleteOnExit()
+    var batches = 0
+    val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        df.write.mode("append").parquet(edgeDir.getAbsolutePath)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val log = spark.read.parquet(edgeDir.getAbsolutePath)
+    val got = try ops.CorpusOps48.ccDeltaFrom(log, _ % 10 === 0)
+        .collect().toSeq
+      finally CacheScope.release()
+    val want = try
+        SparkEntry.queries("q_dedup_cc_delta")(spark, sf)
+          .collect().toSeq
+      finally CacheScope.release()
+    assert(got.nonEmpty && got == want,
+      s"streamed cc-delta report diverges: ${got.take(3)} vs ${want.take(3)}")
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
     val df = streamedEvents
       .withWatermark("ts", "1 hour")

@@ -48,6 +48,64 @@ class Wave37Spec extends AnyFunSuite {
     assert(f == rows)
   }
 
+  test("neyman raises on an all-zero-variance input instead of nulling") {
+    import spark.implicits._
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L))
+      .toDF("grp", "ntok")
+    val e = intercept[Exception] {
+      try ops.CorpusOps48.neymanFrom(flat, "grp", 10L).collect()
+      finally CacheScope.release()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("zero variance") ||
+        Option(e.getCause).exists(_.getMessage.contains("zero variance"))),
+      e.toString)
+  }
+
+  test("cc delta degenerate inputs: empty delta, delta-only graph") {
+    import spark.implicits._
+    // no delta endpoints -> no touched components -> empty report
+    val baseOnly = Seq((1L, 3L), (3L, 5L)).toDF("da", "db")
+    val none = try ops.CorpusOps48.ccDeltaFrom(baseOnly, _ % 2 === 0)
+        .collect().toSeq
+      finally CacheScope.release()
+    assert(none.isEmpty, none)
+    // all-delta graph: one component, zero base clusters bridged
+    val deltaOnly = Seq((2L, 4L), (4L, 6L)).toDF("da", "db")
+    val all = try ops.CorpusOps48.ccDeltaFrom(deltaOnly, _ % 2 === 0)
+        .collect().toSeq
+      finally CacheScope.release()
+    assert(all.size == 1 && all.head.getLong(0) == 2L &&
+      all.head.getAs[Long]("n_docs") == 3L &&
+      all.head.getAs[Long]("n_new") == 3L &&
+      all.head.getAs[Long]("n_base_clusters") == 0L, all)
+    // a delta doc bridging two base clusters reports the bridge
+    val bridge = Seq((1L, 3L), (5L, 7L), (3L, 2L), (2L, 5L))
+      .toDF("da", "db")
+    val b = try ops.CorpusOps48.ccDeltaFrom(bridge, _ % 2 === 0)
+        .collect().toSeq
+      finally CacheScope.release()
+    assert(b.size == 1 && b.head.getLong(0) == 1L &&
+      b.head.getAs[Long]("n_base_clusters") == 2L, b)
+  }
+
+  test("kmeans train handles k beyond the corpus (seed-starved)") {
+    import spark.implicits._
+    val tiny = Seq((0L, Seq(1000000L, 0L)), (1L, Seq(0L, 1000000L)),
+      (2L, Seq(700000L, 700000L)))
+      .toDF("vec_id", "q")
+    functions.GraftFunctions.register(spark)
+    val out = try ops.CorpusOps47.kmeansTrainFrom(tiny, 16, 2)
+        .collect().toSeq
+      finally CacheScope.release()
+    // only 3 seeds exist; every round still censuses all 3 vectors
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum == 3L)
+    }
+    assert(out.forall(_.getAs[Long]("cid") <= 2L))
+  }
+
   test("epoch plan: diminishing returns with exact halving marginals") {
     val rows = run("q_mix_epoch_plan")
     rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
