@@ -133,7 +133,8 @@ object Bench {
     "q_graph_degree_dist",     // power-of-two degree histogram (r15 w38)
     "q_dedup_blocking_audit",  // 3-blocker precision/recall audit (r15 w39)
     "q_bpe_vocab_curve",       // vocab-size compression ROI ladder (r15 w40)
-    "q_dedup_cc_delta")        // incremental CC delta-merge report (r15 w41)
+    "q_dedup_cc_delta",        // incremental CC delta-merge report (r15 w41)
+    "q_sim_ivf_nprobe_sweep")  // query-time recall/cost frontier (r15 w42)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -125,7 +125,10 @@ object StressBench {
     "q_bpe_vocab_curve",
     // r15 wave 41: base CC + a delta-edge-sized contracted merge
     // (expect under the full-components class — that is the point)
-    "q_dedup_cc_delta")
+    "q_dedup_cc_delta",
+    // r15 wave 42: one assignment pass + 4 nested posting joins
+    // (expect the cells-sweep class — scale-flat truth, linear cands)
+    "q_sim_ivf_nprobe_sweep")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

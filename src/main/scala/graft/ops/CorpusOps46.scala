@@ -590,7 +590,7 @@ object CorpusOps46 {
   /** Label-free brute-force cosine top-10 per query vector (vec_id <
     * 50, self excluded) — the ground truth [[qSimIvfCellsSweep]]
     * measures recall against. `emb` = (vec_id, q, n2). */
-  private def topkFrom(emb: org.apache.spark.sql.DataFrame)
+  private[ops] def topkFrom(emb: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val queries = emb.filter(col("vec_id") < 50)

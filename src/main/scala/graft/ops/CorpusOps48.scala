@@ -361,6 +361,69 @@ object CorpusOps48 {
       .orderBy(col("component"))
   }
 
+  /** The nprobe recall/cost frontier (r15 w42) — the OTHER production
+    * dial of the IVF family, symmetric to `q_sim_ivf_cells_sweep`:
+    * cell count K is the build-time knob (how the index partitions),
+    * nprobe is the query-time knob (how many cells each query scans).
+    * At the fixed K = 16 quantizer, nprobe ∈ {1, 2, 4, 8} — per
+    * point: candidates scanned vs recall@10 against the brute-force
+    * truth. Candidate sets are NESTED in nprobe by construction (one
+    * shared probe ranking, filtered at each depth), so candidates and
+    * recall are both monotone non-decreasing (spec-pinned) — the
+    * query-time latency dial a deployment turns without rebuilding
+    * anything.
+    *
+    * Scale: ONE centroid scoring pass each for assignments and query
+    * probes (K-row broadcast; the ranked probe list is 50 × K rows,
+    * persisted); each sweep point is a filter + posting-list
+    * equi-join on cid — co-partitioned, never all-pairs; the truth is
+    * the bounded 50-query one-pass scan shared with the retrieval
+    * evals. */
+  val qSimIvfNprobeSweep: Q = (s, dir) => {
+    val emb = graft.CacheScope.track(EmbQuant.quantized(s, dir)
+      .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
+      .select(col("vec_id"), col("q"), col("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val true10 = graft.CacheScope.track(CorpusOps46.topkFrom(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    def scored(vecs: DataFrame) = vecs
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (EmbQuant.dotq(col("q"), col("cq")).cast("double") /
+          (sqrt(col("n2").cast("double")) *
+            sqrt(col("cn2").cast("double")))).as("ccos"))
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val asg = graft.CacheScope.track(scored(emb)
+      .withColumn("rk", row_number().over(wv)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val probeRank = graft.CacheScope.track(
+      scored(emb.filter(col("vec_id") < 50))
+        .withColumn("rk", row_number().over(wv))
+        .select(col("vec_id").as("qid"), col("cid"), col("rk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    Seq(1, 2, 4, 8).map { np =>
+      val cand = probeRank.filter(col("rk") <= np)
+        .join(asg, Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid2"))
+      val hits = true10.join(cand,
+          true10("qid") === cand("qid") && true10("cid") === cand("cid2"))
+        .agg(count(lit(1)).as("hits"))
+      cand.agg(countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("candidates"))
+        .crossJoin(broadcast(hits))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("candidates"),
+          expr("hits * 1000 div (10 * n_queries)")
+            .as("recall_at10_permille"))
+    }.reduce(_ unionAll _).orderBy(col("nprobe"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_ivf_retrain_audit" -> qSimIvfRetrainAudit,
     "q_sample_neyman" -> qSampleNeyman,
@@ -369,7 +432,8 @@ object CorpusOps48 {
     "q_dedup_threshold_sweep" -> qDedupThresholdSweep,
     "q_graph_degree_dist" -> qGraphDegreeDist,
     "q_dedup_blocking_audit" -> qDedupBlockingAudit,
-    "q_dedup_cc_delta" -> qDedupCcDelta)
+    "q_dedup_cc_delta" -> qDedupCcDelta,
+    "q_sim_ivf_nprobe_sweep" -> qSimIvfNprobeSweep)
 
   val oracle: Map[String, String] = Map(
     "q_sim_ivf_retrain_audit" -> s"""
@@ -525,5 +589,52 @@ object CorpusOps48 {
         CAST(count(DISTINCT lbase) AS BIGINT) AS n_base_clusters
       FROM mem GROUP BY component
       HAVING sum(CASE WHEN v % 10 = 0 THEN 1 ELSE 0 END) >= 1
-      ORDER BY component"""))
+      ORDER BY component"""),
+    "q_sim_ivf_nprobe_sweep" -> s"""
+      WITH e AS MATERIALIZED (${Similarity.quantSql}),
+      n AS MATERIALIZED (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+                         FROM e GROUP BY vec_id),
+      dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 CAST(sum(a.v * b.v) AS BIGINT) AS dot
+               FROM e a JOIN e b ON a.vec_id < 50
+                 AND b.vec_id <> a.vec_id AND a.i = b.i
+               GROUP BY 1, 2),
+      true10 AS MATERIALIZED (SELECT qid, cid FROM (
+          SELECT d.qid, d.cid,
+            row_number() OVER (PARTITION BY d.qid
+              ORDER BY CAST(d.dot AS DOUBLE) /
+                (sqrt(CAST(nc.n2 AS DOUBLE)) *
+                 sqrt(CAST(nq.n2 AS DOUBLE))) DESC, d.cid) AS rk
+          FROM dots d
+          JOIN n nq ON d.qid = nq.vec_id
+          JOIN n nc ON d.cid = nc.vec_id) WHERE rk <= 10),
+      cents AS (SELECT vec_id AS cid, i, v FROM e WHERE vec_id < 16),
+      cn AS (SELECT cid, CAST(sum(v * v) AS BIGINT) AS cn2
+             FROM cents GROUP BY 1),
+      ranked AS MATERIALIZED (
+        SELECT a.vec_id, c.cid,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            CAST(sum(a.v * c.v) AS BIGINT) /
+              (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+            DESC, c.cid) AS rk
+        FROM e a JOIN cents c ON a.i = c.i
+        JOIN n ON a.vec_id = n.vec_id JOIN cn ON c.cid = cn.cid
+        GROUP BY a.vec_id, c.cid, n.n2, cn.cn2),
+      asg AS MATERIALIZED (SELECT vec_id, cid FROM ranked WHERE rk = 1),
+      ${Seq(1, 2, 4, 8).map(np => s"""
+      cand$np AS (SELECT p.vec_id AS qid, a.vec_id AS cid2
+                  FROM ranked p JOIN asg a ON a.cid = p.cid
+                  WHERE p.vec_id < 50 AND p.rk <= $np
+                    AND a.vec_id <> p.vec_id),
+      row$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+          CAST((SELECT count(DISTINCT qid) FROM cand$np) AS BIGINT)
+            AS n_queries,
+          CAST((SELECT count(*) FROM cand$np) AS BIGINT) AS candidates,
+          CAST((SELECT count(*) FROM true10 t JOIN cand$np c
+                 ON t.qid = c.qid AND t.cid = c.cid2) * 1000 //
+            (10 * (SELECT count(DISTINCT qid) FROM cand$np)) AS BIGINT)
+            AS recall_at10_permille)""").mkString(",")}
+      SELECT * FROM row1 UNION ALL SELECT * FROM row2
+      UNION ALL SELECT * FROM row4 UNION ALL SELECT * FROM row8
+      ORDER BY nprobe""")
 }

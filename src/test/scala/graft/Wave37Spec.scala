@@ -212,6 +212,17 @@ class Wave37Spec extends AnyFunSuite {
       s"incremental diverges: ${got.take(3)} vs ${want.take(3)}")
   }
 
+  test("nprobe frontier: nested probes make recall and cost monotone") {
+    val rows = run("q_sim_ivf_nprobe_sweep")
+      .sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")) == Seq(1L, 2L, 4L, 8L))
+    Seq("candidates", "recall_at10_permille").foreach { c =>
+      val v = rows.map(_.getAs[Long](c))
+      assert(v.sliding(2).forall(p => p(1) >= p(0)), s"$c $v")
+    }
+    assert(rows.forall(_.getAs[Long]("recall_at10_permille") <= 1000))
+  }
+
   test("temperature sweep: lower tau flattens the allocation spread") {
     val rows = run("q_mix_temperature_sweep")
     val byTau = rows.groupBy(_.getAs[Long]("tau_milli"))
