@@ -128,7 +128,13 @@ object StressBench {
     "q_dedup_cc_delta",
     // r15 wave 42: one assignment pass + 4 nested posting joins
     // (expect the cells-sweep class — scale-flat truth, linear cands)
-    "q_sim_ivf_nprobe_sweep")
+    "q_sim_ivf_nprobe_sweep",
+    // r16: the facade auto-K path (VERDICT r15 item 1) — the
+    // Graft.marginMine facade with NO conf set derives K from the
+    // corpus count (16 at 1x/2k vectors, 79 at 10x/20k), so this row
+    // should land near the +cells64 variant at 10x while matching the
+    // default declared query at 1x — the dial turning itself
+    "facade_margin_mine_auto")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale
@@ -151,6 +157,15 @@ object StressBench {
       ("q_text_perplexity", "spark.graft.lm.broadcastTypeLimit=0"),
     "q_select_rho+shuffle" ->
       ("q_select_rho", "spark.graft.lm.broadcastTypeLimit=0"))
+
+  /** Facade-driven rows: bench label → a direct `graft.api.Graft`
+    * call. These measure the PUBLIC API's own scale behavior (e.g.
+    * auto-derived knobs) that the declared-query registry, pinned to
+    * oracle-stable constants, deliberately cannot exercise. */
+  val facadeRuns: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "facade_margin_mine_auto" -> ((sp, dir) =>
+      graft.api.Graft.marginMine(Tables(sp, dir, "embeddings"),
+        "vec_id", "embedding", "label")))
 
   def build(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {
@@ -245,7 +260,7 @@ object StressBench {
       try {
         def once(): Double = {
           val t0 = System.nanoTime()
-          SparkEntry.queries(base)(spark, dir)
+          facadeRuns.getOrElse(base, SparkEntry.queries(base))(spark, dir)
             .write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         }

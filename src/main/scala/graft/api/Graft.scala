@@ -533,7 +533,11 @@ object Graft {
     * Scale: scheduler decisions are BOUNDED scalar driver actions
     * (hottest cell 1 row, 2 seed vectors), so the plan stays linear
     * in rounds; the hot-cell member joins ride the measured-size
-    * broadcast↔shuffle gate (`spark.graft.ivf.broadcastMemberLimit`). */
+    * broadcast↔shuffle gate (`spark.graft.ivf.broadcastMemberLimit`);
+    * the cell count derives automatically from the corpus size
+    * (clamp(16, ceil(n / `spark.graft.ivf.targetCellSize`), 65536),
+    * default 256 vectors/cell; explicit `spark.graft.ivf.cells`
+    * wins) — 16 at fixture sizes, so facade≡declared pins hold. */
   def ivfRebalance(embs: DataFrame, idCol: String, vecCol: String,
       rounds: Int = 3, thresholdPermille: Long = 1100L)
       : Seq[DataFrame] = {
@@ -542,7 +546,6 @@ object Graft {
       s"thresholdPermille must be >= 1000 (balanced): $thresholdPermille")
     val s = embs.sparkSession
     GraftFunctions.register(s)
-    val k = graft.ops.Similarity.ivfCells(s)
     val emb = graft.CacheScope.track(embs
       .select(col(idCol).as("vec_id"),
         expr(s"""transform($vecCol, x ->
@@ -550,6 +553,9 @@ object Graft {
           .as("q"))
       .withColumn("n2", call_function("dotq", col("q"), col("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // auto-K: the count rides the just-persisted narrow frame (no
+    // extra source scan); an explicit spark.graft.ivf.cells wins
+    val k = graft.ops.Similarity.resolveCells(s, emb.count())
     val av0 = graft.ops.Similarity.assignCells(emb, emb, k)
       .withColumn("path", lit(0L))
     graft.ops.Similarity.rebalanceRounds(s, emb, av0, k, rounds,
@@ -663,10 +669,18 @@ object Graft {
     * embedding frame: margin(x, y) = 2·cos(x, y) /
     * (avgNN₄(x) + avgNN₄(y)) over IVF-cell-blocked candidates, top-1
     * CROSS-label match per query above margin 1.05. `labelCol` is the
-    * language/domain axis; the 16 lowest-id vectors seed the frozen
+    * language/domain axis; the K lowest-id vectors seed the frozen
     * coarse quantizer (the library's IVF convention), so ids must
     * start at the corpus's stable prefix. Returns (`vec_id`,
-    * `match_id`, `label_x`, `label_y`, `margin_micro`). */
+    * `match_id`, `label_x`, `label_y`, `margin_micro`).
+    *
+    * The cell count K derives AUTOMATICALLY from the corpus size —
+    * K = clamp(16, ceil(n / `spark.graft.ivf.targetCellSize`), 65536),
+    * default 256 vectors/cell — so the same-cell pair stream stays
+    * linear in n at any corpus size (an explicit
+    * `spark.graft.ivf.cells` overrides). At fixture sizes (≤ 2000
+    * vectors) the derived K is the declared queries' 16, so this
+    * facade stays bit-identical to `q_sim_margin_mine` there. */
   def marginMine(embs: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
     GraftFunctions.register(embs.sparkSession)
@@ -676,7 +690,7 @@ object Graft {
             CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
           .as("q"))
       .withColumn("n2", call_function("dotq", col("q"), col("q")))
-    graft.ops.Similarity.marginMineFrom(q)
+    graft.ops.Similarity.marginMineFrom(q, autoK = true)
   }
 
   /** Scale-safe global ntile: the bucket-offset decomposition of
@@ -733,10 +747,18 @@ object Graft {
     * the multi-round-safe variant of the single step's integer-sum
     * centroid). Returns the per-round census (`round`, `cid`, `n`,
     * `moved`, `min_vec`). Each round is one corpus scan against a
-    * k-row broadcast literal; the plan stays linear in rounds. */
+    * k-row broadcast literal; the plan stays linear in rounds.
+    *
+    * `k = 0` (the default) derives the cluster count from the corpus
+    * size — clamp(16, ceil(n / `spark.graft.ivf.targetCellSize`),
+    * 65536), default 256 vectors/cell, explicit
+    * `spark.graft.ivf.cells` overriding — so a quantizer trained for
+    * the IVF family keeps cell size bounded at any corpus scale. At
+    * fixture sizes the derived k is 16, the declared query's
+    * constant. */
   def kmeansTrain(embs: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, rounds: Int = 3): DataFrame = {
-    require(k >= 2 && k <= 65536, s"k out of range: $k")
+      k: Int = 0, rounds: Int = 3): DataFrame = {
+    require(k == 0 || (k >= 2 && k <= 65536), s"k out of range: $k")
     require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
     GraftFunctions.register(embs.sparkSession)
     graft.ops.CorpusOps47.kmeansTrainFrom(

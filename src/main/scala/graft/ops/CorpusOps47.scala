@@ -57,14 +57,22 @@ object CorpusOps47 {
     * every round's assignment reads the persisted base + a literal,
     * never the previous round's plan). Zero-norm centroids retire
     * (cn2 > 0 guard, both engines). */
+  // k pinned to 16 — the oracle's kmRoundSql replays the 16-lowest-id
+  // seeding literally, so the declared query must NOT read the
+  // `spark.graft.ivf.cells` conf (ADVICE r15: a non-default conf would
+  // silently diverge from the oracle instead of being rejected). The
+  // conf knob and the facade's auto-K serve the bench/production
+  // paths only.
   val qSimKmeansTrain: Q = (s, dir) =>
     kmeansTrainFrom(
       EmbQuant.quantized(s, dir).select(col("vec_id"), col("q")),
-      Similarity.ivfCells(s), rounds = 3)
+      k = 16, rounds = 3)
 
   /** The training loop behind [[qSimKmeansTrain]] and
     * `Graft.kmeansTrain`: `emb0` = (vec_id, q), q micro-quantized
-    * int64. */
+    * int64. `k = 0` derives the cell count from the corpus size via
+    * [[Similarity.resolveCells]] (the facade auto-K path — cell size
+    * stays bounded as the corpus grows). */
   private[graft] def kmeansTrainFrom(emb0: DataFrame, k: Int,
       rounds: Int): DataFrame = {
     val s = emb0.sparkSession
@@ -72,15 +80,23 @@ object CorpusOps47 {
     val emb = graft.CacheScope.track(emb0
       .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val kk = if (k == 0) Similarity.resolveCells(s, emb.count()) else k
 
     def centFrame(rows: Seq[(Long, Seq[Long])]): DataFrame =
       rows.toDF("cid", "cq")
         .withColumn("cn2", EmbQuant.dotq(col("cq"), col("cq")))
         .filter(col("cn2") > 0) // zero-norm centroids retire
-    // K-bounded driver fetch: the seed centroids ARE the K lowest ids
-    val seeds: Seq[(Long, Seq[Long])] = emb.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("q")).collect().toSeq
+    // K-bounded driver fetch: the seed centroids ARE the K lowest ids —
+    // a TakeOrdered top-k, NOT a `vec_id < k` filter (ADVICE r15: ids
+    // need not be dense from 0; a frame whose ids all exceed k would
+    // otherwise seed nothing and return an empty census). On dense
+    // 0-based ids (every fixture) the two are identical, so the
+    // oracle's `WHERE vec_id < 16` seed stays value-equal.
+    val seeds: Seq[(Long, Seq[Long])] = emb
+      .select(col("vec_id"), col("q")).orderBy(col("vec_id")).limit(kk)
+      .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    require(seeds.nonEmpty, "kmeansTrain: no vectors to seed from")
 
     // assignments are NARROW (vec_id, cid) — the vector column never
     // rides the cached round state (a 100 TB corpus would otherwise

@@ -35,10 +35,13 @@ object CorpusOps48 {
     * Scale: inherits the training loop's shape (K-row broadcast
     * literals, K-bounded collects); the audit itself aggregates the
     * ≤2K-row census. */
+  // k pinned to 16 like q_sim_kmeans_train — the oracle replays the
+  // 16-cell quantizer literally (ADVICE r15); the conf knob serves the
+  // bench/facade paths only.
   val qSimIvfRetrainAudit: Q = (s, dir) =>
     CorpusOps47.kmeansTrainFrom(
       EmbQuant.quantized(s, dir).select(col("vec_id"), col("q")),
-      Similarity.ivfCells(s), rounds = 3)
+      k = 16, rounds = 3)
       .filter(col("round").isin(0L, 3L))
       .select(when(col("round") === 0L, "seed").otherwise("trained")
         .as("quantizer"), col("n"))
@@ -78,12 +81,19 @@ object CorpusOps48 {
     * `Graft.neymanAllocation`: `obs` = (grp, ntok). */
   private[graft] def neymanFrom(obs: DataFrame, grp: String,
       budget: Long): DataFrame = {
+    // the variance numerator N·Σx² − (Σx)² is widened to DECIMAL(38,0)
+    // BEFORE the double cast (ADVICE r15: with sxx = Σ ntok², the int64
+    // product n_docs · sxx overflows near ~1e6 docs of ~1e3 tokens —
+    // well inside the operator's claimed scale); the sqrt then sees the
+    // same correctly-rounded double in both engines (DuckDB mirrors
+    // with HUGEINT)
     val stats = obs
       .groupBy(col(grp))
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sx"),
         sum(col("ntok") * col("ntok")).as("sxx"))
       .withColumn("sd_milli", expr(
-        """cast(round(sqrt(cast(n_docs * sxx - sx * sx as double))
+        """cast(round(sqrt(cast(cast(n_docs as decimal(38, 0)) * sxx
+                           - cast(sx as decimal(38, 0)) * sx as double))
            / cast(n_docs as double) * 1000) as bigint)"""))
       .withColumn("w", col("n_docs") * col("sd_milli"))
     val tot = stats.agg(sum(col("w")).as("tw"))
@@ -190,8 +200,14 @@ object CorpusOps48 {
     * its builder) serves all three thresholds; the sweep explodes the
     * BOUNDED pair stream 3×, never the corpus. Monotone non-increasing
     * in θ by construction (spec-pinned). */
-  val qDedupThresholdSweep: Q = (s, dir) => {
-    val ps = Dedup.jaccardPairStream(s, dir)
+  val qDedupThresholdSweep: Q = (s, dir) =>
+    dedupThresholdSweepOf(Dedup.jaccardPairStream(s, dir))
+
+  /** The sweep behind [[qDedupThresholdSweep]] (and testable off the
+    * fixture): `ps0` = (da, db, i, na, nb) candidate pairs. */
+  private[graft] def dedupThresholdSweepOf(ps0: DataFrame): DataFrame = {
+    val s = ps0.sparkSession
+    val ps = ps0
       .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
         explode(expr("array(200, 500, 800)")).as("theta_permille"))
       .filter(col("i") * 1000 >=
@@ -202,9 +218,18 @@ object CorpusOps48 {
         explode(array(col("da"), col("db"))).as("d"))
       .groupBy(col("theta_permille"))
       .agg(countDistinct(col("d")).as("n_docs"))
-    pairs.join(docs, Seq("theta_permille"))
+    // LEFT-join from the literal theta frame (ADVICE r15): a theta
+    // with zero surviving pairs must still emit its (theta, 0, 0) row —
+    // an inner join would silently drop it on a sparse corpus and
+    // break the fixed 3-row sweep contract Wave37Spec pins
+    val th = s.range(3)
+      .select(element_at(typedLit(Seq(200L, 500L, 800L)),
+        (col("id") + 1).cast("int")).as("theta_permille"))
+    th.join(pairs, Seq("theta_permille"), "left")
+      .join(docs, Seq("theta_permille"), "left")
       .select(col("theta_permille").cast("long").as("theta_permille"),
-        col("n_pairs"), col("n_docs"))
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
       .orderBy(col("theta_permille"))
   }
 
@@ -460,7 +485,8 @@ object CorpusOps48 {
                    len(string_split(text, ' '))) AS BIGINT) AS sxx
         FROM documents GROUP BY source),
       sd AS (SELECT source, n_docs,
-               CAST(round(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))
+               CAST(round(sqrt(CAST(CAST(n_docs AS HUGEINT) * sxx
+                                    - CAST(sx AS HUGEINT) * sx AS DOUBLE))
                  / CAST(n_docs AS DOUBLE) * 1000) AS BIGINT) AS sd_milli
              FROM st),
       w AS (SELECT *, n_docs * sd_milli AS w FROM sd),
@@ -512,10 +538,13 @@ object CorpusOps48 {
                 GROUP BY theta),
       docs AS (SELECT theta, count(DISTINCT d) AS n_docs
                FROM (SELECT theta, unnest([da, db]) AS d FROM cand) u
-               GROUP BY theta)
-      SELECT CAST(pairs.theta AS BIGINT) AS theta_permille,
-        pairs.n_pairs, CAST(docs.n_docs AS BIGINT) AS n_docs
-      FROM pairs JOIN docs ON pairs.theta = docs.theta
+               GROUP BY theta),
+      th AS (SELECT unnest([200, 500, 800]) AS theta)
+      SELECT CAST(th.theta AS BIGINT) AS theta_permille,
+        CAST(coalesce(pairs.n_pairs, 0) AS BIGINT) AS n_pairs,
+        CAST(coalesce(docs.n_docs, 0) AS BIGINT) AS n_docs
+      FROM th LEFT JOIN pairs ON th.theta = pairs.theta
+              LEFT JOIN docs ON th.theta = docs.theta
       ORDER BY theta_permille""",
     "q_graph_degree_dist" -> """
       WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -71,6 +71,38 @@ object Similarity {
     k
   }
 
+  /** FACADE-layer cell-count resolution (VERDICT r15 item 1 — the
+    * auto-derivation that finally TURNS the dial `ivfCells` only
+    * exposes): an explicit `spark.graft.ivf.cells` always wins;
+    * otherwise K = clamp(16, ceil(n / target), 65536) with `target` =
+    * `spark.graft.ivf.targetCellSize` (default 256 vectors/cell).
+    * Cell-blocked costs across the IVF family are O(Σ cell²) ≈ n²/K,
+    * so holding CELL SIZE (not cell count) constant is what keeps the
+    * pair streams linear-in-n at any corpus size — the FAISS ~√n
+    * guidance lands in the same decade for the corpus sizes the bench
+    * exercises. The 16 floor keeps every fixture SF (≤ 2000 vectors)
+    * on the declared-query constant, so facade≡declared pins hold
+    * bit-for-bit there; at the 10× stress corpus (20k vectors) this
+    * derives K=79, reproducing the measured `+cells64` margin-mine win
+    * (8.72× → 1.69× at 10×) without anyone setting a conf. Declared
+    * `q_*` queries never call this — their oracles replay K=16
+    * literally (`n` is by-name, so no count is spent when the explicit
+    * conf short-circuits). */
+  private[graft] def resolveCells(s: SparkSession, n: => Long): Int =
+    s.conf.getOption("spark.graft.ivf.cells") match {
+      case Some(v) =>
+        val k = v.toInt
+        require(k >= 2 && k <= 65536,
+          s"spark.graft.ivf.cells=$k out of range")
+        k
+      case None =>
+        val target = s.conf.getOption("spark.graft.ivf.targetCellSize")
+          .map(_.toLong).getOrElse(256L)
+        require(target >= 1L && target <= 100000000L,
+          s"spark.graft.ivf.targetCellSize=$target out of range")
+        math.min(65536L, math.max(16L, (n + target - 1L) / target)).toInt
+    }
+
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("n2", dotq(col("q"), col("q")))
 
@@ -731,12 +763,17 @@ object Similarity {
   /** The mining pipeline behind [[qSimMarginMine]] and
     * `Graft.marginMine`: `emb0` = (vec_id, label, q, n2) with q
     * micro-quantized int64 components. */
-  private[graft] def marginMineFrom(emb0: org.apache.spark.sql.DataFrame)
+  private[graft] def marginMineFrom(emb0: org.apache.spark.sql.DataFrame,
+      autoK: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val K = ivfCells(emb0.sparkSession)
     val emb = graft.CacheScope.track(emb0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // autoK = the facade path: derive K from the (persisted) corpus
+    // count so cell size stays bounded as the corpus grows; declared
+    // queries keep the conf-default 16 their oracles replay
+    val K = if (autoK) resolveCells(emb0.sparkSession, emb.count())
+      else ivfCells(emb0.sparkSession)
     val cents = emb.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("q").as("cq"),
         col("n2").as("cn2"))
