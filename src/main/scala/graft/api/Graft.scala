@@ -835,4 +835,141 @@ object Graft {
     graft.ops.CorpusOps48.ccDeltaFrom(
       pairs.select(col(aCol).cast("long").as("da"),
         col(bCol).cast("long").as("db")), isNew)
+
+  // -----------------------------------------------------------------
+  // r16: the tuning/planning tables (VERDICT r15 item 3) — the tables
+  // a pipeline owner reads BEFORE fixing production dials, previously
+  // reachable only through the query registry.
+  // -----------------------------------------------------------------
+
+  /** Blocking-strategy audit: the library's three near-dup candidate
+    * generators (df-capped 3-gram shingle index, pigeonhole SimHash
+    * block join, winnowing fingerprints) measured against one truth —
+    * exact Jaccard ≥ 0.2 over the shingle pair stream. Returns per
+    * blocker (`n_candidates`, `n_true`, `truth_total`,
+    * `precision_permille`, `recall_permille`) — the cost-vs-coverage
+    * table that picks the production blocker. One persisted pair
+    * stream serves truth and shingle candidates; no blocker ever goes
+    * all-pairs. */
+  def blockingAudit(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    graft.ops.CorpusOps48.blockingAuditFrom(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** Jaccard-threshold dedup sweep: candidate pairs from the df-capped
+    * shingle index thresholded at θ ∈ {0.2, 0.5, 0.8} by exact
+    * cross-multiplication; returns per θ the surviving pairs and
+    * distinct docs affected — the blast-radius-vs-strictness table
+    * read before fixing the production threshold. Always 3 rows (a θ
+    * matching nothing reports zeros). */
+  def dedupThresholdSweep(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.ops.CorpusOps48.dedupThresholdSweepOf(
+      graft.ops.Dedup.jaccardPairStreamOf(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
+
+  /** The `cells` recall/cost frontier of the IVF family: K ∈ {8, 16,
+    * 32} coarse cells × nprobe 4 over the 50 lowest-id queries —
+    * candidates scanned vs recall@10 against brute-force truth.
+    * Returns (`cells`, `n_queries`, `candidates`,
+    * `recall_at10_permille`) — the build-time tuning table behind the
+    * `spark.graft.ivf.targetCellSize` default. */
+  def ivfCellsFrontier(embs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    graft.ops.CorpusOps46.cellsFrontierFrom(quantIdVec(embs, idCol, vecCol))
+  }
+
+  /** The nprobe recall/cost frontier at the fixed K = 16 quantizer:
+    * nprobe ∈ {1, 2, 4, 8}, one shared probe ranking filtered per
+    * depth (candidate sets nested, recall/cost monotone). Returns
+    * (`nprobe`, `n_queries`, `candidates`, `recall_at10_permille`) —
+    * the query-time latency dial, turnable without rebuilding. */
+  def ivfNprobeFrontier(embs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    graft.ops.CorpusOps48.nprobeFrontierFrom(quantIdVec(embs, idCol, vecCol))
+  }
+
+  private def quantIdVec(embs: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    embs.select(col(idCol).cast("long").as("vec_id"),
+      expr(s"""transform($vecCol, x ->
+          CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
+        .as("q"))
+
+  /** Data-constrained repetition-value plan (the Muennighoff et al.
+    * 2023 epochs question in the declared geometric-half-decay form):
+    * per (`groupCol`, repeats 1..4) the effective token mass and the
+    * marginal value of the R-th epoch, exact in milli. One scan to a
+    * |groups|-row frame. */
+  def epochPlan(docs: DataFrame, textCol: String, groupCol: String)
+      : DataFrame =
+    graft.ops.CorpusOps48.epochPlanFrom(
+      docs.select(col(groupCol).as("__grp"),
+        size(split(col(textCol), " ")).cast("long").as("ntok")), "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
+  /** Sampling-temperature sweep over the IEEE-exact τ ladder {1, ½,
+    * ¼}: per-group share ∝ n_docs^τ and a `budget`-doc allocation at
+    * each temperature — the flatness-vs-fidelity frontier a mixture
+    * designer reads before picking τ. τ is restricted to powers of ½
+    * (chains of correctly-rounded sqrts — `pow` is not portable). */
+  def temperatureSweep(docs: DataFrame, groupCol: String,
+      budget: Long = 2000L): DataFrame = {
+    require(budget >= 1, s"budget out of range: $budget")
+    graft.ops.CorpusOps48.temperatureSweepFrom(
+      docs.select(col(groupCol).as("__grp")), "__grp", budget)
+      .withColumnRenamed("__grp", groupCol)
+  }
+
+  /** BPE vocab-size ROI curve: after m ∈ {0, 2, 4, 6} of the 6
+    * learned merges, the distinct symbol count, corpus token total,
+    * and tokens-per-word milli — the "is a bigger vocabulary worth
+    * it" table read before fixing |V|. Corpus collapses to the
+    * dictionary in one scan; every curve point is dictionary-sized. */
+  def bpeVocabCurve(docs: DataFrame, textCol: String): DataFrame =
+    graft.ops.TextAnalysis.vocabCurveFrom(
+      docs.select(col(textCol).as("text")))
+
+  /** CCNet head/middle/tail cut (Wenzek et al. 2020): per-language
+    * add-one bigram LM trained on the `trusted` slice, exact micro-bit
+    * scoring of the rest, tercile split at value-granular boundaries
+    * from a (lang, rate) histogram — NO per-language global sort at
+    * any scale. Returns per (lang, bucket) doc/bigram counts and the
+    * rate range. `trusted` maps the frame to its is-trusted boolean
+    * column (CCNet uses Wikipedia). */
+  def ccnetCut(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, trusted: Column): DataFrame =
+    graft.ops.CorpusOps47.ccnetCutFrom(
+      docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        col(textCol).as("text"), trusted.cast("boolean").as("trusted")))
+
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen
+    * & Goodman 1999): D = 3/4 absolute discount + continuation
+    * probability, trained on the `trusted` slice, scoring the rest in
+    * exact integer micro-bits. Returns (`idCol`, `n_bigrams`,
+    * `kn_nll_micro`, `bits_per_bigram_micro`). LM joins ride the
+    * measured-cardinality broadcast gate. */
+  def kneserNeyScore(docs: DataFrame, idCol: String, textCol: String,
+      trusted: Column): DataFrame =
+    graft.ops.CorpusOps46.kneserNeyFrom(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        trusted.cast("boolean").as("trusted")))
+      .withColumnRenamed("doc_id", idCol)
+
+  /** Keep-first exact-substring span-cut estimate (the destructive
+    * half of Lee et al. 2022): every ≥2-occurrence `L`-token window
+    * marks all occurrences except the globally first for cutting;
+    * returns per `groupCol` the interval-union cut-token count and
+    * permille — the corpus-shrinkage number an owner signs off on
+    * before a destructive dedup. */
+  def substringCut(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, L: Int = 8): DataFrame = {
+    require(L >= 2 && L <= 64, s"L out of range: $L")
+    graft.ops.CorpusOps46.substringCutFrom(
+      docs.select(col(idCol).as("doc_id"), col(groupCol).as("__grp"),
+        col(textCol).as("text")), "__grp", L)
+      .withColumnRenamed("__grp", groupCol)
+  }
 }

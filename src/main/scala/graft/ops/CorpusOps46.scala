@@ -170,19 +170,29 @@ object CorpusOps46 {
     * exactly like q_text_perplexity/q_select_rho (bigram types grow
     * with the corpus); the 1-row Nbb/V frames stay broadcast; per-doc
     * scores partial-aggregate. */
-  val qTextKneserNey: Q = (s, dir) => {
-    val docs = Tables(s, dir, "documents")
+  val qTextKneserNey: Q = (s, dir) =>
+    kneserNeyFrom(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        (col("source") === "src0").as("trusted")))
+
+  /** The scorer behind [[qTextKneserNey]] and `Graft.kneserNeyScore`:
+    * `docs0` = (doc_id, text, trusted) — trusted rows train the LM,
+    * untrusted rows are scored. */
+  private[graft] def kneserNeyFrom(docs0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs0.sparkSession
+    val docs = docs0
     val bg = docs
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("trusted"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("trusted"),
         explode(when(size(col("t")) >= 2,
           expr("""transform(sequence(1, size(t) - 1),
                   i -> struct(element_at(t, i) as w1,
                               element_at(t, i + 1) as w2))"""))
           .otherwise(array())).as("b"))
-      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+      .select(col("doc_id"), col("trusted"), col("b.w1"), col("b.w2"))
     val c12 = graft.CacheScope.track(
-      bg.filter(col("source") === "src0")
+      bg.filter(col("trusted"))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val lmLimit = AutoBroadcast.limit(
@@ -194,10 +204,10 @@ object CorpusOps46 {
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
     val n1m = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1m"))
     val gl = c12.agg(count(lit(1)).as("nbb"))
-    val v = docs.filter(col("source") === "src0")
+    val v = docs.filter(col("trusted"))
       .select(explode(split(col("text"), " ")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
-    bg.filter(col("source") =!= "src0")
+    bg.filter(!col("trusted"))
       .join(AutoBroadcast.gate(c12, nTypes, lmLimit),
         Seq("w1", "w2"), "left")
       .join(AutoBroadcast.gate(c1, nTypes, lmLimit), Seq("w1"), "left")
@@ -492,11 +502,20 @@ object CorpusOps46 {
     * Scale: the same one-gram-per-token stream as the profile; the
     * occurrence rank is a window per gram hash (co-partitioned on h,
     * never broadcast); the cut coverage windows per doc. */
-  val qDedupSubstringCut: Q = (s, dir) => {
+  val qDedupSubstringCut: Q = (s, dir) =>
+    substringCutFrom(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source").as("grp"), col("text")),
+      "grp", 8)
+      .withColumnRenamed("grp", "source")
+
+  /** The cut estimate behind [[qDedupSubstringCut]] and
+    * `Graft.substringCut`: `docs` = (doc_id, grp, text). */
+  private[graft] def substringCutFrom(
+      docs: org.apache.spark.sql.DataFrame, grp: String, L: Int)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val L = 8
-    val toks = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+    val toks = docs
+      .select(col("doc_id"), col(grp), split(col("text"), " ").as("t"))
     val g = toks
       .filter(size(col("t")) >= L)
       .select(col("doc_id"), explode(expr(
@@ -517,16 +536,16 @@ object CorpusOps46 {
       .groupBy(col("doc_id"))
       .agg(sum(least(lit(L.toLong),
         coalesce(col("nxt") - col("pos"), lit(L.toLong)))).as("cut"))
-    toks.select(col("doc_id"), col("source"),
+    toks.select(col("doc_id"), col(grp),
         size(col("t")).cast("long").as("nt"))
       .join(cov, Seq("doc_id"), "left")
-      .groupBy(col("source"))
+      .groupBy(col(grp))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
         sum(coalesce(col("cut"), lit(0L))).as("cut_tokens"))
-      .select(col("source"), col("n_docs"), col("total_tokens"),
+      .select(col(grp), col("n_docs"), col("total_tokens"),
         col("cut_tokens"),
         expr("cut_tokens * 1000 div total_tokens").as("cut_permille"))
-      .orderBy(col("source"))
+      .orderBy(col(grp))
   }
 
   /** The recall/cost frontier of the `spark.graft.ivf.cells` knob as
@@ -544,9 +563,18 @@ object CorpusOps46 {
     * candidate stream is the posting-list equi-join on cid
     * (co-partitioned); the brute-force truth is the bounded
     * 50-query one-pass scan shared with the retrieval evals. */
-  val qSimIvfCellsSweep: Q = (s, dir) => {
+  val qSimIvfCellsSweep: Q = (s, dir) =>
+    cellsFrontierFrom(
+      EmbQuant.quantized(s, dir).select(col("vec_id"), col("q")))
+
+  /** The frontier behind [[qSimIvfCellsSweep]] and
+    * `Graft.ivfCellsFrontier`: `emb0` = (vec_id, q), q
+    * micro-quantized int64. */
+  private[graft] def cellsFrontierFrom(
+      emb0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = graft.CacheScope.track(EmbQuant.quantized(s, dir)
+    val emb = graft.CacheScope.track(emb0
       .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
       .select(col("vec_id"), col("q"), col("n2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

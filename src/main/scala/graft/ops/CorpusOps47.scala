@@ -224,21 +224,29 @@ object CorpusOps47 {
     * |langs| × |distinct rates| rows, window over the tiny frame,
     * |langs|-row broadcast back. Languages absent from the trusted
     * slice have no LM and are unscorable (inner join, declared). */
-  val qTextCcnetCut: Q = (s, dir) => {
-    val docs = Tables(s, dir, "documents")
+  val qTextCcnetCut: Q = (s, dir) =>
+    ccnetCutFrom(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        (col("source") === "src0").as("trusted")))
+
+  /** The cut behind [[qTextCcnetCut]] and `Graft.ccnetCut`: `docs` =
+    * (doc_id, lang, text, trusted) — trusted rows train the
+    * per-language LM, untrusted rows are scored and terciled. */
+  private[graft] def ccnetCutFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     val bg = docs
-      .select(col("doc_id"), col("lang"), col("source"),
+      .select(col("doc_id"), col("lang"), col("trusted"),
         split(col("text"), " ").as("t"))
-      .select(col("doc_id"), col("lang"), col("source"),
+      .select(col("doc_id"), col("lang"), col("trusted"),
         explode(when(size(col("t")) >= 2,
           expr("""transform(sequence(1, size(t) - 1),
                   i -> struct(element_at(t, i) as w1,
                               element_at(t, i + 1) as w2))"""))
           .otherwise(array())).as("b"))
-      .select(col("doc_id"), col("lang"), col("source"),
+      .select(col("doc_id"), col("lang"), col("trusted"),
         col("b.w1"), col("b.w2"))
     val c12 = graft.CacheScope.track(
-      bg.filter(col("source") === "src0")
+      bg.filter(col("trusted"))
         .groupBy(col("lang"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("c12"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -247,10 +255,10 @@ object CorpusOps47 {
     val nTypes = c12.count()
     val c1 = c12.groupBy(col("lang"), col("w1"))
       .agg(sum(col("c12")).as("c1"))
-    val v = docs.filter(col("source") === "src0")
+    val v = docs.filter(col("trusted"))
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("lang")).agg(countDistinct(col("tok")).as("v"))
-    val sc = bg.filter(col("source") =!= "src0")
+    val sc = bg.filter(!col("trusted"))
       .join(AutoBroadcast.gate(c12, nTypes, lmLimit),
         Seq("lang", "w1", "w2"), "left")
       .join(AutoBroadcast.gate(c1, nTypes, lmLimit),

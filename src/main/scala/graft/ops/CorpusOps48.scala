@@ -137,20 +137,27 @@ object CorpusOps48 {
     * Scale: one corpus scan to |sources| rows, then a 4× literal
     * fan-out of that dictionary-sized frame. */
   val qMixEpochPlan: Q = (s, dir) =>
-    Tables(s, dir, "documents")
-      .select(col("source"),
-        size(split(col("text"), " ")).cast("long").as("ntok"))
-      .groupBy(col("source"))
+    epochPlanFrom(Tables(s, dir, "documents")
+      .select(col("source").as("grp"),
+        size(split(col("text"), " ")).cast("long").as("ntok")), "grp")
+      .withColumnRenamed("grp", "source")
+
+  /** The plan behind [[qMixEpochPlan]] and `Graft.epochPlan`:
+    * `obs` = (grp, ntok). */
+  private[graft] def epochPlanFrom(obs: DataFrame, grp: String)
+      : DataFrame =
+    obs
+      .groupBy(col(grp))
       .agg(sum(col("ntok")).as("raw_tokens"))
-      .select(col("source"), col("raw_tokens"),
+      .select(col(grp), col("raw_tokens"),
         explode(expr("sequence(1, 4)")).as("repeats"))
       .withColumn("marginal_milli",
         expr("raw_tokens * (2000 div shiftleft(1, repeats))"))
       .withColumn("eff_tokens_milli",
         expr("raw_tokens * (2000 - 2000 div shiftleft(1, repeats))"))
-      .select(col("source"), col("repeats").cast("long").as("repeats"),
+      .select(col(grp), col("repeats").cast("long").as("repeats"),
         col("raw_tokens"), col("eff_tokens_milli"), col("marginal_milli"))
-      .orderBy(col("source"), col("repeats"))
+      .orderBy(col(grp), col("repeats"))
 
   /** Sampling-temperature sweep over the IEEE-EXACT τ ladder
     * {1, ½, ¼} (the q_mix_temperature operator promoted to a planning
@@ -165,11 +172,19 @@ object CorpusOps48 {
     *
     * Scale: one corpus scan to |sources| rows; the sweep is a 3×
     * literal fan-out of that frame. */
-  val qMixTemperatureSweep: Q = (s, dir) => {
-    val budget = 2000L
-    val stats = Tables(s, dir, "documents")
-      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .select(col("source"), col("n_docs"),
+  val qMixTemperatureSweep: Q = (s, dir) =>
+    temperatureSweepFrom(Tables(s, dir, "documents")
+      .select(col("source").as("grp")), "grp", 2000L)
+      .withColumnRenamed("grp", "source")
+
+  /** The sweep behind [[qMixTemperatureSweep]] and
+    * `Graft.temperatureSweep`: `docs` carries one row per document
+    * with its `grp` column. */
+  private[graft] def temperatureSweepFrom(docs: DataFrame, grp: String,
+      budget: Long): DataFrame = {
+    val stats = docs
+      .groupBy(col(grp)).agg(count(lit(1)).as("n_docs"))
+      .select(col(grp), col("n_docs"),
         explode(expr("array(1000, 500, 250)")).as("tau_milli"))
       .withColumn("s_micro", expr(
         """cast(round(CASE tau_milli
@@ -183,8 +198,8 @@ object CorpusOps48 {
       .withColumn("alloc_docs",
         expr(s"($budget * s_micro) div tot_micro"))
       .select(col("tau_milli").cast("long").as("tau_milli"),
-        col("source"), col("n_docs"), col("s_micro"), col("alloc_docs"))
-      .orderBy(col("tau_milli"), col("source"))
+        col(grp), col("n_docs"), col("s_micro"), col("alloc_docs"))
+      .orderBy(col("tau_milli"), col(grp))
   }
 
   /** Jaccard-threshold dedup sweep — "how aggressive is the dedup at
@@ -278,11 +293,19 @@ object CorpusOps48 {
     * (a jacc ≥ 0.2 pair always shares a kept shingle unless the df
     * cap removed every shared shingle — the q_dedup_jaccard
     * declaration). */
-  val qDedupBlockingAudit: Q = (s, dir) => {
+  val qDedupBlockingAudit: Q = (s, dir) =>
+    blockingAuditFrom(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")))
+
+  /** The audit behind [[qDedupBlockingAudit]] and
+    * `Graft.blockingAudit`: `docs` = (doc_id, text). */
+  private[graft] def blockingAuditFrom(docs0: DataFrame): DataFrame = {
+    val docs = graft.CacheScope.track(docs0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // ONE pair-stream build serves both the truth and the shingle
     // candidate row — a second jaccardPairStream call would re-run
     // (and re-persist) the whole gram pipeline
-    val ps = graft.CacheScope.track(Dedup.jaccardPairStream(s, dir)
+    val ps = graft.CacheScope.track(Dedup.jaccardPairStreamOf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val truth = graft.CacheScope.track(
       ps.filter(col("i") * 1000 >=
@@ -302,10 +325,8 @@ object CorpusOps48 {
             .as("precision_permille"),
           expr("n_true * 1000 div truth_total").as("recall_permille"))
     }
-    val docs = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text"))
     audit("shingle_index", ps)
-      .unionAll(audit("simhash_block", Dedup.qDedupSimhashPairs(s, dir)))
+      .unionAll(audit("simhash_block", Dedup.simhashPairsOf(docs)))
       .unionAll(audit("winnow_fp", Dedup.winnowPairs(docs)))
       .orderBy(col("blocker"))
   }
@@ -404,8 +425,15 @@ object CorpusOps48 {
     * equi-join on cid — co-partitioned, never all-pairs; the truth is
     * the bounded 50-query one-pass scan shared with the retrieval
     * evals. */
-  val qSimIvfNprobeSweep: Q = (s, dir) => {
-    val emb = graft.CacheScope.track(EmbQuant.quantized(s, dir)
+  val qSimIvfNprobeSweep: Q = (s, dir) =>
+    nprobeFrontierFrom(
+      EmbQuant.quantized(s, dir).select(col("vec_id"), col("q")))
+
+  /** The frontier behind [[qSimIvfNprobeSweep]] and
+    * `Graft.ivfNprobeFrontier`: `emb0` = (vec_id, q), q
+    * micro-quantized int64. */
+  private[graft] def nprobeFrontierFrom(emb0: DataFrame): DataFrame = {
+    val emb = graft.CacheScope.track(emb0
       .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
       .select(col("vec_id"), col("q"), col("n2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

@@ -92,7 +92,16 @@ object Dedup {
     * exact cross-multiplication instead of a rounded double. */
   private[graft] def jaccardPairStream(
       s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame =
+    jaccardPairStreamOf(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")))
+
+  /** Frame-based core of [[jaccardPairStream]] (docs = (doc_id,
+    * text)) — shared with `Graft.dedupThresholdSweep` and
+    * `Graft.blockingAudit`. */
+  private[graft] def jaccardPairStreamOf(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // persist the hashed shingle stream: it feeds the hot-list agg, the
     // per-doc sizes agg, and both self-join sides — without it the
     // token-explode + concat_ws subtree (the CPU-heaviest part of the
@@ -102,7 +111,7 @@ object Dedup {
     // unpersists after materializing, so bench loops don't accumulate
     // one pinned frame per invocation (ADVICE r7).
     val raw = graft.CacheScope.track(
-      shingled(s, dir).select(col("doc_id"), xxhash64(col("g")).as("h"))
+      shingledDocs(docs).select(col("doc_id"), xxhash64(col("g")).as("h"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // df-cut via ANTI-join against the HOT-shingle list: shingles with
     // df > cap are the Zipf head — in real corpora small enough that
@@ -452,8 +461,15 @@ object Dedup {
     * side (no exchange reuse through the sort), doubling the most
     * expensive subtree for an ordering the join never needed. */
   private def fingerprints(s: org.apache.spark.sql.SparkSession,
-                           dir: String): org.apache.spark.sql.DataFrame = {
-    val toks = Tables(s, dir, "documents")
+                           dir: String): org.apache.spark.sql.DataFrame =
+    fingerprintsOf(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")))
+
+  /** Frame-based SimHash fingerprint core (docs = (doc_id, text)) —
+    * shared with the simhash-pair blocker and `Graft.blockingAudit`. */
+  private[graft] def fingerprintsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val h = toks.select(col("doc_id"),
       conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
@@ -500,8 +516,17 @@ object Dedup {
     * O(docs x 8), never O(docs^2) — vs the all-pairs BNLJ this replaces),
     * exact hamming is verified within each block's bucket, and duplicates
     * (pairs agreeing on several blocks) collapse via distinct. */
-  val qDedupSimhashPairs: Q = (s, dir) => {
-    val sh = fingerprints(s, dir)
+  val qDedupSimhashPairs: Q = (s, dir) =>
+    simhashPairsOf(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")))
+
+  /** Frame-based core of [[qDedupSimhashPairs]] (docs = (doc_id,
+    * text)) — shared with `Graft.blockingAudit`. Keeps the conf-gated
+    * skew-salting fallback of the declared query. */
+  private[graft] def simhashPairsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    val sh = fingerprintsOf(docs)
     val blockCols = SimhashBlocks.zipWithIndex.map { case ((off, width), i) =>
       expr(s"shiftright(simhash, $off) & ${(1L << width) - 1}")
         .cast("long").as(s"b$i")

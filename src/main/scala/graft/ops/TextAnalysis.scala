@@ -399,8 +399,14 @@ object TextAnalysis {
     * dictionary-sized with 1-row scalar picks, and each curve point
     * is a rollup of a map-side re-merge of that dictionary. Token
     * totals and symbol counts are exact integers. */
-  val qBpeVocabCurve: Q = (s, dir) => {
-    val dict0 = graft.CacheScope.track(symbolizedDict(s, dir)
+  val qBpeVocabCurve: Q = (s, dir) =>
+    vocabCurveFrom(Tables(s, dir, "documents").select(col("text")))
+
+  /** The ROI curve behind [[qBpeVocabCurve]] and
+    * `Graft.bpeVocabCurve`: `docs` carries a `text` column. */
+  private[graft] def vocabCurveFrom(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dict0 = graft.CacheScope.track(symbolizedDocs(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val merges = bpeMerges(dict0, 6)
       .orderBy(col("round")).collect().map(_.getString(1)).toSeq

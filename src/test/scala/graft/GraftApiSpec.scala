@@ -325,6 +325,55 @@ class GraftApiSpec extends AnyFunSuite {
     }
   }
 
+  test("r16 tuning-table facades == the declared queries (text)") {
+    val docs = Tables(spark, sf, "documents")
+    def declared(q: String) =
+      try SparkEntry.queries(q)(spark, sf).collect().toSeq
+      finally CacheScope.release()
+    def run(df: => org.apache.spark.sql.DataFrame) =
+      try df.collect().toSeq finally CacheScope.release()
+    val sweep = run(Graft.dedupThresholdSweep(docs, "doc_id", "text"))
+    assert(sweep.nonEmpty && sweep == declared("q_dedup_threshold_sweep"))
+    val curve = run(Graft.bpeVocabCurve(docs, "text"))
+    assert(curve.nonEmpty && curve == declared("q_bpe_vocab_curve"))
+    val cut = run(Graft.substringCut(docs, "doc_id", "text", "source"))
+    assert(cut.nonEmpty && cut == declared("q_dedup_substring_cut"))
+    val kn = run(Graft.kneserNeyScore(docs, "doc_id", "text",
+      col("source") === "src0"))
+    assert(kn.nonEmpty && kn == declared("q_text_kneser_ney"))
+    val ccnet = run(Graft.ccnetCut(docs, "doc_id", "text", "lang",
+      col("source") === "src0"))
+    assert(ccnet.nonEmpty && ccnet == declared("q_text_ccnet_cut"))
+  }
+
+  test("r16 tuning-table facades == the declared queries (mixture)") {
+    val docs = Tables(spark, sf, "documents")
+    def declared(q: String) =
+      try SparkEntry.queries(q)(spark, sf).collect().toSeq
+      finally CacheScope.release()
+    def run(df: => org.apache.spark.sql.DataFrame) =
+      try df.collect().toSeq finally CacheScope.release()
+    val ep = run(Graft.epochPlan(docs, "text", "source"))
+    assert(ep.nonEmpty && ep == declared("q_mix_epoch_plan"))
+    val ts = run(Graft.temperatureSweep(docs, "source"))
+    assert(ts.nonEmpty && ts == declared("q_mix_temperature_sweep"))
+    val audit = run(Graft.blockingAudit(docs, "doc_id", "text"))
+    assert(audit.nonEmpty && audit == declared("q_dedup_blocking_audit"))
+  }
+
+  test("r16 IVF frontier facades == the declared queries") {
+    val embs = Tables(spark, sf, "embeddings")
+    def declared(q: String) =
+      try SparkEntry.queries(q)(spark, sf).collect().toSeq
+      finally CacheScope.release()
+    def run(df: => org.apache.spark.sql.DataFrame) =
+      try df.collect().toSeq finally CacheScope.release()
+    val cells = run(Graft.ivfCellsFrontier(embs, "vec_id", "embedding"))
+    assert(cells.nonEmpty && cells == declared("q_sim_ivf_cells_sweep"))
+    val np = run(Graft.ivfNprobeFrontier(embs, "vec_id", "embedding"))
+    assert(np.nonEmpty && np == declared("q_sim_ivf_nprobe_sweep"))
+  }
+
   test("bpeTrain and marginMine facades == the declared queries") {
     val api = try Graft.bpeTrain(
         Tables(spark, sf, "documents"), "text").collect().toSeq
