@@ -134,7 +134,12 @@ object StressBench {
     // corpus count (16 at 1x/2k vectors, 79 at 10x/20k), so this row
     // should land near the +cells64 variant at 10x while matching the
     // default declared query at 1x — the dial turning itself
-    "facade_margin_mine_auto")
+    "facade_margin_mine_auto",
+    // r16: the audit-class shard-sample gate (VERDICT r15 item 4) —
+    // 8-of-64 md5 shards against the exact twins above; the factor
+    // gap is the measured price of exact truth the sample avoids
+    "q_dedup_blocking_audit+sample8", "q_dedup_dup_spectrum+sample8",
+    "q_dedup_threshold_sweep+sample8")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale
@@ -156,7 +161,13 @@ object StressBench {
     "q_text_perplexity+shuffle" ->
       ("q_text_perplexity", "spark.graft.lm.broadcastTypeLimit=0"),
     "q_select_rho+shuffle" ->
-      ("q_select_rho", "spark.graft.lm.broadcastTypeLimit=0"))
+      ("q_select_rho", "spark.graft.lm.broadcastTypeLimit=0"),
+    "q_dedup_blocking_audit+sample8" ->
+      ("q_dedup_blocking_audit", "spark.graft.audit.sampleShards=8"),
+    "q_dedup_dup_spectrum+sample8" ->
+      ("q_dedup_dup_spectrum", "spark.graft.audit.sampleShards=8"),
+    "q_dedup_threshold_sweep+sample8" ->
+      ("q_dedup_threshold_sweep", "spark.graft.audit.sampleShards=8"))
 
   /** Facade-driven rows: bench label → a direct `graft.api.Graft`
     * call. These measure the PUBLIC API's own scale behavior (e.g.

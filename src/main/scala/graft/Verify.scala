@@ -35,7 +35,8 @@ object Verify {
     // so a verify run with one set would red-flag queries that never
     // drifted. Plan-shape knobs (shuffleJoin/shareScan/broadcast
     // limits) stay legal — those paths are bit-identical by contract.
-    Seq("spark.graft.minhash.autoBanding", "spark.graft.ivf.cells")
+    Seq("spark.graft.minhash.autoBanding", "spark.graft.ivf.cells",
+      "spark.graft.audit.sampleShards")
       .foreach { k =>
         require(spark.conf.getOption(k).isEmpty,
           s"$k is set: this conf changes query output away from the " +

@@ -54,7 +54,11 @@ object CorpusOps46 {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-    val g = graft.CacheScope.track(toks
+    // the optional audit shard gate rides the gram hash itself: all
+    // occurrences of one gram share its shard, so a sampled window's
+    // >=2 verdict stays EXACT — sampling thins which windows are
+    // audited (coverage ~ k/64 of the full figure), never corrupts one
+    val g = graft.CacheScope.track(AuditSample.gateHash(toks
       .filter(size(col("t")) >= L)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(t) - ${L - 1}),
@@ -62,7 +66,8 @@ object CorpusOps46 {
                         CAST(conv(substring(md5(concat_ws(' ',
                           slice(t, i, $L))), 1, 15), 16, 10) AS BIGINT)
                           AS h))""")).as("e"))
-      .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h")),
+      col("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dup = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("h"))
@@ -516,7 +521,8 @@ object CorpusOps46 {
     import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select(col("doc_id"), col(grp), split(col("text"), " ").as("t"))
-    val g = toks
+    // same gram-hash shard gate as the profile (see substringProfileFrom)
+    val g = AuditSample.gateHash(toks
       .filter(size(col("t")) >= L)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(t) - ${L - 1}),
@@ -524,7 +530,8 @@ object CorpusOps46 {
                         CAST(conv(substring(md5(concat_ws(' ',
                           slice(t, i, $L))), 1, 15), 16, 10) AS BIGINT)
                           AS h))""")).as("e"))
-      .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h")),
+      col("h"))
     val wh = Window.partitionBy(col("h"))
     val occ = g
       .withColumn("orank", row_number().over(

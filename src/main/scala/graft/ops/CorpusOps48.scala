@@ -222,7 +222,9 @@ object CorpusOps48 {
     * fixture): `ps0` = (da, db, i, na, nb) candidate pairs. */
   private[graft] def dedupThresholdSweepOf(ps0: DataFrame): DataFrame = {
     val s = ps0.sparkSession
-    val ps = ps0
+    // optional k-of-64 pair-key shard sample (tune-time estimate;
+    // counts are of the sampled shard — VERDICT r15 item 4)
+    val ps = AuditSample.gate(ps0, col("da"), col("db"))
       .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
         explode(expr("array(200, 500, 800)")).as("theta_permille"))
       .filter(col("i") * 1000 >=
@@ -304,8 +306,12 @@ object CorpusOps48 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // ONE pair-stream build serves both the truth and the shingle
     // candidate row — a second jaccardPairStream call would re-run
-    // (and re-persist) the whole gram pipeline
-    val ps = graft.CacheScope.track(Dedup.jaccardPairStreamOf(docs)
+    // (and re-persist) the whole gram pipeline. The optional
+    // `spark.graft.audit.sampleShards` gate shards on the PAIR key
+    // (da, db) so truth and every blocker see the same sampled pair
+    // population — ratios need no rescaling (VERDICT r15 item 4).
+    val ps = graft.CacheScope.track(AuditSample.gate(
+        Dedup.jaccardPairStreamOf(docs), col("da"), col("db"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val truth = graft.CacheScope.track(
       ps.filter(col("i") * 1000 >=
@@ -314,7 +320,10 @@ object CorpusOps48 {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val tt = truth.agg(count(lit(1)).as("truth_total"))
     def audit(name: String, cand: DataFrame): DataFrame = {
-      val c = cand.select(col("da"), col("db"))
+      // same pair-key shard gate as the truth (idempotent on the
+      // already-gated shingle stream)
+      val c = AuditSample.gate(cand.select(col("da"), col("db")),
+        col("da"), col("db"))
       c.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(c.join(truth, Seq("da", "db"), "left_semi")
           .agg(count(lit(1)).as("n_true")))

@@ -77,6 +77,56 @@ class Wave38Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_docs")) == Seq(2L, 0L, 0L))
   }
 
+  test("audit shard-sample gate: consistent, bounded, off-by-default") {
+    def audit() = try ops.CorpusOps48
+        .queries("q_dedup_blocking_audit")(spark, sf).collect().toSeq
+      finally CacheScope.release()
+    def spectrum() = try ops.CorpusOps47
+        .queries("q_dedup_dup_spectrum")(spark, sf).collect().toSeq
+      finally CacheScope.release()
+    def sweep() = try ops.CorpusOps48
+        .queries("q_dedup_threshold_sweep")(spark, sf).collect().toSeq
+      finally CacheScope.release()
+    val (fullA, fullS, fullW) = (audit(), spectrum(), sweep())
+    // k = 64 keeps every query bit-identical (the gate is identity)
+    spark.conf.set("spark.graft.audit.sampleShards", "64")
+    try assert(audit() == fullA)
+    finally spark.conf.unset("spark.graft.audit.sampleShards")
+    spark.conf.set("spark.graft.audit.sampleShards", "32")
+    try {
+      val sa = audit()
+      assert(sa.map(_.getString(0)) == fullA.map(_.getString(0)))
+      // truth and candidates shrink together; ratios stay permille-valid
+      sa.zip(fullA).foreach { case (s32, f) =>
+        assert(s32.getAs[Long]("n_candidates") > 0 &&
+          s32.getAs[Long]("n_candidates") <= f.getAs[Long]("n_candidates"))
+        assert(s32.getAs[Long]("truth_total") > 0 &&
+          s32.getAs[Long]("truth_total") <= f.getAs[Long]("truth_total"))
+        assert(s32.getAs[Long]("precision_permille") <= 1000)
+        assert(s32.getAs[Long]("recall_permille") <= 1000)
+      }
+      val ss = spectrum()
+      // per width: sampled coverage is a sub-population of the full one
+      ss.zip(fullS).foreach { case (s32, f) =>
+        assert(s32.getAs[Long]("win_l") == f.getAs[Long]("win_l"))
+        assert(s32.getAs[Long]("dup_tokens") <= f.getAs[Long]("dup_tokens"))
+        assert(s32.getAs[Long]("total_tokens") == f.getAs[Long]("total_tokens"))
+        // a half-shard sample of the fixture's dup mass lands within
+        // a loose 3x band of the k/64-scaled expectation
+        val est = s32.getAs[Long]("dup_tokens") * 2
+        val full = f.getAs[Long]("dup_tokens")
+        assert(full == 0 || (est >= full / 3 && est <= full * 3),
+          s"L=${f.getAs[Long]("win_l")}: est=$est full=$full")
+      }
+      val sw = sweep()
+      assert(sw.map(_.getAs[Long]("theta_permille")) ==
+        Seq(200L, 500L, 800L))
+      sw.zip(fullW).foreach { case (s32, f) =>
+        assert(s32.getAs[Long]("n_pairs") <= f.getAs[Long]("n_pairs"))
+      }
+    } finally spark.conf.unset("spark.graft.audit.sampleShards")
+  }
+
   test("neyman survives int64-overflowing variance numerators") {
     import spark.implicits._
     // sxx per stratum ~ 8.8e18 still FITS int64, but n_docs * sxx =
