@@ -134,7 +134,17 @@ object Bench {
     "q_dedup_blocking_audit",  // 3-blocker precision/recall audit (r15 w39)
     "q_bpe_vocab_curve",       // vocab-size compression ROI ladder (r15 w40)
     "q_dedup_cc_delta",        // incremental CC delta-merge report (r15 w41)
-    "q_sim_ivf_nprobe_sweep")  // query-time recall/cost frontier (r15 w42)
+    "q_sim_ivf_nprobe_sweep",  // query-time recall/cost frontier (r15 w42)
+    "q_tok_unigram_train",     // 2-E-step unigram-LM Viterbi trainer (r16 w43)
+    "q_tok_unigram_fertility") // per-source unigram pieces/token (r16 w43)
+
+  /** Family of a headline key for the per-family subtotals: `qN_*`
+    * TPC-H queries fold into "tpch", `q_<fam>_rest` takes its second
+    * token. Cross-round bench comparison reads these instead of 120
+    * raw per-query numbers (VERDICT r15 item 8). */
+  private[graft] def familyOf(name: String): String =
+    if (name.matches("q\\d+_.*")) "tpch"
+    else name.split("_").lift(1).getOrElse("misc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -194,6 +204,13 @@ object Bench {
     def totalOf(rs: Seq[(String, Double)]): Double =
       if (rs.exists(_._2 < 0)) -1.0 else rs.map(_._2).sum
     val total = totalOf(results)
+    // per-family subtotals: the readable cross-round comparison axis
+    // (the 120-query raw map stays for per-query drill-down)
+    val famJson = results.groupBy(r => familyOf(r._1)).toSeq.sortBy(_._1)
+      .map { case (f, rs) =>
+        val t = if (rs.exists(_._2 < 0)) -1.0 else rs.map(_._2).sum
+        "\"" + f + "\":" + f"{" + s""""sec":${f"$t%.3f"},"n":${rs.size}}"""
+      }.mkString("{", ",", "}")
     // second point on the scaling curve (r02 VERDICT #8): the same
     // headline set at sf0.01, reported as extra keys on the same line
     val sf001Dir = "/root/testdata/sf0.01"
@@ -205,7 +222,7 @@ object Bench {
         anyFailed ||= t < 0
         f""","total_sf001":$t%.3f,"queries_sf001":${json(r)}"""
       } else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$scaling}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","families":$famJson,"queries":${json(results)},"sf":"$sfDir"$scaling}""")
     // compact totals-only line AFTER the full line: the driver's `tail`
     // capture truncates the FRONT of long lines (BENCH_r09's sf0.1
     // totals were lost that way — VERDICT r9 item 4), so the headline

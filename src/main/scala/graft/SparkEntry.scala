@@ -80,6 +80,7 @@ object SparkEntry {
     (CorpusOps46.queries, CorpusOps46.oracle),
     (CorpusOps47.queries, CorpusOps47.oracle),
     (CorpusOps48.queries, CorpusOps48.oracle),
+    (CorpusOps49.queries, CorpusOps49.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -139,7 +139,10 @@ object StressBench {
     // 8-of-64 md5 shards against the exact twins above; the factor
     // gap is the measured price of exact truth the sample avoids
     "q_dedup_blocking_audit+sample8", "q_dedup_dup_spectrum+sample8",
-    "q_dedup_threshold_sweep+sample8")
+    "q_dedup_threshold_sweep+sample8",
+    // r16 wave 43: the unigram trainer is the bpe_train class —
+    // dictionary-bound after one scan, map-side HOF Viterbi E-steps
+    "q_tok_unigram_train", "q_tok_unigram_fertility")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

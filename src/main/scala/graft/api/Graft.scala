@@ -972,4 +972,27 @@ object Graft {
         col(textCol).as("text")), "__grp", L)
       .withColumnRenamed("__grp", groupCol)
   }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer trainer (Kudo, ACL
+    * 2018, in the library's declared exact-arithmetic form): seed
+    * from frequency-weighted word substrings, two Viterbi E-steps
+    * with a prune/re-cost between them (all chars kept — every word
+    * stays segmentable — plus the top-40 multi-char pieces by usage).
+    * Returns the shipped piece table (`piece`, `piece_len`,
+    * `used_count`, `cost_micro`). One corpus scan to the dictionary;
+    * the bounded vocab collects to a literal map, so segmentation is
+    * a pure map-side pass at any corpus size. */
+  def unigramTrain(docs: DataFrame, textCol: String): DataFrame =
+    graft.ops.CorpusOps49.unigramCore(
+      docs.select(col(textCol).as("text")))._1
+
+  /** Per-group fertility (pieces per token, milli) under the final
+    * [[unigramTrain]] model — read side-by-side with [[bpeFertility]]
+    * when choosing the tokenizer algorithm. */
+  def unigramFertility(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.CorpusOps49.unigramFertilityFrom(
+      docs.select(col(groupCol).as("__grp"), col(textCol).as("text")),
+      "__grp")
+      .withColumnRenamed("__grp", groupCol)
 }
