@@ -893,6 +893,107 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed cc-delta report diverges: ${got.take(3)} vs ${want.take(3)}")
   }
 
+  test("streaming kmeans centroid partials (foreachBatch) == batch census") {
+    // q_sim_kmeans_train's first rounds as a live ingest (VERDICT r15
+    // item 6): vector micro-batches assign to the STANDING seed
+    // quantizer and append (a) the narrow (vec_id, cid) assignment
+    // and (b) per-cell per-component partial sums/counts — the
+    // append-only centroid state. Rollup-on-read merges the partials
+    // into EXACT integer component sums (order-invariant), so the
+    // floored-mean round-1 centroids — and the round-0/round-1 census
+    // built from them — equal the batch Lloyd loop bit-for-bit.
+    val srcDir = Files.createTempDirectory("km_stream").toFile
+    srcDir.deleteOnExit()
+    graft.functions.GraftFunctions.register(spark)
+    def quant(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), expr(
+        """transform(embedding, x ->
+            CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
+        .as("q"))
+      .withColumn("n2", call_function("dotq", col("q"), col("q")))
+    Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    // the standing quantizer: the 16 lowest-id seed centroids, frozen
+    // before the stream starts (the IVF-delta twin's convention)
+    val centsDf = quant(spark.read.parquet(srcDir.getAbsolutePath)
+      .filter(col("vec_id") < 16))
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+      .filter(col("cn2") > 0)
+    def assign(vecs: org.apache.spark.sql.DataFrame) = vecs
+      .crossJoin(broadcast(centsDf))
+      .select(col("vec_id"), col("q"), col("cid"),
+        (call_function("dotq", col("q"), col("cq")).cast("double") /
+          (sqrt(col("n2").cast("double")) *
+            sqrt(col("cn2").cast("double")))).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid")))
+        .as("cid"), first(col("q")).as("q"))
+    val asgDir = Files.createTempDirectory("km_asg").toFile
+    asgDir.deleteOnExit()
+    val partDir = Files.createTempDirectory("km_part").toFile
+    partDir.deleteOnExit()
+    var batches = 0
+    val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        val a = assign(quant(df))
+        a.select(col("vec_id"), col("cid"))
+          .write.mode("append").parquet(asgDir.getAbsolutePath)
+        a.select(col("cid"), posexplode(col("q")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("col")).as("sm"), count(lit(1)).as("cnt"))
+          .write.mode("append").parquet(partDir.getAbsolutePath)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    // rollup-on-read: merge partials -> exact floored-mean centroids
+    val asg0 = spark.read.parquet(asgDir.getAbsolutePath)
+    val c1 = spark.read.parquet(partDir.getAbsolutePath)
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("sm")).as("sm"), sum(col("cnt")).as("cnt"))
+      .withColumn("cv", expr("(sm - pmod(sm, cnt)) div cnt"))
+      .groupBy(col("cid"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+        .as("cq"))
+      .withColumn("cn2", call_function("dotq", col("cq"), col("cq")))
+      .filter(col("cn2") > 0)
+    val corpus = quant(spark.read.parquet(srcDir.getAbsolutePath))
+    val asg1 = corpus.crossJoin(broadcast(c1))
+      .select(col("vec_id"), col("cid"),
+        (call_function("dotq", col("q"), col("cq")).cast("double") /
+          (sqrt(col("n2").cast("double")) *
+            sqrt(col("cn2").cast("double")))).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+    def census(r: Int, a: org.apache.spark.sql.DataFrame,
+        base: org.apache.spark.sql.DataFrame) = a
+      .join(base.select(col("vec_id"), col("cid").as("pcid")), "vec_id")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cid") =!= col("pcid"), 1L).otherwise(0L))
+          .as("moved"),
+        min(col("vec_id")).as("min_vec"))
+      .select(lit(r.toLong).as("round"), col("cid"), col("n"),
+        col("moved"), col("min_vec"))
+    val got = census(0, asg0, asg0).unionAll(census(1, asg1, asg0))
+      .orderBy(col("round"), col("cid")).collect().toSeq
+    val want = try
+        SparkEntry.queries("q_sim_kmeans_train")(spark, sf)
+          .filter(col("round") <= 1).collect().toSeq
+      finally CacheScope.release()
+    assert(got.nonEmpty && got == want,
+      s"streamed kmeans census diverges: ${got.take(3)} vs ${want.take(3)}")
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
     val df = streamedEvents
       .withWatermark("ts", "1 hour")
