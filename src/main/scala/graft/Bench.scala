@@ -136,7 +136,10 @@ object Bench {
     "q_dedup_cc_delta",        // incremental CC delta-merge report (r15 w41)
     "q_sim_ivf_nprobe_sweep",  // query-time recall/cost frontier (r15 w42)
     "q_tok_unigram_train",     // 2-E-step unigram-LM Viterbi trainer (r16 w43)
-    "q_tok_unigram_fertility") // per-source unigram pieces/token (r16 w43)
+    "q_tok_unigram_fertility", // per-source unigram pieces/token (r16 w43)
+    "q_text_c4_rules",         // named C4 cleaning-rule battery (r16 w44)
+    "q_mix_unimax",            // epoch-capped waterfill allocation (r16 w44)
+    "q_quality_nb_train")      // NB quality-filter train + confusion (r16 w44)
 
   /** Family of a headline key for the per-family subtotals: `qN_*`
     * TPC-H queries fold into "tpch", `q_<fam>_rest` takes its second

@@ -81,6 +81,7 @@ object SparkEntry {
     (CorpusOps47.queries, CorpusOps47.oracle),
     (CorpusOps48.queries, CorpusOps48.oracle),
     (CorpusOps49.queries, CorpusOps49.oracle),
+    (CorpusOps50.queries, CorpusOps50.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -142,7 +142,10 @@ object StressBench {
     "q_dedup_threshold_sweep+sample8",
     // r16 wave 43: the unigram trainer is the bpe_train class —
     // dictionary-bound after one scan, map-side HOF Viterbi E-steps
-    "q_tok_unigram_train", "q_tok_unigram_fertility")
+    "q_tok_unigram_train", "q_tok_unigram_fertility",
+    // r16 wave 44: c4 is a one-scan battery (expect ~linear), unimax
+    // a |sources|-row fold (expect flat), nb_train the LM-join class
+    "q_text_c4_rules", "q_mix_unimax", "q_quality_nb_train")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

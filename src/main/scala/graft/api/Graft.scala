@@ -995,4 +995,37 @@ object Graft {
       docs.select(col(groupCol).as("__grp"), col(textCol).as("text")),
       "__grp")
       .withColumnRenamed("__grp", groupCol)
+
+  /** C4 cleaning-rule battery (Raffel et al. 2020 §2.2, the named
+    * text-only subset): per group the pass counts of the ≥3-sentence
+    * proxy, terminal-punctuation, no-brace, no-lorem-ipsum and
+    * ≥5-words rules plus their conjunction — the [[gopherRules]]
+    * sibling for the other canonical web battery. */
+  def c4Rules(docs: DataFrame, textCol: String, groupCol: String)
+      : DataFrame =
+    graft.ops.CorpusOps50.c4RulesFrom(
+      docs.select(col(groupCol).as("__grp"), col(textCol).as("text")),
+      "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
+  /** UniMax mixture allocation (Chung et al. 2023): split `budget`
+    * units as uniformly as possible across groups subject to
+    * cap = `epochCap` × the group's mass — ascending-capacity
+    * waterfilling with exact integer floor division. Returns
+    * (`groupCol`, `raw_tokens`, `cap_tokens`, `alloc_tokens`,
+    * `capped`). One scan to |groups| rows; the sequential fold runs
+    * over one packed bounded array. */
+  def unimaxAllocation(obs: DataFrame, valueCol: String,
+      groupCol: String, budget: Long, epochCap: Long = 2L): DataFrame = {
+    require(budget >= 0, s"budget out of range: $budget")
+    require(epochCap >= 1 && epochCap <= 1000,
+      s"epochCap out of range: $epochCap")
+    val st = obs.select(col(groupCol).as("__grp"),
+        col(valueCol).cast("long").as("ntok"))
+      .groupBy(col("__grp")).agg(sum(col("ntok")).as("raw_tokens"))
+    val b = obs.sparkSession.range(1)
+      .select(lit(budget).as("budget"))
+    graft.ops.CorpusOps50.unimaxFold(st, b, "__grp", epochCap)
+      .withColumnRenamed("__grp", groupCol)
+  }
 }
