@@ -139,7 +139,10 @@ object Bench {
     "q_tok_unigram_fertility", // per-source unigram pieces/token (r16 w43)
     "q_text_c4_rules",         // named C4 cleaning-rule battery (r16 w44)
     "q_mix_unimax",            // epoch-capped waterfill allocation (r16 w44)
-    "q_quality_nb_train")      // NB quality-filter train + confusion (r16 w44)
+    "q_quality_nb_train",      // NB quality-filter train + confusion (r16 w44)
+    "q_emb_anisotropy",        // mean pairwise-cosine health audit (r16 w45)
+    "q_text_heaps",            // Heaps-law vocab growth curve (r16 w45)
+    "q_tok_byte_fallback")     // character-coverage fallback rate (r16 w45)
 
   /** Family of a headline key for the per-family subtotals: `qN_*`
     * TPC-H queries fold into "tpch", `q_<fam>_rest` takes its second

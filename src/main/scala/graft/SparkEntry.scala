@@ -82,6 +82,7 @@ object SparkEntry {
     (CorpusOps48.queries, CorpusOps48.oracle),
     (CorpusOps49.queries, CorpusOps49.oracle),
     (CorpusOps50.queries, CorpusOps50.oracle),
+    (CorpusOps51.queries, CorpusOps51.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -145,7 +145,12 @@ object StressBench {
     "q_tok_unigram_train", "q_tok_unigram_fertility",
     // r16 wave 44: c4 is a one-scan battery (expect ~linear), unimax
     // a |sources|-row fold (expect flat), nb_train the LM-join class
-    "q_text_c4_rules", "q_mix_unimax", "q_quality_nb_train")
+    "q_text_c4_rules", "q_mix_unimax", "q_quality_nb_train",
+    // r16 wave 45: anisotropy is a bounded-pair audit (expect flat),
+    // heaps one token scan to vocab-sized rollups, byte-fallback one
+    // char-HOF scan, kappa the nb_train class
+    "q_emb_anisotropy", "q_text_heaps", "q_tok_byte_fallback",
+    "q_quality_nb_kappa")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -1028,4 +1028,43 @@ object Graft {
     graft.ops.CorpusOps50.unimaxFold(st, b, "__grp", epochCap)
       .withColumnRenamed("__grp", groupCol)
   }
+
+  /** Heaps-law vocabulary growth: cumulative docs / tokens / distinct
+    * types and the type-token ratio at the 25/50/75/100% id-prefix
+    * checkpoints — the vocab-grows-with-corpus measurement behind
+    * every bounded-broadcast gate. One token scan (each type carries
+    * its first-appearance quarter). */
+  def heapsCurve(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    graft.ops.CorpusOps51.heapsFrom(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text")))
+
+  /** Embedding anisotropy audit (Ethayarajh 2019): mean / mean-abs /
+    * min / max pairwise cosine over a BOUNDED query frame, overall
+    * and within-label vs cross-label — the cosine-health check run
+    * before trusting raw cosine thresholds. Keep `embs` bounded
+    * (≲ a few thousand rows): the audit is all-pairs on the query
+    * set by design. */
+  def anisotropyAudit(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    graft.ops.CorpusOps51.anisotropyFrom(
+      embs.select(col(idCol).cast("long").as("vec_id"),
+        col(labelCol).as("label"),
+        expr(s"""transform($vecCol, x ->
+            CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
+          .as("q")))
+  }
+
+  /** Byte-fallback rate (the SentencePiece character_coverage dial):
+    * per group, the permille of token occurrences containing any
+    * character outside the `trusted` slice's alphabet — the tokens a
+    * deployed tokenizer would byte-fallback on. */
+  def byteFallback(docs: DataFrame, textCol: String, groupCol: String,
+      trusted: Column): DataFrame =
+    graft.ops.CorpusOps51.byteFallbackFrom(
+      docs.select(col(groupCol).as("__grp"), col(textCol).as("text"),
+        trusted.cast("boolean").as("trusted")), "__grp")
+      .withColumnRenamed("__grp", groupCol)
 }

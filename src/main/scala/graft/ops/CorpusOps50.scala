@@ -155,7 +155,17 @@ object CorpusOps50 {
     * `spark.graft.lm.broadcastTypeLimit` measured-cardinality gate
     * (Heaps' law — the q_text_perplexity discipline); everything
     * else is one scan + |sources| output rows. */
-  val qQualityNbTrain: Q = (s, dir) => {
+  val qQualityNbTrain: Q = (s, dir) =>
+    nbConfusion(s, dir)
+      .withColumn("accuracy_permille",
+        expr("(tp + tn) * 1000 div n_eval"))
+      .orderBy(col("source"))
+
+  /** The held-out per-source confusion table behind
+    * [[qQualityNbTrain]] and the r16 kappa readout (CorpusOps51):
+    * (source, n_eval, tp, fp, fn, tn), unordered. */
+  private[graft] def nbConfusion(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
     val flags = CorpusOps46.gopherFlagged(
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text")),
@@ -197,9 +207,6 @@ object CorpusOps50 {
         sum((lit(1L) - col("label")) * col("pred")).as("fp"),
         sum(col("label") * (lit(1L) - col("pred"))).as("fn"),
         sum((lit(1L) - col("label")) * (lit(1L) - col("pred"))).as("tn"))
-      .withColumn("accuracy_permille",
-        expr("(tp + tn) * 1000 div n_eval"))
-      .orderBy(col("source"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -258,7 +265,18 @@ object CorpusOps50 {
       FROM rec JOIN caps c ON rec.rk = c.rk AND rec.source = c.source
       ORDER BY c.source""",
     "q_quality_nb_train" -> s"""
-      WITH f AS MATERIALIZED (
+      WITH $nbConfusionSql
+      SELECT source, n_eval, tp, fp, fn, tn,
+        CAST((tp + tn) * 1000 // n_eval AS BIGINT) AS accuracy_permille
+      FROM cm ORDER BY source""")
+
+  /** The shared confusion CTE chain for the NB oracles — everything
+    * through the per-source (source, n_eval, tp, fp, fn, tn) table
+    * `cm`. Reused by the r16 kappa readout (CorpusOps51). A `def`:
+    * the oracle map above interpolates it at object init, before a
+    * later `val` would be assigned. */
+  private[graft] def nbConfusionSql: String = s"""
+      f AS MATERIALIZED (
         SELECT doc_id, source, text,
           (CASE WHEN len(a) >= 50 THEN 1 ELSE 0 END) *
           (CASE WHEN list_sum(list_transform(a, w -> length(w)))
@@ -305,13 +323,11 @@ object CorpusOps50 {
                CASE WHEN ssum + ${lgSql("pri.dp + 1")}
                           - ${lgSql("pri.dn + 1")} > 0
                     THEN 1 ELSE 0 END AS pred
-             FROM sc CROSS JOIN pri)
-      SELECT source, count(*) AS n_eval,
-        CAST(sum(label * pred) AS BIGINT) AS tp,
-        CAST(sum((1 - label) * pred) AS BIGINT) AS fp,
-        CAST(sum(label * (1 - pred)) AS BIGINT) AS fn,
-        CAST(sum((1 - label) * (1 - pred)) AS BIGINT) AS tn,
-        CAST((sum(label * pred) + sum((1 - label) * (1 - pred))) * 1000
-          // count(*) AS BIGINT) AS accuracy_permille
-      FROM pr GROUP BY source ORDER BY source""")
+             FROM sc CROSS JOIN pri),
+      cm AS (SELECT source, count(*) AS n_eval,
+               CAST(sum(label * pred) AS BIGINT) AS tp,
+               CAST(sum((1 - label) * pred) AS BIGINT) AS fp,
+               CAST(sum(label * (1 - pred)) AS BIGINT) AS fn,
+               CAST(sum((1 - label) * (1 - pred)) AS BIGINT) AS tn
+             FROM pr GROUP BY source)"""
 }
