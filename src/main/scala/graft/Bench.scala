@@ -142,7 +142,10 @@ object Bench {
     "q_quality_nb_train",      // NB quality-filter train + confusion (r16 w44)
     "q_emb_anisotropy",        // mean pairwise-cosine health audit (r16 w45)
     "q_text_heaps",            // Heaps-law vocab growth curve (r16 w45)
-    "q_tok_byte_fallback")     // character-coverage fallback rate (r16 w45)
+    "q_tok_byte_fallback",     // character-coverage fallback rate (r16 w45)
+    "q_mix_ablation",          // leave-one-source-out plan (r16 w46)
+    "q_eval_bootstrap",        // deterministic resample CI (r16 w46)
+    "q_drift_length")          // two-snapshot KS drift monitor (r16 w46)
 
   /** Family of a headline key for the per-family subtotals: `qN_*`
     * TPC-H queries fold into "tpch", `q_<fam>_rest` takes its second

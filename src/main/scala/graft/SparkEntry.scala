@@ -83,6 +83,7 @@ object SparkEntry {
     (CorpusOps49.queries, CorpusOps49.oracle),
     (CorpusOps50.queries, CorpusOps50.oracle),
     (CorpusOps51.queries, CorpusOps51.oracle),
+    (CorpusOps52.queries, CorpusOps52.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -150,7 +150,11 @@ object StressBench {
     // heaps one token scan to vocab-sized rollups, byte-fallback one
     // char-HOF scan, kappa the nb_train class
     "q_emb_anisotropy", "q_text_heaps", "q_tok_byte_fallback",
-    "q_quality_nb_kappa")
+    "q_quality_nb_kappa",
+    // r16 wave 46: ablation a one-scan |sources| rollup (expect
+    // flat), bootstrap a x32 map-side fan-out partial-agg (expect
+    // ~linear), drift a histogram-window pass (expect ~flat)
+    "q_mix_ablation", "q_eval_bootstrap", "q_drift_length")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

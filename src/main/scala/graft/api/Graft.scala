@@ -1067,4 +1067,44 @@ object Graft {
       docs.select(col(groupCol).as("__grp"), col(textCol).as("text"),
         trusted.cast("boolean").as("trusted")), "__grp")
       .withColumnRenamed("__grp", groupCol)
+
+  /** Leave-one-group-out ablation plan: per group the complement
+    * corpus's mass and quality-mean shift — the "which source do we
+    * ablate first" table. `valueCol` = per-row mass (e.g. tokens),
+    * `scoreCol` = an integer quality score. Pure |groups|-row
+    * algebra on one scan's aggregates. */
+  def sourceAblation(obs: DataFrame, valueCol: String,
+      scoreCol: String, groupCol: String): DataFrame =
+    graft.ops.CorpusOps52.ablationFrom(
+      obs.select(col(groupCol).as("__grp"),
+        col(valueCol).cast("long").as("ntok"),
+        col(scoreCol).cast("long").as("sc")), "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
+  /** Deterministic bootstrap CI (Efron 1979) for a per-group mean of
+    * an integer metric: 32 md5-derived Poisson(1)-approximate
+    * resamples, interval = the 2nd/31st order statistic of the
+    * replicate means. Same ids → same resamples forever, so CI
+    * movement across runs is signal, not reseeding noise. Returns
+    * (`groupCol`, `mean_micro`, `lo_micro`, `hi_micro`) — means in
+    * value·1000 units. */
+  def bootstrapCI(obs: DataFrame, idCol: String, valueCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.CorpusOps52.bootstrapFrom(
+      obs.select(col(idCol).as("doc_id"), col(groupCol).as("__grp"),
+        col(valueCol).cast("long").as("sc")), "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
+  /** Two-snapshot Kolmogorov–Smirnov drift on an integer value's
+    * distribution: per group, D‰ = max |cdfA − cdfB| by integer
+    * cross-multiplication over the value-granular histogram, with
+    * the argmax value. `isA` marks the A snapshot. The data-drift
+    * tripwire a standing ingest alarms on. */
+  def ksDrift(obs: DataFrame, valueCol: String, groupCol: String,
+      isA: Column): DataFrame =
+    graft.ops.CorpusOps52.ksDriftFrom(
+      obs.select(col(groupCol).as("__grp"),
+        col(valueCol).cast("long").as("len"),
+        isA.cast("boolean").cast("long").as("a")), "__grp")
+      .withColumnRenamed("__grp", groupCol)
 }
