@@ -145,7 +145,10 @@ object Bench {
     "q_tok_byte_fallback",     // character-coverage fallback rate (r16 w45)
     "q_mix_ablation",          // leave-one-source-out plan (r16 w46)
     "q_eval_bootstrap",        // deterministic resample CI (r16 w46)
-    "q_drift_length")          // two-snapshot KS drift monitor (r16 w46)
+    "q_drift_length",          // two-snapshot KS drift monitor (r16 w46)
+    "q_tok_algo_overlap",      // BPE-vs-unigram vocab overlap (r16 w47)
+    "q_text_ppl_length_bias",  // perplexity-vs-length bias curve (r16 w47)
+    "q_eval_mcnemar")          // Gopher-vs-C4 paired disagreement (r16 w47)
 
   /** Family of a headline key for the per-family subtotals: `qN_*`
     * TPC-H queries fold into "tpch", `q_<fam>_rest` takes its second

@@ -84,6 +84,7 @@ object SparkEntry {
     (CorpusOps50.queries, CorpusOps50.oracle),
     (CorpusOps51.queries, CorpusOps51.oracle),
     (CorpusOps52.queries, CorpusOps52.oracle),
+    (CorpusOps53.queries, CorpusOps53.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

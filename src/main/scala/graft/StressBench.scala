@@ -154,7 +154,11 @@ object StressBench {
     // r16 wave 46: ablation a one-scan |sources| rollup (expect
     // flat), bootstrap a x32 map-side fan-out partial-agg (expect
     // ~linear), drift a histogram-window pass (expect ~flat)
-    "q_mix_ablation", "q_eval_bootstrap", "q_drift_length")
+    "q_mix_ablation", "q_eval_bootstrap", "q_drift_length",
+    // r16 wave 47: overlap = both trainer pipelines (expect the
+    // dictionary-bound class), length bias the perplexity LM class,
+    // mcnemar one dual-battery scan (expect ~linear)
+    "q_tok_algo_overlap", "q_text_ppl_length_bias", "q_eval_mcnemar")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -256,7 +256,7 @@ object CorpusOps49 {
 
   /** Everything through the second E-step's usage table cnt1 —
     * shared by both oracles. */
-  private def coreSql: String = s"""
+  private[graft] def coreSql: String = s"""
     dict AS MATERIALIZED (
       SELECT word, count(*) AS freq FROM (
         SELECT unnest(string_split(text, ' ')) AS word

@@ -523,7 +523,7 @@ object TextAnalysis {
   /** The shared 6-round BPE training CTE chain (d0 … d6, b1 … b6) —
     * the q_bpe_train oracle reads the merge table off b1…b6, the
     * q_bpe_apply oracle reads post-merge symbol lengths off d6. */
-  private def bpeChainSql: String = s"""
+  private[graft] def bpeChainSql: String = s"""
       d0 AS MATERIALIZED (
         SELECT word, CAST(count(*) AS BIGINT) AS freq,
           regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS sym
