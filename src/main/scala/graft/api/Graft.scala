@@ -1095,6 +1095,22 @@ object Graft {
         col(valueCol).cast("long").as("sc")), "__grp")
       .withColumnRenamed("__grp", groupCol)
 
+  /** Train-your-own quality filter, held-out confusion readout: an
+    * add-one multinomial Naive-Bayes classifier over tokens —
+    * `label` maps the frame to its 0/1 target, `train` to the
+    * training-split predicate; the rest of the frame is scored and
+    * read out as per-`groupCol` (n_eval, tp, fp, fn, tn). Per-token
+    * log-odds are exact integer micro-bits; the vocab-bounded λ
+    * table rides the measured-cardinality broadcast gate. */
+  def nbQualityConfusion(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String, label: Column,
+      train: Column): DataFrame =
+    graft.ops.CorpusOps50.nbConfusionFrom(
+      docs.select(col(idCol).as("doc_id"), col(groupCol).as("source"),
+        col(textCol).as("text"), label.cast("long").as("label"),
+        train.cast("boolean").as("train")))
+      .withColumnRenamed("source", groupCol)
+
   /** Two-snapshot Kolmogorov–Smirnov drift on an integer value's
     * distribution: per group, D‰ = max |cdfA − cdfB| by integer
     * cross-multiplication over the value-granular histogram, with

@@ -165,15 +165,22 @@ object CorpusOps50 {
     * [[qQualityNbTrain]] and the r16 kappa readout (CorpusOps51):
     * (source, n_eval, tp, fp, fn, tn), unordered. */
   private[graft] def nbConfusion(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val flags = CorpusOps46.gopherFlagged(
+      dir: String): DataFrame =
+    nbConfusionFrom(CorpusOps46.gopherFlagged(
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text")),
       Seq("doc_id", "source", "text"))
       .select(col("doc_id"), col("source"), col("text"),
-        col("r_all").as("label"))
+        col("r_all").as("label"),
+        (col("doc_id") % 2 === 0).as("train")))
+
+  /** Frame-based NB train/eval core behind [[nbConfusion]] and
+    * `Graft.nbQualityConfusion`: `flags` = (doc_id, source, text,
+    * label 0/1, train boolean). */
+  private[graft] def nbConfusionFrom(flags: DataFrame): DataFrame = {
+    val s = flags.sparkSession
     val toks = flags.select(col("doc_id"), col("source"), col("label"),
-      (col("doc_id") % 2 === 0).as("train"),
+      col("train"),
       explode(split(col("text"), " ")).as("tok"))
     val tc = graft.CacheScope.track(toks.filter(col("train"))
       .groupBy(col("tok"))
@@ -185,7 +192,7 @@ object CorpusOps50 {
     val nTypes = tc.count()
     val gl = tc.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
       count(lit(1)).as("v"))
-    val prior = flags.filter(col("doc_id") % 2 === 0)
+    val prior = flags.filter(col("train"))
       .agg(sum(col("label")).as("dp"),
         sum(lit(1L) - col("label")).as("dn"))
     val scored = toks.filter(!col("train"))

