@@ -121,7 +121,11 @@ object CorpusOps52 {
     * `d` = (doc_id, grp, sc) with integer scores. */
   private[graft] def bootstrapFrom(d0: DataFrame, grp: String)
       : DataFrame = {
-    val d = d0.withColumnRenamed(grp, "source")
+    // persisted: the scored projection feeds BOTH the x32 replicate
+    // fan-out and the point-estimate aggregate — unpersisted, a 100 TB
+    // corpus would be scanned (and scored) twice
+    val d = graft.CacheScope.track(d0.withColumnRenamed(grp, "source")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val rep = d.select(col("doc_id"), col("source"), col("sc"),
         explode(expr("sequence(0, 31)")).as("b"))
       .withColumn("u", expr(

@@ -911,4 +911,53 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_dedup_blocking_audit")
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
+
+  test("unigram trainer: segmentation is map-side, never a word join") {
+    // the E-step's Viterbi DP runs against the bounded vocab collected
+    // as a literal map — the returned plan must carry NO word-keyed
+    // join at all (a relational DP would show SMJ/SHJ chains); the
+    // only join is the 1-row total's broadcast nested loop
+    val p = try plan("q_tok_unigram_train") finally CacheScope.release()
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("bootstrap CI: the scored projection is scanned once, shared") {
+    // the x32 replicate fan-out AND the point estimate must read the
+    // ONE persisted (doc, source, score) frame — unpersisted, the
+    // corpus would be scanned (and scored) twice
+    val p = try plan("q_eval_bootstrap") finally CacheScope.release()
+    val parquetScans = p.linesIterator
+      .count(l => l.contains("Location: ") && !l.contains("InMemory"))
+    assert(parquetScans == 0,
+      s"expected only InMemory scans of the persisted projection:\n$p")
+  }
+
+  test("ks drift + mcnemar: one corpus scan each") {
+    Seq("q_drift_length", "q_eval_mcnemar").foreach { q =>
+      val p = try plan(q) finally CacheScope.release()
+      val scans = p.linesIterator.count(_.contains("Location: "))
+      assert(scans == 1, s"$q expected 1 documents scan, got $scans:\n$p")
+    }
+  }
+
+  test("nb trainer gated path: the token lambda table never broadcasts") {
+    // same Heaps'-law discipline as the bigram LMs: past the type
+    // limit the token-count join must be a co-partitioned
+    // shuffled-hash join on tok, never a broadcast build
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.lm.broadcastTypeLimit", "0")
+    try {
+      val p = SparkEntry.queries("q_quality_nb_train")(s2, sf)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+      assert("ShuffledHashJoin".r.findAllIn(p).size >= 1,
+        s"token join not shuffled-hash on the gated path:\n$p")
+      val bad = bhjKeys(p).filter(_.contains("tok#"))
+      assert(bad.isEmpty,
+        s"token table still broadcast on the gated path:\n$bad")
+    } finally CacheScope.release()
+  }
 }
