@@ -85,6 +85,7 @@ object SparkEntry {
     (CorpusOps51.queries, CorpusOps51.oracle),
     (CorpusOps52.queries, CorpusOps52.oracle),
     (CorpusOps53.queries, CorpusOps53.oracle),
+    (CorpusOps54.queries, CorpusOps54.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -158,7 +158,9 @@ object StressBench {
     // r16 wave 47: overlap = both trainer pipelines (expect the
     // dictionary-bound class), length bias the perplexity LM class,
     // mcnemar one dual-battery scan (expect ~linear)
-    "q_tok_algo_overlap", "q_text_ppl_length_bias", "q_eval_mcnemar")
+    "q_tok_algo_overlap", "q_text_ppl_length_bias", "q_eval_mcnemar",
+    // r16 wave 48: the kmeans-loop class + two posting joins
+    "q_sim_retrain_recall")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

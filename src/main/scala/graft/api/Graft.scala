@@ -1111,6 +1111,22 @@ object Graft {
         train.cast("boolean").as("train")))
       .withColumnRenamed("source", groupCol)
 
+  /** Retrain recall audit — the maintenance dial of the IVF tuning
+    * trilogy (cells frontier = build dial, nprobe frontier = query
+    * dial): recall@10 and candidates scanned under the lowest-id
+    * seed quantizer vs the 3-round-Lloyd-trained one, at the fixed
+    * K = 16 / nprobe = 4 operating point — "is a retrain worth the
+    * pipeline run" in the metric a user feels. */
+  def retrainRecallAudit(embs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    graft.ops.CorpusOps54.retrainRecallFrom(
+      embs.select(col(idCol).cast("long").as("vec_id"),
+        expr(s"""transform($vecCol, x ->
+            CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
+          .as("q")))
+  }
+
   /** Two-snapshot Kolmogorov–Smirnov drift on an integer value's
     * distribution: per group, D‰ = max |cdfA − cdfB| by integer
     * cross-multiplication over the value-granular histogram, with

@@ -74,7 +74,18 @@ object CorpusOps47 {
     * [[Similarity.resolveCells]] (the facade auto-K path — cell size
     * stays bounded as the corpus grows). */
   private[graft] def kmeansTrainFrom(emb0: DataFrame, k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    kmeansLoop(emb0, k, rounds)._1
+
+  /** The final trained centroids (cid, components) of the Lloyd loop —
+    * the bounded artifact the r16 retrain-recall audit probes against
+    * (CorpusOps54). */
+  private[graft] def kmeansCentroids(emb0: DataFrame, k: Int,
+      rounds: Int): Seq[(Long, Seq[Long])] =
+    kmeansLoop(emb0, k, rounds)._2
+
+  private def kmeansLoop(emb0: DataFrame, k: Int,
+      rounds: Int): (DataFrame, Seq[(Long, Seq[Long])]) = {
     val s = emb0.sparkSession
     import s.implicits._
     val emb = graft.CacheScope.track(emb0
@@ -113,6 +124,7 @@ object CorpusOps47 {
           .as("cid"))
 
     var cents = centFrame(seeds)
+    var centRows: Seq[(Long, Seq[Long])] = seeds
     var prev: DataFrame = null
     val parts = Seq.newBuilder[DataFrame]
     for (r <- 0 to rounds) {
@@ -146,11 +158,15 @@ object CorpusOps47 {
           .map(row => (row.getLong(0), row.getSeq[Long](1)))
           .sortBy(_._1)
         cents = centFrame(next)
+        centRows = next
       }
       prev = a
     }
-    parts.result().reduce(_ unionAll _)
-      .orderBy(col("round"), col("cid"))
+    // returned centroid rows mirror centFrame's zero-norm retirement
+    // (BigInt check — sign-equivalent to the int64 dotq filter)
+    (parts.result().reduce(_ unionAll _)
+      .orderBy(col("round"), col("cid")),
+      centRows.filter(_._2.map(x => BigInt(x) * BigInt(x)).sum > 0))
   }
 
   /** One unrolled Lloyd round for the q_sim_kmeans_train oracle:
