@@ -149,7 +149,8 @@ object Bench {
     "q_tok_algo_overlap",      // BPE-vs-unigram vocab overlap (r16 w47)
     "q_text_ppl_length_bias",  // perplexity-vs-length bias curve (r16 w47)
     "q_eval_mcnemar",          // Gopher-vs-C4 paired disagreement (r16 w47)
-    "q_sim_retrain_recall")    // seed-vs-trained quantizer recall (r16 w48)
+    "q_sim_retrain_recall",    // seed-vs-trained quantizer recall (r16 w48)
+    "q_text_lm_coverage")      // perplexity-trust OOV audit (r16 w49)
 
   /** Family of a headline key for the per-family subtotals: `qN_*`
     * TPC-H queries fold into "tpch", `q_<fam>_rest` takes its second

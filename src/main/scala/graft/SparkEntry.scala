@@ -86,6 +86,7 @@ object SparkEntry {
     (CorpusOps52.queries, CorpusOps52.oracle),
     (CorpusOps53.queries, CorpusOps53.oracle),
     (CorpusOps54.queries, CorpusOps54.oracle),
+    (CorpusOps55.queries, CorpusOps55.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -160,7 +160,9 @@ object StressBench {
     // mcnemar one dual-battery scan (expect ~linear)
     "q_tok_algo_overlap", "q_text_ppl_length_bias", "q_eval_mcnemar",
     // r16 wave 48: the kmeans-loop class + two posting joins
-    "q_sim_retrain_recall")
+    "q_sim_retrain_recall",
+    // r16 wave 49: the perplexity LM-join class
+    "q_text_lm_coverage")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -8,6 +8,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class Wave44Spec extends AnyFunSuite {
   import TestSpark._
 
+  test("lm coverage: rates nested (unknown <= context <= oov)") {
+    val rows = try ops.CorpusOps55
+        .queries("q_text_lm_coverage")(spark, sf).collect().toSeq
+      finally CacheScope.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // an unknown token implies an unseen context implies an OOV
+      // bigram, so the rates are nested by construction
+      val oov = r.getAs[Long]("oov_permille")
+      val ctx = r.getAs[Long]("unseen_context_permille")
+      val unk = r.getAs[Long]("unknown_token_permille")
+      assert(unk <= oov && ctx <= oov, s"$r")
+      assert(oov >= 0 && oov <= 1000)
+    }
+  }
+
   test("retrain recall: both quantizers answer all 50 queries") {
     val rows = try ops.CorpusOps54
         .queries("q_sim_retrain_recall")(spark, sf).collect().toSeq
