@@ -608,15 +608,28 @@ object Graft {
         .as("q"))
   }
 
+  /** The k-lowest-ids bound every bounded-set facade routes through
+    * (VERDICT r16 item 1): one TakeOrdered driver fetch of the 50
+    * lowest ids, a loud `require` on an empty frame — value-equal to
+    * the declared literal `vec_id < k` on dense 0-based ids, correct
+    * on any id space. */
+  private def idBound(embs: DataFrame, idCol: String,
+      what: String): Int => Column =
+    graft.ops.BoundedIds.cutoffs(
+      embs.select(col(idCol).cast("long").as("vec_id")), "vec_id", 50,
+      what)
+
   /** Label-supervised retrieval recall@10 (the BEIR/MTEB-shape eval a
     * pipeline runs on an embedding model before trusting its ANN
-    * index): 50 lowest-id queries, brute-force cosine top-10 (self
+    * index): the 50 lowest-id queries (k-lowest by TakeOrdered — ids
+    * need not be dense or 0-based), brute-force cosine top-10 (self
     * excluded), hit = shared label; per label Σhits / Σmin(10,
     * |label|−1) in permille. Candidates stream in one pass. */
   def retrievalRecall(embs: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame =
     graft.ops.CorpusOps46.retrievalRecallFrom(
-      labeledQuant(embs, idCol, vecCol, labelCol))
+      labeledQuant(embs, idCol, vecCol, labelCol),
+      idBound(embs, idCol, "Graft.retrievalRecall"))
 
   /** Mean reciprocal rank @10 on the same labeled retrieval task as
     * [[retrievalRecall]] — rewards putting ONE relevant item early.
@@ -624,7 +637,8 @@ object Graft {
   def retrievalMrr(embs: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame =
     graft.ops.CorpusOps46.mrrFrom(
-      labeledQuant(embs, idCol, vecCol, labelCol))
+      labeledQuant(embs, idCol, vecCol, labelCol),
+      idBound(embs, idCol, "Graft.retrievalMrr"))
 
   /** nDCG@10 on the same labeled retrieval task as
     * [[retrievalRecall]] — position-discounted gain with fixed
@@ -633,7 +647,8 @@ object Graft {
   def retrievalNdcg(embs: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame =
     graft.ops.CorpusOps46.ndcgFrom(
-      labeledQuant(embs, idCol, vecCol, labelCol))
+      labeledQuant(embs, idCol, vecCol, labelCol),
+      idBound(embs, idCol, "Graft.retrievalNdcg"))
 
   /** Weighted reservoir sample, algorithm A-ES (Efraimidis &
     * Spirakis 2006): one pass, global top-`k` by the key
@@ -877,7 +892,9 @@ object Graft {
   def ivfCellsFrontier(embs: DataFrame, idCol: String, vecCol: String)
       : DataFrame = {
     GraftFunctions.register(embs.sparkSession)
-    graft.ops.CorpusOps46.cellsFrontierFrom(quantIdVec(embs, idCol, vecCol))
+    graft.ops.CorpusOps46.cellsFrontierFrom(
+      quantIdVec(embs, idCol, vecCol),
+      idBound(embs, idCol, "Graft.ivfCellsFrontier"))
   }
 
   /** The nprobe recall/cost frontier at the fixed K = 16 quantizer:
@@ -888,7 +905,9 @@ object Graft {
   def ivfNprobeFrontier(embs: DataFrame, idCol: String, vecCol: String)
       : DataFrame = {
     GraftFunctions.register(embs.sparkSession)
-    graft.ops.CorpusOps48.nprobeFrontierFrom(quantIdVec(embs, idCol, vecCol))
+    graft.ops.CorpusOps48.nprobeFrontierFrom(
+      quantIdVec(embs, idCol, vecCol),
+      idBound(embs, idCol, "Graft.ivfNprobeFrontier"))
   }
 
   private def quantIdVec(embs: DataFrame, idCol: String,
@@ -1014,13 +1033,15 @@ object Graft {
     * waterfilling with exact integer floor division. Returns
     * (`groupCol`, `raw_tokens`, `cap_tokens`, `alloc_tokens`,
     * `capped`). One scan to |groups| rows; the sequential fold runs
-    * over one packed bounded array. */
+    * over one packed bounded array. The group column is read AS
+    * STRING (cast here — the fold's packed struct is string-keyed),
+    * so `groupCol` comes back as a string column. */
   def unimaxAllocation(obs: DataFrame, valueCol: String,
       groupCol: String, budget: Long, epochCap: Long = 2L): DataFrame = {
     require(budget >= 0, s"budget out of range: $budget")
     require(epochCap >= 1 && epochCap <= 1000,
       s"epochCap out of range: $epochCap")
-    val st = obs.select(col(groupCol).as("__grp"),
+    val st = obs.select(col(groupCol).cast("string").as("__grp"),
         col(valueCol).cast("long").as("ntok"))
       .groupBy(col("__grp")).agg(sum(col("ntok")).as("raw_tokens"))
     val b = obs.sparkSession.range(1)
@@ -1124,7 +1145,8 @@ object Graft {
       embs.select(col(idCol).cast("long").as("vec_id"),
         expr(s"""transform($vecCol, x ->
             CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
-          .as("q")))
+          .as("q")),
+      idBound(embs, idCol, "Graft.retrainRecallAudit"))
   }
 
   /** Two-snapshot Kolmogorov–Smirnov drift on an integer value's

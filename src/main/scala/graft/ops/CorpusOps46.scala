@@ -260,11 +260,17 @@ object CorpusOps46 {
     retrievalRecallFrom(EmbQuant.quantized(s, dir))
 
   /** The recall pipeline behind [[qEvalRetrievalRecall]] and
-    * `Graft.retrievalRecall`: `emb0` = (vec_id, label, q). */
+    * `Graft.retrievalRecall`: `emb0` = (vec_id, label, q). `bound`
+    * maps a set size k to the query-set predicate — the declared
+    * query keeps the literal `vec_id < k` (oracle-replayed); facades
+    * pass [[BoundedIds.cutoffs]] so non-dense ids still draw a full
+    * query set. */
   private[graft] def retrievalRecallFrom(
-      emb0: org.apache.spark.sql.DataFrame)
+      emb0: org.apache.spark.sql.DataFrame,
+      bound: Int => org.apache.spark.sql.Column =
+        BoundedIds.literal("vec_id"))
       : org.apache.spark.sql.DataFrame = {
-    val per = topkLabeledFrom(emb0)
+    val per = topkLabeledFrom(emb0, bound)
       .groupBy(col("qid"), col("ql"))
       .agg(sum(when(col("ql") === col("cl"), 1L).otherwise(0L))
         .as("qhits"))
@@ -283,13 +289,14 @@ object CorpusOps46 {
     * [[qEvalRetrievalRecall]] and [[qEvalMrr]]: one persisted
     * quantized scan, bounded query broadcast, per-query window.
     * `emb0` = (vec_id, label, q). */
-  private def topkLabeledFrom(emb0: org.apache.spark.sql.DataFrame)
+  private def topkLabeledFrom(emb0: org.apache.spark.sql.DataFrame,
+      bound: Int => org.apache.spark.sql.Column)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = graft.CacheScope.track(emb0
       .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val queries = emb.filter(col("vec_id") < 50)
+    val queries = emb.filter(bound(50))
       .select(col("vec_id").as("qid"), col("label").as("ql"),
         col("q").as("qq"), col("n2").as("qn2"))
     val sc = emb.crossJoin(broadcast(queries))
@@ -319,14 +326,17 @@ object CorpusOps46 {
     mrrFrom(EmbQuant.quantized(s, dir))
 
   /** The MRR pipeline behind [[qEvalMrr]] and `Graft.retrievalMrr`:
-    * `emb0` = (vec_id, label, q). */
-  private[graft] def mrrFrom(emb0: org.apache.spark.sql.DataFrame)
+    * `emb0` = (vec_id, label, q); `bound` as in
+    * [[retrievalRecallFrom]]. */
+  private[graft] def mrrFrom(emb0: org.apache.spark.sql.DataFrame,
+      bound: Int => org.apache.spark.sql.Column =
+        BoundedIds.literal("vec_id"))
       : org.apache.spark.sql.DataFrame = {
-    val firstHit = topkLabeledFrom(emb0)
+    val firstHit = topkLabeledFrom(emb0, bound)
       .filter(col("ql") === col("cl"))
       .groupBy(col("qid"), col("ql"))
       .agg(min(col("rk")).cast("long").as("frank"))
-    val allq = emb0.filter(col("vec_id") < 50)
+    val allq = emb0.filter(bound(50))
       .select(col("vec_id").as("qid"), col("label").as("ql"))
     allq.join(firstHit, Seq("qid", "ql"), "left")
       .select(col("ql"),
@@ -432,14 +442,17 @@ object CorpusOps46 {
     ndcgFrom(EmbQuant.quantized(s, dir))
 
   /** The nDCG pipeline behind [[qEvalNdcg]] and `Graft.retrievalNdcg`:
-    * `emb0` = (vec_id, label, q). */
-  private[graft] def ndcgFrom(emb0: org.apache.spark.sql.DataFrame)
+    * `emb0` = (vec_id, label, q); `bound` as in
+    * [[retrievalRecallFrom]]. */
+  private[graft] def ndcgFrom(emb0: org.apache.spark.sql.DataFrame,
+      bound: Int => org.apache.spark.sql.Column =
+        BoundedIds.literal("vec_id"))
       : org.apache.spark.sql.DataFrame = {
     val wArr = dcgW.mkString("array(CAST(", " AS BIGINT), CAST(",
       " AS BIGINT))")
     val psArr = dcgPs.mkString("array(CAST(", " AS BIGINT), CAST(",
       " AS BIGINT))")
-    val dcg = topkLabeledFrom(emb0)
+    val dcg = topkLabeledFrom(emb0, bound)
       .groupBy(col("qid"), col("ql"))
       .agg(sum(when(col("ql") === col("cl"),
         expr(s"element_at($wArr, rk)")).otherwise(0L)).as("dcg_micro"))
@@ -576,19 +589,22 @@ object CorpusOps46 {
 
   /** The frontier behind [[qSimIvfCellsSweep]] and
     * `Graft.ivfCellsFrontier`: `emb0` = (vec_id, q), q
-    * micro-quantized int64. */
+    * micro-quantized int64; `bound` as in [[retrievalRecallFrom]]
+    * (covers the seed sets k ∈ {8, 16, 32} AND the 50-query set). */
   private[graft] def cellsFrontierFrom(
-      emb0: org.apache.spark.sql.DataFrame)
+      emb0: org.apache.spark.sql.DataFrame,
+      bound: Int => org.apache.spark.sql.Column =
+        BoundedIds.literal("vec_id"))
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = graft.CacheScope.track(emb0
       .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
       .select(col("vec_id"), col("q"), col("n2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val true10 = graft.CacheScope.track(topkFrom(emb).persist(
+    val true10 = graft.CacheScope.track(topkFrom(emb, bound).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val rows = Seq(8, 16, 32).map { k =>
-      val cents = emb.filter(col("vec_id") < k)
+      val cents = emb.filter(bound(k))
         .select(col("vec_id").as("cid"), col("q").as("cq"),
           col("n2").as("cn2"))
       def scored(vecs: org.apache.spark.sql.DataFrame) = vecs
@@ -602,7 +618,7 @@ object CorpusOps46 {
       val asg = scored(emb)
         .withColumn("rk", row_number().over(wv)).filter(col("rk") === 1)
         .select(col("vec_id"), col("cid"))
-      val probes = scored(emb.filter(col("vec_id") < 50))
+      val probes = scored(emb.filter(bound(50)))
         .withColumn("rk", row_number().over(wv)).filter(col("rk") <= 4)
         .select(col("vec_id").as("qid"), col("cid"))
       val cand = probes.join(asg, Seq("cid"))
@@ -616,19 +632,23 @@ object CorpusOps46 {
         .crossJoin(broadcast(hits))
         .select(lit(k.toLong).as("cells"), col("n_queries"),
           col("candidates"),
-          expr("hits * 1000 div (10 * n_queries)")
+          when(col("n_queries") === 0, lit(0L))
+            .otherwise(expr("hits * 1000 div (10 * n_queries)"))
             .as("recall_at10_permille"))
     }
     rows.reduce(_ unionByName _).orderBy(col("cells"))
   }
 
-  /** Label-free brute-force cosine top-10 per query vector (vec_id <
-    * 50, self excluded) — the ground truth [[qSimIvfCellsSweep]]
-    * measures recall against. `emb` = (vec_id, q, n2). */
-  private[ops] def topkFrom(emb: org.apache.spark.sql.DataFrame)
+  /** Label-free brute-force cosine top-10 per query vector (the 50
+    * lowest-id queries via `bound`, self excluded) — the ground truth
+    * [[qSimIvfCellsSweep]] measures recall against. `emb` = (vec_id,
+    * q, n2). */
+  private[ops] def topkFrom(emb: org.apache.spark.sql.DataFrame,
+      bound: Int => org.apache.spark.sql.Column =
+        BoundedIds.literal("vec_id"))
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val queries = emb.filter(col("vec_id") < 50)
+    val queries = emb.filter(bound(50))
       .select(col("vec_id").as("qid"), col("q").as("qq"),
         col("n2").as("qn2"))
     val sc = emb.crossJoin(broadcast(queries))

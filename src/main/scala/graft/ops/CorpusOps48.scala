@@ -440,15 +440,19 @@ object CorpusOps48 {
 
   /** The frontier behind [[qSimIvfNprobeSweep]] and
     * `Graft.ivfNprobeFrontier`: `emb0` = (vec_id, q), q
-    * micro-quantized int64. */
-  private[graft] def nprobeFrontierFrom(emb0: DataFrame): DataFrame = {
+    * micro-quantized int64; `bound` maps a set size to its id
+    * predicate (declared = the literal `vec_id < k` the oracle
+    * replays; facades = [[BoundedIds.cutoffs]] for non-dense ids). */
+  private[graft] def nprobeFrontierFrom(emb0: DataFrame,
+      bound: Int => org.apache.spark.sql.Column =
+        BoundedIds.literal("vec_id")): DataFrame = {
     val emb = graft.CacheScope.track(emb0
       .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
       .select(col("vec_id"), col("q"), col("n2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val true10 = graft.CacheScope.track(CorpusOps46.topkFrom(emb)
+    val true10 = graft.CacheScope.track(CorpusOps46.topkFrom(emb, bound)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val cents = emb.filter(col("vec_id") < 16)
+    val cents = emb.filter(bound(16))
       .select(col("vec_id").as("cid"), col("q").as("cq"),
         col("n2").as("cn2"))
     def scored(vecs: DataFrame) = vecs
@@ -464,7 +468,7 @@ object CorpusOps48 {
       .select(col("vec_id"), col("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val probeRank = graft.CacheScope.track(
-      scored(emb.filter(col("vec_id") < 50))
+      scored(emb.filter(bound(50)))
         .withColumn("rk", row_number().over(wv))
         .select(col("vec_id").as("qid"), col("cid"), col("rk"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -481,7 +485,8 @@ object CorpusOps48 {
         .crossJoin(broadcast(hits))
         .select(lit(np.toLong).as("nprobe"), col("n_queries"),
           col("candidates"),
-          expr("hits * 1000 div (10 * n_queries)")
+          when(col("n_queries") === 0, lit(0L))
+            .otherwise(expr("hits * 1000 div (10 * n_queries)"))
             .as("recall_at10_permille"))
     }.reduce(_ unionAll _).orderBy(col("nprobe"))
   }

@@ -51,7 +51,11 @@ object CorpusOps50 {
         (length(col("text")) -
           length(regexp_replace(col("text"), "[.!?]", "")))
           .cast("long").as("nterm"),
-        col("text").rlike("[.!?]$").cast("long").as("r_term"),
+        // newline-proof: Java regex '$' also matches before a final
+        // line terminator while the oracle's RE2 '$' does not (ADVICE
+        // r16) — compare the literal last character in BOTH engines
+        expr("substring(text, length(text), 1) IN ('.', '!', '?')")
+          .cast("long").as("r_term"),
         (!col("text").contains("{")).cast("long").as("r_brace"),
         (!lower(col("text")).contains("lorem ipsum")).cast("long")
           .as("r_lorem"),
@@ -100,7 +104,9 @@ object CorpusOps50 {
   private[graft] def unimaxFrom(obs: DataFrame, grp: String)
       : DataFrame = {
     val st = obs.groupBy(col(grp)).agg(sum(col("ntok")).as("raw_tokens"))
-    val b = st.agg((sum(col("raw_tokens")) / 2).cast("long").as("budget"))
+    // int64 floor division end-to-end (ADVICE r16: long '/' is double
+    // division in Spark — exact only below 2^53 total tokens)
+    val b = st.agg(expr("sum(raw_tokens) div 2").as("budget"))
     unimaxFold(st, b, grp, 2L)
   }
 
@@ -226,8 +232,8 @@ object CorpusOps50 {
       WITH d AS (SELECT source,
           CAST(length(text) - length(regexp_replace(text,
             '[.!?]', '', 'g')) AS BIGINT) AS nterm,
-          CASE WHEN regexp_matches(text, '[.!?]$') THEN 1 ELSE 0 END
-            AS r_term,
+          CASE WHEN substring(text, length(text), 1) IN ('.', '!', '?')
+            THEN 1 ELSE 0 END AS r_term,
           CASE WHEN contains(text, '{') THEN 0 ELSE 1 END AS r_brace,
           CASE WHEN contains(lower(text), 'lorem ipsum') THEN 0
                ELSE 1 END AS r_lorem,

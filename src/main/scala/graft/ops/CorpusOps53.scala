@@ -139,7 +139,8 @@ object CorpusOps53 {
       .withColumn("c4", expr("""
         (CASE WHEN length(text) - length(regexp_replace(text,
            '[.!?]', '')) >= 3 THEN 1 ELSE 0 END) *
-        (CASE WHEN text rlike '[.!?]$' THEN 1 ELSE 0 END) *
+        (CASE WHEN substring(text, length(text), 1) IN ('.', '!', '?')
+              THEN 1 ELSE 0 END) *
         (CASE WHEN text LIKE '%{%' THEN 0 ELSE 1 END) *
         (CASE WHEN lower(text) LIKE '%lorem ipsum%' THEN 0 ELSE 1 END) *
         (CASE WHEN size(split(text, ' ')) >= 5 THEN 1 ELSE 0 END)"""))
@@ -231,7 +232,8 @@ object CorpusOps53 {
                 THEN 1 ELSE 0 END) AS gopher,
           (CASE WHEN length(text) - length(regexp_replace(text,
              '[.!?]', '', 'g')) >= 3 THEN 1 ELSE 0 END) *
-          (CASE WHEN regexp_matches(text, '[.!?]$') THEN 1 ELSE 0 END) *
+          (CASE WHEN substring(text, length(text), 1) IN ('.', '!', '?')
+                THEN 1 ELSE 0 END) *
           (CASE WHEN contains(text, '{') THEN 0 ELSE 1 END) *
           (CASE WHEN contains(lower(text), 'lorem ipsum') THEN 0
                 ELSE 1 END) *

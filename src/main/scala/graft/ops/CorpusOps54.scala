@@ -31,17 +31,25 @@ object CorpusOps54 {
 
   /** The audit behind [[qSimRetrainRecall]] and
     * `Graft.retrainRecallAudit`: `emb0` = (vec_id, q), q
-    * micro-quantized int64. */
-  private[graft] def retrainRecallFrom(emb0: DataFrame): DataFrame = {
+    * micro-quantized int64; `bound` maps a set size to its id
+    * predicate (declared = the literal `vec_id < k` the oracle
+    * replays; the facade = [[BoundedIds.cutoffs]] so the seed
+    * quantizer and query set stay full on non-dense ids — ADVICE
+    * r16: the `vec_id < 16` seed turned a shifted-id frame into an
+    * empty quantizer and a div-by-zero recall row). The trained row's
+    * kmeansCentroids already seeds by TakeOrdered k-lowest. */
+  private[graft] def retrainRecallFrom(emb0: DataFrame,
+      bound: Int => org.apache.spark.sql.Column =
+        BoundedIds.literal("vec_id")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = emb0.sparkSession
     import s.implicits._
     val emb = graft.CacheScope.track(emb0
       .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val true10 = graft.CacheScope.track(CorpusOps46.topkFrom(emb)
+    val true10 = graft.CacheScope.track(CorpusOps46.topkFrom(emb, bound)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val seedCents = emb.filter(col("vec_id") < 16)
+    val seedCents = emb.filter(bound(16))
       .select(col("vec_id").as("cid"), col("q").as("cq"),
         col("n2").as("cn2"))
     val trained = CorpusOps47.kmeansCentroids(
@@ -60,7 +68,7 @@ object CorpusOps54 {
       val asg = scored(emb)
         .withColumn("rk", row_number().over(wv)).filter(col("rk") === 1)
         .select(col("vec_id"), col("cid"))
-      val probes = scored(emb.filter(col("vec_id") < 50))
+      val probes = scored(emb.filter(bound(50)))
         .withColumn("rk", row_number().over(wv)).filter(col("rk") <= 4)
         .select(col("vec_id").as("qid"), col("cid"))
       val cand = probes.join(asg, Seq("cid"))
@@ -74,7 +82,10 @@ object CorpusOps54 {
         .crossJoin(broadcast(hits))
         .select(lit(name).as("quantizer"), col("n_queries"),
           col("candidates"),
-          expr("hits * 1000 div (10 * n_queries)")
+          // guarded: a degenerate frame (no candidates → n_queries=0)
+          // reports recall 0, not a null/ANSI div-by-zero (ADVICE r16)
+          when(col("n_queries") === 0, lit(0L))
+            .otherwise(expr("hits * 1000 div (10 * n_queries)"))
             .as("recall_at10_permille"))
     }
     row("seed", seedCents).unionAll(row("trained", trainedCents))
