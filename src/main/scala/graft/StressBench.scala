@@ -162,7 +162,10 @@ object StressBench {
     // r16 wave 48: the kmeans-loop class + two posting joins
     "q_sim_retrain_recall",
     // r16 wave 49: the perplexity LM-join class
-    "q_text_lm_coverage")
+    "q_text_lm_coverage",
+    // r17: SemDeDup on the unified resolveCells dial — the target256
+    // variant measures the shared cell-size knob actually moving it
+    "q_dedup_semantic+target256")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale
@@ -190,7 +193,13 @@ object StressBench {
     "q_dedup_dup_spectrum+sample8" ->
       ("q_dedup_dup_spectrum", "spark.graft.audit.sampleShards=8"),
     "q_dedup_threshold_sweep+sample8" ->
-      ("q_dedup_threshold_sweep", "spark.graft.audit.sampleShards=8"))
+      ("q_dedup_threshold_sweep", "spark.graft.audit.sampleShards=8"),
+    // r17: SemDeDup's K rides the shared resolveCells dial — target
+    // cell size 256 (vs the operator's 32 default) means 8x fewer,
+    // 8x fatter cells at 10x (K 625 -> 79): the measured price of
+    // turning the ONE dial every cell-blocked operator now shares
+    "q_dedup_semantic+target256" ->
+      ("q_dedup_semantic", "spark.graft.ivf.targetCellSize=256"))
 
   /** Facade-driven rows: bench label → a direct `graft.api.Graft`
     * call. These measure the PUBLIC API's own scale behavior (e.g.

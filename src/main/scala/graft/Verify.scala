@@ -36,7 +36,10 @@ object Verify {
     // drifted. Plan-shape knobs (shuffleJoin/shareScan/broadcast
     // limits) stay legal — those paths are bit-identical by contract.
     Seq("spark.graft.minhash.autoBanding", "spark.graft.ivf.cells",
-      "spark.graft.audit.sampleShards")
+      "spark.graft.audit.sampleShards",
+      // r17: q_dedup_semantic's coarse K rides the shared resolver,
+      // so the cell-size dial now changes declared output too
+      "spark.graft.ivf.targetCellSize")
       .foreach { k =>
         require(spark.conf.getOption(k).isEmpty,
           s"$k is set: this conf changes query output away from the " +

@@ -743,9 +743,13 @@ object Graft {
     * production-scale semantic dedup that never goes all-pairs.
     * Vectors micro-quantize to int64 so the verify cosine is
     * bit-stable. `idCol` must be numeric (cast to long: the coarse
-    * quantizer seeds centroids from the lowest ids and the cell count
-    * K grows with the corpus, K = max(64, n/32)). Output:
-    * (va, vb, cos), va < vb. */
+    * quantizer seeds centroids from the k LOWEST ids — ids need not
+    * be dense or 0-based). The cell count rides the shared
+    * [[graft.ops.Similarity.resolveCells]] dial: explicit
+    * `spark.graft.ivf.cells` wins, else clamp(64, ceil(n / target),
+    * 65536) with target = `spark.graft.ivf.targetCellSize` (default
+    * 32 vectors/cell here — the within-cell verify join is
+    * quadratic). Output: (va, vb, cos), va < vb. */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.3, nprobe: Int = 6): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
@@ -753,7 +757,9 @@ object Graft {
       expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) " +
         "* 1000000, 0) AS BIGINT))").as("q"))
       .withColumn("n2", call_function("dotq", col("q"), col("q")))
-    graft.ops.Similarity.semanticDedupImpl(emb, threshold, nprobe)
+    graft.ops.Similarity.semanticDedupImpl(emb, threshold, nprobe,
+      graft.ops.BoundedIds.kthLowest(emb, "vec_id",
+        "Graft.semanticDedup"))
   }
 
   /** Full k-means (Lloyd) training loop: seed centroids from the `k`

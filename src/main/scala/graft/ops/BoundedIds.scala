@@ -41,4 +41,21 @@ private[graft] object BoundedIds {
     * hashes are bit-stable. */
   def literal(idCol: String): Int => Column =
     k => col(idCol) < k
+
+  /** Inclusive-cutoff predicate for ARBITRARY (data-derived) set
+    * sizes — used where k itself scales with the corpus (SemDeDup's
+    * K = resolveCells cells, its S super-cells) so a fixed prefetch
+    * can't cover it: one bounded TakeOrdered + max action per
+    * distinct k. */
+  def kthLowest(emb: DataFrame, idCol: String,
+      what: String): Long => Column = { k =>
+    require(k >= 1L && k <= 65536L, s"$what: set size $k out of range")
+    val row = emb.select(col(idCol).cast("long").as("__id"))
+      .orderBy(col("__id")).limit(k.toInt)
+      .agg(max(col("__id"))).collect().head
+    require(!row.isNullAt(0),
+      s"$what: input frame is empty — no rows to draw the bounded " +
+        "seed set from")
+    col(idCol) <= lit(row.getLong(0))
+  }
 }

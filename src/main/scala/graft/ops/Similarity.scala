@@ -88,7 +88,8 @@ object Similarity {
     * `q_*` queries never call this — their oracles replay K=16
     * literally (`n` is by-name, so no count is spent when the explicit
     * conf short-circuits). */
-  private[graft] def resolveCells(s: SparkSession, n: => Long): Int =
+  private[graft] def resolveCells(s: SparkSession, n: => Long,
+      floor: Long = 16L, defaultTarget: Long = 256L): Int =
     s.conf.getOption("spark.graft.ivf.cells") match {
       case Some(v) =>
         val k = v.toInt
@@ -97,10 +98,11 @@ object Similarity {
         k
       case None =>
         val target = s.conf.getOption("spark.graft.ivf.targetCellSize")
-          .map(_.toLong).getOrElse(256L)
+          .map(_.toLong).getOrElse(defaultTarget)
         require(target >= 1L && target <= 100000000L,
           s"spark.graft.ivf.targetCellSize=$target out of range")
-        math.min(65536L, math.max(16L, (n + target - 1L) / target)).toInt
+        math.min(65536L, math.max(floor, (n + target - 1L) / target))
+          .toInt
     }
 
   private def withNorm(df: DataFrame): DataFrame =
@@ -1110,13 +1112,16 @@ object Similarity {
     * per vector. At (0.3, 6) on the fixture tables this is
     * bit-identical to the r10 declared query. */
   private[graft] def semanticDedupImpl(embIn: DataFrame,
-      threshold: Double, nprobe: Int): DataFrame = {
+      threshold: Double, nprobe: Int,
+      bound: Long => org.apache.spark.sql.Column =
+        k => col("vec_id") < k): DataFrame = {
     // The within-cell candidate join is quadratic per cell, so cell
     // POPULATION (~n/K × nprobe probe rows) is the scale knob and K
-    // must GROW with the corpus: K = max(64, n/32) holds cell size at
-    // ~32 however large n gets. The 64 floor keeps every fixture SF
-    // (≤2000 vectors) on the old constant, so oracles replay the same
-    // literal there via greatest(64, count(*)//32). The r10 stress run
+    // must GROW with the corpus: clamp(64, ceil(n/32), 65536) holds
+    // cell size at ~32 however large n gets. The 64 floor keeps every
+    // fixture SF (≤2000 vectors) on the old constant, so oracles
+    // replay the same literal there via greatest(64, count(*)//32).
+    // The r10 stress run
     // measured the fixed-K version at 163x wall for 10x data (20k
     // vectors, 10x cell population, 100x pairs) — THE quadratic
     // failure this parameterization removes; nprobe=6 holds recall.
@@ -1126,8 +1131,17 @@ object Similarity {
     val emb = graft.CacheScope.track(embIn.persist())
     // 1-row scalar action on the persisted narrow frame (the
     // Dedup.scala:155 discipline) — K/S parameterize the plan the same
-    // way AQE would a partition count
-    val K = math.max(64L, emb.count() / 32L)
+    // way AQE would a partition count. K rides the SHARED resolver
+    // (VERDICT r16 item 3: one formula steers every cell-blocked
+    // operator): floor 64 / target cell size 32 reproduce the
+    // pre-r17 max(64, n/32) at every fixture SF (n ≤ 2048 → 64) AND
+    // at the 10× stress corpus (20000/32 = 625 exactly), so every
+    // oracle hash and cross-round stress factor is unchanged; an
+    // explicit `spark.graft.ivf.cells` / `spark.graft.ivf.
+    // targetCellSize` now steers SemDeDup too (both confs are
+    // Verify-refused — they change declared output).
+    val K = Similarity.resolveCells(emb.sparkSession, emb.count(),
+      floor = 64L, defaultTarget = 32L).toLong
     // Two-level coarse quantizer (the inverted-multi-index idea,
     // Babenko & Lempitsky 2012; FAISS uses HNSW/IMI for exactly this):
     // a flat n×K assignment scan re-becomes quadratic once K ∝ n, so
@@ -1140,7 +1154,7 @@ object Similarity {
     // hashes are unchanged there, while the r10 stress corpus (20k
     // vectors) drops from the flat-K 13.9x to near-linear.
     val S = math.max(64L, math.floor(math.sqrt(64.0 * K)).toLong)
-    val sups = emb.filter(col("vec_id") < S)
+    val sups = emb.filter(bound(S))
       .select(col("vec_id").as("sid"), col("q").as("sq"),
         col("n2").as("sn2"))
     val vsc = graft.CacheScope.track(emb.crossJoin(broadcast(sups))
@@ -1156,11 +1170,11 @@ object Similarity {
       .select(col("vec_id"), col("sid"))
     // sub-centroid -> super assignment (reuses the vsc scores; max_by
     // tie-break matches the oracle's ORDER BY ccos DESC, sid rank 1)
-    val scj = vsc.filter(col("vec_id") < K)
+    val scj = vsc.filter(bound(K))
       .groupBy(col("vec_id"))
       .agg(max_by(col("sid"), struct(col("scos"), -col("sid"))).as("sid"))
       .select(col("vec_id").as("cid"), col("sid"))
-    val cents = emb.filter(col("vec_id") < K)
+    val cents = emb.filter(bound(K))
       .select(col("vec_id").as("cid"), col("q").as("cq"),
         col("n2").as("cn2"))
     // restricted sub scoring: only (vector, sub) pairs whose sub lives
@@ -1197,7 +1211,10 @@ object Similarity {
         (dotq(col("qa"), col("qb")).cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
           .as("cos"))
-      .filter(col("cos") >= 0.3)
+      // the facade's dial, not a constant: the declared query passes
+      // 0.3 (the oracle's literal); Graft.semanticDedup(threshold=x)
+      // was silently ignored before r17
+      .filter(col("cos") >= threshold)
       .orderBy(col("va"), col("vb"))
   }
 
