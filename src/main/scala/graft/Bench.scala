@@ -150,7 +150,11 @@ object Bench {
     "q_text_ppl_length_bias",  // perplexity-vs-length bias curve (r16 w47)
     "q_eval_mcnemar",          // Gopher-vs-C4 paired disagreement (r16 w47)
     "q_sim_retrain_recall",    // seed-vs-trained quantizer recall (r16 w48)
-    "q_text_lm_coverage")      // perplexity-trust OOV audit (r16 w49)
+    "q_text_lm_coverage",      // perplexity-trust OOV audit (r16 w49)
+    // r17 additions — ONE new headline entry per family per round
+    // (VERDICT r16 item 8): the composed datacard pipeline is the
+    // pipeline family's representative shape
+    "q_pipeline_e2e")          // gate→dedup→tokenize→allocate (r17 w52)
 
   /** Family of a headline key for the per-family subtotals: `qN_*`
     * TPC-H queries fold into "tpch", `q_<fam>_rest` takes its second

@@ -87,6 +87,7 @@ object SparkEntry {
     (CorpusOps53.queries, CorpusOps53.oracle),
     (CorpusOps54.queries, CorpusOps54.oracle),
     (CorpusOps55.queries, CorpusOps55.oracle),
+    (CorpusOps56.queries, CorpusOps56.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

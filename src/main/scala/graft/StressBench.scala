@@ -165,7 +165,10 @@ object StressBench {
     "q_text_lm_coverage",
     // r17: SemDeDup on the unified resolveCells dial — the target256
     // variant measures the shared cell-size knob actually moving it
-    "q_dedup_semantic+target256")
+    "q_dedup_semantic+target256",
+    // r17 wave 52: the composed datacard pipeline — expect ~linear
+    // (one flags scan + fp shuffle; BPE collapses to the dictionary)
+    "q_pipeline_e2e")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

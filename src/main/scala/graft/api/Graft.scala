@@ -815,6 +815,20 @@ object Graft {
         col(textCol).as("text")), "__grp")
       .withColumnRenamed("__grp", groupCol)
 
+  /** The end-to-end datacard pipeline (r17): raw → C4∧Gopher gate →
+    * exact-dedup keep-first → soft-dedup reweight (reported beside
+    * the cut) → BPE tokenize (6-merge model trained on the kept
+    * corpus) → UniMax allocation (cap = 2 epochs, budget = total
+    * div 2). One row per `groupCol` with every stage's census —
+    * composed from the same cores as the standalone operators. */
+  def pipelineE2e(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.CorpusOps56.pipelineE2eFrom(
+      docs.select(col(idCol).as("doc_id"),
+        col(groupCol).cast("string").as("__grp"),
+        col(textCol).as("text")), "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
   /** Quality-threshold attrition sweep: docs and tokens kept at
     * integer quality-score thresholds 0, 100, …, 900 (the
     * q_text_quality axes in exact milli-units with the same 5/3/1/1

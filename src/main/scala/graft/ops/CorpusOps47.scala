@@ -610,7 +610,7 @@ object CorpusOps47 {
     "q_select_threshold_sweep" -> qSelectThresholdSweep,
     "q_dedup_dup_spectrum" -> qDedupDupSpectrum)
 
-  private val gopherFlagsSql = """
+  private[graft] val gopherFlagsSql = """
     SELECT doc_id, source, text,
       CAST(len(a) AS BIGINT) AS nw,
       (CASE WHEN len(a) >= 50 THEN 1 ELSE 0 END) *

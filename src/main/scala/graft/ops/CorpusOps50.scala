@@ -42,25 +42,64 @@ object CorpusOps50 {
       .select(col("source").as("grp"), col("text")), "grp")
       .withColumnRenamed("grp", "source")
 
+  /** The five per-doc C4 rule flags over a `text` column — the ONE
+    * flag-code site shared by [[c4RulesFrom]], the McNemar agreement
+    * query (CorpusOps53) and the r17 end-to-end pipeline
+    * (CorpusOps56). r_term is newline-proof: Java regex '$' also
+    * matches before a final line terminator while the oracle's RE2
+    * '$' does not (ADVICE r16) — both engines compare the literal
+    * last character. */
+  private[graft] def c4RuleFlags: Seq[(String, Column)] = Seq(
+    "r_sent" -> ((length(col("text")) -
+      length(regexp_replace(col("text"), "[.!?]", ""))) >= 3)
+      .cast("long"),
+    "r_term" -> expr(
+      "substring(text, length(text), 1) IN ('.', '!', '?')")
+      .cast("long"),
+    "r_brace" -> (!col("text").contains("{")).cast("long"),
+    "r_lorem" -> (!lower(col("text")).contains("lorem ipsum"))
+      .cast("long"),
+    "r_words" -> (size(split(col("text"), " ")) >= 5).cast("long"))
+
+  /** The C4 conjunction as one 0/1 column. */
+  private[graft] def c4DocFlag: Column =
+    c4RuleFlags.map(_._2).reduce(_ * _)
+
+  /** The punctuation-free C4 subset (no curly brace, no lorem ipsum,
+    * ≥ 5 words) — the rules a corpus WITHOUT sentence punctuation can
+    * discriminate. The r17 e2e pipeline gates on Gopher ∧ THIS: the
+    * full C4 conjunction keeps zero fixture docs (the synthetic texts
+    * carry no terminal punctuation), and a datacard over an empty
+    * corpus is vacuous. Built from the same [[c4RuleFlags]] entries
+    * as the full battery. */
+  private[graft] def c4StructFlag: Column =
+    c4RuleFlags.collect {
+      case (n, c) if Set("r_brace", "r_lorem", "r_words")(n) => c
+    }.reduce(_ * _)
+
+  /** DuckDB mirror of [[c4StructFlag]]. */
+  private[graft] val c4StructFlagSql: String = """
+    (CASE WHEN contains(text, '{') THEN 0 ELSE 1 END) *
+    (CASE WHEN contains(lower(text), 'lorem ipsum') THEN 0 ELSE 1 END) *
+    (CASE WHEN len(string_split(text, ' ')) >= 5 THEN 1 ELSE 0 END)"""
+
+  /** DuckDB mirror of [[c4DocFlag]] (a 0/1 scalar over `text`). */
+  private[graft] val c4DocFlagSql: String = """
+    (CASE WHEN length(text) - length(regexp_replace(text,
+       '[.!?]', '', 'g')) >= 3 THEN 1 ELSE 0 END) *
+    (CASE WHEN substring(text, length(text), 1) IN ('.', '!', '?')
+          THEN 1 ELSE 0 END) *
+    (CASE WHEN contains(text, '{') THEN 0 ELSE 1 END) *
+    (CASE WHEN contains(lower(text), 'lorem ipsum') THEN 0 ELSE 1 END) *
+    (CASE WHEN len(string_split(text, ' ')) >= 5 THEN 1 ELSE 0 END)"""
+
   /** The battery behind [[qTextC4Rules]] and `Graft.c4Rules`:
     * `docs` = (grp, text). */
   private[graft] def c4RulesFrom(docs: DataFrame, grp: String)
       : DataFrame =
     docs
-      .select(col(grp),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[.!?]", "")))
-          .cast("long").as("nterm"),
-        // newline-proof: Java regex '$' also matches before a final
-        // line terminator while the oracle's RE2 '$' does not (ADVICE
-        // r16) — compare the literal last character in BOTH engines
-        expr("substring(text, length(text), 1) IN ('.', '!', '?')")
-          .cast("long").as("r_term"),
-        (!col("text").contains("{")).cast("long").as("r_brace"),
-        (!lower(col("text")).contains("lorem ipsum")).cast("long")
-          .as("r_lorem"),
-        (size(split(col("text"), " ")) >= 5).cast("long").as("r_words"))
-      .withColumn("r_sent", (col("nterm") >= 3).cast("long"))
+      .select(col(grp) +:
+        c4RuleFlags.map { case (n, c) => c.as(n) }: _*)
       .groupBy(col(grp))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("r_sent")).as("pass_sentences"),

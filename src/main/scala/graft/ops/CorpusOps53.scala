@@ -136,14 +136,9 @@ object CorpusOps53 {
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text")),
       Seq("doc_id", "source", "text"))
-      .withColumn("c4", expr("""
-        (CASE WHEN length(text) - length(regexp_replace(text,
-           '[.!?]', '')) >= 3 THEN 1 ELSE 0 END) *
-        (CASE WHEN substring(text, length(text), 1) IN ('.', '!', '?')
-              THEN 1 ELSE 0 END) *
-        (CASE WHEN text LIKE '%{%' THEN 0 ELSE 1 END) *
-        (CASE WHEN lower(text) LIKE '%lorem ipsum%' THEN 0 ELSE 1 END) *
-        (CASE WHEN size(split(text, ' ')) >= 5 THEN 1 ELSE 0 END)"""))
+      // the SHARED C4 flag code (CorpusOps50.c4DocFlag) — the McNemar
+      // cells are only meaningful if this battery IS q_text_c4_rules
+      .withColumn("c4", CorpusOps50.c4DocFlag)
     flagged.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("r_all") * col("c4")).as("both_pass"),
@@ -215,7 +210,7 @@ object CorpusOps53 {
         CAST(min(rate_nbits) AS BIGINT) AS min_rate_nbits,
         CAST(max(rate_nbits) AS BIGINT) AS max_rate_nbits
       FROM r GROUP BY len_bucket ORDER BY len_bucket""",
-    "q_eval_mcnemar" -> """
+    "q_eval_mcnemar" -> s"""
       WITH f AS (SELECT doc_id, source,
           (CASE WHEN len(a) >= 50 THEN 1 ELSE 0 END) *
           (CASE WHEN list_sum(list_transform(a, w -> length(w)))
@@ -230,14 +225,7 @@ object CorpusOps53 {
           (CASE WHEN len(list_filter(a, w ->
               regexp_matches(w, '[a-zA-Z]'))) * 1000 >= len(a) * 800
                 THEN 1 ELSE 0 END) AS gopher,
-          (CASE WHEN length(text) - length(regexp_replace(text,
-             '[.!?]', '', 'g')) >= 3 THEN 1 ELSE 0 END) *
-          (CASE WHEN substring(text, length(text), 1) IN ('.', '!', '?')
-                THEN 1 ELSE 0 END) *
-          (CASE WHEN contains(text, '{') THEN 0 ELSE 1 END) *
-          (CASE WHEN contains(lower(text), 'lorem ipsum') THEN 0
-                ELSE 1 END) *
-          (CASE WHEN len(a) >= 5 THEN 1 ELSE 0 END) AS c4
+          ${CorpusOps50.c4DocFlagSql} AS c4
         FROM (SELECT doc_id, source, text,
                 string_split(text, ' ') AS a
               FROM documents) x)

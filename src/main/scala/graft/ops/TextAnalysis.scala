@@ -319,8 +319,12 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val merges = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
     for (r <- 1 to k) {
-      val best = pairCounts(dict)
-        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()(0)
+      val bests = pairCounts(dict)
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      require(bests.nonEmpty,
+        "bpeMerges: no symbol pairs to merge — empty or single-char " +
+          "dictionary (is the training corpus empty?)")
+      val best = bests(0)
       val (mg, cnt) = (best.getString(0), best.getLong(1))
       merges += ((r.toLong, mg, cnt))
       dict = graft.CacheScope.track(dict
@@ -504,7 +508,7 @@ object TextAnalysis {
     * and d{r} (post-merge dictionary). MATERIALIZED is load-bearing —
     * inlined, DuckDB re-evaluates the whole round chain per consumer
     * (the q_sim_ivf_rebalance lesson). */
-  private def bpeRoundSql(r: Int): String = {
+  private[graft] def bpeRoundSql(r: Int): String = {
     val p = r - 1
     s"""
       p$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
