@@ -154,7 +154,8 @@ object Bench {
     // r17 additions — ONE new headline entry per family per round
     // (VERDICT r16 item 8): the composed datacard pipeline is the
     // pipeline family's representative shape
-    "q_pipeline_e2e")          // gate→dedup→tokenize→allocate (r17 w52)
+    "q_pipeline_e2e",          // gate→dedup→tokenize→allocate (r17 w52)
+    "q_sim_nsw_search")        // graph-ANN beam search (r17 w53)
 
   /** Family of a headline key for the per-family subtotals: `qN_*`
     * TPC-H queries fold into "tpch", `q_<fam>_rest` takes its second

@@ -88,6 +88,7 @@ object SparkEntry {
     (CorpusOps54.queries, CorpusOps54.oracle),
     (CorpusOps55.queries, CorpusOps55.oracle),
     (CorpusOps56.queries, CorpusOps56.oracle),
+    (CorpusOps57.queries, CorpusOps57.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -168,7 +168,12 @@ object StressBench {
     "q_dedup_semantic+target256",
     // r17 wave 52: the composed datacard pipeline — expect ~linear
     // (one flags scan + fp shuffle; BPE collapses to the dictionary)
-    "q_pipeline_e2e")
+    "q_pipeline_e2e",
+    // r17 wave 53: graph-ANN — build is the SemDeDup cell-blocked
+    // shape (quadratic per cell at the fixed declared K=16; the
+    // facade's resolveCells auto-K is the production dial), search
+    // bounded per query
+    "q_sim_nsw_search")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -1169,6 +1169,42 @@ object Graft {
       idBound(embs, idCol, "Graft.retrainRecallAudit"))
   }
 
+  /** Graph-based ANN (NSW-shape, r17): deterministic bounded-degree
+    * neighbor graph (cell-blocked top-8 edges + a meshed centroid hub
+    * layer for navigability) and a 4-hop beam-16 greedy search from
+    * the lowest-id entry point. Returns per query (the 50 lowest ids)
+    * the top-10 as (qid, rk, cid). The cell count rides the shared
+    * resolveCells dial; ids need not be dense or 0-based. */
+  def nswSearch(embs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    val emb = quantIdVec(embs, idCol, vecCol)
+    // kthLowest, not the 50-id prefetch: the auto-K seed set can
+    // exceed 50 cells on a large corpus
+    val b = graft.ops.BoundedIds.kthLowest(emb, "vec_id",
+      "Graft.nswSearch")
+    graft.ops.CorpusOps57.nswSearchFrom(emb,
+      graft.ops.Similarity.resolveCells(embs.sparkSession,
+        emb.count()),
+      k => b(k.toLong))
+  }
+
+  /** Recall/cost audit of [[nswSearch]] against brute-force truth:
+    * one row (n_queries, candidates, recall_at10_permille) — read
+    * beside the IVF trilogy's tables when choosing the index
+    * family. */
+  def nswRecallAudit(embs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    val emb = quantIdVec(embs, idCol, vecCol)
+    val b = graft.ops.BoundedIds.kthLowest(emb, "vec_id",
+      "Graft.nswRecallAudit")
+    graft.ops.CorpusOps57.nswRecallFrom(emb,
+      graft.ops.Similarity.resolveCells(embs.sparkSession,
+        emb.count()),
+      k => b(k.toLong))
+  }
+
   /** Two-snapshot Kolmogorov–Smirnov drift on an integer value's
     * distribution: per group, D‰ = max |cdfA − cdfB| by integer
     * cross-multiplication over the value-granular histogram, with

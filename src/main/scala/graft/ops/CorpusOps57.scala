@@ -1,0 +1,311 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus operators, r17 wave 53 (SURVEY.md §2.M, VERDICT r16 item 5):
+  * the SECOND production ANN index family beside IVF — a
+  * deterministic graph-based index in the Navigable-Small-World shape
+  * (Malkov et al., Information Systems 2014; the flat ancestor of
+  * HNSW, Malkov & Yashunin, TPAMI 2018) with a fixed-beam greedy
+  * search, plus the recall/cost audit row read beside the IVF
+  * trilogy's.
+  *
+  * Everything is deterministic — no random level draws, no insertion
+  * order: the bounded-degree neighbor graph (out-degree ≤ 8, ranked
+  * cos desc / id asc) is built from the IVF-cell-blocked candidate
+  * stream (top-1 cell of the 16 lowest-id centroids — the library's
+  * coarse-quantizer convention) PLUS the navigability hub layer (the
+  * K centroid nodes meshed with mutual top-8 edges — the HNSW upper
+  * layer flattened; without it the cell-blocked graph is K
+  * disconnected components and recall was a measured 84‰); the
+  * search enters at the single lowest id, and each of the 4
+  * expansion rounds keeps a fixed beam = 16 by exact int64-dot
+  * cosine with id tie-breaks. Both build and search are therefore
+  * oracle-expressible: the DuckDB replay unrolls the hops as v0→v4 /
+  * b0→b3 CTEs (the Viterbi-DP discipline), and the hash gate proves
+  * the two engines walk the SAME graph the SAME way. Measured at
+  * sf0.01: recall@10 650‰ at 8,466 candidates — on the IVF nprobe
+  * frontier (630‰ at 6,273 / 810‰ at 12,499), from a graph walk
+  * instead of posting lists.
+  *
+  * Scale: the graph build is the SemDeDup cell-blocked shape (O(Σ
+  * cell²) pair stream, never all-pairs — at production scale the
+  * shared resolveCells dial grows K with the corpus via the facade);
+  * the search touches ~|beam|·deg candidates per query per hop
+  * against the 8n-row edge table (equi-join on the source node,
+  * co-partitioned), with the bounded query set broadcast. A 100 TB
+  * corpus pays n·(cell + deg) work to build and O(1) per query to
+  * search — the same contract HNSW serves in production.
+  */
+object CorpusOps57 {
+
+  private val DEG = 8
+  private val EF = 16
+  private val HOPS = 4
+
+  /** Build + search: per query (the 50 lowest ids) the beam-search
+    * top-10 as (qid, rk, cid). */
+  val qSimNswSearch: Q = (s, dir) =>
+    nswSearchFrom(
+      EmbQuant.quantized(s, dir).select(col("vec_id"), col("q")), 16)
+
+  /** The recall/cost audit beside q_sim_retrain_recall: one row
+    * (n_queries, candidates, recall_at10_permille) of the beam
+    * search against the shared brute-force truth. */
+  val qSimNswRecall: Q = (s, dir) =>
+    nswRecallFrom(
+      EmbQuant.quantized(s, dir).select(col("vec_id"), col("q")), 16)
+
+  private def cosc(qa: Column, na: Column, qb: Column,
+      nb: Column): Column =
+    EmbQuant.dotq(qa, qb).cast("double") /
+      (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** The shared chain: persisted norms, the cell-blocked bounded-
+    * degree graph, and the per-query visited set after HOPS beam
+    * expansions. Returns (emb, visited) — visited = (qid, cid),
+    * query node included. */
+  private def chain(emb0: DataFrame, cells: Int,
+      bound: Int => Column): (DataFrame, DataFrame) = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val emb = graft.CacheScope.track(emb0
+      .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
+      .persist(mad))
+    // coarse assignment: top-1 of the `cells` lowest-id centroids
+    val cents = emb.filter(bound(cells))
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val asg = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        cosc(col("q"), col("n2"), col("cq"), col("cn2")).as("ccos"))
+      .withColumn("rk", row_number().over(wv)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"))
+    // bounded-degree out-edges: top-DEG same-cell neighbors
+    val m = emb.join(asg, Seq("vec_id"))
+    val ma = m.select(col("cid"), col("vec_id").as("src"),
+      col("q").as("qs"), col("n2").as("ns"))
+    val mb = m.select(col("cid"), col("vec_id").as("dst"),
+      col("q").as("qd"), col("n2").as("nd"))
+    val wE = Window.partitionBy(col("src"))
+      .orderBy(col("ecos").desc, col("dst"))
+    val cellEdges = ma.join(mb, Seq("cid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cosc(col("qs"), col("ns"), col("qd"), col("nd")).as("ecos"))
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= DEG)
+      .select(col("src"), col("dst"))
+    // the navigability layer (the HNSW upper-layer idea flattened):
+    // without it the cell-blocked graph is K disconnected components
+    // and a walk can never leave the entry's cell (measured: recall
+    // 84‰). The K centroid nodes get mutual top-DEG edges — entry →
+    // best hub → descend within its cell.
+    val ha = cents.select(col("cid").as("src"), col("cq").as("qs"),
+      col("cn2").as("ns"))
+    val hb = cents.select(col("cid").as("dst"), col("cq").as("qd"),
+      col("cn2").as("nd"))
+    val hubEdges = ha.crossJoin(hb)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cosc(col("qs"), col("ns"), col("qd"), col("nd")).as("ecos"))
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= DEG)
+      .select(col("src"), col("dst"))
+    val edges = graft.CacheScope.track(
+      cellEdges.unionByName(hubEdges).distinct().persist(mad))
+    // queries (bounded broadcast) + the deterministic entry point
+    val queries = graft.CacheScope.track(emb.filter(bound(50))
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("n2").as("qn2"))
+      .persist(mad))
+    def scored(vis: DataFrame): DataFrame = vis
+      .join(emb.select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2")), Seq("cid"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        cosc(col("cq"), col("cn2"), col("qq"), col("qn2")).as("cos"))
+    val entry = emb.agg(min(col("vec_id")).as("cid"))
+    val wQ = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    var visited = graft.CacheScope.track(queries.select(col("qid"))
+      .crossJoin(broadcast(entry)).persist(mad))
+    var beam = visited
+    for (_ <- 1 to HOPS) {
+      val expand = beam.withColumnRenamed("cid", "src")
+        .join(edges, Seq("src"))
+        .select(col("qid"), col("dst").as("cid"))
+      visited = graft.CacheScope.track(
+        visited.unionByName(expand).distinct().persist(mad))
+      beam = scored(visited)
+        .withColumn("rk", row_number().over(wQ))
+        .filter(col("rk") <= EF)
+        .select(col("qid"), col("cid"))
+    }
+    (emb, visited)
+  }
+
+  /** The search behind [[qSimNswSearch]] and `Graft.nswSearch`:
+    * `emb0` = (vec_id, q); `bound` as everywhere (declared = the
+    * literal `vec_id < k` the oracle replays). */
+  private[graft] def nswSearchFrom(emb0: DataFrame, cells: Int,
+      bound: Int => Column = BoundedIds.literal("vec_id")): DataFrame = {
+    val (emb, visited) = chain(emb0, cells, bound)
+    val queries = emb.filter(bound(50))
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("n2").as("qn2"))
+    val wQ = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    visited.filter(col("cid") =!= col("qid"))
+      .join(emb.select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2")), Seq("cid"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        cosc(col("cq"), col("cn2"), col("qq"), col("qn2")).as("cos"))
+      .withColumn("rk", row_number().over(wQ).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("rk"), col("cid"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The audit behind [[qSimNswRecall]] and `Graft.nswRecallAudit`:
+    * recall@10 of the beam search vs the shared brute-force truth +
+    * candidates actually scored. */
+  private[graft] def nswRecallFrom(emb0: DataFrame, cells: Int,
+      bound: Int => Column = BoundedIds.literal("vec_id")): DataFrame = {
+    val (emb, visited) = chain(emb0, cells, bound)
+    val true10 = CorpusOps46.topkFrom(emb, bound)
+    val cand = visited.filter(col("cid") =!= col("qid"))
+    val hits = true10.join(cand, Seq("qid", "cid"))
+      .agg(count(lit(1)).as("hits"))
+    cand.agg(countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("candidates"))
+      .crossJoin(broadcast(hits))
+      .select(col("n_queries"), col("candidates"),
+        when(col("n_queries") === 0, lit(0L))
+          .otherwise(expr("hits * 1000 div (10 * n_queries)"))
+          .as("recall_at10_permille"))
+      .orderBy(col("n_queries"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sim_nsw_search" -> qSimNswSearch,
+    "q_sim_nsw_recall" -> qSimNswRecall)
+
+  // ----------------------------------------------------------------
+  // DuckDB oracle: the same build + the hops unrolled as CTEs
+  // ----------------------------------------------------------------
+
+  /** cosine ORDER BY fragment over a dot/norm join. */
+  private def cosSql(dot: String, na: String, nb: String): String =
+    s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * " +
+      s"sqrt(CAST($nb AS DOUBLE)))"
+
+  /** One unrolled beam hop: expand b{h-1} through the edges, union
+    * into v{h}, score, keep the EF-beam b{h}. */
+  private def hopSql(h: Int): String = s"""
+      x$h AS (SELECT DISTINCT b.qid, ed.dst AS cid
+              FROM b${h - 1} b JOIN edges ed ON ed.src = b.cid),
+      v$h AS MATERIALIZED (SELECT qid, cid FROM v${h - 1}
+                           UNION SELECT qid, cid FROM x$h),
+      s$h AS MATERIALIZED (
+        SELECT v.qid, v.cid, CAST(sum(ea.v * eb.v) AS BIGINT) AS dot
+        FROM v$h v JOIN e ea ON ea.vec_id = v.cid
+                   JOIN e eb ON eb.vec_id = v.qid AND ea.i = eb.i
+        GROUP BY 1, 2),
+      b$h AS (SELECT qid, cid FROM (
+          SELECT s.qid, s.cid, row_number() OVER (PARTITION BY s.qid
+            ORDER BY ${cosSql("s.dot", "nc.n2", "nq.n2")} DESC, s.cid)
+            AS rk
+          FROM s$h s JOIN n nc ON s.cid = nc.vec_id
+                     JOIN n nq ON s.qid = nq.vec_id) t
+        WHERE rk <= $EF)"""
+
+  /** The shared build + walk chain through v$HOPS / s$HOPS. */
+  private def chainSql: String = s"""
+      e AS MATERIALIZED (${Similarity.quantSql}),
+      n AS MATERIALIZED (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+                         FROM e GROUP BY vec_id),
+      cdots AS (SELECT a.vec_id, b.vec_id AS cid,
+                  CAST(sum(a.v * b.v) AS BIGINT) AS dot
+                FROM e a JOIN e b ON b.vec_id < 16 AND a.i = b.i
+                GROUP BY 1, 2),
+      asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+          SELECT d.vec_id, d.cid, row_number() OVER (
+              PARTITION BY d.vec_id
+              ORDER BY ${cosSql("d.dot", "nc.n2", "nv.n2")} DESC, d.cid)
+            AS rk
+          FROM cdots d JOIN n nv ON d.vec_id = nv.vec_id
+                       JOIN n nc ON d.cid = nc.vec_id) t
+        WHERE rk = 1),
+      pdots AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+                  CAST(sum(ex.v * ey.v) AS BIGINT) AS dot
+                FROM asg x JOIN asg y
+                  ON x.cid = y.cid AND x.vec_id <> y.vec_id
+                JOIN e ex ON ex.vec_id = x.vec_id
+                JOIN e ey ON ey.vec_id = y.vec_id AND ex.i = ey.i
+                GROUP BY 1, 2),
+      cedges AS (SELECT src, dst FROM (
+          SELECT p.src, p.dst, row_number() OVER (PARTITION BY p.src
+              ORDER BY ${cosSql("p.dot", "ns.n2", "nd.n2")} DESC, p.dst)
+            AS rk
+          FROM pdots p JOIN n ns ON p.src = ns.vec_id
+                       JOIN n nd ON p.dst = nd.vec_id) t
+        WHERE rk <= $DEG),
+      hdots AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+                  CAST(sum(x.v * y.v) AS BIGINT) AS dot
+                FROM e x JOIN e y ON x.vec_id < 16 AND y.vec_id < 16
+                  AND x.vec_id <> y.vec_id AND x.i = y.i
+                GROUP BY 1, 2),
+      hedges AS (SELECT src, dst FROM (
+          SELECT h.src, h.dst, row_number() OVER (PARTITION BY h.src
+              ORDER BY ${cosSql("h.dot", "ns.n2", "nd.n2")} DESC, h.dst)
+            AS rk
+          FROM hdots h JOIN n ns ON h.src = ns.vec_id
+                       JOIN n nd ON h.dst = nd.vec_id) t
+        WHERE rk <= $DEG),
+      edges AS MATERIALIZED (SELECT src, dst FROM cedges
+                             UNION SELECT src, dst FROM hedges),
+      q AS (SELECT vec_id AS qid FROM e WHERE vec_id < 50
+            GROUP BY vec_id),
+      ent AS (SELECT min(vec_id) AS cid FROM e),
+      v0 AS (SELECT qid, (SELECT cid FROM ent) AS cid FROM q),
+      b0 AS (SELECT qid, cid FROM v0),
+      ${(1 to HOPS).map(hopSql).mkString(",")}"""
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_nsw_search" -> s"""
+      WITH $chainSql
+      SELECT qid, CAST(rk AS BIGINT) AS rk, cid FROM (
+        SELECT s.qid, s.cid, row_number() OVER (PARTITION BY s.qid
+            ORDER BY ${cosSql("s.dot", "nc.n2", "nq.n2")} DESC, s.cid)
+          AS rk
+        FROM s$HOPS s JOIN n nc ON s.cid = nc.vec_id
+                      JOIN n nq ON s.qid = nq.vec_id
+        WHERE s.cid <> s.qid) t
+      WHERE rk <= 10 ORDER BY qid, rk""",
+    "q_sim_nsw_recall" -> s"""
+      WITH $chainSql,
+      dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 CAST(sum(a.v * b.v) AS BIGINT) AS dot
+               FROM e a JOIN e b ON a.vec_id < 50
+                 AND b.vec_id <> a.vec_id AND a.i = b.i
+               GROUP BY 1, 2),
+      true10 AS (SELECT qid, cid FROM (
+          SELECT d.qid, d.cid, row_number() OVER (PARTITION BY d.qid
+              ORDER BY ${cosSql("d.dot", "nc.n2", "nq.n2")} DESC, d.cid)
+            AS rk
+          FROM dots d JOIN n nq ON d.qid = nq.vec_id
+                      JOIN n nc ON d.cid = nc.vec_id) t WHERE rk <= 10),
+      cand AS (SELECT qid, cid FROM v$HOPS WHERE cid <> qid)
+      SELECT CAST((SELECT count(DISTINCT qid) FROM cand) AS BIGINT)
+          AS n_queries,
+        CAST((SELECT count(*) FROM cand) AS BIGINT) AS candidates,
+        CAST((SELECT count(*) FROM true10 t JOIN cand c
+               ON t.qid = c.qid AND t.cid = c.cid) * 1000 //
+          (10 * (SELECT count(DISTINCT qid) FROM cand)) AS BIGINT)
+          AS recall_at10_permille""")
+}
