@@ -1205,6 +1205,22 @@ object Graft {
       k => b(k.toLong))
   }
 
+  /** Beam-width recall/cost frontier of [[nswSearch]] — the graph
+    * family's query-time dial (the nprobe-frontier sibling): ef ∈
+    * {4, 8, 16} walks over ONE shared graph and truth; per ef
+    * (ef, n_queries, candidates, recall_at10_permille). */
+  def nswEfFrontier(embs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    val emb = quantIdVec(embs, idCol, vecCol)
+    val b = graft.ops.BoundedIds.kthLowest(emb, "vec_id",
+      "Graft.nswEfFrontier")
+    graft.ops.CorpusOps57.nswEfSweepFrom(emb,
+      graft.ops.Similarity.resolveCells(embs.sparkSession,
+        emb.count()),
+      k => b(k.toLong))
+  }
+
   /** Two-snapshot Kolmogorov–Smirnov drift on an integer value's
     * distribution: per group, D‰ = max |cdfA − cdfB| by integer
     * cross-multiplication over the value-granular histogram, with

@@ -65,10 +65,18 @@ object CorpusOps57 {
 
   /** The shared chain: persisted norms, the cell-blocked bounded-
     * degree graph, and the per-query visited set after HOPS beam
-    * expansions. Returns (emb, visited) — visited = (qid, cid),
-    * query node included. */
+    * expansions at the deployed EF. Returns (emb, visited) —
+    * visited = (qid, cid), query node included. */
   private def chain(emb0: DataFrame, cells: Int,
       bound: Int => Column): (DataFrame, DataFrame) = {
+    val (emb, edges, queries) = graphParts(emb0, cells, bound)
+    (emb, walk(emb, edges, queries, EF))
+  }
+
+  /** Build: persisted norms + the navigable bounded-degree graph +
+    * the bounded query set. */
+  private def graphParts(emb0: DataFrame, cells: Int,
+      bound: Int => Column): (DataFrame, DataFrame, DataFrame) = {
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val emb = graft.CacheScope.track(emb0
       .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
@@ -117,11 +125,19 @@ object CorpusOps57 {
       .select(col("src"), col("dst"))
     val edges = graft.CacheScope.track(
       cellEdges.unionByName(hubEdges).distinct().persist(mad))
-    // queries (bounded broadcast) + the deterministic entry point
+    // queries (bounded broadcast)
     val queries = graft.CacheScope.track(emb.filter(bound(50))
       .select(col("vec_id").as("qid"), col("q").as("qq"),
         col("n2").as("qn2"))
       .persist(mad))
+    (emb, edges, queries)
+  }
+
+  /** The greedy beam walk at beam width `ef`: HOPS expansion rounds
+    * from the lowest-id entry, per-query visited set returned. */
+  private def walk(emb: DataFrame, edges: DataFrame,
+      queries: DataFrame, ef: Int): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def scored(vis: DataFrame): DataFrame = vis
       .join(emb.select(col("vec_id").as("cid"), col("q").as("cq"),
         col("n2").as("cn2")), Seq("cid"))
@@ -142,11 +158,43 @@ object CorpusOps57 {
         visited.unionByName(expand).distinct().persist(mad))
       beam = scored(visited)
         .withColumn("rk", row_number().over(wQ))
-        .filter(col("rk") <= EF)
+        .filter(col("rk") <= ef)
         .select(col("qid"), col("cid"))
     }
-    (emb, visited)
+    visited
   }
+
+  /** The beam-width frontier behind [[qSimNswEfSweep]] and
+    * `Graft.nswEfFrontier` — the graph family's QUERY-TIME dial
+    * (the nprobe-frontier sibling): ef ∈ {4, 8, 16} walks over ONE
+    * shared graph and truth, per ef (ef, n_queries, candidates,
+    * recall@10‰). */
+  private[graft] def nswEfSweepFrom(emb0: DataFrame, cells: Int,
+      bound: Int => Column = BoundedIds.literal("vec_id")): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (emb, edges, queries) = graphParts(emb0, cells, bound)
+    val true10 = graft.CacheScope.track(
+      CorpusOps46.topkFrom(emb, bound).persist(mad))
+    Seq(4, 8, 16).map { ef =>
+      val cand = walk(emb, edges, queries, ef)
+        .filter(col("cid") =!= col("qid"))
+      val hits = true10.join(cand, Seq("qid", "cid"))
+        .agg(count(lit(1)).as("hits"))
+      cand.agg(countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("candidates"))
+        .crossJoin(broadcast(hits))
+        .select(lit(ef.toLong).as("ef"), col("n_queries"),
+          col("candidates"),
+          when(col("n_queries") === 0, lit(0L))
+            .otherwise(expr("hits * 1000 div (10 * n_queries)"))
+            .as("recall_at10_permille"))
+    }.reduce(_ unionAll _).orderBy(col("ef"))
+  }
+
+  /** ef frontier over the fixed declared graph (K = 16, deg 8). */
+  val qSimNswEfSweep: Q = (s, dir) =>
+    nswEfSweepFrom(
+      EmbQuant.quantized(s, dir).select(col("vec_id"), col("q")), 16)
 
   /** The search behind [[qSimNswSearch]] and `Graft.nswSearch`:
     * `emb0` = (vec_id, q); `bound` as everywhere (declared = the
@@ -193,7 +241,8 @@ object CorpusOps57 {
 
   val queries: Map[String, Q] = Map(
     "q_sim_nsw_search" -> qSimNswSearch,
-    "q_sim_nsw_recall" -> qSimNswRecall)
+    "q_sim_nsw_recall" -> qSimNswRecall,
+    "q_sim_nsw_ef_sweep" -> qSimNswEfSweep)
 
   // ----------------------------------------------------------------
   // DuckDB oracle: the same build + the hops unrolled as CTEs
@@ -204,28 +253,41 @@ object CorpusOps57 {
     s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * " +
       s"sqrt(CAST($nb AS DOUBLE)))"
 
-  /** One unrolled beam hop: expand b{h-1} through the edges, union
-    * into v{h}, score, keep the EF-beam b{h}. */
-  private def hopSql(h: Int): String = s"""
-      x$h AS (SELECT DISTINCT b.qid, ed.dst AS cid
-              FROM b${h - 1} b JOIN edges ed ON ed.src = b.cid),
-      v$h AS MATERIALIZED (SELECT qid, cid FROM v${h - 1}
-                           UNION SELECT qid, cid FROM x$h),
-      s$h AS MATERIALIZED (
+  /** One unrolled beam hop (CTE names prefixed by `p`, beam width
+    * `ef`): expand b{h-1} through the edges, union into v{h}, score,
+    * keep the ef-beam b{h}. */
+  private def hopSql(h: Int, p: String, ef: Int): String = s"""
+      x$p$h AS (SELECT DISTINCT b.qid, ed.dst AS cid
+              FROM b$p${h - 1} b JOIN edges ed ON ed.src = b.cid),
+      v$p$h AS MATERIALIZED (SELECT qid, cid FROM v$p${h - 1}
+                           UNION SELECT qid, cid FROM x$p$h),
+      s$p$h AS MATERIALIZED (
         SELECT v.qid, v.cid, CAST(sum(ea.v * eb.v) AS BIGINT) AS dot
-        FROM v$h v JOIN e ea ON ea.vec_id = v.cid
+        FROM v$p$h v JOIN e ea ON ea.vec_id = v.cid
                    JOIN e eb ON eb.vec_id = v.qid AND ea.i = eb.i
         GROUP BY 1, 2),
-      b$h AS (SELECT qid, cid FROM (
+      b$p$h AS (SELECT qid, cid FROM (
           SELECT s.qid, s.cid, row_number() OVER (PARTITION BY s.qid
             ORDER BY ${cosSql("s.dot", "nc.n2", "nq.n2")} DESC, s.cid)
             AS rk
-          FROM s$h s JOIN n nc ON s.cid = nc.vec_id
+          FROM s$p$h s JOIN n nc ON s.cid = nc.vec_id
                      JOIN n nq ON s.qid = nq.vec_id) t
-        WHERE rk <= $EF)"""
+        WHERE rk <= $ef)"""
+
+  /** One full walk (entry seed + HOPS hops) at beam width `ef`,
+    * CTE names prefixed by `p` — `p` = "" reproduces the deployed
+    * chain's v0…v$HOPS names byte-for-byte. */
+  private def walkSql(p: String, ef: Int): String = s"""
+      v${p}0 AS (SELECT qid, (SELECT cid FROM ent) AS cid FROM q),
+      b${p}0 AS (SELECT qid, cid FROM v${p}0),
+      ${(1 to HOPS).map(hopSql(_, p, ef)).mkString(",")}"""
 
   /** The shared build + walk chain through v$HOPS / s$HOPS. */
-  private def chainSql: String = s"""
+  private def chainSql: String = s"$buildSql,\n${walkSql("", EF)}"
+
+  /** The graph build: e/n, coarse assignment, cell edges + hub
+    * edges, query set and entry point. */
+  private def buildSql: String = s"""
       e AS MATERIALIZED (${Similarity.quantSql}),
       n AS MATERIALIZED (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
                          FROM e GROUP BY vec_id),
@@ -271,10 +333,34 @@ object CorpusOps57 {
                              UNION SELECT src, dst FROM hedges),
       q AS (SELECT vec_id AS qid FROM e WHERE vec_id < 50
             GROUP BY vec_id),
-      ent AS (SELECT min(vec_id) AS cid FROM e),
-      v0 AS (SELECT qid, (SELECT cid FROM ent) AS cid FROM q),
-      b0 AS (SELECT qid, cid FROM v0),
-      ${(1 to HOPS).map(hopSql).mkString(",")}"""
+      ent AS (SELECT min(vec_id) AS cid FROM e)"""
+
+  /** The brute-force truth CTEs (dots + true10) shared by the recall
+    * audit and the ef sweep. */
+  private def truthSql: String = s"""
+      dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 CAST(sum(a.v * b.v) AS BIGINT) AS dot
+               FROM e a JOIN e b ON a.vec_id < 50
+                 AND b.vec_id <> a.vec_id AND a.i = b.i
+               GROUP BY 1, 2),
+      true10 AS (SELECT qid, cid FROM (
+          SELECT d.qid, d.cid, row_number() OVER (PARTITION BY d.qid
+              ORDER BY ${cosSql("d.dot", "nc.n2", "nq.n2")} DESC, d.cid)
+            AS rk
+          FROM dots d JOIN n nq ON d.qid = nq.vec_id
+                      JOIN n nc ON d.cid = nc.vec_id) t WHERE rk <= 10)"""
+
+  /** One ef-frontier row off a finished walk's v$p$HOPS. */
+  private def efRowSql(p: String, ef: Int): String = s"""
+      cand$p AS (SELECT qid, cid FROM v$p$HOPS WHERE cid <> qid),
+      row$p AS (SELECT CAST($ef AS BIGINT) AS ef,
+        CAST((SELECT count(DISTINCT qid) FROM cand$p) AS BIGINT)
+          AS n_queries,
+        CAST((SELECT count(*) FROM cand$p) AS BIGINT) AS candidates,
+        CAST((SELECT count(*) FROM true10 t JOIN cand$p c
+               ON t.qid = c.qid AND t.cid = c.cid) * 1000 //
+          (10 * (SELECT count(DISTINCT qid) FROM cand$p)) AS BIGINT)
+          AS recall_at10_permille)"""
 
   val oracle: Map[String, String] = Map(
     "q_sim_nsw_search" -> s"""
@@ -289,17 +375,7 @@ object CorpusOps57 {
       WHERE rk <= 10 ORDER BY qid, rk""",
     "q_sim_nsw_recall" -> s"""
       WITH $chainSql,
-      dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
-                 CAST(sum(a.v * b.v) AS BIGINT) AS dot
-               FROM e a JOIN e b ON a.vec_id < 50
-                 AND b.vec_id <> a.vec_id AND a.i = b.i
-               GROUP BY 1, 2),
-      true10 AS (SELECT qid, cid FROM (
-          SELECT d.qid, d.cid, row_number() OVER (PARTITION BY d.qid
-              ORDER BY ${cosSql("d.dot", "nc.n2", "nq.n2")} DESC, d.cid)
-            AS rk
-          FROM dots d JOIN n nq ON d.qid = nq.vec_id
-                      JOIN n nc ON d.cid = nc.vec_id) t WHERE rk <= 10),
+      $truthSql,
       cand AS (SELECT qid, cid FROM v$HOPS WHERE cid <> qid)
       SELECT CAST((SELECT count(DISTINCT qid) FROM cand) AS BIGINT)
           AS n_queries,
@@ -307,5 +383,16 @@ object CorpusOps57 {
         CAST((SELECT count(*) FROM true10 t JOIN cand c
                ON t.qid = c.qid AND t.cid = c.cid) * 1000 //
           (10 * (SELECT count(DISTINCT qid) FROM cand)) AS BIGINT)
-          AS recall_at10_permille""")
+          AS recall_at10_permille""",
+    "q_sim_nsw_ef_sweep" -> s"""
+      WITH $buildSql,
+      ${walkSql("f4_", 4)},
+      ${walkSql("f8_", 8)},
+      ${walkSql("f16_", 16)},
+      $truthSql,
+      ${efRowSql("f4_", 4)},
+      ${efRowSql("f8_", 8)},
+      ${efRowSql("f16_", 16)}
+      SELECT * FROM rowf4_ UNION ALL SELECT * FROM rowf8_
+      UNION ALL SELECT * FROM rowf16_ ORDER BY ef""")
 }

@@ -39,6 +39,22 @@ class Wave48Spec extends AnyFunSuite {
     assert(recall * 50 * 10 / 1000 <= searched.size)
   }
 
+  test("nsw ef sweep: 3 rows; deployed point == the recall audit") {
+    val sweep = run(SparkEntry.queries("q_sim_nsw_ef_sweep")(spark, sf))
+    assert(sweep.map(_.getLong(0)) == Seq(4L, 8L, 16L))
+    // the ef = 16 frontier point IS the deployed walk — its audit
+    // numbers must equal q_sim_nsw_recall's row exactly
+    val rec = run(SparkEntry.queries("q_sim_nsw_recall")(spark, sf)).head
+    val p16 = sweep.find(_.getLong(0) == 16L).get
+    assert(p16.getAs[Long]("n_queries") == rec.getAs[Long]("n_queries"))
+    assert(p16.getAs[Long]("candidates") == rec.getAs[Long]("candidates"))
+    assert(p16.getAs[Long]("recall_at10_permille") ==
+      rec.getAs[Long]("recall_at10_permille"))
+    val facade = run(api.Graft.nswEfFrontier(
+      Tables(spark, sf, "embeddings"), "vec_id", "embedding"))
+    assert(facade == sweep)
+  }
+
   test("nsw facades == declared; non-dense ids; empty raise") {
     val embs = Tables(spark, sf, "embeddings")
     val declared = run(SparkEntry.queries("q_sim_nsw_search")(spark, sf))
