@@ -173,7 +173,10 @@ object StressBench {
     // shape (quadratic per cell at the fixed declared K=16; the
     // facade's resolveCells auto-K is the production dial), search
     // bounded per query
-    "q_sim_nsw_search")
+    "q_sim_nsw_search",
+    // r17 wave 55: the delta audit vs its full-rebuild cost twin —
+    // the measured price of NOT having the incremental path
+    "q_sim_nsw_delta", "q_sim_nsw_delta+rebuild")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale
@@ -207,7 +210,9 @@ object StressBench {
     // 8x fatter cells at 10x (K 625 -> 79): the measured price of
     // turning the ONE dial every cell-blocked operator now shares
     "q_dedup_semantic+target256" ->
-      ("q_dedup_semantic", "spark.graft.ivf.targetCellSize=256"))
+      ("q_dedup_semantic", "spark.graft.ivf.targetCellSize=256"),
+    "q_sim_nsw_delta+rebuild" ->
+      ("q_sim_nsw_delta", "spark.graft.nsw.fullRebuild=true"))
 
   /** Facade-driven rows: bench label → a direct `graft.api.Graft`
     * call. These measure the PUBLIC API's own scale behavior (e.g.

@@ -1221,6 +1221,42 @@ object Graft {
       k => b(k.toLong))
   }
 
+  /** Out-degree recall/cost frontier of [[nswSearch]] — the graph
+    * family's build dial (the cells-frontier sibling): deg ∈
+    * {4, 8, 16} graphs cut from ONE ranked pair stream, each walked
+    * at the deployed beam; per deg (deg, n_queries, candidates,
+    * recall_at10_permille). */
+  def nswDegFrontier(embs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    val emb = quantIdVec(embs, idCol, vecCol)
+    val b = graft.ops.BoundedIds.kthLowest(emb, "vec_id",
+      "Graft.nswDegFrontier")
+    graft.ops.CorpusOps57.nswDegSweepFrom(emb,
+      graft.ops.Similarity.resolveCells(embs.sparkSession,
+        emb.count()),
+      k => b(k.toLong))
+  }
+
+  /** Incremental-insert audit of the [[nswSearch]] graph — the graph
+    * family's maintenance dial: the 10 highest-id vectors arrive as
+    * the delta batch; only the cells that received a member get
+    * their edges recomputed (the rest carry over), and the returned
+    * per-cell edge census is provably identical to a full rebuild
+    * (`spark.graft.nsw.fullRebuild=true` flips to the rebuild plan
+    * — bit-identical, the cost twin). */
+  def nswInsertAudit(embs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    val emb = quantIdVec(embs, idCol, vecCol)
+    val b = graft.ops.BoundedIds.kthLowest(emb, "vec_id",
+      "Graft.nswInsertAudit")
+    graft.ops.CorpusOps57.nswDeltaFrom(emb,
+      graft.ops.Similarity.resolveCells(embs.sparkSession,
+        emb.count()),
+      k => b(k.toLong))
+  }
+
   /** Two-snapshot Kolmogorov–Smirnov drift on an integer value's
     * distribution: per group, D‰ = max |cdfA − cdfB| by integer
     * cross-multiplication over the value-granular histogram, with

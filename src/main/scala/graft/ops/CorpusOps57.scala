@@ -73,14 +73,21 @@ object CorpusOps57 {
     (emb, walk(emb, edges, queries, EF))
   }
 
-  /** Build: persisted norms + the navigable bounded-degree graph +
-    * the bounded query set. */
-  private def graphParts(emb0: DataFrame, cells: Int,
-      bound: Int => Column): (DataFrame, DataFrame, DataFrame) = {
-    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val emb = graft.CacheScope.track(emb0
+  private def normed(emb0: DataFrame): DataFrame =
+    graft.CacheScope.track(emb0
       .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
-      .persist(mad))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The coarse assignment + RANKED candidate pair streams shared by
+    * the deployed graph, the degree sweep, and the delta audit:
+    * asg = (vec_id, cid); cellRanked / hubRanked = (src, dst, rk)
+    * with rk the per-src cos-desc/id-asc rank (UNfiltered — callers
+    * cut at their degree). The hub mesh is the navigability layer
+    * (the HNSW upper-layer idea flattened): without it the
+    * cell-blocked graph is K disconnected components and a walk can
+    * never leave the entry's cell (measured: recall 84‰). */
+  private def rankedParts(emb: DataFrame, cells: Int,
+      bound: Int => Column): (DataFrame, DataFrame, DataFrame) = {
     // coarse assignment: top-1 of the `cells` lowest-id centroids
     val cents = emb.filter(bound(cells))
       .select(col("vec_id").as("cid"), col("q").as("cq"),
@@ -92,7 +99,6 @@ object CorpusOps57 {
         cosc(col("q"), col("n2"), col("cq"), col("cn2")).as("ccos"))
       .withColumn("rk", row_number().over(wv)).filter(col("rk") === 1)
       .select(col("vec_id"), col("cid"))
-    // bounded-degree out-edges: top-DEG same-cell neighbors
     val m = emb.join(asg, Seq("vec_id"))
     val ma = m.select(col("cid"), col("vec_id").as("src"),
       col("q").as("qs"), col("n2").as("ns"))
@@ -100,37 +106,50 @@ object CorpusOps57 {
       col("q").as("qd"), col("n2").as("nd"))
     val wE = Window.partitionBy(col("src"))
       .orderBy(col("ecos").desc, col("dst"))
-    val cellEdges = ma.join(mb, Seq("cid"))
+    val cellRanked = ma.join(mb, Seq("cid"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         cosc(col("qs"), col("ns"), col("qd"), col("nd")).as("ecos"))
       .withColumn("rk", row_number().over(wE))
-      .filter(col("rk") <= DEG)
-      .select(col("src"), col("dst"))
-    // the navigability layer (the HNSW upper-layer idea flattened):
-    // without it the cell-blocked graph is K disconnected components
-    // and a walk can never leave the entry's cell (measured: recall
-    // 84‰). The K centroid nodes get mutual top-DEG edges — entry →
-    // best hub → descend within its cell.
+      .select(col("src"), col("dst"), col("rk"))
     val ha = cents.select(col("cid").as("src"), col("cq").as("qs"),
       col("cn2").as("ns"))
     val hb = cents.select(col("cid").as("dst"), col("cq").as("qd"),
       col("cn2").as("nd"))
-    val hubEdges = ha.crossJoin(hb)
+    val hubRanked = ha.crossJoin(hb)
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         cosc(col("qs"), col("ns"), col("qd"), col("nd")).as("ecos"))
       .withColumn("rk", row_number().over(wE))
-      .filter(col("rk") <= DEG)
-      .select(col("src"), col("dst"))
-    val edges = graft.CacheScope.track(
-      cellEdges.unionByName(hubEdges).distinct().persist(mad))
-    // queries (bounded broadcast)
-    val queries = graft.CacheScope.track(emb.filter(bound(50))
+      .select(col("src"), col("dst"), col("rk"))
+    (asg, cellRanked, hubRanked)
+  }
+
+  /** Cut the ranked pair streams at out-degree `deg` and merge. */
+  private def edgesAt(cellRanked: DataFrame, hubRanked: DataFrame,
+      deg: Int): DataFrame =
+    cellRanked.filter(col("rk") <= deg).select(col("src"), col("dst"))
+      .unionByName(hubRanked.filter(col("rk") <= deg)
+        .select(col("src"), col("dst")))
+      .distinct()
+
+  private def queriesOf(emb: DataFrame,
+      bound: Int => Column): DataFrame =
+    graft.CacheScope.track(emb.filter(bound(50))
       .select(col("vec_id").as("qid"), col("q").as("qq"),
         col("n2").as("qn2"))
-      .persist(mad))
-    (emb, edges, queries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Build: persisted norms + the navigable bounded-degree graph +
+    * the bounded query set. */
+  private def graphParts(emb0: DataFrame, cells: Int,
+      bound: Int => Column): (DataFrame, DataFrame, DataFrame) = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val emb = normed(emb0)
+    val (_, cellRanked, hubRanked) = rankedParts(emb, cells, bound)
+    val edges = graft.CacheScope.track(
+      edgesAt(cellRanked, hubRanked, DEG).persist(mad))
+    (emb, edges, queriesOf(emb, bound))
   }
 
   /** The greedy beam walk at beam width `ef`: HOPS expansion rounds
@@ -196,6 +215,135 @@ object CorpusOps57 {
     nswEfSweepFrom(
       EmbQuant.quantized(s, dir).select(col("vec_id"), col("q")), 16)
 
+  /** The out-degree frontier behind [[qSimNswDegSweep]] and
+    * `Graft.nswDegFrontier` — the graph family's BUILD dial (the
+    * cells-frontier sibling): deg ∈ {4, 8, 16} graphs cut from ONE
+    * ranked pair stream, each walked at the deployed EF; per deg
+    * (deg, n_queries, candidates, recall@10‰). The NSW trilogy:
+    * deg = build dial, ef = query dial, delta = maintenance dial. */
+  private[graft] def nswDegSweepFrom(emb0: DataFrame, cells: Int,
+      bound: Int => Column = BoundedIds.literal("vec_id")): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val emb = normed(emb0)
+    val (_, cellRanked0, hubRanked0) = rankedParts(emb, cells, bound)
+    // ONE ranked pair stream serves all three degree cuts
+    val cellRanked = graft.CacheScope.track(cellRanked0.persist(mad))
+    val hubRanked = graft.CacheScope.track(hubRanked0.persist(mad))
+    val queries = queriesOf(emb, bound)
+    val true10 = graft.CacheScope.track(
+      CorpusOps46.topkFrom(emb, bound).persist(mad))
+    Seq(4, 8, 16).map { deg =>
+      val edges = graft.CacheScope.track(
+        edgesAt(cellRanked, hubRanked, deg).persist(mad))
+      val cand = walk(emb, edges, queries, EF)
+        .filter(col("cid") =!= col("qid"))
+      val hits = true10.join(cand, Seq("qid", "cid"))
+        .agg(count(lit(1)).as("hits"))
+      cand.agg(countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("candidates"))
+        .crossJoin(broadcast(hits))
+        .select(lit(deg.toLong).as("deg"), col("n_queries"),
+          col("candidates"),
+          when(col("n_queries") === 0, lit(0L))
+            .otherwise(expr("hits * 1000 div (10 * n_queries)"))
+            .as("recall_at10_permille"))
+    }.reduce(_ unionAll _).orderBy(col("deg"))
+  }
+
+  /** deg frontier over the fixed declared quantizer (K = 16). */
+  val qSimNswDegSweep: Q = (s, dir) =>
+    nswDegSweepFrom(
+      EmbQuant.quantized(s, dir).select(col("vec_id"), col("q")), 16)
+
+  /** Incremental-insert audit behind [[qSimNswDelta]] and
+    * `Graft.nswInsertAudit` — the graph family's MAINTENANCE dial
+    * (the ivf_delta / cc_delta sibling): the 10 HIGHEST-id vectors
+    * arrive as the delta batch against the pre-insert base graph.
+    * Because edges depend ONLY on cell membership and inserting
+    * high ids never moves a centroid (cells = the `cells` lowest
+    * ids), the incremental step recomputes edges ONLY for the ≤ 10
+    * cells that received a member (over their full membership) and
+    * carries every other cell's edge list over unchanged — the
+    * DuckDB oracle replays a FULL rebuild, so the hash gate IS the
+    * incremental ≡ rebuild theorem. Output: per cell (cid, n_nodes,
+    * n_edges, dst_sum) — the post-insert edge census digest.
+    * `spark.graft.nsw.fullRebuild=true` flips to the rebuild plan
+    * (bit-identical by the theorem — a plan-shape conf, Verify-legal,
+    * StressBench-measured as the delta's cost twin). */
+  private[graft] def nswDeltaFrom(emb0: DataFrame, cells: Int,
+      bound: Int => Column = BoundedIds.literal("vec_id")): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val emb = normed(emb0)
+    val deltaIds = emb.select(col("vec_id").cast("long"))
+      .orderBy(col("vec_id").desc).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    require(deltaIds.nonEmpty,
+      "nswDelta: empty input — no vectors to insert")
+    val isDelta = col("vec_id").isin(deltaIds: _*)
+    val rebuild = emb.sparkSession.conf
+      .getOption("spark.graft.nsw.fullRebuild").exists(_.toBoolean)
+    val (asg0, cellRankedAll, hubRankedAll) =
+      rankedParts(emb, cells, bound)
+    val asg = graft.CacheScope.track(asg0.persist(mad))
+    val edges =
+      if (rebuild) edgesAt(cellRankedAll, hubRankedAll, DEG)
+      else {
+        // the pre-insert artifact: base-corpus cell edges (hub mesh
+        // recomputed below — K² is always cheap)
+        val base = emb.filter(!isDelta)
+        val (_, cellRankedBase, _) = rankedParts(base, cells, bound)
+        val baseEdges = cellRankedBase.filter(col("rk") <= DEG)
+          .select(col("src"), col("dst"))
+        // affected cells: those receiving a delta member (≤ |delta|,
+        // a bounded driver fetch)
+        val affected = asg.filter(isDelta).select(col("cid")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        // carry over unaffected cells; recompute ONLY affected cells
+        // over their FULL membership — the pair stream is restricted
+        // BEFORE the join, so the step costs Σ affected-cell², not
+        // the full rebuild's Σ cell²
+        val keep = baseEdges
+          .join(asg.select(col("vec_id").as("src"), col("cid")),
+            Seq("src"))
+          .filter(!col("cid").isin(affected: _*))
+          .select(col("src"), col("dst"))
+        val mAff = emb.join(
+          asg.filter(col("cid").isin(affected: _*)), Seq("vec_id"))
+        val aa = mAff.select(col("cid"), col("vec_id").as("src"),
+          col("q").as("qs"), col("n2").as("ns"))
+        val ab = mAff.select(col("cid"), col("vec_id").as("dst"),
+          col("q").as("qd"), col("n2").as("nd"))
+        val wE = Window.partitionBy(col("src"))
+          .orderBy(col("ecos").desc, col("dst"))
+        val recomputed = aa.join(ab, Seq("cid"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            cosc(col("qs"), col("ns"), col("qd"), col("nd"))
+              .as("ecos"))
+          .withColumn("rk", row_number().over(wE))
+          .filter(col("rk") <= DEG)
+          .select(col("src"), col("dst"))
+        val hubs = hubRankedAll.filter(col("rk") <= DEG)
+          .select(col("src"), col("dst"))
+        keep.unionByName(recomputed).unionByName(hubs).distinct()
+      }
+    val ec = edges
+      .join(asg.select(col("vec_id").as("src"), col("cid")), Seq("src"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("dst")).as("dst_sum"))
+    asg.groupBy(col("cid")).agg(count(lit(1)).as("n_nodes"))
+      .join(ec, Seq("cid"), "left")
+      .select(col("cid"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("dst_sum"), lit(0L)).as("dst_sum"))
+      .orderBy(col("cid"))
+  }
+
+  /** delta-insert audit over the fixed declared quantizer (K = 16). */
+  val qSimNswDelta: Q = (s, dir) =>
+    nswDeltaFrom(
+      EmbQuant.quantized(s, dir).select(col("vec_id"), col("q")), 16)
+
   /** The search behind [[qSimNswSearch]] and `Graft.nswSearch`:
     * `emb0` = (vec_id, q); `bound` as everywhere (declared = the
     * literal `vec_id < k` the oracle replays). */
@@ -242,7 +390,9 @@ object CorpusOps57 {
   val queries: Map[String, Q] = Map(
     "q_sim_nsw_search" -> qSimNswSearch,
     "q_sim_nsw_recall" -> qSimNswRecall,
-    "q_sim_nsw_ef_sweep" -> qSimNswEfSweep)
+    "q_sim_nsw_ef_sweep" -> qSimNswEfSweep,
+    "q_sim_nsw_deg_sweep" -> qSimNswDegSweep,
+    "q_sim_nsw_delta" -> qSimNswDelta)
 
   // ----------------------------------------------------------------
   // DuckDB oracle: the same build + the hops unrolled as CTEs
@@ -256,9 +406,10 @@ object CorpusOps57 {
   /** One unrolled beam hop (CTE names prefixed by `p`, beam width
     * `ef`): expand b{h-1} through the edges, union into v{h}, score,
     * keep the ef-beam b{h}. */
-  private def hopSql(h: Int, p: String, ef: Int): String = s"""
+  private def hopSql(h: Int, p: String, ef: Int,
+      edgesName: String = "edges"): String = s"""
       x$p$h AS (SELECT DISTINCT b.qid, ed.dst AS cid
-              FROM b$p${h - 1} b JOIN edges ed ON ed.src = b.cid),
+              FROM b$p${h - 1} b JOIN $edgesName ed ON ed.src = b.cid),
       v$p$h AS MATERIALIZED (SELECT qid, cid FROM v$p${h - 1}
                            UNION SELECT qid, cid FROM x$p$h),
       s$p$h AS MATERIALIZED (
@@ -277,10 +428,11 @@ object CorpusOps57 {
   /** One full walk (entry seed + HOPS hops) at beam width `ef`,
     * CTE names prefixed by `p` — `p` = "" reproduces the deployed
     * chain's v0…v$HOPS names byte-for-byte. */
-  private def walkSql(p: String, ef: Int): String = s"""
+  private def walkSql(p: String, ef: Int,
+      edgesName: String = "edges"): String = s"""
       v${p}0 AS (SELECT qid, (SELECT cid FROM ent) AS cid FROM q),
       b${p}0 AS (SELECT qid, cid FROM v${p}0),
-      ${(1 to HOPS).map(hopSql(_, p, ef)).mkString(",")}"""
+      ${(1 to HOPS).map(hopSql(_, p, ef, edgesName)).mkString(",")}"""
 
   /** The shared build + walk chain through v$HOPS / s$HOPS. */
   private def chainSql: String = s"$buildSql,\n${walkSql("", EF)}"
@@ -350,10 +502,13 @@ object CorpusOps57 {
           FROM dots d JOIN n nq ON d.qid = nq.vec_id
                       JOIN n nc ON d.cid = nc.vec_id) t WHERE rk <= 10)"""
 
-  /** One ef-frontier row off a finished walk's v$p$HOPS. */
-  private def efRowSql(p: String, ef: Int): String = s"""
+  /** One frontier row off a finished walk's v$p$HOPS, labeled
+    * `label` = `value` (ef for the beam sweep, deg for the degree
+    * sweep). */
+  private def frontierRowSql(p: String, label: String,
+      value: Int): String = s"""
       cand$p AS (SELECT qid, cid FROM v$p$HOPS WHERE cid <> qid),
-      row$p AS (SELECT CAST($ef AS BIGINT) AS ef,
+      row$p AS (SELECT CAST($value AS BIGINT) AS $label,
         CAST((SELECT count(DISTINCT qid) FROM cand$p) AS BIGINT)
           AS n_queries,
         CAST((SELECT count(*) FROM cand$p) AS BIGINT) AS candidates,
@@ -390,9 +545,47 @@ object CorpusOps57 {
       ${walkSql("f8_", 8)},
       ${walkSql("f16_", 16)},
       $truthSql,
-      ${efRowSql("f4_", 4)},
-      ${efRowSql("f8_", 8)},
-      ${efRowSql("f16_", 16)}
+      ${frontierRowSql("f4_", "ef", 4)},
+      ${frontierRowSql("f8_", "ef", 8)},
+      ${frontierRowSql("f16_", "ef", 16)}
       SELECT * FROM rowf4_ UNION ALL SELECT * FROM rowf8_
-      UNION ALL SELECT * FROM rowf16_ ORDER BY ef""")
+      UNION ALL SELECT * FROM rowf16_ ORDER BY ef""",
+    "q_sim_nsw_deg_sweep" -> s"""
+      WITH $buildSql,
+      cranked AS MATERIALIZED (
+        SELECT p.src, p.dst, row_number() OVER (PARTITION BY p.src
+            ORDER BY ${cosSql("p.dot", "ns.n2", "nd.n2")} DESC, p.dst)
+          AS rk
+        FROM pdots p JOIN n ns ON p.src = ns.vec_id
+                     JOIN n nd ON p.dst = nd.vec_id),
+      hranked AS (
+        SELECT h.src, h.dst, row_number() OVER (PARTITION BY h.src
+            ORDER BY ${cosSql("h.dot", "ns.n2", "nd.n2")} DESC, h.dst)
+          AS rk
+        FROM hdots h JOIN n ns ON h.src = ns.vec_id
+                     JOIN n nd ON h.dst = nd.vec_id),
+      ${Seq(4, 8, 16).map(d => s"""
+        edges$d AS MATERIALIZED (
+          SELECT src, dst FROM cranked WHERE rk <= $d
+          UNION SELECT src, dst FROM hranked WHERE rk <= $d)""")
+        .mkString(",")},
+      ${Seq(4, 8, 16).map(d => walkSql(s"g${d}_", EF, s"edges$d"))
+        .mkString(",")},
+      $truthSql,
+      ${Seq(4, 8, 16).map(d => frontierRowSql(s"g${d}_", "deg", d))
+        .mkString(",")}
+      SELECT * FROM rowg4_ UNION ALL SELECT * FROM rowg8_
+      UNION ALL SELECT * FROM rowg16_ ORDER BY deg""",
+    "q_sim_nsw_delta" -> s"""
+      WITH $buildSql,
+      cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_nodes
+              FROM asg GROUP BY cid),
+      ec AS (SELECT a.cid, CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(ed.dst) AS BIGINT) AS dst_sum
+             FROM edges ed JOIN asg a ON a.vec_id = ed.src
+             GROUP BY a.cid)
+      SELECT c.cid, c.n_nodes,
+        CAST(coalesce(e2.n_edges, 0) AS BIGINT) AS n_edges,
+        CAST(coalesce(e2.dst_sum, 0) AS BIGINT) AS dst_sum
+      FROM cnt c LEFT JOIN ec e2 USING (cid) ORDER BY cid""")
 }
