@@ -89,6 +89,7 @@ object SparkEntry {
     (CorpusOps55.queries, CorpusOps55.oracle),
     (CorpusOps56.queries, CorpusOps56.oracle),
     (CorpusOps57.queries, CorpusOps57.oracle),
+    (CorpusOps58.queries, CorpusOps58.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

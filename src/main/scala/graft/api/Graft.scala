@@ -1152,6 +1152,19 @@ object Graft {
         train.cast("boolean").as("train")))
       .withColumnRenamed("source", groupCol)
 
+  /** NB quality-filter calibration/reliability table (the
+    * [[nbQualityConfusion]] sibling): the held-out decision margin
+    * (exact micro-bits) bucketed into 17 one-bit bands (bucket 8 =
+    * [0, 1)), with the empirical positive rate per band in permille.
+    * A pipeline thresholding at anything but 0 reads this first —
+    * NB margins are notoriously over-confident. */
+  def nbQualityCalibration(docs: DataFrame, idCol: String,
+      textCol: String, label: Column, train: Column): DataFrame =
+    graft.ops.CorpusOps58.nbCalibrationFrom(
+      docs.select(col(idCol).as("doc_id"), lit("all").as("source"),
+        col(textCol).as("text"), label.cast("long").as("label"),
+        train.cast("boolean").as("train")))
+
   /** Retrain recall audit — the maintenance dial of the IVF tuning
     * trilogy (cells frontier = build dial, nprobe frontier = query
     * dial): recall@10 and candidates scanned under the lowest-id

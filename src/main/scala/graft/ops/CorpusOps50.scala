@@ -22,7 +22,7 @@ import graft.Tables
 object CorpusOps50 {
 
   private def lg(c: Column): Column = round(log2(c) * lit(1e6)).cast("long")
-  private def lgSql(x: String): String =
+  private[graft] def lgSql(x: String): String =
     s"CAST(round(log2($x) * 1e6) AS BIGINT)"
 
   // ---------------------------------------------------------------
@@ -211,18 +211,26 @@ object CorpusOps50 {
     * (source, n_eval, tp, fp, fn, tn), unordered. */
   private[graft] def nbConfusion(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    nbConfusionFrom(CorpusOps46.gopherFlagged(
+    nbConfusionFrom(nbFlags(s, dir))
+
+  /** The declared NB task frame: Gopher-conjunction labels (shared
+    * flag code), doc_id-even training split. Shared by the trainer,
+    * the kappa readout, and the r17 calibration table. */
+  private[graft] def nbFlags(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    CorpusOps46.gopherFlagged(
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text")),
       Seq("doc_id", "source", "text"))
       .select(col("doc_id"), col("source"), col("text"),
         col("r_all").as("label"),
-        (col("doc_id") % 2 === 0).as("train")))
+        (col("doc_id") % 2 === 0).as("train"))
 
-  /** Frame-based NB train/eval core behind [[nbConfusion]] and
-    * `Graft.nbQualityConfusion`: `flags` = (doc_id, source, text,
-    * label 0/1, train boolean). */
-  private[graft] def nbConfusionFrom(flags: DataFrame): DataFrame = {
+  /** Frame-based NB train/score core behind [[nbConfusionFrom]] and
+    * the r17 calibration table (CorpusOps58): `flags` = (doc_id,
+    * source, text, label 0/1, train boolean); returns the held-out
+    * per-doc (doc_id, source, label, ssum, margin) stream. */
+  private[graft] def nbScoredFrom(flags: DataFrame): DataFrame = {
     val s = flags.sparkSession
     val toks = flags.select(col("doc_id"), col("source"), col("label"),
       col("train"),
@@ -250,16 +258,24 @@ object CorpusOps50 {
       .groupBy(col("doc_id"), col("source"), col("label"))
       .agg(sum(col("lam")).as("ssum"))
       .crossJoin(broadcast(prior))
-      .withColumn("pred",
-        (col("ssum") + lg(col("dp") + 1) - lg(col("dn") + 1) > 0)
-          .cast("long"))
-    scored.groupBy(col("source"))
+      // the per-doc decision margin in exact micro-bits — the r17
+      // calibration table buckets THIS (shared core: predict
+      // positive iff margin > 0)
+      .withColumn("margin",
+        col("ssum") + lg(col("dp") + 1) - lg(col("dn") + 1))
+    scored
+  }
+
+  /** Held-out per-source confusion off the shared scored stream. */
+  private[graft] def nbConfusionFrom(flags: DataFrame): DataFrame =
+    nbScoredFrom(flags)
+      .withColumn("pred", (col("margin") > 0).cast("long"))
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_eval"),
         sum(col("label") * col("pred")).as("tp"),
         sum((lit(1L) - col("label")) * col("pred")).as("fp"),
         sum(col("label") * (lit(1L) - col("pred"))).as("fn"),
         sum((lit(1L) - col("label")) * (lit(1L) - col("pred"))).as("tn"))
-  }
 
   val queries: Map[String, Q] = Map(
     "q_text_c4_rules" -> qTextC4Rules,
