@@ -99,6 +99,15 @@ object CorpusOps57 {
         cosc(col("q"), col("n2"), col("cq"), col("cn2")).as("ccos"))
       .withColumn("rk", row_number().over(wv)).filter(col("rk") === 1)
       .select(col("vec_id"), col("cid"))
+    (asg, cellRankedOf(emb, asg), hubRankedOf(cents))
+  }
+
+  /** Cell-blocked ranked pair stream off a GIVEN membership — shared
+    * by the build and the streaming ingest twin's rollup-on-read
+    * (membership is the append-only state; edges are a deterministic
+    * function of it). */
+  private[graft] def cellRankedOf(emb: DataFrame,
+      asg: DataFrame): DataFrame = {
     val m = emb.join(asg, Seq("vec_id"))
     val ma = m.select(col("cid"), col("vec_id").as("src"),
       col("q").as("qs"), col("n2").as("ns"))
@@ -106,23 +115,59 @@ object CorpusOps57 {
       col("q").as("qd"), col("n2").as("nd"))
     val wE = Window.partitionBy(col("src"))
       .orderBy(col("ecos").desc, col("dst"))
-    val cellRanked = ma.join(mb, Seq("cid"))
+    ma.join(mb, Seq("cid"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         cosc(col("qs"), col("ns"), col("qd"), col("nd")).as("ecos"))
       .withColumn("rk", row_number().over(wE))
       .select(col("src"), col("dst"), col("rk"))
+  }
+
+  /** Hub-mesh ranked pair stream over a centroid frame
+    * (cid, cq, cn2). */
+  private[graft] def hubRankedOf(cents: DataFrame): DataFrame = {
     val ha = cents.select(col("cid").as("src"), col("cq").as("qs"),
       col("cn2").as("ns"))
     val hb = cents.select(col("cid").as("dst"), col("cq").as("qd"),
       col("cn2").as("nd"))
-    val hubRanked = ha.crossJoin(hb)
+    val wE = Window.partitionBy(col("src"))
+      .orderBy(col("ecos").desc, col("dst"))
+    ha.crossJoin(hb)
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         cosc(col("qs"), col("ns"), col("qd"), col("nd")).as("ecos"))
       .withColumn("rk", row_number().over(wE))
       .select(col("src"), col("dst"), col("rk"))
-    (asg, cellRanked, hubRanked)
+  }
+
+  /** Per-cell edge census off a GIVEN membership — the streaming
+    * ingest twin's rollup-on-read: the narrow (vec_id, cid)
+    * assignment log is the append-only state (map-side vs the frozen
+    * quantizer, so batch boundaries can't reorder it), and this
+    * census over it equals q_sim_nsw_delta's bit-for-bit. */
+  private[graft] def censusFromMembership(emb: DataFrame,
+      asg: DataFrame, cells: Int,
+      bound: Int => Column = BoundedIds.literal("vec_id")): DataFrame = {
+    val cents = emb.filter(bound(cells))
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    val edges = edgesAt(cellRankedOf(emb, asg), hubRankedOf(cents), DEG)
+    censusOf(edges, asg)
+  }
+
+  /** The (cid, n_nodes, n_edges, dst_sum) digest tail shared by the
+    * delta audit and the rollup-on-read. */
+  private def censusOf(edges: DataFrame, asg: DataFrame): DataFrame = {
+    val ec = edges
+      .join(asg.select(col("vec_id").as("src"), col("cid")), Seq("src"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("dst")).as("dst_sum"))
+    asg.groupBy(col("cid")).agg(count(lit(1)).as("n_nodes"))
+      .join(ec, Seq("cid"), "left")
+      .select(col("cid"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("dst_sum"), lit(0L)).as("dst_sum"))
+      .orderBy(col("cid"))
   }
 
   /** Cut the ranked pair streams at out-degree `deg` and merge. */
@@ -327,16 +372,7 @@ object CorpusOps57 {
           .select(col("src"), col("dst"))
         keep.unionByName(recomputed).unionByName(hubs).distinct()
       }
-    val ec = edges
-      .join(asg.select(col("vec_id").as("src"), col("cid")), Seq("src"))
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_edges"), sum(col("dst")).as("dst_sum"))
-    asg.groupBy(col("cid")).agg(count(lit(1)).as("n_nodes"))
-      .join(ec, Seq("cid"), "left")
-      .select(col("cid"), col("n_nodes"),
-        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
-        coalesce(col("dst_sum"), lit(0L)).as("dst_sum"))
-      .orderBy(col("cid"))
+    censusOf(edges, asg)
   }
 
   /** delta-insert audit over the fixed declared quantizer (K = 16). */

@@ -1401,4 +1401,67 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming NSW membership ingest (foreachBatch) == batch edge census") {
+    // The r17 graph-ANN as a live ingest (the centroid-partials
+    // twin's discipline applied to INDEX state): vector micro-batches
+    // assign to the STANDING coarse quantizer (map-side vs frozen
+    // centroids — batch boundaries cannot reorder it) and append ONLY
+    // the narrow (vec_id, cid) membership log. Edges are a
+    // deterministic function of cell membership, so the
+    // rollup-on-read census over the accumulated log equals the batch
+    // q_sim_nsw_delta census bit-for-bit — the append-only state IS
+    // the index.
+    val srcDir = Files.createTempDirectory("nsw_stream").toFile
+    srcDir.deleteOnExit()
+    graft.functions.GraftFunctions.register(spark)
+    def quant(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), expr(
+        """transform(embedding, x ->
+            CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
+        .as("q"))
+      .withColumn("n2", call_function("dotq", col("q"), col("q")))
+    Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val centsDf = quant(spark.read.parquet(srcDir.getAbsolutePath)
+      .filter(col("vec_id") < 16))
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    val asgDir = Files.createTempDirectory("nsw_asg").toFile
+    asgDir.deleteOnExit()
+    var batches = 0
+    val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        quant(df).crossJoin(broadcast(centsDf))
+          .select(col("vec_id"), col("cid"),
+            (call_function("dotq", col("q"), col("cq")).cast("double") /
+              (sqrt(col("n2").cast("double")) *
+                sqrt(col("cn2").cast("double")))).as("ccos"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("ccos"), -col("cid")))
+            .as("cid"))
+          .write.mode("append").parquet(asgDir.getAbsolutePath)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    val asg = spark.read.parquet(asgDir.getAbsolutePath)
+    val corpus = quant(spark.read.parquet(srcDir.getAbsolutePath))
+    val got = try ops.CorpusOps57
+        .censusFromMembership(corpus, asg, 16).collect().toSeq
+      finally CacheScope.release()
+    val want = try
+        SparkEntry.queries("q_sim_nsw_delta")(spark, sf)
+          .collect().toSeq
+      finally CacheScope.release()
+    assert(got.nonEmpty && got == want,
+      s"streamed NSW census diverges: ${got.take(3)} vs ${want.take(3)}")
+  }
 }
