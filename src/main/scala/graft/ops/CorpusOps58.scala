@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   *
   * Buckets are exact and engine-identical: the held-out decision
   * margin (integer micro-bits, the shared nbScoredFrom stream) is
-  * clamped to [−8e6, 8 499 999] and floor-divided AFTER an +8e6
-  * shift, so the division never sees a negative operand (Spark `div`
-  * truncates toward zero while DuckDB `//` floors — identical only
-  * on non-negatives, so the shift IS the contract). 17 buckets:
+  * clamped to [−8e6, 8 499 999] and divided AFTER an +8e6 shift, so
+  * the integer division never sees a negative operand — bucket
+  * boundaries around zero behave like floor division regardless of
+  * either engine's negative-division convention (both Spark `div`
+  * and DuckDB integer `//` truncate toward zero, measured − 3/2 =
+  * −1 in both; the shift removes the question entirely AND makes a
+  * truncating split at −0.x land in the band below zero, which is
+  * the reliability-diagram reading one wants). 17 buckets:
   * 0 = margin ≤ −8 bits … 8 = [0, 1) … 16 = ≥ +8 bits; the empirical
   * positive rate per bucket in exact permille.
   *
