@@ -176,7 +176,12 @@ object StressBench {
     "q_sim_nsw_search",
     // r17 wave 55: the delta audit vs its full-rebuild cost twin —
     // the measured price of NOT having the incremental path
-    "q_sim_nsw_delta", "q_sim_nsw_delta+rebuild")
+    "q_sim_nsw_delta", "q_sim_nsw_delta+rebuild",
+    // r17 waves 54-56: the NSW dials (one shared pair stream / one
+    // shared graph) and the NB calibration (rides the LM-gated
+    // scored stream — the nb_train class)
+    "q_sim_nsw_ef_sweep", "q_sim_nsw_deg_sweep",
+    "q_quality_nb_calibration")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale
