@@ -181,7 +181,7 @@ object StressBench {
     // shared graph) and the NB calibration (rides the LM-gated
     // scored stream — the nb_train class)
     "q_sim_nsw_ef_sweep", "q_sim_nsw_deg_sweep",
-    "q_quality_nb_calibration")
+    "q_quality_nb_calibration", "q_quality_nb_auc")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

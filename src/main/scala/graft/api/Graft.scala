@@ -1165,6 +1165,19 @@ object Graft {
         col(textCol).as("text"), label.cast("long").as("label"),
         train.cast("boolean").as("train")))
 
+  /** ROC-AUC of the NB margin (Mann–Whitney, exact over the
+    * value-granular margin histogram with the exact ½-tie
+    * contribution) — the threshold-free fourth leg of the
+    * filter-trust set beside [[nbQualityConfusion]], kappa, and
+    * [[nbQualityCalibration]]. Returns one row (n_pos, n_neg, u2,
+    * auc_permille). */
+  def nbQualityAuc(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, train: Column): DataFrame =
+    graft.ops.CorpusOps58.nbAucFrom(
+      docs.select(col(idCol).as("doc_id"), lit("all").as("source"),
+        col(textCol).as("text"), label.cast("long").as("label"),
+        train.cast("boolean").as("train")))
+
   /** Retrain recall audit — the maintenance dial of the IVF tuning
     * trilogy (cells frontier = build dial, nprobe frontier = query
     * dial): recall@10 and candidates scanned under the lowest-id

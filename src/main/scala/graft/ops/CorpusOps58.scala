@@ -50,8 +50,53 @@ object CorpusOps58 {
         expr("n_pos * 1000 div n_docs").as("pos_rate_permille"))
       .orderBy(col("bucket"))
 
+  // ---------------------------------------------------------------
+  // q_quality_nb_auc — threshold-free discrimination (Mann-Whitney)
+  // ---------------------------------------------------------------
+
+  /** ROC-AUC of the NB margin via the Mann–Whitney identity
+    * (Hanley & McNeil, Radiology 1982): AUC = P(margin⁺ > margin⁻) +
+    * ½·P(=), computed EXACTLY over the value-granular margin
+    * histogram — for each distinct margin m with p_m positives and
+    * n_m negatives, the DOUBLED U statistic accumulates
+    * p_m · (2·N⁻_below(m) + n_m), so ties contribute their exact ½
+    * without any fractional arithmetic; AUC‰ = U2 · 1000 div
+    * (2·P·N). The threshold-free third leg of the filter-trust set:
+    * confusion = the decision, kappa = vs chance, calibration = the
+    * magnitude, THIS = the ranking.
+    *
+    * Scale: rides the shared nbScoredFrom stream; docs collapse to
+    * the value-granular histogram in one aggregation and the cumsum
+    * window runs over distinct margins only (the ksDrift
+    * discipline). */
+  val qQualityNbAuc: Q = (s, dir) =>
+    nbAucFrom(CorpusOps50.nbFlags(s, dir))
+
+  /** The AUC behind [[qQualityNbAuc]] and `Graft.nbQualityAuc`. */
+  private[graft] def nbAucFrom(flags: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = CorpusOps50.nbScoredFrom(flags)
+      .groupBy(col("margin"))
+      .agg(sum(col("label")).as("p_m"),
+        sum(lit(1L) - col("label")).as("n_m"))
+    val w = Window.orderBy(col("margin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_below",
+        sum(col("n_m")).over(w) - col("n_m"))
+      .agg(sum(col("p_m")).as("n_pos"), sum(col("n_m")).as("n_neg"),
+        sum(col("p_m") * (lit(2L) * col("n_below") + col("n_m")))
+          .as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(0L))
+          .otherwise(expr("u2 * 1000 div (2 * n_pos * n_neg)"))
+          .as("auc_permille"))
+      .orderBy(col("n_pos"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_quality_nb_calibration" -> qQualityNbCalibration)
+    "q_quality_nb_calibration" -> qQualityNbCalibration,
+    "q_quality_nb_auc" -> qQualityNbAuc)
 
   val oracle: Map[String, String] = Map(
     "q_quality_nb_calibration" -> s"""
@@ -67,5 +112,28 @@ object CorpusOps58 {
         CAST(sum(label) AS BIGINT) AS n_pos,
         CAST(sum(label) * 1000 // count(*) AS BIGINT)
           AS pos_rate_permille
-      FROM b GROUP BY bucket ORDER BY bucket""")
+      FROM b GROUP BY bucket ORDER BY bucket""",
+    "q_quality_nb_auc" -> s"""
+      WITH ${CorpusOps50.nbConfusionSql},
+      mg AS (SELECT sc.label,
+          ssum + ${CorpusOps50.lgSql("pri.dp + 1")}
+               - ${CorpusOps50.lgSql("pri.dn + 1")} AS margin
+        FROM sc CROSS JOIN pri),
+      hist AS (SELECT margin, CAST(sum(label) AS BIGINT) AS p_m,
+          CAST(sum(1 - label) AS BIGINT) AS n_m
+        FROM mg GROUP BY margin),
+      cum AS (SELECT *,
+          CAST(sum(n_m) OVER (ORDER BY margin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_m AS BIGINT) AS n_below
+        FROM hist),
+      agg AS (SELECT CAST(sum(p_m) AS BIGINT) AS n_pos,
+          CAST(sum(n_m) AS BIGINT) AS n_neg,
+          CAST(sum(p_m * (2 * n_below + n_m)) AS BIGINT) AS u2
+        FROM cum)
+      SELECT n_pos, n_neg, u2,
+        CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+             ELSE u2 * 1000 // (2 * n_pos * n_neg) END AS BIGINT)
+          AS auc_permille
+      FROM agg ORDER BY n_pos""")
 }
