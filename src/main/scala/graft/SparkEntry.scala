@@ -90,6 +90,7 @@ object SparkEntry {
     (CorpusOps56.queries, CorpusOps56.oracle),
     (CorpusOps57.queries, CorpusOps57.oracle),
     (CorpusOps58.queries, CorpusOps58.oracle),
+    (CorpusOps59.queries, CorpusOps59.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -181,7 +181,10 @@ object StressBench {
     // shared graph) and the NB calibration (rides the LM-gated
     // scored stream — the nb_train class)
     "q_sim_nsw_ef_sweep", "q_sim_nsw_deg_sweep",
-    "q_quality_nb_calibration", "q_quality_nb_auc")
+    "q_quality_nb_calibration", "q_quality_nb_auc",
+    // r17 wave 59: the bpe_train class — dictionary-bound after one
+    // scan, with a vocab-sized symbol-count join per round
+    "q_tok_wordpiece_train")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -468,6 +468,20 @@ object Graft {
     * scan; each round is dictionary-sized (the per-round winner is a
     * bounded scalar driver action and the merge applies as a map-side
     * literal rewrite, keeping the plan linear in rounds). */
+  /** WordPiece trainer (Schuster & Nakajima 2012 — the BERT
+    * algorithm, the [[bpeTrain]] sibling): picks the highest
+    * LIKELIHOOD-GAIN pair, score = count(l r)/(count(l)·count(r)),
+    * instead of the highest count — rare-but-always-together pieces
+    * merge first. Emits (round, merge, cnt, left_cnt, right_cnt). */
+  def wordpieceTrain(docs: DataFrame, textCol: String,
+      merges: Int = 6): DataFrame = {
+    require(merges >= 1 && merges <= 64,
+      s"merges must be in [1, 64]: $merges")
+    graft.ops.CorpusOps59.wordpieceMerges(
+      graft.ops.TextAnalysis.symbolizedDocs(
+        docs.select(col(textCol).as("text"))), merges)
+  }
+
   def bpeTrain(docs: DataFrame, textCol: String,
       merges: Int = 6): DataFrame = {
     require(merges >= 1 && merges <= 64,

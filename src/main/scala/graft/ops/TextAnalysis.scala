@@ -243,14 +243,14 @@ object TextAnalysis {
 
   /** DuckDB mirror of [[anchoredMerge]]: `sym` / `mg` are SQL
     * fragments (a column or a scalar subquery). */
-  private def anchoredMergeSql(sym: String, mg: String): String =
+  private[graft] def anchoredMergeSql(sym: String, mg: String): String =
     s"""trim(replace(replace(' ' || replace($sym, ' ', '  ') || ' ',
         ' ' || replace($mg, ' ', '  ') || ' ',
         ' ' || replace($mg, ' ', '') || ' '), '  ', ' '))"""
 
   /** Frequency-weighted adjacent-symbol pair counts over a `(freq,
     * sym)` frame — the statistics both BPE queries share. */
-  private def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+  private[graft] def pairCounts(df: org.apache.spark.sql.DataFrame) = df
     .select(col("freq"), explode(expr(
       """transform(sequence(1, size(split(sym, ' ')) - 1),
          i -> concat(element_at(split(sym, ' '), i), ' ',
