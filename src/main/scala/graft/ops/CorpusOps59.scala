@@ -81,8 +81,33 @@ object CorpusOps59 {
       .orderBy(col("round"))
   }
 
+  /** Per-source fertility under the FINAL WordPiece model — the
+    * apply+measure leg (the q_bpe_apply shape), read side-by-side
+    * with q_bpe_apply and q_tok_unigram_fertility when choosing the
+    * tokenizer algorithm: train → apply → measure now exists for all
+    * THREE production algorithms. One corpus scan to (source, word,
+    * freq); the model trains on the rolled-up dictionary and the
+    * readout is a vocab-sized join. */
+  val qTokWordpieceFertility: Q = (s, dir) => {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ws = graft.CacheScope.track(Tables(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("freq_s"))
+      .persist(mad))
+    val dict0 = graft.CacheScope.track(ws
+      .groupBy(col("word")).agg(sum(col("freq_s")).as("freq"))
+      .withColumn("sym",
+        concat(regexp_replace(col("word"), "(.)", "$1 "), lit("</w>")))
+      .persist(mad))
+    val merges = wordpieceMerges(dict0, 6)
+      .orderBy(col("round")).collect().map(_.getString(1)).toSeq
+    TextAnalysis.fertilityFrom(ws, dict0, merges, "source")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_tok_wordpiece_train" -> qTokWordpieceTrain)
+    "q_tok_wordpiece_train" -> qTokWordpieceTrain,
+    "q_tok_wordpiece_fertility" -> qTokWordpieceFertility)
 
   /** One unrolled WordPiece round: pair counts p$r + weighted symbol
     * counts s$r off d{r−1}, the likelihood-gain pick b$r, the
@@ -127,5 +152,27 @@ object CorpusOps59 {
         ${(1 to 6).map(r =>
           s"SELECT CAST($r AS BIGINT) AS round, merge, cnt, " +
             s"left_cnt, right_cnt FROM b$r").mkString(" UNION ALL ")})
-      ORDER BY round""")
+      ORDER BY round""",
+    "q_tok_wordpiece_fertility" -> s"""
+      WITH d0 AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq,
+          regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS sym
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents) t
+        GROUP BY word),
+      ${(1 to 6).map(wpRoundSql).mkString(",")},
+      sl AS (SELECT word,
+               CAST(len(string_split(sym, ' ')) AS BIGINT) AS toks
+             FROM d6),
+      ws AS (SELECT source, word, CAST(count(*) AS BIGINT) AS freq_s
+             FROM (SELECT source,
+                     unnest(string_split(text, ' ')) AS word
+                   FROM documents) t
+             GROUP BY 1, 2)
+      SELECT source, CAST(sum(freq_s) AS BIGINT) AS n_words,
+        CAST(sum(freq_s * toks) AS BIGINT) AS n_bpe_tokens,
+        CAST(sum(freq_s * toks) * 1000 // sum(freq_s) AS BIGINT)
+          AS bpe_per_word_milli
+      FROM ws JOIN sl USING (word)
+      GROUP BY source ORDER BY source""")
 }

@@ -32,6 +32,25 @@ class Wave51Spec extends AnyFunSuite {
     assert(wp.map(_.getAs[String]("merge")) != bpe)
   }
 
+  test("wordpiece fertility: the three-algorithm comparison is coherent") {
+    val wp = run(SparkEntry.queries("q_tok_wordpiece_fertility")(
+      spark, sf))
+    val bpe = run(SparkEntry.queries("q_bpe_apply")(spark, sf))
+    assert(wp.map(_.getString(0)) == bpe.map(_.getString(0)))
+    wp.zip(bpe).foreach { case (w, b) =>
+      // same corpus, same word counts; only the learned merges differ
+      assert(w.getAs[Long]("n_words") == b.getAs[Long]("n_words"))
+      // 6 merges can at best reach 1 piece/word; at worst </w>-split
+      val m = w.getAs[Long]("bpe_per_word_milli")
+      assert(m >= 1000, s"$w")
+    }
+    // both trainers apply exactly 6 merges, so corpus-total savings
+    // are comparable; neither dominates by construction — just pin
+    // that the two measurements genuinely differ on this corpus
+    assert(wp.map(_.getAs[Long]("n_bpe_tokens")) !=
+      bpe.map(_.getAs[Long]("n_bpe_tokens")))
+  }
+
   test("wordpiece facade == declared") {
     val declared =
       run(SparkEntry.queries("q_tok_wordpiece_train")(spark, sf))
