@@ -91,6 +91,9 @@ object SparkEntry {
     (CorpusOps57.queries, CorpusOps57.oracle),
     (CorpusOps58.queries, CorpusOps58.oracle),
     (CorpusOps59.queries, CorpusOps59.oracle),
+    (CorpusOps60.queries, CorpusOps60.oracle),
+    (CorpusOps61.queries, CorpusOps61.oracle),
+    (CorpusOps62.queries, CorpusOps62.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -1309,4 +1309,62 @@ object Graft {
         col(valueCol).cast("long").as("len"),
         isA.cast("boolean").cast("long").as("a")), "__grp")
       .withColumnRenamed("__grp", groupCol)
+
+  /** Per-rule LEAVE-ONE-OUT attribution for the 7-rule combined
+    * quality battery (4 Gopher gates + the 3 structural C4 rules):
+    * per (`groupCol`, rule) — n_docs, `fails` (docs failing the
+    * rule) and `unique_fails` (docs ONLY this rule removes = the
+    * marginal cost of dropping it; 0 means the rule is fully
+    * shadowed by the rest of the battery). One scan of map-side
+    * flags + a |groups|-row rollup. */
+  def ruleAttribution(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.CorpusOps60.ruleAttributionFrom(
+      docs.select(col(groupCol).as("__grp"), col(textCol).as("text")),
+      "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
+  /** Krippendorff's alpha (nominal, complete data) over the four
+    * Gopher gates read as raters: per group — n_units, n_raters,
+    * the observed-disagreement pair count, the class totals, and
+    * alpha in exact permille (integer cross-multiplication;
+    * DECIMAL(38,0)-widened products). The gate-panel agreement
+    * audit beside the pairwise kappa-class readouts;
+    * an every-judgment-identical group degenerates to 1000. */
+  def krippendorffAlpha(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.CorpusOps60.krippendorffFrom(
+      docs.select(col(groupCol).as("__grp"), col(textCol).as("text")),
+      "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
+  /** ROUGE-1/ROUGE-2 overlap with clipped n-gram counts (Lin 2004):
+    * per (`groupCol`, n ∈ {1, 2}) — pair count, clipped overlap,
+    * candidate/reference gram totals, and exact-permille micro
+    * P/R/F1. The reference is the LOWEST `idCol` per group; every
+    * other doc in the group is a candidate. Gram streams
+    * co-partition on (group, n, gram) — no broadcast of anything
+    * that scales with data. */
+  def rougeOverlap(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.CorpusOps61.rougeFrom(
+      docs.select(col(groupCol).as("__grp"),
+        col(idCol).cast("long").as("doc_id"), col(textCol).as("text")),
+      "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
+  /** Trained multi-class Naive-Bayes language identifier, read out
+    * as the held-out (true label × predicted label) confusion
+    * matrix: add-one-smoothed token likelihoods in exact integer
+    * micro-bits, argmax with label-ascending tie-break. `train`
+    * marks the training rows; classes = the train half's labels.
+    * The (token, class) table rides the
+    * `spark.graft.lm.broadcastTypeLimit` gate. */
+  def langNbConfusion(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, train: Column): DataFrame =
+    graft.ops.CorpusOps62.langNbConfusionFrom(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(labelCol).cast("string").as("lang"),
+        col(textCol).as("text"), train.cast("boolean").as("train")))
+      .withColumnRenamed("lang", labelCol)
 }

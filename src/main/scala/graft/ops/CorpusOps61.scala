@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus operators, r17 wave 62 (SURVEY.md §2.M): ROUGE-N overlap
+  * (Lin, ACL 2004 workshop) — the text-overlap eval family the
+  * engine lacked beside its retrieval (recall/MRR/nDCG) and
+  * preference (BT/Elo/winrate) metrics. ROUGE-1/ROUGE-2 with CLIPPED
+  * n-gram counts: per (candidate, reference) pair and gram g the
+  * overlap contribution is min(count_cand(g), count_ref(g)); micro
+  * precision = Σclip / Σ candidate grams, micro recall = Σclip /
+  * Σ reference grams (the reference counted once per pair), and
+  * F1 = 2·Σclip / (cand + ref) — the 2PR/(P+R) identity in pure
+  * integers, so every permille is exact.
+  *
+  * Pairing (declared): per source, the reference is the LOWEST
+  * doc_id and every other doc in the source is a candidate — the
+  * "compare the feed against its exemplar" reading; the facade takes
+  * an arbitrary (reference, candidate) pair frame.
+  *
+  * Scale: gram counts are one corpus scan partial-aggregated on
+  * (source, n, gram); the clip join is co-partitioned on the SAME
+  * key (never broadcast — a reference document is bounded but the
+  * per-source reference SET scales with |sources|); the |sources|-row
+  * ref-id table broadcasts. No all-pairs anything: each candidate
+  * joins one reference.
+  */
+object CorpusOps61 {
+
+  val qEvalRouge: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .select(col("source").as("grp"), col("doc_id"), col("text"))
+    rougeFrom(docs, "grp").withColumnRenamed("grp", "source")
+  }
+
+  /** The ROUGE table behind [[qEvalRouge]] and `Graft.rougeOverlap`:
+    * `docs` = (grp, doc_id, text); reference = lowest doc_id per grp.
+    * Emits per (grp, n ∈ {1, 2}): n_pairs, overlap, cand_ngrams,
+    * ref_ngrams (= reference grams × n_pairs — the reference is
+    * scored once per pair, the micro convention), and exact-permille
+    * P/R/F1, div-guarded to 0 on empty gram streams. */
+  private[graft] def rougeFrom(docs: DataFrame, grp: String)
+      : DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val refs = docs.groupBy(col(grp))
+      .agg(min(col("doc_id")).as("ref_id"))
+    // one scan → per-doc gram multiset for BOTH orders: unigrams are
+    // the token list, bigrams the space-joined adjacent pairs
+    val counts = graft.CacheScope.track(docs
+      .select(col(grp), col("doc_id"),
+        split(col("text"), " ").as("t"))
+      .select(col(grp), col("doc_id"), explode(expr(
+        """concat(
+             transform(t, w -> named_struct('n', 1, 'g', w)),
+             CASE WHEN size(t) >= 2 THEN
+               transform(sequence(1, size(t) - 1), i ->
+                 named_struct('n', 2, 'g', concat(element_at(t, i),
+                   ' ', element_at(t, i + 1))))
+             ELSE CAST(array() AS array<struct<n: int, g: string>>)
+             END)""")).as("ng"))
+      .select(col(grp), col("doc_id"), col("ng.n").cast("long").as("n"),
+        col("ng.g").as("gram"))
+      .groupBy(col(grp), col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(refs), Seq(grp))
+      .persist(mad))
+    val refCounts = counts.filter(col("doc_id") === col("ref_id"))
+      .select(col(grp), col("n"), col("gram"), col("c").as("cr"))
+    val candCounts = counts.filter(col("doc_id") =!= col("ref_id"))
+    val ovl = candCounts
+      .join(refCounts, Seq(grp, "n", "gram"))
+      .groupBy(col(grp), col("n"))
+      .agg(sum(least(col("c"), col("cr"))).as("overlap"))
+    val candTot = candCounts.groupBy(col(grp), col("n"))
+      .agg(sum(col("c")).as("cand_ngrams"))
+    val refTot = refCounts.groupBy(col(grp), col("n"))
+      .agg(sum(col("cr")).as("ref_tot"))
+    val grid = docs.groupBy(col(grp))
+      .agg((count(lit(1)) - 1L).as("n_pairs"))
+      .crossJoin(broadcast(
+        docs.sparkSession.range(1, 3).select(col("id").as("n"))))
+    grid
+      .join(candTot, Seq(grp, "n"), "left")
+      .join(ovl, Seq(grp, "n"), "left")
+      .join(refTot, Seq(grp, "n"), "left")
+      .select(col(grp), col("n"), col("n_pairs"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        coalesce(col("cand_ngrams"), lit(0L)).as("cand_ngrams"),
+        (coalesce(col("ref_tot"), lit(0L)) * col("n_pairs"))
+          .as("ref_ngrams"))
+      .select(col(grp), col("n"), col("n_pairs"), col("overlap"),
+        col("cand_ngrams"), col("ref_ngrams"),
+        expr("""CASE WHEN cand_ngrams = 0 THEN CAST(0 AS BIGINT)
+            ELSE overlap * 1000 div cand_ngrams END""")
+          .as("rouge_p_permille"),
+        expr("""CASE WHEN ref_ngrams = 0 THEN CAST(0 AS BIGINT)
+            ELSE overlap * 1000 div ref_ngrams END""")
+          .as("rouge_r_permille"),
+        expr("""CASE WHEN cand_ngrams + ref_ngrams = 0
+            THEN CAST(0 AS BIGINT)
+            ELSE overlap * 2000 div (cand_ngrams + ref_ngrams) END""")
+          .as("rouge_f_permille"))
+      .orderBy(col(grp), col("n"))
+  }
+
+  val queries: Map[String, Q] = Map("q_eval_rouge" -> qEvalRouge)
+
+  val oracle: Map[String, String] = Map(
+    "q_eval_rouge" -> """
+      WITH d AS MATERIALIZED (
+        SELECT source, doc_id, string_split(text, ' ') AS t
+        FROM documents),
+      refs AS (SELECT source, min(doc_id) AS ref_id
+               FROM d GROUP BY source),
+      g AS (SELECT source, doc_id, 1 AS n, unnest(t) AS gram FROM d
+            UNION ALL
+            SELECT source, doc_id, 2 AS n, t[i] || ' ' || t[i + 1]
+            FROM (SELECT *, unnest(range(1, len(t))) AS i FROM d)),
+      c AS MATERIALIZED (
+        SELECT source, doc_id, n, gram,
+          CAST(count(*) AS BIGINT) AS c
+        FROM g GROUP BY ALL),
+      rc AS (SELECT c.source, n, gram, c AS cr
+             FROM c JOIN refs ON c.source = refs.source
+               AND c.doc_id = refs.ref_id),
+      cc AS (SELECT c.* FROM c JOIN refs ON c.source = refs.source
+               AND c.doc_id <> refs.ref_id),
+      ovl AS (SELECT source, n,
+                CAST(sum(least(c, cr)) AS BIGINT) AS overlap
+              FROM cc JOIN rc USING (source, n, gram) GROUP BY 1, 2),
+      ct AS (SELECT source, n, CAST(sum(c) AS BIGINT) AS cand_ngrams
+             FROM cc GROUP BY 1, 2),
+      rt AS (SELECT source, n, CAST(sum(cr) AS BIGINT) AS ref_tot
+             FROM rc GROUP BY 1, 2),
+      np AS (SELECT source, CAST(count(*) - 1 AS BIGINT) AS n_pairs
+             FROM d GROUP BY source),
+      grid AS (SELECT source, n_pairs, n
+               FROM np, (SELECT 1 AS n UNION ALL SELECT 2) nn),
+      j AS (SELECT g.source, g.n, g.n_pairs,
+              coalesce(ovl.overlap, 0) AS overlap,
+              coalesce(ct.cand_ngrams, 0) AS cand_ngrams,
+              coalesce(rt.ref_tot, 0) * g.n_pairs AS ref_ngrams
+            FROM grid g
+            LEFT JOIN ct USING (source, n)
+            LEFT JOIN ovl USING (source, n)
+            LEFT JOIN rt USING (source, n))
+      SELECT source, CAST(n AS BIGINT) AS n, n_pairs,
+        CAST(overlap AS BIGINT) AS overlap,
+        CAST(cand_ngrams AS BIGINT) AS cand_ngrams,
+        CAST(ref_ngrams AS BIGINT) AS ref_ngrams,
+        CASE WHEN cand_ngrams = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(overlap * 1000 // cand_ngrams AS BIGINT)
+        END AS rouge_p_permille,
+        CASE WHEN ref_ngrams = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(overlap * 1000 // ref_ngrams AS BIGINT)
+        END AS rouge_r_permille,
+        CASE WHEN cand_ngrams + ref_ngrams = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(overlap * 2000 // (cand_ngrams + ref_ngrams)
+            AS BIGINT)
+        END AS rouge_f_permille
+      FROM j ORDER BY source, n""")
+}
