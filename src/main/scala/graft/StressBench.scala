@@ -184,7 +184,14 @@ object StressBench {
     "q_quality_nb_calibration", "q_quality_nb_auc",
     // r17 wave 59: the bpe_train class — dictionary-bound after one
     // scan, with a vocab-sized symbol-count join per round
-    "q_tok_wordpiece_train")
+    "q_tok_wordpiece_train",
+    // r17 waves 61-63: attribution + alpha are one flag scan each
+    // (expect ~linear in corpus chars); rouge shuffles the gram
+    // stream on (source, n, gram) (expect ~linear); the langid
+    // confusion is the nb_train LM-join class with a |langs| eval
+    // fan-out
+    "q_quality_rule_attribution", "q_agreement_krippendorff",
+    "q_eval_rouge", "q_lang_nb_confusion")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -1464,4 +1464,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want,
       s"streamed NSW census diverges: ${got.take(3)} vs ${want.take(3)}")
   }
+
+  test("streaming rule-flag partials (foreachBatch) == batch attribution") {
+    // r17 wave 61's attribution as a live monitor: every per-doc flag
+    // (and hence a doc's fails / unique-fails contribution) is
+    // map-side and doc-local, so each micro-batch appends its own
+    // per-(source, rule) partial attribution table and rollup-on-read
+    // (plain integer sums, order-invariant) equals the batch
+    // q_quality_rule_attribution bit-for-bit — the standing "which
+    // rule is doing the work" dashboard with no reprocessing.
+    val srcDir = Files.createTempDirectory("attr_stream").toFile
+    srcDir.deleteOnExit()
+    Tables(spark, sf, "documents")
+      .select(col("source"), col("text"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val partDir = Files.createTempDirectory("attr_parts").toFile
+    partDir.deleteOnExit()
+    var batches = 0
+    val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        ops.CorpusOps60.ruleAttributionFrom(
+          df.select(col("source").as("grp"), col("text")), "grp")
+          .write.mode("append").parquet(partDir.getAbsolutePath)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    val got = spark.read.parquet(partDir.getAbsolutePath)
+      .groupBy(col("grp").as("source"), col("rule"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("fails")).as("fails"),
+        sum(col("unique_fails")).as("unique_fails"))
+      .select(col("source"), col("rule"), col("n_docs"), col("fails"),
+        col("unique_fails"))
+      .orderBy(col("source"), col("rule")).collect().toSeq
+    val want = try
+        SparkEntry.queries("q_quality_rule_attribution")(spark, sf)
+          .collect().toSeq
+      finally CacheScope.release()
+    assert(got.nonEmpty && got.map(_.toSeq) == want.map(_.toSeq),
+      s"streamed attribution diverges: ${got.take(3)} vs ${want.take(3)}")
+  }
 }
