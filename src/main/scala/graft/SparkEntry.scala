@@ -94,6 +94,7 @@ object SparkEntry {
     (CorpusOps60.queries, CorpusOps60.oracle),
     (CorpusOps61.queries, CorpusOps61.oracle),
     (CorpusOps62.queries, CorpusOps62.oracle),
+    (CorpusOps63.queries, CorpusOps63.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -191,7 +191,11 @@ object StressBench {
     // confusion is the nb_train LM-join class with a |langs| eval
     // fan-out
     "q_quality_rule_attribution", "q_agreement_krippendorff",
-    "q_eval_rouge", "q_lang_nb_confusion")
+    "q_eval_rouge", "q_lang_nb_confusion",
+    // r17 waves 64-65: shapley is the attribution flag-scan class;
+    // the datacard composes BOTH merge trainers + the unigram DP
+    // (expect the tok_algo_overlap fixed-cost class)
+    "q_quality_rule_shapley", "q_tok_algo_datacard")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -1324,6 +1324,37 @@ object Graft {
       "__grp")
       .withColumnRenamed("__grp", groupCol)
 
+  /** EXACT Shapley attribution for the same 7-rule battery as
+    * [[ruleAttribution]] (the removal game is a per-document
+    * symmetric OR-game, so a doc failing k rules credits each
+    * exactly 1/k — in integer 420ths, 420 = lcm(1..7)): per
+    * (`groupCol`, rule) — n_docs, docs_removed, `shapley_420ths`
+    * and its permille share of all removals. Conservation:
+    * Σ_rules shapley_420ths = 420 · docs_removed. Where
+    * [[ruleAttribution]]'s unique_fails credits only sole-remover
+    * docs, this splits every multi-rule removal evenly. */
+  def ruleShapley(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.CorpusOps60.ruleShapleyFrom(
+      docs.select(col(groupCol).as("__grp"), col(textCol).as("text")),
+      "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
+  /** The tokenizer CHOICE datacard: BPE, unigram-LM and WordPiece
+    * each trained on `docs` (6 merges / the bounded-DP unigram
+    * recipe) and measured as per-(algo, group) fertility —
+    * (algo, group, n_words, n_tokens, tokens_per_word_milli). The
+    * side-by-side table read before fixing a tokenizer; the unigram
+    * row's word census counts words of length ≤ 16 (the trainer's
+    * declared DP bound). One corpus scan; everything after is
+    * dictionary-sized. */
+  def tokenizerDatacard(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.CorpusOps63.datacardFrom(
+      docs.select(col(groupCol).cast("string").as("source"),
+        col(textCol).as("text")))
+      .withColumnRenamed("source", groupCol)
+
   /** Krippendorff's alpha (nominal, complete data) over the four
     * Gopher gates read as raters: per group — n_units, n_raters,
     * the observed-disagreement pair count, the class totals, and

@@ -113,7 +113,7 @@ object CorpusOps59 {
     * counts s$r off d{r−1}, the likelihood-gain pick b$r, the
     * post-merge dictionary d$r. Mirrors TextAnalysis.bpeRoundSql with
     * ONLY the pick rule changed. */
-  private def wpRoundSql(r: Int): String = {
+  private[graft] def wpRoundSql(r: Int): String = {
     val p = r - 1
     s"""
       p$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (

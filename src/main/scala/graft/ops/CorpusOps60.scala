@@ -95,6 +95,51 @@ object CorpusOps60 {
       .orderBy(col(grp), col("rule"))
   }
 
+  val qQualityRuleShapley: Q = (s, dir) =>
+    ruleShapleyFrom(Tables(s, dir, "documents")
+      .select(col("source").as("grp"), col("text")), "grp")
+      .withColumnRenamed("grp", "source")
+
+  /** EXACT Shapley attribution for the same 7-rule battery (r17
+    * wave 64; Shapley 1953): the removal game v(S) = [some rule in S
+    * fails the doc] is a symmetric OR-game per document, so the
+    * Shapley value of rule r on a doc failing k rules is exactly
+    * 1/k if r is one of them — multi-rule removals split EVENLY
+    * where [[ruleAttributionFrom]]'s unique_fails credits only the
+    * k = 1 slice. With k ≤ 7 every share is a multiple of 1/420
+    * (420 = lcm(1..7)), so the whole attribution is exact int64:
+    * `shapley_420ths` = Σ_docs 420 div k over docs where r fails.
+    * Conservation: Σ_rules shapley_420ths = 420 · docs_removed, and
+    * `share_permille` divides by that (div-guarded). One scan, the
+    * attribution shape. */
+  private[graft] def ruleShapleyFrom(docs: DataFrame, grp: String)
+      : DataFrame = {
+    val flagged = CorpusOps46.gopherFlagged(docs, Seq(grp, "text"))
+    val named = battery
+    val m = named.size
+    val k = lit(m.toLong) - named.map(_._2).reduce(_ + _)
+    val wide = flagged
+      .select(col(grp) +: k.as("k") +:
+        named.map { case (n, c) => c.as(n) }: _*)
+      .groupBy(col(grp))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("k") > 0L, 1L).otherwise(0L)).as("docs_removed")
+          +: named.map { case (n, _) =>
+            sum(when(col(n) === 0L, expr("420 div k")).otherwise(0L))
+              .as(s"sh_$n")
+          }: _*)
+    val stackArgs = named.map { case (n, _) => s"'$n', sh_$n" }
+      .mkString(", ")
+    wide.select(col(grp), col("n_docs"), col("docs_removed"),
+      expr(s"stack($m, $stackArgs) AS (rule, shapley_420ths)"))
+      .select(col(grp), col("rule"), col("n_docs"),
+        col("docs_removed"), col("shapley_420ths"),
+        expr("""CASE WHEN docs_removed = 0 THEN CAST(0 AS BIGINT)
+            ELSE shapley_420ths * 1000 div (420 * docs_removed)
+            END""").as("share_permille"))
+      .orderBy(col(grp), col("rule"))
+  }
+
   val qAgreementKrippendorff: Q = (s, dir) =>
     krippendorffFrom(Tables(s, dir, "documents")
       .select(col("source").as("grp"), col("text")), "grp")
@@ -137,6 +182,7 @@ object CorpusOps60 {
 
   val queries: Map[String, Q] = Map(
     "q_quality_rule_attribution" -> qQualityRuleAttribution,
+    "q_quality_rule_shapley" -> qQualityRuleShapley,
     "q_agreement_krippendorff" -> qAgreementKrippendorff)
 
   /** The 7 per-doc flags + pass total as a DuckDB CTE body (mirrors
@@ -177,6 +223,27 @@ object CorpusOps60 {
             THEN 1 ELSE 0 END) AS BIGINT) AS unique_fails
         FROM g GROUP BY source""").mkString(" UNION ALL ")})
       SELECT source, rule, n_docs, fails, unique_fails
+      FROM l JOIN n USING (source)
+      ORDER BY source, rule""",
+    "q_quality_rule_shapley" -> s"""
+      WITH f AS MATERIALIZED ($flagsSql),
+      g AS (SELECT *,
+              ${ruleNames.size} - (${ruleNames.mkString(" + ")}) AS k
+            FROM f),
+      n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS docs_removed
+            FROM g GROUP BY source),
+      l AS (${ruleNames.map(r => s"""
+        SELECT source, '$r' AS rule,
+          CAST(sum(CASE WHEN $r = 0 THEN 420 // k ELSE 0 END)
+            AS BIGINT) AS shapley_420ths
+        FROM g GROUP BY source""").mkString(" UNION ALL ")})
+      SELECT source, rule, n_docs, docs_removed, shapley_420ths,
+        CASE WHEN docs_removed = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(shapley_420ths * 1000 // (420 * docs_removed)
+            AS BIGINT)
+        END AS share_permille
       FROM l JOIN n USING (source)
       ORDER BY source, rule""",
     "q_agreement_krippendorff" -> s"""
