@@ -95,6 +95,7 @@ object SparkEntry {
     (CorpusOps61.queries, CorpusOps61.oracle),
     (CorpusOps62.queries, CorpusOps62.oracle),
     (CorpusOps63.queries, CorpusOps63.oracle),
+    (CorpusOps64.queries, CorpusOps64.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -195,7 +195,11 @@ object StressBench {
     // r17 waves 64-65: shapley is the attribution flag-scan class;
     // the datacard composes BOTH merge trainers + the unigram DP
     // (expect the tok_algo_overlap fixed-cost class)
-    "q_quality_rule_shapley", "q_tok_algo_datacard")
+    "q_quality_rule_shapley", "q_tok_algo_datacard",
+    // r17 waves 66-67: chrf is a 6-order char-gram shuffle (expect
+    // ~linear in chars); scatter partial-aggregates to |labels|x64
+    // (expect ~linear scan cost, flat after)
+    "q_eval_chrf", "q_emb_scatter")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -1384,6 +1384,41 @@ object Graft {
       "__grp")
       .withColumnRenamed("__grp", groupCol)
 
+  /** Per-label embedding SCATTER audit (the Calinski–Harabasz 1974
+    * ingredients): within-class variance, centroid separation from
+    * the global mean, and their Fisher-style ratio — all in
+    * real-scale micro units from exact DECIMAL-widened integer sums
+    * over the 1e6-quantized vectors. Read before trusting a
+    * centroid classifier or hard-negative mining on `labelCol`:
+    * fisher_permille ~ 0 means the label's centroid is buried in
+    * within-class noise. One posexplode scan to |labels|×dims
+    * partial sums. */
+  def embScatter(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    graft.ops.CorpusOps64.embScatterFrom(
+      embs.select(col(idCol).cast("long").as("vec_id"),
+        col(labelCol).cast("long").as("label"),
+        expr(s"""transform($vecCol, x ->
+            CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
+          .as("q")))
+  }
+
+  /** chrF2 ingredients (Popović 2015) — the CHARACTER-level sibling
+    * of [[rougeOverlap]], robust to tokenization: per (`groupCol`,
+    * n ∈ 1..6) clipped char-n-gram overlap on whitespace-stripped
+    * text, same lowest-id-reference pairing, with
+    * `chrf2_permille` = 5000·overlap div (4·ref + cand) — the β = 2
+    * recall weighting as pure integer arithmetic. Average the six
+    * rows for the standard score. */
+  def chrfOverlap(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.CorpusOps61.chrfFrom(
+      docs.select(col(groupCol).as("__grp"),
+        col(idCol).cast("long").as("doc_id"), col(textCol).as("text")),
+      "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
   /** Trained multi-class Naive-Bayes language identifier, read out
     * as the held-out (true label × predicted label) confusion
     * matrix: add-one-smoothed token likelihoods in exact integer

@@ -1510,4 +1510,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.map(_.toSeq) == want.map(_.toSeq),
       s"streamed attribution diverges: ${got.take(3)} vs ${want.take(3)}")
   }
+
+  test("streaming langid class-count partials (foreachBatch) == batch table") {
+    // the multi-class NB twin of the binary token-partials twin:
+    // micro-batches append their TRAIN-split (tok, cls) count
+    // partials — the K-class classifier's sufficient statistics as
+    // an append-only artifact; rollup-on-read (integer sums,
+    // order-invariant) equals the batch trainer's (token, class)
+    // table exactly, and the confusion matrix follows from it.
+    val srcDir = Files.createTempDirectory("langid_stream").toFile
+    srcDir.deleteOnExit()
+    Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val partDir = Files.createTempDirectory("langid_parts").toFile
+    partDir.deleteOnExit()
+    var batches = 0
+    val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        df.filter(col("doc_id") % 2 === 0)
+          .select(col("lang").as("cls"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok"), col("cls"))
+          .agg(count(lit(1)).as("ctc"))
+          .write.mode("append").parquet(partDir.getAbsolutePath)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    val merged = spark.read.parquet(partDir.getAbsolutePath)
+      .groupBy(col("tok"), col("cls"))
+      .agg(sum(col("ctc")).as("ctc"))
+      .orderBy(col("tok"), col("cls")).collect().toSeq
+    val batch = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("lang").as("cls"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"), col("cls"))
+      .agg(count(lit(1)).as("ctc"))
+      .orderBy(col("tok"), col("cls")).collect().toSeq
+    assert(merged.nonEmpty && merged == batch,
+      s"streamed langid partials diverge: ${merged.take(3)}")
+  }
 }
