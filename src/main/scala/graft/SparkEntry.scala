@@ -96,6 +96,7 @@ object SparkEntry {
     (CorpusOps62.queries, CorpusOps62.oracle),
     (CorpusOps63.queries, CorpusOps63.oracle),
     (CorpusOps64.queries, CorpusOps64.oracle),
+    (CorpusOps65.queries, CorpusOps65.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

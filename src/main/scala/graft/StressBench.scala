@@ -199,7 +199,10 @@ object StressBench {
     // r17 waves 66-67: chrf is a 6-order char-gram shuffle (expect
     // ~linear in chars); scatter partial-aggregates to |labels|x64
     // (expect ~linear scan cost, flat after)
-    "q_eval_chrf", "q_emb_scatter")
+    "q_eval_chrf", "q_emb_scatter",
+    // r17 wave 68: the df-capped pair-stream class (the threshold
+    // sweep's cost twin — the 30-row curve join is free)
+    "q_dedup_lsh_expected")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -1384,6 +1384,21 @@ object Graft {
       "__grp")
       .withColumnRenamed("__grp", groupCol)
 
+  /** The LSH S-curve expectation audit: the exact Jaccard pair
+    * stream binned into deciles, joined against the ANALYTIC
+    * detection probability 1 − (1 − s^r)^b of every shipped banding
+    * point (r·b = 32) at the decile lower bound — per (b, r,
+    * decile): true-pair count, detect‰ (an exact BigInt rational,
+    * embedded as literals in both engines) and the implied expected
+    * detections. Theory-vs-corpus, read beside the empirical
+    * minhash recall audit. */
+  def lshExpectedDetection(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.ops.CorpusOps65.lshExpectedOf(docs.sparkSession,
+      graft.ops.Dedup.jaccardPairStreamOf(
+        docs.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("text"))))
+
   /** Per-label embedding SCATTER audit (the Calinski–Harabasz 1974
     * ingredients): within-class variance, centroid separation from
     * the global mean, and their Fisher-style ratio — all in
