@@ -97,6 +97,7 @@ object SparkEntry {
     (CorpusOps63.queries, CorpusOps63.oracle),
     (CorpusOps64.queries, CorpusOps64.oracle),
     (CorpusOps65.queries, CorpusOps65.oracle),
+    (CorpusOps66.queries, CorpusOps66.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -202,7 +202,10 @@ object StressBench {
     "q_eval_chrf", "q_emb_scatter",
     // r17 wave 68: the df-capped pair-stream class (the threshold
     // sweep's cost twin — the 30-row curve join is free)
-    "q_dedup_lsh_expected")
+    "q_dedup_lsh_expected",
+    // r17 wave 69: two broadcast-query candidate scans + 5-row/query
+    // audit joins (the recall_audit class — expect ~linear)
+    "q_sim_rank_agreement")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -1384,6 +1384,23 @@ object Graft {
       "__grp")
       .withColumnRenamed("__grp", groupCol)
 
+  /** Rank-biased overlap (Webber et al. 2010) between two ranked
+    * lists per query — the ORDER-sensitive agreement metric beside
+    * set-level recall, top-weighted with p = 9/10 and truncated at
+    * `depth` (≤ 10): per qid, the exact integer overlap mass
+    * `u_sum`, its maximum `u_max` (identical rankings), and
+    * rbo_permille = u_sum·1000 div u_max. `a` and `b` carry
+    * (`qidCol`, `itemCol`, `rankCol`) with 1-based ranks. Everything
+    * is literal integer arithmetic over the lcm(1..10) denominator —
+    * no runtime pow. */
+  def rboAgreement(a: DataFrame, b: DataFrame, qidCol: String,
+      itemCol: String, rankCol: String, depth: Int = 5): DataFrame = {
+    def norm(df: DataFrame) = df.select(col(qidCol).as("qid"),
+      col(itemCol).as("item"), col(rankCol).cast("int").as("rank"))
+    graft.ops.CorpusOps66.rboFrom(norm(a), norm(b), depth)
+      .withColumnRenamed("qid", qidCol)
+  }
+
   /** The LSH S-curve expectation audit: the exact Jaccard pair
     * stream binned into deciles, joined against the ANALYTIC
     * detection probability 1 − (1 − s^r)^b of every shipped banding
