@@ -98,6 +98,8 @@ object SparkEntry {
     (CorpusOps64.queries, CorpusOps64.oracle),
     (CorpusOps65.queries, CorpusOps65.oracle),
     (CorpusOps66.queries, CorpusOps66.oracle),
+    (CorpusOps67.queries, CorpusOps67.oracle),
+    (CorpusOps68.queries, CorpusOps68.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -205,7 +205,11 @@ object StressBench {
     "q_dedup_lsh_expected",
     // r17 wave 69: two broadcast-query candidate scans + 5-row/query
     // audit joins (the recall_audit class — expect ~linear)
-    "q_sim_rank_agreement")
+    "q_sim_rank_agreement",
+    // r17 waves 70-71: norm delta = two md5-keyed keep-first windows
+    // (the exact-dedup class, twice); token-rank drift = one token
+    // scan to (source, half, tok) partials + 10-row/half rankings
+    "q_dedup_norm_delta", "q_drift_token_rank")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -1384,6 +1384,34 @@ object Graft {
       "__grp")
       .withColumnRenamed("__grp", groupCol)
 
+  /** Token-rank drift: RBO@10 between the top-10 token rankings of
+    * two snapshots per group — the vocabulary-HEAD churn tripwire
+    * beside [[ksDrift]]'s length shape (two snapshots can agree on
+    * every histogram and still reorder the head a tokenizer or
+    * stopword filter depends on). `isA` marks the A snapshot;
+    * 1000‰ = identical head rankings. */
+  def tokenRankDrift(docs: DataFrame, textCol: String,
+      groupCol: String, isA: Column): DataFrame =
+    graft.ops.CorpusOps68.tokenRankDriftFrom(
+      docs.select(col(groupCol).as("__grp"), col(textCol).as("text"),
+        isA.cast("boolean").cast("long").as("a")), "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
+  /** The normalization-unlock dedup audit: per group, keep-first
+    * removable doc counts under the RAW text key vs under the
+    * canonical normalization (lowercase, strip non-alphanumerics,
+    * collapse whitespace), and the unlocked delta — the measured
+    * case for normalizing before hashing (every production dedup
+    * recipe does; this says what it buys on YOUR corpus). Keys are
+    * md5 digests, so the keep-first windows shuffle 32-char keys,
+    * not documents. */
+  def normUnlock(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.CorpusOps67.normDeltaFrom(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(groupCol).as("__grp"), col(textCol).as("text")), "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
   /** Rank-biased overlap (Webber et al. 2010) between two ranked
     * lists per query — the ORDER-sensitive agreement metric beside
     * set-level recall, top-weighted with p = 9/10 and truncated at

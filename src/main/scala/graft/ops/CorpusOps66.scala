@@ -69,14 +69,21 @@ object CorpusOps66 {
     * lcm(1..10) = 2520 denominator. Returns (qid, u_sum, u_max,
     * rbo_permille) for every qid present in EITHER frame (absent
     * overlap reads 0). */
-  private[graft] def rboFrom(a: DataFrame, b: DataFrame, depth: Int)
-      : DataFrame = {
+  /** Suffix weights + max mass for any depth ≤ 10 in lcm(1..10) =
+    * 2520 units — ONE formula for [[rboFrom]] and the token-rank
+    * drift monitor (CorpusOps68). */
+  private[graft] def rboWeights(depth: Int): (Seq[Long], Long) = {
     require(depth >= 1 && depth <= 10, s"depth out of range: $depth")
     val terms = (1 to depth).map(d =>
       math.pow(9, d - 1).toLong * math.pow(10, depth - d).toLong *
         (2520 / d))
     val u = (1 to depth).map(m => terms.drop(m - 1).sum)
-    val uMax = u.sum
+    (u, u.sum)
+  }
+
+  private[graft] def rboFrom(a: DataFrame, b: DataFrame, depth: Int)
+      : DataFrame = {
+    val (u, uMax) = rboWeights(depth)
     val uArr = u.mkString("array(CAST(", " AS BIGINT), CAST(",
       " AS BIGINT))")
     val qids = a.select(col("qid")).unionByName(b.select(col("qid")))
