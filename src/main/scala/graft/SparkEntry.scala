@@ -100,6 +100,7 @@ object SparkEntry {
     (CorpusOps66.queries, CorpusOps66.oracle),
     (CorpusOps67.queries, CorpusOps67.oracle),
     (CorpusOps68.queries, CorpusOps68.oracle),
+    (CorpusOps69.queries, CorpusOps69.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -209,7 +209,10 @@ object StressBench {
     // r17 waves 70-71: norm delta = two md5-keyed keep-first windows
     // (the exact-dedup class, twice); token-rank drift = one token
     // scan to (source, half, tok) partials + 10-row/half rankings
-    "q_dedup_norm_delta", "q_drift_token_rank")
+    "q_dedup_norm_delta", "q_drift_token_rank",
+    // r17 wave 72: three broadcast-codebook encode passes over the
+    // subspace stream (expect ~linear in vectors)
+    "q_sim_pq_distortion")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -1384,6 +1384,23 @@ object Graft {
       "__grp")
       .withColumnRenamed("__grp", groupCol)
 
+  /** PQ distortion frontier: mean and worst per-vector
+    * reconstruction error (real-scale micro units, exact
+    * DECIMAL-widened integer d² sums) of the 16-codeword raw-mode
+    * product-quantization codebook at m ∈ {2, 4, 8} subspaces — the
+    * CAUSE table behind the recall sweep's symptom: more subspaces
+    * = finer codes = lower distortion, at m× the code bytes. One
+    * broadcast-codebook encode pass per m. */
+  def pqDistortion(embs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    graft.ops.CorpusOps69.pqDistortionFrom(
+      embs.select(col(idCol).cast("long").as("vec_id"),
+        expr(s"""transform($vecCol, x ->
+            CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
+          .as("q")))
+  }
+
   /** Token-rank drift: RBO@10 between the top-10 token rankings of
     * two snapshots per group — the vocabulary-HEAD churn tripwire
     * beside [[ksDrift]]'s length shape (two snapshots can agree on
