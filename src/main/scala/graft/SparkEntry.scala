@@ -101,6 +101,7 @@ object SparkEntry {
     (CorpusOps67.queries, CorpusOps67.oracle),
     (CorpusOps68.queries, CorpusOps68.oracle),
     (CorpusOps69.queries, CorpusOps69.oracle),
+    (CorpusOps70.queries, CorpusOps70.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

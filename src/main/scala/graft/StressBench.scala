@@ -212,7 +212,10 @@ object StressBench {
     "q_dedup_norm_delta", "q_drift_token_rank",
     // r17 wave 72: three broadcast-codebook encode passes over the
     // subspace stream (expect ~linear in vectors)
-    "q_sim_pq_distortion")
+    "q_sim_pq_distortion",
+    // r17 wave 73: one census scan + three packed |sources|-row
+    // folds (the unimax class — expect scale-flat beyond the scan)
+    "q_mix_unimax_sweep")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -1384,6 +1384,32 @@ object Graft {
       "__grp")
       .withColumnRenamed("__grp", groupCol)
 
+  /** UniMax budget frontier: the epoch-capped waterfill swept at
+    * budget ∈ {¼, ½, ¾} of the group masses over one shared census
+    * — per (budget_permille, group): raw/cap/alloc tokens and the
+    * `capped` flag. The table read to pick a token budget BEFORE
+    * committing to a mixture; per-group allocations are monotone in
+    * the budget. See [[unimaxAllocation]] for one explicit point. */
+  def unimaxFrontier(obs: DataFrame, valueCol: String,
+      groupCol: String, epochCap: Long = 2L): DataFrame = {
+    require(epochCap >= 1 && epochCap <= 1000,
+      s"epochCap out of range: $epochCap")
+    val st = obs.select(col(groupCol).cast("string").as("__grp"),
+        col(valueCol).cast("long").as("ntok"))
+      .groupBy(col("__grp")).agg(sum(col("ntok")).as("raw_tokens"))
+    val cached = graft.CacheScope.track(st.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tot = cached.agg(sum(col("raw_tokens")).as("t"))
+    def at(f: Int) = graft.ops.CorpusOps50.unimaxFold(cached,
+      tot.select(expr(s"t * $f div 4").as("budget")), "__grp", epochCap)
+      .withColumn("budget_permille", lit(f * 250L))
+    at(1).unionByName(at(2)).unionByName(at(3))
+      .select(col("budget_permille") +: col("__grp").as(groupCol) +:
+        Seq("raw_tokens", "cap_tokens", "alloc_tokens", "capped")
+          .map(col): _*)
+      .orderBy(col("budget_permille"), col(groupCol))
+  }
+
   /** PQ distortion frontier: mean and worst per-vector
     * reconstruction error (real-scale micro units, exact
     * DECIMAL-widened integer d² sums) of the 16-codeword raw-mode
