@@ -102,6 +102,7 @@ object SparkEntry {
     (CorpusOps68.queries, CorpusOps68.oracle),
     (CorpusOps69.queries, CorpusOps69.oracle),
     (CorpusOps70.queries, CorpusOps70.oracle),
+    (CorpusOps71.queries, CorpusOps71.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

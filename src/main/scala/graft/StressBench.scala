@@ -215,7 +215,10 @@ object StressBench {
     "q_sim_pq_distortion",
     // r17 wave 73: one census scan + three packed |sources|-row
     // folds (the unimax class — expect scale-flat beyond the scan)
-    "q_mix_unimax_sweep")
+    "q_mix_unimax_sweep",
+    // r17 wave 74: the exact pair stream + the banded candidate
+    // stream (both df-capped shipped cores)
+    "q_dedup_scurve_actual")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

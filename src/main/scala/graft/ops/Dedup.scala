@@ -981,7 +981,7 @@ object Dedup {
     s"len(list_filter(range(0, $b), bi -> $eqs)) > 0"
   }
 
-  private def minhashOracleSql: String = s"""
+  private[ops] def minhashOracleSql: String = s"""
       WITH s AS ($sigDumpSql),
       c AS (
         SELECT a.doc_id AS da, b.doc_id AS db,
