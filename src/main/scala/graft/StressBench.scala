@@ -218,7 +218,9 @@ object StressBench {
     "q_mix_unimax_sweep",
     // r17 wave 74: the exact pair stream + the banded candidate
     // stream (both df-capped shipped cores)
-    "q_dedup_scurve_actual")
+    "q_dedup_scurve_actual",
+    // r17 wave 75: the langid scored stream (nb_train class)
+    "q_lang_nb_margin")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -1440,6 +1440,20 @@ object Graft {
         isA.cast("boolean").cast("long").as("a")), "__grp")
       .withColumnRenamed("__grp", groupCol)
 
+  /** Margin-calibration table for [[langNbConfusion]]'s classifier
+    * (the multi-class sibling of [[nbQualityCalibration]]): the
+    * held-out top-1-minus-runner-up margin in exact micro-bits,
+    * clamped into 17 one-bit bands, with empirical accuracy per
+    * band in permille — read before trusting langid routing above a
+    * margin threshold. Single-class degenerate docs land in the top
+    * band. */
+  def langNbCalibration(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String, train: Column): DataFrame =
+    graft.ops.CorpusOps62.langNbMarginFrom(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(labelCol).cast("string").as("lang"),
+        col(textCol).as("text"), train.cast("boolean").as("train")))
+
   /** The normalization-unlock dedup audit: per group, keep-first
     * removable doc counts under the RAW text key vs under the
     * canonical normalization (lowercase, strip non-alphanumerics,
