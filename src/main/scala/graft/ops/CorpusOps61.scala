@@ -48,13 +48,20 @@ object CorpusOps61 {
     * n_pairs — the reference is scored once per pair, the micro
     * convention), with empty gram streams coalesced to 0. */
   private def clipPipeline(grams: DataFrame, docs: DataFrame,
+      grp: String, nMax: Int): DataFrame =
+    clipStats(grams
+      .groupBy(col(grp), col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c")), docs, grp, nMax)
+
+  /** [[clipPipeline]] from pre-aggregated per-doc gram counts
+    * (grp, doc_id, n, gram, c) — the entry the streaming ingest twin
+    * rolls its appended partials into. */
+  private[graft] def clipStats(counts0: DataFrame, docs: DataFrame,
       grp: String, nMax: Int): DataFrame = {
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val refs = docs.groupBy(col(grp))
       .agg(min(col("doc_id")).as("ref_id"))
-    val counts = graft.CacheScope.track(grams
-      .groupBy(col(grp), col("doc_id"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("c"))
+    val counts = graft.CacheScope.track(counts0
       .join(broadcast(refs), Seq(grp))
       .persist(mad))
     val refCounts = counts.filter(col("doc_id") === col("ref_id"))
@@ -89,10 +96,15 @@ object CorpusOps61 {
     * plus exact-permille P/R/F1, div-guarded to 0 on empty gram
     * streams. */
   private[graft] def rougeFrom(docs: DataFrame, grp: String)
-      : DataFrame = {
-    // one scan → per-doc gram multiset for BOTH orders: unigrams are
-    // the token list, bigrams the space-joined adjacent pairs
-    val grams = docs
+      : DataFrame =
+    rougeReadout(clipPipeline(wordGrams(docs, grp), docs, grp, 2), grp)
+
+  /** The per-doc word-gram stream (grp, doc_id, n ∈ {1, 2}, gram) —
+    * one scan: unigrams are the token list, bigrams the space-joined
+    * adjacent pairs. Shared with the streaming ingest twin. */
+  private[graft] def wordGrams(docs: DataFrame, grp: String)
+      : DataFrame =
+    docs
       .select(col(grp), col("doc_id"),
         split(col("text"), " ").as("t"))
       .select(col(grp), col("doc_id"), explode(expr(
@@ -106,7 +118,12 @@ object CorpusOps61 {
              END)""")).as("ng"))
       .select(col(grp), col("doc_id"), col("ng.n").cast("long").as("n"),
         col("ng.g").as("gram"))
-    clipPipeline(grams, docs, grp, 2)
+
+  /** The exact-permille P/R/F1 readout over [[clipStats]] output —
+    * shared by [[rougeFrom]] and the streaming twin's rollup. */
+  private[graft] def rougeReadout(stats: DataFrame, grp: String)
+      : DataFrame =
+    stats
       .select(col(grp), col("n"), col("n_pairs"), col("overlap"),
         col("cand_ngrams"), col("ref_ngrams"),
         expr("""CASE WHEN cand_ngrams = 0 THEN CAST(0 AS BIGINT)
@@ -120,7 +137,6 @@ object CorpusOps61 {
             ELSE overlap * 2000 div (cand_ngrams + ref_ngrams) END""")
           .as("rouge_f_permille"))
       .orderBy(col(grp), col("n"))
-  }
 
   val qEvalChrf: Q = (s, dir) => {
     val docs = Tables(s, dir, "documents")

@@ -1558,4 +1558,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged.nonEmpty && merged == batch,
       s"streamed langid partials diverge: ${merged.take(3)}")
   }
+
+  test("streaming rouge gram partials (foreachBatch) == batch table") {
+    // the eval family's ingest twin: per-doc word-gram counts are
+    // doc-local (a document arrives whole in one micro-batch), so
+    // each batch appends its (source, doc_id, n, gram, c) partial
+    // and rollup-on-read feeds the SHARED clip pipeline — equal to
+    // the batch q_eval_rouge bit-for-bit. The candidate/reference
+    // split needs no reprocessing when later batches arrive: the
+    // lowest-doc_id reference is re-derived from the accumulated
+    // census at read time.
+    val srcDir = Files.createTempDirectory("rouge_stream").toFile
+    srcDir.deleteOnExit()
+    Tables(spark, sf, "documents")
+      .select(col("source").as("grp"), col("doc_id"), col("text"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val partDir = Files.createTempDirectory("rouge_parts").toFile
+    partDir.deleteOnExit()
+    var batches = 0
+    val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        ops.CorpusOps61.wordGrams(df, "grp")
+          .groupBy(col("grp"), col("doc_id"), col("n"), col("gram"))
+          .agg(count(lit(1)).as("c"))
+          .write.mode("append").parquet(partDir.getAbsolutePath)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    val census = spark.read.parquet(srcDir.getAbsolutePath)
+      .select(col("grp"), col("doc_id"))
+    val got = try ops.CorpusOps61.rougeReadout(
+        ops.CorpusOps61.clipStats(
+          spark.read.parquet(partDir.getAbsolutePath), census, "grp", 2),
+        "grp").collect().toSeq
+      finally CacheScope.release()
+    val want = try
+        SparkEntry.queries("q_eval_rouge")(spark, sf).collect().toSeq
+      finally CacheScope.release()
+    assert(got.nonEmpty && got.map(_.toSeq) == want.map(_.toSeq),
+      s"streamed rouge partials diverge: ${got.take(3)}")
+  }
 }
