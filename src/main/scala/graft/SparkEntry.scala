@@ -103,6 +103,10 @@ object SparkEntry {
     (CorpusOps69.queries, CorpusOps69.oracle),
     (CorpusOps70.queries, CorpusOps70.oracle),
     (CorpusOps71.queries, CorpusOps71.oracle),
+    (CorpusOps72.queries, CorpusOps72.oracle),
+    (CorpusOps73.queries, CorpusOps73.oracle),
+    (CorpusOps74.queries, CorpusOps74.oracle),
+    (CorpusOps75.queries, CorpusOps75.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -1550,4 +1550,70 @@ object Graft {
         col(labelCol).cast("string").as("lang"),
         col(textCol).as("text"), train.cast("boolean").as("train")))
       .withColumnRenamed("lang", labelCol)
+
+  /** Embedding-space cell-histogram drift: both snapshots (split by
+    * the `inA` predicate) quantized onto the same 16-cell coarse
+    * quantizer (argmax cosine to the 16 lowest-id vectors), per-cell
+    * occupancy compared by exact total-variation distance
+    * (integer cross-multiplication, DECIMAL-widened). `dev_micro`
+    * localizes the moved mass to a cell; `tv_permille` is the
+    * scalar tripwire. One broadcast-centroid scan; 16-row output. */
+  def embCellDrift(embs: DataFrame, idCol: String, vecCol: String,
+      inA: Column): DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    val q = embs.select(col(idCol).cast("long").as("vec_id"),
+      expr(s"""transform($vecCol, x ->
+          CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
+        .as("q"), inA.cast("boolean").as("__a"))
+    graft.ops.CorpusOps75.cellDriftFrom(q, col("__a"),
+      graft.ops.BoundedIds.cutoffs(q, "vec_id", 16, "embCellDrift"))
+  }
+
+  /** Paired blocker disagreement — the McNemar reading of
+    * [[blockingAudit]]: over the exact-Jaccard truth pairs, per
+    * unordered pair of candidate blockers (shingle index / SimHash
+    * bands / winnowing) the both / a_only / b_only / neither cells
+    * and `mcnemar_milli` = (a−b)²·1000 div (a+b). Discordant cells
+    * ≈ 0 mean the blockers are interchangeable; large and balanced
+    * means union them. Honors `spark.graft.audit.sampleShards`
+    * (pair-keyed, population-consistent). */
+  def blockerMcnemar(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.ops.CorpusOps74.blockerMcnemarFrom(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text")))
+
+  /** Cochran's Q (Cochran 1950) — the m-treatment generalization of
+    * the McNemar pairing: per `groupCol`, do the m binary judges in
+    * `judgmentCols` (0/1 columns, one row per subject) mark the same
+    * subjects? Emits the exact linear ingredients plus `q_milli` =
+    * the χ²(m−1)-distributed statistic in fixed-point milli-units
+    * (quadratic products DECIMAL(38,0)-widened; the degenerate
+    * no-information panel reads 0). With m = 2 this IS McNemar's
+    * (b−c)²/(b+c). One scan, |groups|-row output. */
+  def cochranQ(subjects: DataFrame, groupCol: String,
+      judgmentCols: Seq[String]): DataFrame =
+    graft.ops.CorpusOps73.cochranFrom(
+      subjects.select(col(groupCol).cast("string").as("__grp") +:
+        judgmentCols.map(c => col(c).cast("long").as(c)): _*),
+      "__grp", judgmentCols)
+      .withColumnRenamed("__grp", groupCol)
+
+  /** BLEU ingredients (Papineni 2002) — the precision-side member of
+    * the overlap-eval trio beside [[rougeOverlap]] and
+    * [[chrfOverlap]]: per (`groupCol`, n ∈ 1..4) the clipped
+    * word-gram overlap and `bleu_p_permille` = overlap·1000 div
+    * cand_ngrams (the exact modified precision p_n), with the
+    * brevity-penalty ingredients (`cand_len`, `ref_len`,
+    * `len_ratio_permille`) on every row. Reference = lowest id per
+    * group, every other doc a candidate, the rouge pairing; BP and
+    * the geometric mean are transcendental and left to the reader so
+    * the table stays exact. */
+  def bleuOverlap(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.CorpusOps72.bleuFrom(
+      docs.select(col(groupCol).as("__grp"),
+        col(idCol).cast("long").as("doc_id"), col(textCol).as("text")),
+      "__grp")
+      .withColumnRenamed("__grp", groupCol)
 }

@@ -46,7 +46,7 @@ object CorpusOps60 {
   /** (rule name, 0/1 pass flag) for the 7-rule attribution battery,
     * evaluated on a frame carrying the gopherFlagged columns + text.
     * Sorted by rule name — the output ordering contract. */
-  private def battery: Seq[(String, Column)] = {
+  private[graft] def battery: Seq[(String, Column)] = {
     val c4 = CorpusOps50.c4RuleFlags.toMap
     Seq(
       "c4_brace" -> c4("r_brace"),
@@ -187,7 +187,7 @@ object CorpusOps60 {
 
   /** The 7 per-doc flags + pass total as a DuckDB CTE body (mirrors
     * [[battery]] over gopherFlagged arithmetic). */
-  private val flagsSql = """
+  private[graft] val flagsSql = """
     SELECT source,
       CASE WHEN contains(text, '{') THEN 0 ELSE 1 END AS c4_brace,
       CASE WHEN contains(lower(text), 'lorem ipsum')
@@ -207,7 +207,7 @@ object CorpusOps60 {
     FROM (SELECT source, text, string_split(text, ' ') AS a
           FROM documents)"""
 
-  private val ruleNames = Seq("c4_brace", "c4_lorem", "c4_words",
+  private[graft] val ruleNames = Seq("c4_brace", "c4_lorem", "c4_words",
     "g_alpha", "g_minwords", "g_stopwords", "g_wordlen")
 
   val oracle: Map[String, String] = Map(

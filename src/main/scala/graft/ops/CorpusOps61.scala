@@ -47,7 +47,7 @@ object CorpusOps61 {
     * count_ref)), cand_ngrams, ref_ngrams (reference grams ×
     * n_pairs — the reference is scored once per pair, the micro
     * convention), with empty gram streams coalesced to 0. */
-  private def clipPipeline(grams: DataFrame, docs: DataFrame,
+  private[graft] def clipPipeline(grams: DataFrame, docs: DataFrame,
       grp: String, nMax: Int): DataFrame =
     clipStats(grams
       .groupBy(col(grp), col("doc_id"), col("n"), col("gram"))
