@@ -220,7 +220,19 @@ object StressBench {
     // stream (both df-capped shipped cores)
     "q_dedup_scurve_actual",
     // r17 wave 75: the langid scored stream (nb_train class)
-    "q_lang_nb_margin")
+    "q_lang_nb_margin",
+    // r17 wave 76: the rouge clip-pipeline class at 4 word-gram
+    // orders (expect ~linear in the gram stream)
+    "q_eval_bleu",
+    // r17 wave 77: the attribution flag-scan class (one scan to a
+    // |sources|-row wide aggregate — expect ~linear in chars)
+    "q_quality_cochran_q",
+    // r17 wave 78: the blocking-audit class — one persisted pair
+    // stream + the two other blockers, flag joins pair-stream-sized
+    "q_dedup_blocker_mcnemar",
+    // r17 wave 79: one broadcast-centroid scored scan to a 16-row
+    // histogram (the assignment-scan class — expect ~linear)
+    "q_emb_cell_drift")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale
