@@ -107,6 +107,7 @@ object SparkEntry {
     (CorpusOps73.queries, CorpusOps73.oracle),
     (CorpusOps74.queries, CorpusOps74.oracle),
     (CorpusOps75.queries, CorpusOps75.oracle),
+    (CorpusOps76.queries, CorpusOps76.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

@@ -232,7 +232,11 @@ object StressBench {
     "q_dedup_blocker_mcnemar",
     // r17 wave 79: one broadcast-centroid scored scan to a 16-row
     // histogram (the assignment-scan class — expect ~linear)
-    "q_emb_cell_drift")
+    "q_emb_cell_drift",
+    // r17 wave 80: one flag scan + one token scan to |sources|-row
+    // aggregates; the type census is the distinct-(source, tok)
+    // shuffle (expect the heaps/types class — ~linear)
+    "q_agreement_kendall_w")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

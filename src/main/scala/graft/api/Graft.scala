@@ -1551,6 +1551,22 @@ object Graft {
         col(textCol).as("text"), train.cast("boolean").as("train")))
       .withColumnRenamed("lang", labelCol)
 
+  /** Kendall's W coefficient of concordance (1939) — do the m
+    * integer ranking keys in `keyCols` order the items of `items`
+    * the same way? Each key ranks descending with `idCol`-ascending
+    * tie-breaks (strict permutations, so no tie correction); emits
+    * per-item ranks + rank sum with `w_milli` (exact fixed-point,
+    * DECIMAL-widened) and `rho_avg_milli` (the average pairwise
+    * Spearman W encodes) on every row. Dictionary-sized compute
+    * after whatever scan built the keys. */
+  def kendallW(items: DataFrame, idCol: String,
+      keyCols: Seq[String]): DataFrame =
+    graft.ops.CorpusOps76.kendallWFrom(
+      items.select(col(idCol).cast("string").as("__grp") +:
+        keyCols.map(c => col(c).cast("long").as(c)): _*),
+      "__grp", keyCols)
+      .withColumnRenamed("__grp", idCol)
+
   /** Embedding-space cell-histogram drift: both snapshots (split by
     * the `inA` predicate) quantized onto the same 16-cell coarse
     * quantizer (argmax cosine to the 16 lowest-id vectors), per-cell

@@ -48,25 +48,48 @@ object CorpusOps75 {
     * bound (declared literal; facades ride BoundedIds). */
   private[graft] def cellDriftFrom(emb0: DataFrame, inA: Column,
       bound: Int => Column = BoundedIds.literal("vec_id")): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val emb = emb0
-      .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
-      .withColumn("par", when(inA, 0L).otherwise(1L))
+    val emb = prepared(emb0, inA)
     val cents = emb.filter(bound(16))
       .select(col("vec_id").as("cid"), col("q").as("cq"),
         col("n2").as("cn2"))
+    cellDriftReadout(cellPartials(emb, cents), cents)
+  }
+
+  /** (vec_id, q, n2, par) from (vec_id, q) + the snapshot predicate
+    * — shared with the streaming ingest twin's per-batch prep. */
+  private[graft] def prepared(emb0: DataFrame, inA: Column): DataFrame =
+    emb0
+      .withColumn("n2", EmbQuant.dotq(col("q"), col("q")))
+      .withColumn("par", when(inA, 0L).otherwise(1L))
+
+  /** Per-cell occupancy PARTIALS (cid, ha, hb) for a vector slice
+    * against the frozen quantizer `cents` — additive across slices,
+    * which is what makes the streaming ingest twin an append-only
+    * artifact: micro-batches append these and rollup-on-read
+    * reproduces the batch histogram exactly. */
+  private[graft] def cellPartials(emb: DataFrame, cents: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wv = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    val assigned = emb
+    emb
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("par"), col("cid"),
         (EmbQuant.dotq(col("q"), col("cq")).cast("double") /
           (sqrt(col("n2").cast("double")) *
             sqrt(col("cn2").cast("double")))).as("ccos"))
       .withColumn("rk", row_number().over(wv)).filter(col("rk") === 1)
-    val hist = assigned.groupBy(col("cid"))
+      .groupBy(col("cid"))
       .agg(sum(when(col("par") === 0L, 1L).otherwise(0L)).as("ha"),
         sum(when(col("par") === 1L, 1L).otherwise(0L)).as("hb"))
+  }
+
+  /** The TV readout over (possibly rolled-up) per-cell occupancy
+    * counts; `hist` = (cid, ha, hb). */
+  private[graft] def cellDriftReadout(hist0: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val hist = hist0.groupBy(col("cid"))
+      .agg(sum(col("ha")).as("ha"), sum(col("hb")).as("hb"))
     val grid = cents.select(col("cid").as("cell"))
       .join(hist.withColumnRenamed("cid", "cell"), Seq("cell"), "left")
       .select(col("cell"),

@@ -1559,6 +1559,63 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed langid partials diverge: ${merged.take(3)}")
   }
 
+  test("streaming cell-drift occupancy partials (foreachBatch) == batch TV") {
+    // the monitoring family's ingest twin (r17 w79): embedding
+    // micro-batches assign to the STANDING 16-cell quantizer
+    // (map-side vs frozen centroids — batch boundaries cannot
+    // reorder an argmax) and append ONLY the additive (cid, ha, hb)
+    // occupancy partials; rollup-on-read through the shared TV
+    // readout equals the batch q_emb_cell_drift bit-for-bit. The
+    // drift tripwire runs standing, with no vector ever reprocessed.
+    val srcDir = Files.createTempDirectory("celldrift_stream").toFile
+    srcDir.deleteOnExit()
+    graft.functions.GraftFunctions.register(spark)
+    val parity = expr(
+      """pmod(CAST(conv(substring(md5(CAST(vec_id AS STRING)),
+          1, 15), 16, 10) AS BIGINT), 2)""") === 0
+    def quant(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), expr(
+        """transform(embedding, x ->
+            CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))""")
+        .as("q"))
+    Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val centsDf = ops.CorpusOps75.prepared(
+        quant(spark.read.parquet(srcDir.getAbsolutePath)
+          .filter(col("vec_id") < 16)), parity)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    val partDir = Files.createTempDirectory("celldrift_parts").toFile
+    partDir.deleteOnExit()
+    var batches = 0
+    val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        ops.CorpusOps75.cellPartials(
+            ops.CorpusOps75.prepared(quant(df), parity), centsDf)
+          .write.mode("append").parquet(partDir.getAbsolutePath)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    val got = try ops.CorpusOps75.cellDriftReadout(
+        spark.read.parquet(partDir.getAbsolutePath), centsDf)
+        .collect().toSeq
+      finally CacheScope.release()
+    val want = try
+        SparkEntry.queries("q_emb_cell_drift")(spark, sf)
+          .collect().toSeq
+      finally CacheScope.release()
+    assert(got.nonEmpty && got.map(_.toSeq) == want.map(_.toSeq),
+      s"streamed cell-drift partials diverge: ${got.take(3)}")
+  }
+
   test("streaming rouge gram partials (foreachBatch) == batch table") {
     // the eval family's ingest twin: per-doc word-gram counts are
     // doc-local (a document arrives whole in one micro-batch), so
