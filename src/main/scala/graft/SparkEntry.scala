@@ -108,6 +108,8 @@ object SparkEntry {
     (CorpusOps74.queries, CorpusOps74.oracle),
     (CorpusOps75.queries, CorpusOps75.oracle),
     (CorpusOps76.queries, CorpusOps76.oracle),
+    (CorpusOps77.queries, CorpusOps77.oracle),
+    (CorpusOps78.queries, CorpusOps78.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

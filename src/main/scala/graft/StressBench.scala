@@ -236,7 +236,13 @@ object StressBench {
     // r17 wave 80: one flag scan + one token scan to |sources|-row
     // aggregates; the type census is the distinct-(source, tok)
     // shuffle (expect the heaps/types class — ~linear)
-    "q_agreement_kendall_w")
+    "q_agreement_kendall_w",
+    // r17 wave 81: the exact pair stream + the one-sketch-per-doc
+    // signature joins (expect the jaccard pair-stream class)
+    "q_dedup_minhash_est_error",
+    // r17 wave 82: 17x17-row arithmetic over the calibration table
+    // (expect the nb_train LM-join class — the scan dominates)
+    "q_quality_nb_threshold")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

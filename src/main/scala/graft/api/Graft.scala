@@ -1551,6 +1551,35 @@ object Graft {
         col(textCol).as("text"), train.cast("boolean").as("train")))
       .withColumnRenamed("lang", labelCol)
 
+  /** MinHash estimation-error calibration: per exact-Jaccard decile,
+    * the mean/max absolute gap and signed bias between the 32-perm
+    * signature estimate and the exact Jaccard it stands in for, in
+    * exact micro units (per-pair integers before any sum). Read
+    * before trusting any est_jacc threshold. `docs` = (id, text);
+    * pair universe = the df-capped exact shingle pair stream. */
+  def minhashEstError(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val d = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val sigs = graft.ops.Dedup.shingledDocs(d)
+      .withColumn("th", xxhash64(col("g")))
+      .groupBy(col("doc_id"))
+      .agg(expr("minhash32(th)").as("sig"))
+    graft.ops.CorpusOps77.estErrorOf(
+      graft.ops.Dedup.jaccardPairStreamOf(d), sigs)
+  }
+
+  /** Cost-sensitive threshold pick over [[nbQualityCalibration]]'s
+    * bands: for each cost ratio λ ∈ {1, 2, 5} and each band cut
+    * t ∈ 0..16, utility = tp − λ·fp in exact document units over the
+    * held-out population, `is_best` marking each λ's argmax (ties →
+    * lowest cut). The decision layer a calibrated filter feeds. */
+  def nbThresholdPick(docs: DataFrame, idCol: String,
+      textCol: String, label: Column, train: Column): DataFrame =
+    graft.ops.CorpusOps78.nbThresholdFrom(
+      nbQualityCalibration(docs, idCol, textCol, label, train))
+
   /** Kendall's W coefficient of concordance (1939) — do the m
     * integer ranking keys in `keyCols` order the items of `items`
     * the same way? Each key ranks descending with `idCol`-ascending

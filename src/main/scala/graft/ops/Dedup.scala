@@ -224,7 +224,15 @@ object Dedup {
     * Package-visible so the autopick-wiring spec can pin the
     * conf-gated path against the policy's point directly. */
   private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String, b: Int, r: Int): org.apache.spark.sql.DataFrame = {
+      dir: String, b: Int, r: Int): org.apache.spark.sql.DataFrame =
+    bandPairs(sigFrame(s, dir), b, r)
+
+  /** The persisted-and-dumped 32-perm signature frame (doc_id, sig)
+    * — shared by [[minhashPairs]]' banding pipeline and the
+    * estimation-error audit (CorpusOps77), so both replay oracles
+    * read ONE dump. */
+  private[ops] def sigFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     GraftFunctions.register(s)
     // same 3-gram shingles as the exact-Jaccard baseline: single-token
     // sets are near-identical across this small-vocab corpus, so only
@@ -254,7 +262,7 @@ object Dedup {
     // overwrite window against a concurrent oracle reader. coalesce(1):
     // one 32-long array per doc is kilobytes at any test SF.
     dumpSigs(s, dir, sigs)
-    bandPairs(sigs, b, r)
+    sigs
   }
 
   /** LSH banding + signature-agreement ranking over a persisted
@@ -964,7 +972,7 @@ object Dedup {
   // recall-table oracle.
   /** The dumped-signature scan shared by every minhash replay oracle
     * (fingerprint-partitioned — see [[MinhashSigDump]]). */
-  private def sigDumpSql: String = s"""
+  private[ops] def sigDumpSql: String = s"""
       SELECT doc_id, sig
       FROM read_parquet('$MinhashSigDump/*/*.parquet',
                         hive_partitioning = true)
