@@ -110,6 +110,7 @@ object SparkEntry {
     (CorpusOps76.queries, CorpusOps76.oracle),
     (CorpusOps77.queries, CorpusOps77.oracle),
     (CorpusOps78.queries, CorpusOps78.oracle),
+    (CorpusOps79.queries, CorpusOps79.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

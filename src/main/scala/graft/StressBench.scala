@@ -242,7 +242,13 @@ object StressBench {
     "q_dedup_minhash_est_error",
     // r17 wave 82: 17x17-row arithmetic over the calibration table
     // (expect the nb_train LM-join class — the scan dominates)
-    "q_quality_nb_threshold")
+    "q_quality_nb_threshold",
+    // r17 wave 83: one token scan to (source, tok) partials then a
+    // vocab-sized rollup (expect the heaps/types class)
+    "q_text_chao1",
+    // r17 wave 84: the est-error pair-stream class with a 3x budget
+    // fan-out AFTER the join (per-pair arithmetic, not a rebuild)
+    "q_dedup_minhash_perm_curve")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

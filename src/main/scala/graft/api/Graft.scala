@@ -1551,6 +1551,37 @@ object Graft {
         col(textCol).as("text"), train.cast("boolean").as("train")))
       .withColumnRenamed("lang", labelCol)
 
+  /** Unseen-vocabulary estimators per `groupCol`: bias-corrected
+    * Chao1 richness (defined even with no doubletons) and the
+    * Good–Turing missing mass (probability the next token is an
+    * unseen type), from one token scan — the corpus-planning readout
+    * beside the Heaps growth curve. Exact integers; hapax products
+    * DECIMAL-widened. */
+  def chao1(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.CorpusOps79.chao1From(
+      docs.select(col(groupCol).as("__grp"), col(textCol).as("text")),
+      "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
+  /** The [[minhashEstError]] audit's BUILD dial: the estimate-vs-
+    * exact gap re-measured at permutation budgets p ∈ {8, 16, 32}
+    * (prefixes of the one 32-perm signature frame), over the same
+    * exact pair stream. Read when sizing signatures: the three rows
+    * show what halving the sketch costs on THIS corpus. */
+  def minhashPermCurve(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val d = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val sigs = graft.ops.Dedup.shingledDocs(d)
+      .withColumn("th", xxhash64(col("g")))
+      .groupBy(col("doc_id"))
+      .agg(expr("minhash32(th)").as("sig"))
+    graft.ops.CorpusOps79.permCurveOf(
+      graft.ops.Dedup.jaccardPairStreamOf(d), sigs)
+  }
+
   /** MinHash estimation-error calibration: per exact-Jaccard decile,
     * the mean/max absolute gap and signed bias between the 32-perm
     * signature estimate and the exact Jaccard it stands in for, in
