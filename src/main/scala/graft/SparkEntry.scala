@@ -111,6 +111,7 @@ object SparkEntry {
     (CorpusOps77.queries, CorpusOps77.oracle),
     (CorpusOps78.queries, CorpusOps78.oracle),
     (CorpusOps79.queries, CorpusOps79.oracle),
+    (CorpusOps80.queries, CorpusOps80.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

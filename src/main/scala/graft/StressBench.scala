@@ -248,7 +248,13 @@ object StressBench {
     "q_text_chao1",
     // r17 wave 84: the est-error pair-stream class with a 3x budget
     // fan-out AFTER the join (per-pair arithmetic, not a rebuild)
-    "q_dedup_minhash_perm_curve")
+    "q_dedup_minhash_perm_curve",
+    // r17 wave 85: the langid LM-join class + a confusion-sized
+    // readout (expect the lang_nb_confusion class)
+    "q_lang_nb_prf",
+    // r17 wave 86: one thin (source, len) scan + per-group top-20
+    // via the GroupedTopK rewrite (expect ~linear scan cost)
+    "q_text_length_tail")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -1551,6 +1551,31 @@ object Graft {
         col(textCol).as("text"), train.cast("boolean").as("train")))
       .withColumnRenamed("lang", labelCol)
 
+  /** Per-class precision/recall/F1 over ANY confusion matrix frame
+    * (`trueCol`, `predCol`, `nCol`): classes = the union of both
+    * sides (a never-predicted class keeps its recall-0 row); exact
+    * permille, F1 = 2tp·1000 div (2tp+fp+fn). Macro averages are the
+    * plain mean of the rows. */
+  def confusionPrf(conf: DataFrame, trueCol: String, predCol: String,
+      nCol: String): DataFrame =
+    graft.ops.CorpusOps80.prfFrom(
+      conf.select(col(trueCol).cast("string").as("lang"),
+        col(predCol).cast("string").as("pred_lang"),
+        col(nCol).cast("long").as("n_docs")))
+
+  /** Hill tail-index ingredients for a per-group length
+    * distribution: the 20 largest `lenCol` values per `groupCol`
+    * collapse to `hill_log2_micro` (exact micro-bits; tail index
+    * α = log2(e)/hill). Small α = heavy tail = the partition-skew
+    * warning before the straggler. */
+  def lengthTail(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.CorpusOps80.lengthTailFrom(
+      docs.select(col(groupCol).as("__grp"),
+        col(idCol).cast("long").as("doc_id"), col(textCol).as("text")),
+      "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
   /** Unseen-vocabulary estimators per `groupCol`: bias-corrected
     * Chao1 richness (defined even with no doubletons) and the
     * Good–Turing missing mass (probability the next token is an
