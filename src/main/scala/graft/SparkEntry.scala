@@ -112,6 +112,7 @@ object SparkEntry {
     (CorpusOps78.queries, CorpusOps78.oracle),
     (CorpusOps79.queries, CorpusOps79.oracle),
     (CorpusOps80.queries, CorpusOps80.oracle),
+    (CorpusOps81.queries, CorpusOps81.oracle),
     (TimeSeriesOps.queries, TimeSeriesOps.oracle),
     (DataQuality.queries, DataQuality.oracle),
     (SecurityPolicies.queries, SecurityPolicies.oracle),

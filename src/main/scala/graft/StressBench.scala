@@ -254,7 +254,10 @@ object StressBench {
     "q_lang_nb_prf",
     // r17 wave 86: one thin (source, len) scan + per-group top-20
     // via the GroupedTopK rewrite (expect ~linear scan cost)
-    "q_text_length_tail")
+    "q_text_length_tail",
+    // r17 wave 87: one flag scan to a |sources|x8x2 histogram
+    // (expect the attribution flag-scan class)
+    "q_drift_rule_profile")
 
   /** Conf-gated variants: bench label → (base query key, conf
     * key=value set for the run). Lets the harness measure a scale

@@ -1551,6 +1551,20 @@ object Graft {
         col(textCol).as("text"), train.cast("boolean").as("train")))
       .withColumnRenamed("lang", labelCol)
 
+  /** Quality-profile drift: per group, the exact total-variation
+    * distance between the `inA`/not-`inA` halves' histograms over
+    * any discrete `binCol` profile (the declared query watches the
+    * 7-rule battery's per-doc pass total on md5-parity halves). A
+    * moved profile means the gate's pass rate is about to move for
+    * data reasons. One scan to a dictionary-sized histogram. */
+  def ruleProfileDrift(obs: DataFrame, groupCol: String,
+      binCol: String, inA: Column): DataFrame =
+    graft.ops.CorpusOps81.ruleProfileDriftFrom(
+      obs.select(col(groupCol).as("__grp"),
+        col(binCol).cast("long").as("bin"),
+        inA.cast("long").as("a")), "__grp")
+      .withColumnRenamed("__grp", groupCol)
+
   /** Per-class precision/recall/F1 over ANY confusion matrix frame
     * (`trueCol`, `predCol`, `nCol`): classes = the union of both
     * sides (a never-predicted class keeps its recall-0 row); exact

@@ -188,7 +188,7 @@ object CorpusOps60 {
   /** The 7 per-doc flags + pass total as a DuckDB CTE body (mirrors
     * [[battery]] over gopherFlagged arithmetic). */
   private[graft] val flagsSql = """
-    SELECT source,
+    SELECT source, doc_id,
       CASE WHEN contains(text, '{') THEN 0 ELSE 1 END AS c4_brace,
       CASE WHEN contains(lower(text), 'lorem ipsum')
            THEN 0 ELSE 1 END AS c4_lorem,
@@ -204,7 +204,7 @@ object CorpusOps60 {
       CASE WHEN list_sum(list_transform(a, w -> length(w))) >= len(a) * 3
             AND list_sum(list_transform(a, w -> length(w))) <= len(a) * 10
            THEN 1 ELSE 0 END AS g_wordlen
-    FROM (SELECT source, text, string_split(text, ' ') AS a
+    FROM (SELECT source, doc_id, text, string_split(text, ' ') AS a
           FROM documents)"""
 
   private[graft] val ruleNames = Seq("c4_brace", "c4_lorem", "c4_words",

@@ -49,10 +49,25 @@ object CorpusOps79 {
     * `docs` = (grp, text). */
   private[graft] def chao1From(docs: DataFrame, grp: String)
       : DataFrame =
+    chao1Readout(chao1Counts(docs, grp), grp)
+
+  /** The per-token count stage (grp, tok, c) — additive across
+    * document slices, which is what makes the streaming ingest twin
+    * an append-only artifact (micro-batches append these partials;
+    * the readout re-sums per token before the f1/f2 census). */
+  private[graft] def chao1Counts(docs: DataFrame, grp: String)
+      : DataFrame =
     docs
       .select(col(grp), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col(grp), col("tok"))
       .agg(count(lit(1)).as("c"))
+
+  /** The estimator readout over (possibly rolled-up) token counts. */
+  private[graft] def chao1Readout(counts: DataFrame, grp: String)
+      : DataFrame =
+    counts
+      .groupBy(col(grp), col("tok"))
+      .agg(sum(col("c")).as("c"))
       .groupBy(col(grp))
       .agg(sum(col("c")).as("tokens"), count(lit(1)).as("types"),
         sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),

@@ -1616,6 +1616,46 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed cell-drift partials diverge: ${got.take(3)}")
   }
 
+  test("streaming chao1 token-count partials (foreachBatch) == batch") {
+    // the vocabulary census as an append-only artifact: per-doc token
+    // counts are doc-local, so micro-batches append (grp, tok, c)
+    // partials and the readout re-sums per token BEFORE the f1/f2
+    // census (a hapax in two different batches must read as a
+    // doubleton) — rollup-on-read == the batch q_text_chao1
+    // bit-for-bit. The unseen-mass planning readout runs standing.
+    val srcDir = Files.createTempDirectory("chao1_stream").toFile
+    srcDir.deleteOnExit()
+    Tables(spark, sf, "documents")
+      .select(col("source").as("grp"), col("text"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val partDir = Files.createTempDirectory("chao1_parts").toFile
+    partDir.deleteOnExit()
+    var batches = 0
+    val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        ops.CorpusOps79.chao1Counts(df, "grp")
+          .write.mode("append").parquet(partDir.getAbsolutePath)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    val got = try ops.CorpusOps79.chao1Readout(
+        spark.read.parquet(partDir.getAbsolutePath), "grp")
+        .withColumnRenamed("grp", "source").collect().toSeq
+      finally CacheScope.release()
+    val want = try
+        SparkEntry.queries("q_text_chao1")(spark, sf).collect().toSeq
+      finally CacheScope.release()
+    assert(got.nonEmpty && got.map(_.toSeq) == want.map(_.toSeq),
+      s"streamed chao1 partials diverge: ${got.take(3)}")
+  }
+
   test("streaming rouge gram partials (foreachBatch) == batch table") {
     // the eval family's ingest twin: per-doc word-gram counts are
     // doc-local (a document arrives whole in one micro-batch), so
