@@ -45,3 +45,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UseParallelGC",
   "-XX:+AlwaysPreTouch",
 )
+// Optimization-round experiment hook: extra -D flags for the forked
+// run/test JVMs (e.g. candidate spark.* confs measured A/B before being
+// promoted into code). The driver never sets this env, so its bench JVMs
+// are byte-identical to the committed defaults.
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+  .map(_.split(" ").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
