@@ -621,15 +621,20 @@ object CorpusOps46 {
       val probes = scored(emb.filter(bound(50)))
         .withColumn("rk", row_number().over(wv)).filter(col("rk") <= 4)
         .select(col("vec_id").as("qid"), col("cid"))
-      val cand = probes.join(asg, Seq("cid"))
+      // ONE pass per K (optimization r17): the r15 shape consumed the
+      // UNPERSISTED candidate join twice (stats agg + truth join), and
+      // the K-cell assignment window behind it — a full scored scan —
+      // ran twice per sweep point. true10 is unique on (qid, cid), so
+      // the LEFT join cannot duplicate a candidate row — the three
+      // counts are value-identical.
+      probes.join(asg, Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid2"))
-      val hits = true10.join(cand,
-          true10("qid") === cand("qid") && true10("cid") === cand("cid2"))
-        .agg(count(lit(1)).as("hits"))
-      cand.agg(countDistinct(col("qid")).as("n_queries"),
-          count(lit(1)).as("candidates"))
-        .crossJoin(broadcast(hits))
+        .join(true10.select(col("qid"), col("cid").as("cid2"),
+          lit(1L).as("tf")), Seq("qid", "cid2"), "left")
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("candidates"),
+          count(col("tf")).as("hits"))
         .select(lit(k.toLong).as("cells"), col("n_queries"),
           col("candidates"),
           when(col("n_queries") === 0, lit(0L))

@@ -229,12 +229,19 @@ object CorpusOps48 {
         explode(expr("array(200, 500, 800)")).as("theta_permille"))
       .filter(col("i") * 1000 >=
         col("theta_permille") * (col("na") + col("nb") - col("i")))
-    val pairs = ps.groupBy(col("theta_permille"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val docs = ps.select(col("theta_permille"),
+    // ONE pass over the thresholded pair stream (optimization r17): the
+    // r15 shape aggregated the UNPERSISTED stream twice (a pair count
+    // and a separate exploded distinct-doc count), so the inverted-index
+    // self-join behind it ran twice per invocation. Exploding both
+    // endpoints first keeps both facts recoverable from a single
+    // aggregation: every pair contributes exactly 2 endpoint rows
+    // (da < db strictly, so never fewer), hence
+    // n_pairs = count(rows) div 2, and n_docs = count(DISTINCT d).
+    val agg = ps.select(col("theta_permille"),
         explode(array(col("da"), col("db"))).as("d"))
       .groupBy(col("theta_permille"))
-      .agg(countDistinct(col("d")).as("n_docs"))
+      .agg(expr("count(1) div 2").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
     // LEFT-join from the literal theta frame (ADVICE r15): a theta
     // with zero surviving pairs must still emit its (theta, 0, 0) row —
     // an inner join would silently drop it on a sparse corpus and
@@ -242,8 +249,7 @@ object CorpusOps48 {
     val th = s.range(3)
       .select(element_at(typedLit(Seq(200L, 500L, 800L)),
         (col("id") + 1).cast("int")).as("theta_permille"))
-    th.join(pairs, Seq("theta_permille"), "left")
-      .join(docs, Seq("theta_permille"), "left")
+    th.join(agg, Seq("theta_permille"), "left")
       .select(col("theta_permille").cast("long").as("theta_permille"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
@@ -264,8 +270,14 @@ object CorpusOps48 {
     * agg is co-partitioned on the node; the histogram is ≤64 rows. */
   val qGraphDegreeDist: Q = (s, dir) => {
     val e = GraphOps.copurchaseEdges(s, dir)
-    e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node")))
+    // explode both endpoints of ONE edge stream (optimization r17):
+    // the r15 unionAll of two projections duplicated the whole
+    // support-pruned lineitem self-join subtree — the only
+    // corpus-sized work here — across the union branches (the final
+    // aggregation sits ABOVE the reusable exchange, so it ran twice).
+    // explode(array(u, v)) yields the same endpoint multiset in one
+    // pass; degrees are identical.
+    e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .withColumn("deg_bucket",
         (length(expr("conv(cast(deg as string), 10, 2)")) - 1)
@@ -324,9 +336,17 @@ object CorpusOps48 {
       // already-gated shingle stream)
       val c = AuditSample.gate(cand.select(col("da"), col("db")),
         col("da"), col("db"))
-      c.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(c.join(truth, Seq("da", "db"), "left_semi")
-          .agg(count(lit(1)).as("n_true")))
+      // ONE pass per blocker (optimization r17): the r15 shape ran the
+      // UNPERSISTED candidate pipeline twice — once for the raw count,
+      // once for the truth semi-join — so the simhash and winnow
+      // pipelines each computed their fingerprints twice per audit.
+      // A LEFT join against the persisted truth keeps both counts in a
+      // single aggregation: truth pairs are unique on (da, db), so the
+      // join never duplicates a candidate row, n_candidates = count(1)
+      // and n_true = count of matched rows — value-identical.
+      c.join(truth.withColumn("tf", lit(1L)), Seq("da", "db"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          count(col("tf")).as("n_true"))
         .crossJoin(tt)
         .select(lit(name).as("blocker"), col("n_candidates"),
           col("n_true"), col("truth_total"),
@@ -472,17 +492,22 @@ object CorpusOps48 {
         .withColumn("rk", row_number().over(wv))
         .select(col("vec_id").as("qid"), col("cid"), col("rk"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // ONE pass per sweep point (optimization r17): the r15 shape
+    // consumed the UNPERSISTED candidate join twice per nprobe (a
+    // stats aggregation and a separate truth join), doubling the
+    // posting-list join work. true10 is unique on (qid, cid), so a
+    // LEFT join cannot duplicate a candidate row and
+    // hits = count of matched rows — value-identical.
     Seq(1, 2, 4, 8).map { np =>
-      val cand = probeRank.filter(col("rk") <= np)
+      probeRank.filter(col("rk") <= np)
         .join(asg, Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid2"))
-      val hits = true10.join(cand,
-          true10("qid") === cand("qid") && true10("cid") === cand("cid2"))
-        .agg(count(lit(1)).as("hits"))
-      cand.agg(countDistinct(col("qid")).as("n_queries"),
-          count(lit(1)).as("candidates"))
-        .crossJoin(broadcast(hits))
+        .join(true10.select(col("qid"), col("cid").as("cid2"),
+          lit(1L).as("tf")), Seq("qid", "cid2"), "left")
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("candidates"),
+          count(col("tf")).as("hits"))
         .select(lit(np.toLong).as("nprobe"), col("n_queries"),
           col("candidates"),
           when(col("n_queries") === 0, lit(0L))

@@ -71,15 +71,19 @@ object CorpusOps54 {
       val probes = scored(emb.filter(bound(50)))
         .withColumn("rk", row_number().over(wv)).filter(col("rk") <= 4)
         .select(col("vec_id").as("qid"), col("cid"))
-      val cand = probes.join(asg, Seq("cid"))
+      // ONE pass per quantizer row (optimization r17): the r16 shape
+      // consumed the UNPERSISTED candidate join twice (stats agg +
+      // truth join), so the full assignment scan + window behind it
+      // ran twice per row. true10 is unique on (qid, cid), so the
+      // LEFT join cannot duplicate a candidate row — value-identical.
+      probes.join(asg, Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid2"))
-      val hits = true10.join(cand,
-          true10("qid") === cand("qid") && true10("cid") === cand("cid2"))
-        .agg(count(lit(1)).as("hits"))
-      cand.agg(countDistinct(col("qid")).as("n_queries"),
-          count(lit(1)).as("candidates"))
-        .crossJoin(broadcast(hits))
+        .join(true10.select(col("qid"), col("cid").as("cid2"),
+          lit(1L).as("tf")), Seq("qid", "cid2"), "left")
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("candidates"),
+          count(col("tf")).as("hits"))
         .select(lit(name).as("quantizer"), col("n_queries"),
           col("candidates"),
           // guarded: a degenerate frame (no candidates → n_queries=0)

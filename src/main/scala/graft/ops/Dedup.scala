@@ -358,15 +358,20 @@ object Dedup {
         .select(col("band"), col("key")).persist())
       val nDrop = hot.agg(count(lit(1)).as("dropped_keys"))
       val cold = bands.join(broadcast(hot), Seq("band", "key"), "left_anti")
-      val cand = cold.as("a").join(cold.as("b"),
+      // ONE pass per sweep point (optimization r17): the r11 shape
+      // consumed the UNPERSISTED band self-join twice (candidate count
+      // + truth semi-join), doubling each point's join work. The truth
+      // pair set is unique on (da, db), so a LEFT join cannot duplicate
+      // a candidate row: n_candidates = count(1), hits = matched rows —
+      // value-identical.
+      val counts = cold.as("a").join(cold.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
-      val nc = cand.agg(count(lit(1)).as("n_candidates"))
-      val hits = cand.join(truth, Seq("da", "db"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-      nc.crossJoin(hits).crossJoin(nTruth).crossJoin(nDrop)
+        .join(truth.withColumn("tf", lit(1L)), Seq("da", "db"), "left")
+        .agg(count(lit(1)).as("n_candidates"), count(col("tf")).as("hits"))
+      counts.crossJoin(nTruth).crossJoin(nDrop)
         .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
           lit(theory).as("theory_permille_at_500"),
           col("n_candidates"), col("dropped_keys"),
