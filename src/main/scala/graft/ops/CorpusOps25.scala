@@ -43,11 +43,18 @@ object CorpusOps25 {
       .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
       .agg(count(lit(1)).as("supp"))
       .filter(col("supp") >= 2)
+    // explode both rule directions from ONE pair stream (optimization
+    // r17): the union of two projections duplicated the pair fan-out's
+    // post-shuffle aggregation across the branches (the shuffle itself
+    // was exchange-reused; the final agg + support prune over the
+    // candidate pairs was not). Same multiset, one pass.
     val rules = pairs
-      .select(col("pa").as("antecedent"), col("pb").as("consequent"),
+      .select(explode(array(
+          struct(col("pa").as("antecedent"), col("pb").as("consequent")),
+          struct(col("pb").as("antecedent"), col("pa").as("consequent"))))
+          .as("r"),
         col("supp"))
-      .union(pairs.select(col("pb").as("antecedent"),
-        col("pa").as("consequent"), col("supp")))
+      .select(col("r.antecedent"), col("r.consequent"), col("supp"))
     rules
       .join(broadcast(itemCnt.as("ca")),
         col("antecedent") === col("ca.p"))
