@@ -215,9 +215,14 @@ object CorpusOps13 {
     * counts broadcast back; per-item top-k is a rank window over the
     * support-pruned pair table, lowered to WindowGroupLimit. */
   val qRecItemCos: Q = (s, dir) => {
-    val oi = Tables(s, dir, "lineitem")
+    // persisted like q_basket_pairs' liP (optimization r17): the
+    // distinct basket stream feeds the item-count agg and both pair
+    // fan-out sides — unpersisted, the scan + distinct shuffle ran per
+    // consumer (exchange reuse only covered the self-join's two sides)
+    val oi = graft.CacheScope.track(Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ci = oi.groupBy(col("pk")).agg(count(lit(1)).as("c"))
     val pairs = oi.join(oi.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
       .filter(col("pk") < col("pk2"))

@@ -719,7 +719,12 @@ object Dedup {
       // iteration — at tiny per-round data volumes that recompilation
       // WAS the round cost. localCheckpoint materializes AND caches,
       // making round r's plan a constant-depth read of round r-1's RDD.
-      val next = merged.localCheckpoint()
+      // LAZY checkpoint (optimization r17): the eager form ran one
+      // materialization job AND a separate convergence-sum job per
+      // round; lazily checkpointing lets the labelSum action below
+      // materialize the round's blocks in the SAME job — one job per
+      // round instead of two, same blocks, same lineage cut.
+      val next = merged.localCheckpoint(false)
       val nextSum = labelSum(next)
       changed = nextSum != prevSum
       prevSum = nextSum
