@@ -129,15 +129,26 @@ object Dedup {
     // ReuseExchange — measured r6: persisting here is noise-neutral at
     // sf0.1 while adding cache pressure at corpus scale
     val sh = raw.join(hot, Seq("h"), "left_anti")
+    // attach each doc's shingle-set size BEFORE the pair join
+    // (optimization r17): the r6 shape joined sizes into the PAIR
+    // stream afterwards, exchanging the (da, db, i) stream twice more
+    // (by da, then by db — at sf0.1 that is 3 exchanges of 1.1M pair
+    // rows). The doc-keyed exchange of `sh` that the sizes aggregate
+    // needs is now SHARED with the attach join (same key, reused), the
+    // pair stream is exchanged exactly once (the partial agg), and na /
+    // nb ride the group key — they are functions of da / db, so the
+    // groups (and every output value) are identical. shuffle_hash on
+    // the self-join skips the per-side sort a merge join would add
+    // (the simhash-pair finding, r4): both sides are identical
+    // exchanges, so ReuseExchange still computes the subtree once.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val shN = sh.join(sizes, Seq("doc_id"))
+    val inter = shN.as("a").join(shN.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .select(col("da"), col("db"), col("i"), col("na"), col("nb"))
+    inter.select(col("da"), col("db"), col("i"), col("na"), col("nb"))
   }
 
   /** Where [[qDedupMinhash]] dumps its signature frame so the DuckDB
