@@ -234,14 +234,28 @@ object Bench {
     // headline set at sf0.01, reported as extra keys on the same line
     val sf001Dir = "/root/testdata/sf0.01"
     var anyFailed = total < 0
-    val scaling =
+    val results001 =
       if (sf001Dir != sfDir && new java.io.File(sf001Dir).isDirectory) {
         val r = timeAll(sf001Dir)
-        val t = totalOf(r)
-        anyFailed ||= t < 0
-        f""","total_sf001":$t%.3f,"queries_sf001":${json(r)}"""
-      } else ""
+        anyFailed ||= totalOf(r) < 0
+        Some(r)
+      } else None
+    val scaling = results001 match {
+      case Some(r) =>
+        f""","total_sf001":${totalOf(r)}%.3f,"queries_sf001":${json(r)}"""
+      case None => ""
+    }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","families":$famJson,"queries":${json(results)},"sf":"$sfDir"$scaling}""")
+    // the per-query map ALSO rides its own short line (optimization
+    // r18, VERDICT r17 item 5): the full line above grows with the
+    // headline count and a front-truncating `tail` capture made
+    // BENCH_r16's per-query map unparseable (parsed: null), zeroing
+    // the driver's automatic round-over-round diff. Same numbers, one
+    // map per line, nothing removed from the legacy lines.
+    println(f"""{"metric":"queries","value":$total%.3f,"unit":"sec","queries":${json(results)},"sf":"$sfDir"}""")
+    results001.foreach { r =>
+      println(f"""{"metric":"queries_sf001","value":${totalOf(r)}%.3f,"unit":"sec","queries_sf001":${json(r)}}""")
+    }
     // compact totals-only line AFTER the full line: the driver's `tail`
     // capture truncates the FRONT of long lines (BENCH_r09's sf0.1
     // totals were lost that way — VERDICT r9 item 4), so the headline

@@ -102,14 +102,25 @@ object CorpusOps20 {
       .filter(col("df") > 100).select(col("h"))
     val kept = sh.join(hot, Seq("h"), "left_anti")
     val keptP = graft.CacheScope.track(kept.persist())
+    // attach each doc's shingle-set size BEFORE the pair join
+    // (optimization r18 — the Dedup.jaccardPairStreamOf r17 rework,
+    // which this operator's shape predated): the r10 form joined
+    // sizes into the PAIR stream afterwards, exchanging the
+    // (da, db, i) stream twice more (by da, then by db). The doc-keyed
+    // exchange the sizes aggregate needs is shared with the attach
+    // join, the pair stream is exchanged exactly once (the partial
+    // agg), and na / nb ride the group key — functions of da / db, so
+    // the groups and every output value are identical. shuffle_hash
+    // skips the per-side sort; both sides stay identical exchanges, so
+    // ReuseExchange computes the size-attached subtree once.
     val sizes = keptP.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = keptP.select(col("doc_id").as("da"), col("h"))
-      .join(keptP.select(col("doc_id").as("db"), col("h")), Seq("h"))
-      .filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    val shN = keptP.join(sizes, Seq("doc_id"))
+    val inter = shN.as("a").join(shN.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("i"))
     inter
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
         expr("i * 1000 div na").as("c_ab_permille"),
         expr("i * 1000 div nb").as("c_ba_permille"))

@@ -25,14 +25,13 @@ object CorpusOps39 {
     * join — the corpus collapses to (source, score) counts, a
     * per-source running cumulative over the bounded score axis, and
     * one counts×cumulative join on the score key. */
-  private def winsMatrix(s: SparkSession, dir: String,
-      scored: DataFrame): DataFrame = {
-    val sc = scored
-      .join(Tables(s, dir, "documents").select(col("doc_id"), col("source")),
-        Seq("doc_id"))
+  private def winsMatrix(cells: DataFrame): DataFrame = {
+    // (source, score_milli) counts as an exact rollup of the shared
+    // (source, round, score_milli) cube (CorpusOps43.scoreCells) —
+    // sum of disjoint cell counts = the old per-doc count(*)
     val g = graft.CacheScope.track(
-      sc.groupBy(col("source"), col("score_milli"))
-        .agg(count(lit(1)).as("n")).persist())
+      cells.groupBy(col("source"), col("score_milli"))
+        .agg(sum(col("nc")).as("n")).persist())
     val axis = g.select(col("score_milli")).distinct()
     val srcs = g.select(col("source")).distinct()
     val grid = axis.crossJoin(srcs)
@@ -70,9 +69,14 @@ object CorpusOps39 {
     * `q_eval_rating_agreement` share ONE classifier scan across its
     * Elo and BT chains (see CorpusOps43). */
   private[ops] def btBoard(s: SparkSession, dir: String,
-      scored: DataFrame): DataFrame = {
+      scored: DataFrame): DataFrame =
+    btBoardCells(CorpusOps43.scoreCells(s, dir, scored))
+
+  /** [[btBoard]] from a pre-aggregated CorpusOps43.scoreCells cube —
+    * the agreement query passes its shared persisted cube here. */
+  private[ops] def btBoardCells(cells: DataFrame): DataFrame = {
     val wins = graft.CacheScope.track(
-      winsMatrix(s, dir, scored).persist())
+      winsMatrix(cells).persist())
     val srcs = wins.select(col("i").as("source")).distinct()
     val pairs0 = srcs.select(col("source").as("i"))
       .crossJoin(srcs.select(col("source").as("j")))

@@ -23,18 +23,37 @@ import graft.Tables
   */
 object CorpusOps43 {
 
-  /** Per-(source, round) exact score sums: round = doc_id % 16, the
-    * deterministic "match day" axis; means compare by integer
-    * cross-multiplication (tot_a·n_b vs tot_b·n_a), never a float. */
-  private def eloGames(s: org.apache.spark.sql.SparkSession,
+  /** The (source, round = doc_id % 16, score_milli) cell cube BOTH
+    * rating chains collapse to (optimization r18, guide §2.3
+    * "aggregate before you shuffle/share"): the per-doc classifier
+    * scan is the only corpus-sized work in the Elo AND Bradley-Terry
+    * chains, and each immediately aggregates it — Elo to (source,
+    * round) score sums, BT to (source, score_milli) counts. Both are
+    * exact rollups of this cube (sums of counts / of score·count over
+    * disjoint cells), so the agreement query persists ONE
+    * |sources|·16·|score values|-row frame instead of scanning the
+    * corpus twice (persisting the per-doc `scored` frame instead was
+    * measured a wash in r14/r17 — the cube is the aggregate-first
+    * version of that idea). */
+  private[ops] def scoreCells(s: org.apache.spark.sql.SparkSession,
       dir: String, scored: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val sc = scored
+      : org.apache.spark.sql.DataFrame =
+    scored
       .join(Tables(s, dir, "documents")
         .select(col("doc_id"), col("source")), Seq("doc_id"))
-    val rounds = sc
-      .groupBy(col("source"), (col("doc_id") % 16).as("round"))
-      .agg(count(lit(1)).as("n"), sum(col("score_milli")).as("tot"))
+      .groupBy(col("source"), (col("doc_id") % 16).as("round"),
+        col("score_milli"))
+      .agg(count(lit(1)).as("nc"))
+
+  /** Per-(source, round) exact score sums off the [[scoreCells]] cube:
+    * means compare by integer cross-multiplication (tot_a·n_b vs
+    * tot_b·n_a), never a float. */
+  private def eloGames(cells: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rounds = cells
+      .groupBy(col("source"), col("round"))
+      .agg(sum(col("nc")).as("n"),
+        sum(col("score_milli") * col("nc")).as("tot"))
     rounds.as("a").join(rounds.as("b"),
         col("a.round") === col("b.round") &&
           col("a.source") < col("b.source"))
@@ -106,8 +125,15 @@ object CorpusOps43 {
     * r12 ran it twice). */
   private[ops] def eloBoard(s: org.apache.spark.sql.SparkSession,
       dir: String, scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    eloBoardCells(s, dir, scoreCells(s, dir, scored))
+
+  /** [[eloBoard]] from a pre-aggregated [[scoreCells]] cube — the
+    * agreement query passes its shared persisted cube here. */
+  private[ops] def eloBoardCells(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val games = graft.CacheScope.track(eloGames(s, dir, scored).persist())
+    val games = graft.CacheScope.track(eloGames(cells).persist())
     val srcs = Tables(s, dir, "documents")
       .select(col("source").as("player")).distinct()
     val ratings = eloFold(
@@ -170,8 +196,18 @@ object CorpusOps43 {
       if (shareScan)
         graft.CacheScope.track(CorpusOps10.scored(s, dir).persist())
       else CorpusOps10.scored(s, dir)
-    val elo = eloBoard(s, dir, scored).select(col("source"), col("rating"))
-    val bt = CorpusOps39.btBoard(s, dir, scored)
+    // ONE persisted (source, round, score_milli) cube feeds both
+    // chains (optimization r18): the corpus-sized classifier scan runs
+    // once, and the persist barrier is |sources|·16·|score values|
+    // rows — the aggregate-first form of the r14-measured-wash scored
+    // persist (see scoreCells). The shareScan conf keeps its documented
+    // per-doc-frame meaning for callers running the chains as separate
+    // actions.
+    val cells = graft.CacheScope.track(
+      scoreCells(s, dir, scored).persist())
+    val elo = eloBoardCells(s, dir, cells)
+      .select(col("source"), col("rating"))
+    val bt = CorpusOps39.btBoardCells(cells)
       .select(col("source"), col("strength_micro"))
     val per = elo.join(bt, Seq("source"))
     val p = per.as("a").join(per.as("b"),

@@ -722,7 +722,28 @@ object Dedup {
       val viaEdge = edges
         .join(labels.withColumnRenamed("v", "da"), "da")
         .select(col("db").as("v"), col("l"))
-      val merged = labels.select(col("v"), col("l")).union(viaEdge)
+      // Pointer jumping (optimization r18, guide §1.2: rounds are the
+      // serial resource): besides the one-hop neighbor min, each round
+      // also adopts the label OF its label — l(l(v)) — via a self-join
+      // of the cached label frame. l(v) is always the id of a vertex in
+      // v's component (seed and every merge only move ids within the
+      // component), so the jump stays inside the component; labels only
+      // ever DECREASE, so the fixed point is unchanged: when a full
+      // round moves nothing, the neighbor-min step alone is stable,
+      // which forces l constant per component = the component min —
+      // exactly the old loop's limit. Distance-to-min now roughly
+      // halves per round on top of the one-hop extension, so rounds
+      // drop from ~diameter to ~log2(diameter). The jump joins two
+      // CACHED sides (skipped in round 1, where `labels` is the
+      // unpersisted seed aggregation — re-running its subtree twice
+      // would cost more than one round saves).
+      val oneHop = labels.select(col("v"), col("l")).union(viaEdge)
+      val withJump =
+        if (rounds == 0) oneHop
+        else oneHop.union(labels.select(col("l").as("lk"), col("v"))
+          .join(labels.select(col("v").as("lk"), col("l")), "lk")
+          .select(col("v"), col("l")))
+      val merged = withJump
         .groupBy(col("v")).agg(min(col("l")).as("l"))
       // Truncate lineage EVERY round (r8; was every 5): persist caches
       // DATA but the logical plan still nests, so each round re-analyzed
@@ -748,6 +769,11 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    // diagnostic hook (optimization r18): round-count evidence for the
+    // pointer-jump change without a bench-visible cost — stderr only,
+    // and only when the probe property is set
+    if (sys.props.contains("graft.ccRounds"))
+      System.err.println(s"[cc] converged in $rounds rounds")
     // the final round's checkpoint blocks stay live for the consumer;
     // tracked at the RDD level so the harness release actually frees
     // them after materialization (ADVICE r7, corrected r8)
