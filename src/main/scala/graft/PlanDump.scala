@@ -18,9 +18,15 @@ object PlanDump {
     val outDir = args(1)
     val suffix = args(2)
     val names = args(3).split(",").toSeq
+    // bench-shaped session (optimization r18, VERDICT r17 item 3/8):
+    // the r17 dumps ran local[4] at a tiny SF, where size estimates
+    // broadcast-convert every join and the artifact can't evidence
+    // SMJ/SHJ claims; dumping at sf0.1 with the bench's core count
+    // shows the strategies the measured plans actually pick
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

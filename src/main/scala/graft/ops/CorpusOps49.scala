@@ -71,7 +71,15 @@ object CorpusOps49 {
     * of the first p chars, tie-break (cost asc, length desc) via the
     * struct-min trick (nl = −l, so lexicographic min prefers longer
     * pieces on equal cost); `bt` backtraces the piece sequence.
-    * Returns (word, freq, ps = the piece array). Pure map-side. */
+    * Returns (word, freq, ps = the piece array). Pure map-side.
+    *
+    * The (l, lookup) inner transform (optimization r18, guide §4):
+    * `element_at` on a literal map is a LINEAR key scan, and the old
+    * form evaluated it twice per (position, length) — once for the
+    * null guard, once for the cost. Binding the lookup in a nested
+    * transform halves the dominant per-word cost; the outer IF
+    * reproduces the old null semantics exactly (NULL when p < l or
+    * the piece is out of vocab, null-cost structs preserved). */
   private def segment(dict: DataFrame, vocab: Map[String, Long])
       : DataFrame =
     dict.withColumn("vm", typedLit(vocab))
@@ -81,13 +89,15 @@ object CorpusOps49 {
           array(named_struct('c', CAST(0 AS BIGINT), 'nl', 0)),
           (acc, p) -> concat(acc, array(
             array_min(filter(
-              transform(sequence(1, $MaxPieceLen), l ->
-                IF(p >= l AND element_at(vm,
-                     substring(word, p - l + 1, l)) IS NOT NULL,
+              transform(
+                transform(sequence(1, $MaxPieceLen), l ->
+                  named_struct('l', l,
+                    'v', IF(p >= l, element_at(vm,
+                           substring(word, p - l + 1, l)), NULL))),
+                e -> IF(e.v IS NOT NULL,
                    named_struct(
-                     'c', element_at(acc, p - l + 1).c +
-                       element_at(vm, substring(word, p - l + 1, l)),
-                     'nl', CAST(-l AS INT)),
+                     'c', element_at(acc, p - e.l + 1).c + e.v,
+                     'nl', CAST(-e.l AS INT)),
                    NULL)),
               x -> x IS NOT NULL)))))"""))
       .withColumn("bt", expr(s"""

@@ -251,10 +251,18 @@ object TextAnalysis {
   /** Frequency-weighted adjacent-symbol pair counts over a `(freq,
     * sym)` frame — the statistics both BPE queries share. */
   private[graft] def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+    // bind the split ONCE per row in a projection below the Generate
+    // (optimization r18, guide §4 per-task work): higher-order-function
+    // lambdas evaluate outside whole-stage codegen's subexpression
+    // elimination, so the old in-lambda `split(sym, ' ')` re-split the
+    // word for EVERY pair position — O(len²) char work per word per
+    // trainer round. The Generate's child projection computes the
+    // array once; values are identical.
+    .select(col("freq"), split(col("sym"), " ").as("syms"))
     .select(col("freq"), explode(expr(
-      """transform(sequence(1, size(split(sym, ' ')) - 1),
-         i -> concat(element_at(split(sym, ' '), i), ' ',
-                     element_at(split(sym, ' '), i + 1)))"""))
+      """transform(sequence(1, size(syms) - 1),
+         i -> concat(element_at(syms, i), ' ',
+                     element_at(syms, i + 1)))"""))
       .as("pair"))
     .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
 
