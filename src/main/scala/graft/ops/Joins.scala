@@ -285,11 +285,17 @@ object Joins {
     * (2) the shuffle_hash hint makes both self-join sides identical
     * shuffle exchanges, so ReuseExchange computes the variant explode
     * once (a broadcast wrapper defeats reuse — same finding as the
-    * simhash pair scan, r4); (3) distinct runs on bare (ida, idb) id
-    * pairs and the names join back afterwards — the wide strings never
-    * enter the dedup shuffle. Unhinted name join-backs: Catalyst
-    * broadcasts the entity table while it fits, AQE degrades to a
-    * shuffled join when it doesn't. */
+    * simhash pair scan, r4); (3) the pair dedup runs on bare
+    * (ida, idb, dist) rows AFTER the levenshtein verify (optimization
+    * r18, guide §2.3 shuffle fewer bytes): the verify rejects ~73% of
+    * candidates (probed at sf0.1: 977k raw → 262k accepted, and only
+    * ~2% of raw pairs are variant-duplicated), so deduping the
+    * accepted stream shrinks the distinct exchange ~3.6× for a ~2%
+    * re-verify of duplicated pairs — value-identical because dist is
+    * a function of the pair, so filter∘distinct ≡ distinct∘filter;
+    * the wide strings still never enter the dedup shuffle. Unhinted
+    * name join-backs: Catalyst broadcasts the entity table while it
+    * fits, AQE degrades to a shuffled join when it doesn't. */
   val qJoinFuzzy: Q = (s, dir) => {
     val c = Tables(s, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
@@ -307,13 +313,13 @@ object Joins {
       .join(variants.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
-      .distinct()
     cand
       .join(c.select(col("id").as("ida"), col("name").as("na")), "ida")
       .join(c.select(col("id").as("idb"), col("name").as("nb")), "idb")
       .withColumn("dist", levenshtein(col("na"), col("nb")))
       .filter(col("dist") <= 1)
       .select(col("ida"), col("idb"), col("dist"))
+      .distinct()
       .orderBy(col("ida"), col("idb"))
   }
 

@@ -1094,8 +1094,9 @@ object Similarity {
     * straddle cell boundaries), a pair is a candidate iff the probe
     * sets intersect, and the verify is the exact quantized-int64
     * cosine. Shuffle is O(n x nprobe) probe rows + candidates, never
-    * O(n^2); dots are computed once per DISTINCT candidate pair, after
-    * dedup, on the persisted narrow vector frame. Fully DuckDB-oracled
+    * O(n^2); dots run map-side on the cell-share-duplicated pair
+    * stream and the pair dedup follows the ~1%-selective verify
+    * (r18 — see the inline note). Fully DuckDB-oracled
     * (the oracle replays probing, pairing and the cosine in SQL).
     * Keep policy: va is the canonical survivor (va < vb). Blocking
     * recall vs the exact baseline is asserted in DedupSimilaritySpec
@@ -1197,11 +1198,19 @@ object Similarity {
       .withColumn("prnk", row_number().over(wP))
       .filter(col("prnk") <= nprobe)
       .select(col("vec_id"), col("cid"))
+    // pair dedup AFTER the cosine verify (optimization r18, guide
+    // §2.3 shuffle fewer bytes — the q_join_fuzzy restructure): the
+    // verify is extremely selective (probed at sf0.1: 1.12M raw pair
+    // rows, 891k distinct, 12.2k accepted — 1.4%), so deduping the
+    // accepted stream replaces a full candidate-volume exchange with
+    // a ~1% one, for +26% of map-side dot products on the
+    // cell-share-duplicated rows (dots on broadcast-joined narrow
+    // frames — cheap next to the exchange). Value-identical: cos is a
+    // function of (va, vb), so filter∘distinct ≡ distinct∘filter.
     val cand = probes.as("a").join(probes.as("b"),
         col("a.cid") === col("b.cid") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-      .distinct()
     cand
       .join(emb.select(col("vec_id").as("va"), col("q").as("qa"),
         col("n2").as("na")), "va")
@@ -1215,6 +1224,7 @@ object Similarity {
       // 0.3 (the oracle's literal); Graft.semanticDedup(threshold=x)
       // was silently ignored before r17
       .filter(col("cos") >= threshold)
+      .distinct()
       .orderBy(col("va"), col("vb"))
   }
 
