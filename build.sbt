@@ -48,6 +48,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // Optimization-round experiment hook: extra -D flags for the forked
 // run/test JVMs (e.g. candidate spark.* confs measured A/B before being
 // promoted into code). The driver never sets this env, so its bench JVMs
-// are byte-identical to the committed defaults.
+// are byte-identical to the committed defaults. A non-empty value is
+// LOGGED loudly (ADVICE r17): a stray value lingering in a developer's
+// environment would otherwise silently change every test/bench JVM.
+// Split on whitespace runs, so multi-space formatting can't mangle
+// flags (flags containing literal spaces are not supported — pass
+// several -D flags instead).
 javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
-  .map(_.split(" ").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+  .map { v =>
+    sLog.value.warn(
+      s"SPARK_GRAFT_EXTRA_JAVA_OPTS is set — forked JVMs get: $v")
+    v.split("\\s+").filter(_.nonEmpty).toSeq
+  }.getOrElse(Seq.empty)

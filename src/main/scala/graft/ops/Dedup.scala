@@ -141,6 +141,17 @@ object Dedup {
     // the self-join skips the per-side sort a merge join would add
     // (the simhash-pair finding, r4): both sides are identical
     // exchanges, so ReuseExchange still computes the subtree once.
+    // Two caveats the hint trades away (ADVICE r17): (1) at
+    // broadcastable scales it swaps a broadcast join for a shuffle —
+    // measured acceptable at every fixture SF (the r17 A/B numbers
+    // below include it); (2) ShuffledHashJoin's build side cannot
+    // spill, and the build here is a full partition of the
+    // size-attached shingle stream — per-partition volume is
+    // table/partitions, bounded in practice by AQE's byte-sized
+    // partitioning (advisoryPartitionSizeInBytes), NOT by the df-cap
+    // (which only bounds per-key skew). If a production profile shows
+    // spill/OOM on this stage, drop the hint before touching memory
+    // configs: SMJ here costs only the two sorts.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shN = sh.join(sizes, Seq("doc_id"))
     val inter = shN.as("a").join(shN.as("b").hint("shuffle_hash"),
@@ -756,6 +767,12 @@ object Dedup {
       // round; lazily checkpointing lets the labelSum action below
       // materialize the round's blocks in the SAME job — one job per
       // round instead of two, same blocks, same lineage cut.
+      // INVARIANT (ADVICE r17): the convergence sum below MUST act on
+      // `next` (a full-partition action) BEFORE prevCkpt.unpersist
+      // frees round r-1's blocks — a lazy checkpoint only truncates
+      // lineage once materialized, so reordering the unpersist above
+      // the action (or dropping the per-round action) would free the
+      // blocks round r still needs and make it unrecoverable.
       val next = merged.localCheckpoint(false)
       val nextSum = labelSum(next)
       changed = nextSum != prevSum
