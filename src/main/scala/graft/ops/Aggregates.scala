@@ -41,7 +41,13 @@ object Aggregates {
   }
 
   /** Multiple DISTINCT aggregates in one GROUP BY (Catalyst
-    * RewriteDistinctAggregates expands to a single multi-stage plan). */
+    * RewriteDistinctAggregates expands to a single multi-stage plan).
+    * An r18 pre-aggregate-to-(flag, part, supp)-grain rewrite was
+    * measured a WASH here and reverted: TPC-H's pair domain keeps the
+    * grain at ~40% of base rows, so the saved Expand volume only just
+    * pays for the added grain exchange (interleaved mins 1.452 vs
+    * 1.439 s; the same rewrite is a 2x win on q_agg_cube, whose grain
+    * is ~6 rows). */
   val qAggDistinct: Q = (s, dir) => {
     val li = Tables(s, dir, "lineitem")
     li.groupBy(col("l_returnflag"))
@@ -86,13 +92,26 @@ object Aggregates {
         col("l_linestatus").asc_nulls_first)
   }
 
-  /** CUBE + per-column GROUPING indicator (cast to int on both engines). */
+  /** CUBE + per-column GROUPING indicator (cast to int on both
+    * engines). The cube runs over the (flag, status)-grain partial
+    * sums, not raw lineitem (optimization r18, guide §2.3): CUBE's
+    * Expand replicates every input row once per grouping set (4x
+    * here) and re-evaluates the decimal cast + aggregate on each
+    * replica, so collapsing to the ~6-row grain first does the
+    * per-row work once. Value-identical: exact-decimal partial sums
+    * re-aggregate associatively (decimal(28,4) partials into a
+    * 38-digit sum — no overflow, no rounding before the final double
+    * cast), counts sum, and grouping() indicators are computed by the
+    * cube itself either way. */
   val qAggCube: Q = (s, dir) => {
     val li = Tables(s, dir, "lineitem")
-    li.cube(col("l_returnflag"), col("l_linestatus"))
+    val grain = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_extendedprice"))).as("ps"),
+        count(lit(1)).as("c"))
+    grain.cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_extendedprice")).as("sum_price"),
-        count(lit(1)).as("cnt"),
+        sum(col("ps")).cast("double").as("sum_price"),
+        sum(col("c")).as("cnt"),
         grouping(col("l_returnflag")).cast("int").as("g_rf"),
         grouping(col("l_linestatus")).cast("int").as("g_ls"))
       .select(
